@@ -1,13 +1,223 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator family from SURVEY §2.3; the
+  * matching `oracleSql` entry is ANSI SQL DuckDB runs over the same parquet
+  * tables. Column names and row order are kept identical on both sides;
+  * float aggregates are rounded identically (see Relational's scaladoc).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core question — when is an area crowded?
+    * (`main.py:226-233`) — as a windowed threshold count. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.crowdAlert(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_proj" -> (Relational.scanProject _),
+    "q_filter" -> (Relational.filterPredicates _),
+    "q_agg" -> (Relational.aggPricingSummary _),
+    "q_agg_distinct" -> (Relational.aggDistinct _),
+    "q_join_bc" -> (Relational.joinBroadcast _),
+    "q_join_shuffle" -> (Relational.joinShuffle _),
+    "q_join_multi" -> (Relational.joinMultiway _),
+    "q_join_semi" -> (Relational.joinSemi _),
+    "q_join_anti" -> (Relational.joinAnti _),
+    "q_rollup" -> (Relational.aggRollup _),
+    "q_cube" -> (Relational.aggCube _),
+    "q_win_topk" -> (Relational.windowTopkPerGroup _),
+    "q_win_edge" -> (Relational.windowAlarmEdge _),
+    "q_win_frames" -> (Relational.windowFrames _),
+    "q_topk_global" -> (Relational.topkGlobal _),
+    "q_sort" -> (Relational.sortMultiKey _),
+    "q_set_ops" -> (Relational.setOps _),
+    "q_date" -> (Relational.dateBreakdown _),
+    "q_math" -> (Relational.mathScalars _),
+    "q_json" -> (Relational.jsonExtract _),
+    "q_crowd_alert" -> (Relational.crowdAlert _),
+    "q_session" -> (Relational.sessionize _),
+    "q_validate" -> (Relational.validationDispatch _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_proj" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_price,
+        |  CAST(l_quantity > 25 AS BIGINT) AS bulk,
+        |  CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS status
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price, bulk, status""".stripMargin,
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 30
+        |  AND l_returnflag IN ('R', 'A')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_discount <> 0.0
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  round(sum(l_quantity) / count(*), 2) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+        |  round(min(value), 2) AS min_value,
+        |  round(max(value), 2) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_join_bc" ->
+      """SELECT p_brand,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_lines,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_multi" ->
+      """SELECT r_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_win_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_edge" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id, value > 150 AS fire,
+        |    lag(value > 150) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events) t
+        |WHERE fire AND NOT coalesce(prev, FALSE)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_win_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS moving_sum3
+        |FROM orders ORDER BY o_custkey, o_orderkey, running_total""".stripMargin,
+    "q_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_sort" ->
+      """SELECT event_type, user_id, value, event_id FROM events
+        |ORDER BY event_type ASC, value DESC, event_id ASC""".stripMargin,
+    "q_set_ops" ->
+      """WITH clicks AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |     purchases AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT 'both' AS tag, user_id FROM (SELECT user_id FROM clicks INTERSECT SELECT user_id FROM purchases) a
+        |UNION ALL
+        |SELECT 'click_only' AS tag, user_id FROM (SELECT user_id FROM clicks EXCEPT SELECT user_id FROM purchases) b
+        |UNION ALL
+        |SELECT 'purchase_only' AS tag, user_id FROM (SELECT user_id FROM purchases EXCEPT SELECT user_id FROM clicks) c
+        |ORDER BY tag, user_id""".stripMargin,
+    "q_date" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' + INTERVAL 90 DAY
+        |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "q_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
+        |  round(exp(l_discount), 4) AS exp_disc,
+        |  round(ln(l_extendedprice), 4) AS ln_price,
+        |  round(pow(l_quantity, 2), 2) AS qty_sq,
+        |  abs(round(l_tax - l_discount, 4)) AS abs_diff
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, sqrt_price, exp_disc, ln_price, qty_sq, abs_diff""".stripMargin,
+    "q_json" ->
+      """SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k FROM events) t
+        |WHERE k IS NOT NULL
+        |GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q_crowd_alert" ->
+      """SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS win_start,
+        |  user_id, count(*) AS n_events
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1, 2 HAVING count(*) > 3
+        |ORDER BY win_start, user_id""".stripMargin,
+    "q_session" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s
+        |)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+        |  count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+    "q_validate" ->
+      """SELECT status, count(*) AS n FROM (
+        |  SELECT CASE
+        |    WHEN NOT regexp_matches(c_name, '^Customer#[0-9]+$') THEN 'bad_format'
+        |    WHEN length(c_name) < 10 THEN 'too_short'
+        |    WHEN c_acctbal < 0 THEN 'negative_balance'
+        |    WHEN NOT regexp_matches(c_mktsegment, '^[A-Z]+$') THEN 'bad_segment'
+        |    ELSE 'ok' END AS status
+        |  FROM customer) t
+        |GROUP BY status ORDER BY status""".stripMargin,
+  )
 }

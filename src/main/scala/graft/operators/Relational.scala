@@ -1,0 +1,323 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core (SURVEY §2.3 E-SCAN…E-SET, E-WIN, E-TOPK, E-DATE,
+  * E-MATH, E-STR families).
+  *
+  * Every query here is the declarative logical plan only — strategy choice
+  * (broadcast vs shuffle join, partial aggregation, pushdown) is left to
+  * Catalyst/AQE, mirroring SURVEY §4: the reference's hand-applied orderings
+  * (cheap filter before NMS, `main.py:111→125`) are free under Catalyst.
+  *
+  * Determinism rules shared with the DuckDB oracle:
+  *   - every query ends in a total ORDER BY;
+  *   - float aggregates are rounded (2 or 4 dp) on both sides;
+  *   - derived integer columns are cast to BIGINT to match DuckDB's wider
+  *     default integer results.
+  */
+object Relational {
+
+  /** Money / measure columns are 2-dp values stored as DOUBLE. Summing them
+    * as doubles is accumulation-order-dependent (Spark's partial aggregates
+    * vs DuckDB's single pass differ in the last ulp), which flips 2-dp
+    * rounding at .xx5 boundaries. So every SUM over money goes through exact
+    * DECIMAL arithmetic — round happens on the exact decimal, then the
+    * result is cast back to DOUBLE for a stable, engine-neutral compare.
+    * The oracle SQL applies the identical CAST/round/CAST sequence. */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private val oneDec: Column = lit(1).cast("decimal(18,2)")
+  /** exact Σ price*(1-discount), rounded to 2 dp, as double */
+  private def netRevenue(price: Column, discount: Column): Column =
+    round(sum(dec2(price) * (oneDec - dec2(discount))), 2).cast("double")
+  /** exact Σ of a 2-dp money column, rounded, as double */
+  private def moneySum(c: Column): Column = round(sum(dec2(c)), 2).cast("double")
+
+  /** E-SCAN + E-PROJ: arithmetic, cast, when/otherwise projection.
+    * Reference analog: box-coordinate scaling `main.py:112-118` and the
+    * threshold flag `main.py:232-233`. */
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(dec2(col("l_extendedprice")) * (oneDec - dec2(col("l_discount"))), 2)
+          .cast("double").as("net_price"),
+        (col("l_quantity") > 25).cast("int").cast("long").as("bulk"),
+        when(col("l_returnflag") === "R", lit("returned")).otherwise(lit("kept")).as("status"))
+      .orderBy("l_orderkey", "l_linenumber", "net_price", "bulk", "status")
+
+  /** E-FILT: conjunctive predicates — BETWEEN, IN, timestamp compare.
+    * Reference analog: conf/class gates `main.py:111, 210-211`. */
+  def filterPredicates(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").between(10, 30)
+        && col("l_returnflag").isin("R", "A")
+        && col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_discount") =!= 0.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  /** E-AGG: TPC-H Q1-shaped hash aggregate (partial+final under the hood).
+    * Reference analog: per-frame person count `main.py:226`. */
+  def aggPricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        netRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        round(sum("l_quantity") / count(lit(1)), 2).as("avg_qty"),
+        round(sum(dec2(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** E-AGG: exact count-distinct (the HLL `approx_count_distinct` twin is
+    * bench/test-only — sketches can't hash-match an oracle). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        round(min("value"), 2).as("min_value"),
+        round(max("value"), 2).as("max_value"))
+      .orderBy("event_type")
+
+  /** E-JOIN-BC: fact × small dim with an explicit broadcast hint — the
+    * engine form of the class-dim lookup `main.py:211, 240` (80-row dim).
+    * part is ≤ 200k rows even at sf100; always broadcastable. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        netRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  /** E-JOIN-SM: large × large equi join — shuffle exchange on the key, AQE
+    * free to pick SMJ/SHJ. 100 TB mandate (SURVEY §2.2 "no evidence" note). */
+  def joinShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** Multi-way join: customer⋈orders⋈lineitem⋈supplier⋈nation⋈region
+    * (TPC-H Q5 shape) — revenue per nation in one region/year. Exercises
+    * join reorder + mixed broadcast/shuffle strategies. */
+  def joinMultiway(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .groupBy("r_name", "n_name")
+      .agg(netRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** E-JOIN-SEMI: EXISTS — customers that placed at least one order.
+    * Reference analog: authenticate() point-lookup `views.py:27` (V4). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** E-JOIN-ANTI: NOT EXISTS — customers with no orders. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** E-AGG-SETS: rollup region → nation revenue (historical trend analysis,
+    * paper p.1). Rollup nulls are coalesced to 'ALL' so the oracle compare
+    * is unambiguous and ordering is null-free. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("rname"), col("n_name").as("nname"),
+        col("l_extendedprice"), col("l_discount"))
+      // The rollup goes through spark.sql: Dataset-API rollup tags grouping
+      // attrs with dataset plan ids, and the Expand's duplicated attributes
+      // then false-positive Spark's DetectAmbiguousSelfJoin check. SQL text
+      // has no plan-id metadata; the physical plan (single-scan Expand +
+      // hash agg) is identical.
+      .transform { base =>
+        base.createOrReplaceTempView("graft_rollup_base")
+        base.sparkSession.sql(
+          """SELECT * FROM (
+            |  SELECT coalesce(rname, 'ALL') AS region, coalesce(nname, 'ALL') AS nation,
+            |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |      (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+            |    count(*) AS n_items
+            |  FROM graft_rollup_base
+            |  GROUP BY ROLLUP(rname, nname)) t
+            |ORDER BY region, nation""".stripMargin)
+      }
+
+  /** E-AGG-SETS: cube over returnflag × linestatus. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .na.fill("ALL", Seq("l_returnflag", "l_linestatus"))
+      .withColumnRenamed("l_returnflag", "returnflag")
+      .withColumnRenamed("l_linestatus", "linestatus")
+      .orderBy("returnflag", "linestatus")
+
+  /** E-WIN ranking + per-group E-TOPK: top-3 orders per customer.
+    * Reference analog: `.topk` over CLIP similarities `main.py:80-81`. */
+  def windowTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** E-WIN analytic `lag` = the batch form of the edge-triggered alarm latch
+    * (`main.py:171-185`): emit exactly the rows where `fire` rises F→T.
+    * Streaming form lives in graft.streaming.AlarmLatch (E-STATE). */
+  def windowAlarmEdge(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("fire", col("value") > 150)
+      .withColumn("prev", lag(col("fire"), 1).over(w))
+      .filter(col("fire") && !coalesce(col("prev"), lit(false)))
+      .select("user_id", "event_id")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** E-WIN frames: running sum (unbounded preceding) + moving average
+    * (3-row window) of order totals per customer. */
+  def windowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(dec2(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .cast("double").as("running_total"),
+        round(sum(dec2(col("o_totalprice"))).over(w.rowsBetween(-2, 0)), 2)
+          .cast("double").as("moving_sum3"))
+      .orderBy("o_custkey", "o_orderkey", "running_total")
+  }
+
+  /** E-TOPK global: `TakeOrderedAndProject` — no total sort at scale. */
+  def topkGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** E-SORT: full multi-key sort (range-partitioned exchange at scale). */
+  def sortMultiKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select("event_type", "user_id", "value", "event_id")
+      .orderBy(col("event_type").asc, col("value").desc, col("event_id").asc)
+
+  /** E-SET: intersect / except / union with a branch tag — user cohorts by
+    * event type (multi-camera union analog, paper p.3). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click").select("user_id")
+    val purchases = ev.filter(col("event_type") === "purchase").select("user_id")
+    val both = clicks.intersect(purchases).withColumn("tag", lit("both"))
+    val clickOnly = clicks.except(purchases).withColumn("tag", lit("click_only"))
+    val purchaseOnly = purchases.except(clicks).withColumn("tag", lit("purchase_only"))
+    both.unionByName(clickOnly).unionByName(purchaseOnly)
+      .select("tag", "user_id")
+      .orderBy("tag", "user_id")
+  }
+
+  /** E-DATE: calendar breakdown + interval arithmetic over order dates. */
+  def dateBreakdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") + expr("INTERVAL 90 DAYS"))
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total"))
+      .orderBy("yr", "mo")
+
+  /** E-MATH: sqrt/exp/ln/pow/abs/round — the scalar pieces of softmax and
+    * L2-normalize (`main.py:78-79`), checked on relational columns. */
+  def mathScalars(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        round(exp(col("l_discount")), 4).as("exp_disc"),
+        round(log(col("l_extendedprice")), 4).as("ln_price"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+        abs(round(col("l_tax") - col("l_discount"), 4)).as("abs_diff"))
+      .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "exp_disc", "ln_price",
+        "qty_sq", "abs_diff")
+
+  /** E-MAP/JSON: extract typed field from the `props` JSON payload
+    * (`events.props`, FIXTURES.md) and aggregate on it. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("k_bucket")
+
+  /** Flagship (SURVEY §7.3) — "when is an area crowded?" on events:
+    * tumbling 1-day window count per user above the reference's crowd
+    * threshold of 3 (`main.py:226-233` spine: filter → windowed count →
+    * threshold). */
+  def crowdAlert(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > 3)
+      .select(unix_timestamp(col("window.start")).as("win_start"), col("user_id"), col("n_events"))
+      .orderBy("win_start", "user_id")
+
+  /** E-STREAM-WIN batch analog: session windows per user with a 30-minute
+    * gap via the built-in `session_window`. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("session_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "sess_start")
+
+  /** V1-V5 validation dispatch (`verify.py:40-50`): first-failing-rule
+    * when-chain over customer rows, aggregated to status counts. */
+  def validationDispatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        when(!col("c_name").rlike("^Customer#[0-9]+$"), lit("bad_format"))
+          .when(length(col("c_name")) < lit(10), lit("too_short"))
+          .when(col("c_acctbal") < 0, lit("negative_balance"))
+          .when(!col("c_mktsegment").rlike("^[A-Z]+$"), lit("bad_segment"))
+          .otherwise(lit("ok")).as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+}
