@@ -43,6 +43,23 @@ object SparkEntry {
     "q_crowd_alert" -> (Relational.crowdAlert _),
     "q_session" -> (Relational.sessionize _),
     "q_validate" -> (Relational.validationDispatch _),
+    "q_arr" -> (VectorOps.arrayOps _),
+    "q_range_count" -> (VectorOps.rangeCount _),
+    "q_vec_norm" -> (VectorOps.vectorNorms _),
+    "q_sim_topk" -> (VectorOps.simTopK _),
+    "q_ann_bucket" -> (VectorOps.annBuckets _),
+    "q_ann_topk" -> (VectorOps.annTopK _),
+    "q_str" -> (TextOps.strFunctions _),
+    "q_text_quality" -> (TextOps.textQuality _),
+    "q_langid" -> (TextOps.langId _),
+    "q_token_count" -> (TextOps.tokenCount _),
+    "q_fingerprint" -> (TextOps.fingerprint _),
+    "q_dedup_exact" -> (TextOps.dedupExact _),
+    "q_jaccard_pairs" -> (TextOps.jaccardPairs _),
+    "q_minhash_lsh" -> (TextOps.minhashLsh _),
+    "q_simhash" -> (TextOps.simhash _),
+    "q_top_terms" -> (TextOps.topTerms _),
+    "q_binary_meta" -> (TextOps.binaryMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,5 +236,202 @@ object SparkEntry {
         |    ELSE 'ok' END AS status
         |  FROM customer) t
         |GROUP BY status ORDER BY status""".stripMargin,
+    "q_arr" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_val,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_range_count" ->
+      """SELECT vec_id, n_in_range FROM (
+        |  SELECT vec_id,
+        |    CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) BETWEEN 0.05 AND 0.2)) AS BIGINT) AS n_in_range
+        |  FROM embeddings) t
+        |WHERE n_in_range > 5 ORDER BY vec_id""".stripMargin,
+    "q_vec_norm" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+        |  round(1.0 / list_sum(list_transform(embedding,
+        |    x -> exp(CAST(x AS DOUBLE) - CAST(list_max(embedding) AS DOUBLE)))), 4) AS max_softmax
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_sim_topk" ->
+      """WITH pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_sum(list_transform(range(1,65), i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1,65), i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1,65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10
+        |), ranked AS (
+        |  SELECT probe_id, cand_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+        |  FROM pairs)
+        |SELECT probe_id, rank, cand_id, round(cos, 4) AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q_ann_bucket" ->
+      """SELECT vec_id,
+        |  CAST((CASE WHEN d0 > 0 THEN 1 ELSE 0 END) + 2 * (CASE WHEN d1 > 0 THEN 1 ELSE 0 END)
+        |     + 4 * (CASE WHEN d2 > 0 THEN 1 ELSE 0 END) + 8 * (CASE WHEN d3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        |FROM (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE) * (1.0 - 2.0 * (((i-1) >> 0) % 2)))) AS d0,
+        |    list_sum(list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE) * (1.0 - 2.0 * (((i-1) >> 1) % 2)))) AS d1,
+        |    list_sum(list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE) * (1.0 - 2.0 * (((i-1) >> 2) % 2)))) AS d2,
+        |    list_sum(list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE) * (1.0 - 2.0 * (((i-1) >> 3) % 2)))) AS d3
+        |  FROM embeddings) t
+        |ORDER BY vec_id""".stripMargin,
+    "q_ann_topk" ->
+      """WITH bk AS (
+        |  SELECT vec_id, embedding,
+        |    CAST((CASE WHEN d0 > 0 THEN 1 ELSE 0 END) + 2 * (CASE WHEN d1 > 0 THEN 1 ELSE 0 END)
+        |       + 4 * (CASE WHEN d2 > 0 THEN 1 ELSE 0 END) + 8 * (CASE WHEN d3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      list_sum(list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE) * (1.0 - 2.0 * (((i-1) >> 0) % 2)))) AS d0,
+        |      list_sum(list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE) * (1.0 - 2.0 * (((i-1) >> 1) % 2)))) AS d1,
+        |      list_sum(list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE) * (1.0 - 2.0 * (((i-1) >> 2) % 2)))) AS d2,
+        |      list_sum(list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE) * (1.0 - 2.0 * (((i-1) >> 3) % 2)))) AS d3
+        |    FROM embeddings) raw
+        |), pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, p.bucket,
+        |    list_sum(list_transform(range(1,65), i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1,65), i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1,65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM bk p JOIN bk c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 20
+        |), ranked AS (
+        |  SELECT probe_id, cand_id, bucket, cos,
+        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+        |  FROM pairs)
+        |SELECT probe_id, rank, cand_id, bucket, round(cos, 4) AS cos_sim
+        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q_str" ->
+      """SELECT doc_id,
+        |  length(text) AS len,
+        |  upper(substr(text, 1, 10)) AS head10,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+        |  concat(lang, ':', source) AS tag,
+        |  trim(lower(lang)) AS lang_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, n_tokens, avg_tok_len, stopword_ratio,
+        |  CASE WHEN n_tokens < 20 THEN 'short'
+        |       WHEN stopword_ratio > 0.12 THEN 'boilerplate'
+        |       ELSE 'ok' END AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS avg_tok_len,
+        |    round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS stopword_ratio
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      """SELECT doc_id, pred_lang, pred_lang = lang AS is_match FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+        |         WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+        |         WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+        |         WHEN c_fr >= c_zh THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of'))) AS c_en,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das'))) AS c_de,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'los'))) AS c_es,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('le', 'les', 'une'))) AS c_fr,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('shi', 'bu', 'wo'))) AS c_zh
+        |    FROM documents) c) p
+        |ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt, md5(text) AS text_hash
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents) raw
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM toks a JOIN toks b
+        |    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = d1
+        |JOIN sizes sb ON sb.doc_id = d2
+        |WHERE i / (sa.sz + sb.sz - i) >= 0.9
+        |ORDER BY d1, d2""".stripMargin,
+    "q_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      j -> string_split(text, ' ')[j] || '_' || string_split(text, ' ')[j + 1])) AS tok
+        |    FROM documents) raw
+        |), codes AS (
+        |  SELECT tok, list_sum(list_transform(range(1, length(tok) + 1),
+        |    j -> ascii(substr(tok, j, 1)) * j)) AS code
+        |  FROM (SELECT DISTINCT tok FROM toks) dt
+        |), params(i, a, b) AS (VALUES
+        |  (0, 1000003, 42), (1, 1007922, 1051), (2, 1015841, 2060), (3, 1023760, 3069),
+        |  (4, 1031679, 4078), (5, 1039598, 5087), (6, 1047517, 6096), (7, 1055436, 7105),
+        |  (8, 1063355, 8114), (9, 1071274, 9123), (10, 1079193, 10132), (11, 1087112, 11141),
+        |  (12, 1095031, 12150), (13, 1102950, 13159), (14, 1110869, 14168), (15, 1118788, 15177)
+        |), sigs AS (
+        |  SELECT t.doc_id, p.i,
+        |    min((CAST(p.a AS BIGINT) * c.code + p.b) % 2147483647) AS minh
+        |  FROM toks t JOIN codes c ON t.tok = c.tok CROSS JOIN params p
+        |  GROUP BY 1, 2
+        |), bands AS (
+        |  SELECT doc_id, i // 8 AS band,
+        |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS key
+        |  FROM sigs GROUP BY 1, 2)
+        |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |ORDER BY d1, d2""".stripMargin,
+    "q_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), coded AS (
+        |  SELECT doc_id, list_sum(list_transform(range(1, length(tok) + 1),
+        |    j -> ascii(substr(tok, j, 1)) * j)) AS code
+        |  FROM toks
+        |), params(i, a, b) AS (VALUES
+        |  (0, 1000003, 42), (1, 1007922, 1051), (2, 1015841, 2060), (3, 1023760, 3069),
+        |  (4, 1031679, 4078), (5, 1039598, 5087), (6, 1047517, 6096), (7, 1055436, 7105),
+        |  (8, 1063355, 8114), (9, 1071274, 9123), (10, 1079193, 10132), (11, 1087112, 11141),
+        |  (12, 1095031, 12150), (13, 1102950, 13159), (14, 1110869, 14168), (15, 1118788, 15177)
+        |), bits AS (
+        |  SELECT c.doc_id, p.i,
+        |    sum(((CAST(p.a AS BIGINT) * c.code + p.b) % 2147483647 % 2) * 2 - 1) AS s
+        |  FROM coded c CROSS JOIN params p GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_top_terms" ->
+      """SELECT tok, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    "q_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis + deduplication family (SURVEY E-TEXT, E-DEDUP, E-STR;
+  * BASELINE.json LLM-pipeline mandate) over the `documents` fixture.
+  *
+  * Scale stance: the exact pairwise Jaccard (`jaccardPairs`) is quadratic
+  * within its blocking key (source) — it is the small-scale oracle twin.
+  * The 100 TB path is `minhashLsh`: signature computation is a single
+  * narrow aggregation per doc, and candidate generation is an equi-join on
+  * band keys, so only near-duplicates ever meet in a shuffle.
+  *
+  * All hash arithmetic (token codes, MinHash permutations, SimHash bits)
+  * is integer-only and engine-neutral, so every query here is
+  * DuckDB-oracle-checkable — no reliance on engine-specific hash().
+  */
+object TextOps {
+
+  /** E-STR surface: length/upper/substring/split/regexp_extract/concat/
+    * trim over documents (V1-V2, P19, §1.3 trim quirk). */
+  def strFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        upper(substring(col("text"), 1, 10)).as("head10"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+        concat_ws(":", col("lang"), col("source")).as("tag"),
+        trim(lower(col("lang"))).as("lang_norm"))
+      .orderBy("doc_id")
+
+  /** Text quality scoring: token stats + stopword ratio + quality gate
+    * (mandate: quality scoring via length/stopword ratios). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        // single-space-separated text: token chars = n_chars - (n_tokens-1)
+        round((col("n_chars") - (nTok - 1)).cast("double") / nTok, 4).as("avg_tok_len"),
+        round(nStop.cast("double") / nTok, 4).as("stopword_ratio"))
+      .withColumn("quality",
+        when(col("n_tokens") < 20, lit("short"))
+          .when(col("stopword_ratio") > 0.12, lit("boilerplate"))
+          .otherwise(lit("ok")))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: marker-stopword hit counts per language,
+    * argmax with deterministic preference order (mandate: n-gram-style
+    * langid; markers stand in for the n-gram tables). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def hits(markers: String*): Column =
+      size(filter(toks, t => t.isin(markers: _*))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        hits("the", "a", "of").as("c_en"),
+        hits("der", "die", "das").as("c_de"),
+        hits("el", "la", "los").as("c_es"),
+        hits("le", "les", "une").as("c_fr"),
+        hits("shi", "bu", "wo").as("c_zh"))
+      .withColumn("pred_lang",
+        when(col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr"), col("c_zh")), lit("en"))
+          .when(col("c_de") >= greatest(col("c_es"), col("c_fr"), col("c_zh")), lit("de"))
+          .when(col("c_es") >= greatest(col("c_fr"), col("c_zh")), lit("es"))
+          .when(col("c_fr") >= col("c_zh"), lit("fr"))
+          .otherwise(lit("zh")))
+      .select(col("doc_id"), col("pred_lang"), (col("pred_lang") === col("lang")).as("is_match"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish alpha-run count, and the
+    * chars/4 estimate (mandate: token counting). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha_runs"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("n_bpe_est"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text
+    * (mandate: fingerprinting; exact-dedup key at scale). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(encode(lower(trim(regexp_replace(col("text"), "\\s+", " "))), "UTF-8")).as("fp"))
+      .orderBy("doc_id")
+
+  /** E-DEDUP exact: canonical representative per distinct text — min
+    * doc_id wins (deterministic, unlike dropDuplicates). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select("keep_id", "dup_cnt", "text_hash")
+      .orderBy("keep_id")
+
+  /** distinct (doc_id, source, token) — shared by the pairwise ops. */
+  private def distinctTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** E-DEDUP near-dup, exact form: token-set Jaccard ≥ 0.9 between doc
+    * pairs blocked by source. Quadratic within block — oracle twin of the
+    * LSH path below. */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = distinctTokens(spark, dir)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") === col("b.source")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter") / (col("sz1") + col("sz2") - col("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .filter(jac >= 0.9)
+      .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Engine-neutral token code: Σ ascii(char_j)·j (1-based). Integer-only
+    * so Spark and DuckDB agree exactly. */
+  private def tokenCode(tok: Column): Column =
+    aggregate(
+      transform(split(tok, ""), (c, i) => ascii(c).cast("long") * (i.cast("long") + 1L)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** MinHash permutation parameters: k=16 hashes, deterministic
+    * "seed 42"-flavored affine constants, prime modulus 2^31−1. */
+  private[operators] val MinhashParams: Seq[(Int, Long, Long)] =
+    (0 until 16).map(i => (i, 1000003L + 7919L * i, 42L + 1009L * i))
+  private val MinhashPrime = 2147483647L
+
+  /** E-DEDUP scale path: MinHash+LSH candidate pairs — word-bigram
+    * shingles, 16-hash signature, 2 bands × 8 rows, pairs bucketed by
+    * identical band key. Shingles (not unigrams): the fixture vocabulary is
+    * ~30 words, so unigram token sets collide for most long docs; bigram
+    * sets are discriminative. At 100 TB the signature is one narrow agg per
+    * doc and candidates meet via band-key equi-join (no all-pairs shuffle). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params = MinhashParams.toDF("i", "a", "b")
+    val tokArr = split(col("text"), " ")
+    val shingles = transform(
+      slice(tokArr, lit(1), greatest(size(tokArr) - 1, lit(0))),
+      (t, i) => concat(t, lit("_"), element_at(tokArr, i + 2)))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(shingles)).as("tok"))
+      .withColumn("code", tokenCode(col("tok")))
+    val sigs = toks.crossJoin(broadcast(params))
+      .groupBy("doc_id", "i")
+      .agg(min((col("a") * col("code") + col("b")) % MinhashPrime).as("minh"))
+    val bands = sigs
+      .withColumn("band", (col("i") / 8).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("minh")))),
+          s => s.getField("minh").cast("string")), ",").as("key"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
+  /** E-DEDUP: 16-bit SimHash fingerprint — per-token hash bits weighted by
+    * token multiplicity, sign-aggregated per bit position. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params = MinhashParams.toDF("i", "a", "b")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("code", tokenCode(col("tok")))
+    val bits = toks.crossJoin(broadcast(params))
+      .withColumn("contrib", ((col("a") * col("code") + col("b")) % MinhashPrime % 2) * 2 - 1)
+      .groupBy("doc_id", "i")
+      .agg(sum("contrib").as("s"))
+    bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), i)")).otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** E-TEXT: global top-20 terms (explode → count → TakeOrdered). */
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+
+  /** Multimodal plumbing (mandate): opaque binary column + typed metadata.
+    * The "decode" here is byte-level (length + digest) — the model-decode
+    * stage proper is the mapPartitions stub in graft.multimodal. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"))
+      .orderBy("doc_id")
+}

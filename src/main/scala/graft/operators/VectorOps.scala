@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Array/vector layer (SURVEY E-ARR, E-SIM; reference P3-P5, P12, P14-P17)
+  * over the `embeddings` fixture (ARRAY<FLOAT>, dim 64 — the CLIP-embedding
+  * analog of `main.py:75-88`).
+  *
+  * Scale stance: the brute-force cosine top-k (`simTopK`) is the
+  * correctness baseline — probes are broadcast, so the scan over candidates
+  * is embarrassingly parallel with no shuffle until the final per-probe
+  * top-k (TakeOrdered-sized). The hyperplane-LSH variant (`annBuckets` /
+  * `annTopK`) is the 100 TB path: bucketing turns the all-pairs problem
+  * into an equi-join on bucket id, which shuffles only same-bucket pairs.
+  */
+object VectorOps {
+
+  /** E-ARR basics: size / element_at / array_max / HOF aggregate / HOF
+    * filter — the engine forms of slice/argmax/conditional-count
+    * (`main.py:107-109, 155-168`). */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
+        round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("sum_val"),
+        size(filter(col("embedding"), x => x > lit(0.0))).cast("long").as("n_pos"))
+      .orderBy("vec_id")
+
+  /** P12 analog — conditional range count ("red pixel amount",
+    * `main.py:155-171`): elements in [0.05, 0.2] per vector, thresholded
+    * like the fire gate. */
+  def rangeCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x.cast("double").between(0.05, 0.2)))
+          .cast("long").as("n_in_range"))
+      .filter(col("n_in_range") > 5)
+      .orderBy("vec_id")
+
+  /** P14/P16: L2 norm + max softmax probability per embedding. */
+  def vectorNorms(spark: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val mx = array_max(e).cast("double")
+    val sumExp = aggregate(e, lit(0.0), (acc, x) => acc + exp(x.cast("double") - mx))
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        round(l2Norm(e), 4).as("l2_norm"),
+        round(lit(1.0) / sumExp, 4).as("max_softmax"))
+      .orderBy("vec_id")
+  }
+
+  /** E-SIM: brute-force cosine top-5 neighbors for probe vectors
+    * (vec_id < 10), the CLIP topk path (`main.py:79-81`). Probes are
+    * broadcast; ranking is a per-probe window. */
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("p_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Deterministic ±1 Hadamard-pattern hyperplane: sign of component i of
+    * hyperplane j = +1 iff bit j of i is 0. Expressible identically in the
+    * DuckDB oracle (integer ops only). */
+  private def hyperSign(i: Column, j: Int): Column =
+    lit(1.0) - lit(2.0) * (shiftright(i, j) % 2).cast("double")
+
+  /** Random-hyperplane LSH bucket id (4 bits) per vector — the scale path
+    * for E-SIM: same-bucket candidates only. */
+  private def bucketExpr: Column = {
+    val e = col("embedding")
+    (0 until 4).map { j =>
+      val dotJ = aggregate(
+        transform(e, (x, i) => x.cast("double") * hyperSign(i, j)),
+        lit(0.0), (acc, v) => acc + v)
+      (dotJ > 0).cast("long") * lit(1L << j)
+    }.reduce(_ + _)
+  }
+
+  /** ANN bucketing: vec_id → 4-bit hyperplane bucket. */
+  def annBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), bucketExpr.as("bucket"))
+      .orderBy("vec_id")
+
+  /** ANN top-3 within-bucket neighbors for probes (vec_id < 20): the
+    * bucket equi-join replaces the brute-force cross product. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("bucket"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("bucket"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    cands.join(broadcast(probes), Seq("bucket"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("p_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("bucket"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
+}
