@@ -60,6 +60,8 @@ object SparkEntry {
     "q_simhash" -> (TextOps.simhash _),
     "q_top_terms" -> (TextOps.topTerms _),
     "q_binary_meta" -> (TextOps.binaryMeta _),
+    "q_nms_greedy" -> (Nms.greedyQuery _),
+    "q_nms_dominance" -> (Nms.dominanceQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -433,5 +435,28 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_nms_greedy has NO oracle: greedy NMS is order-dependent and not
+    // single-pass-SQL-expressible (SURVEY §7.4 #1); driver records the
+    // rows-only check, semantics are pinned by NmsSpec.
+    "q_nms_dominance" ->
+      """WITH dets AS (
+        |  SELECT event_id AS det_id, user_id AS frame_id,
+        |    CAST((event_id * 37) % 400 AS INT) AS x,
+        |    CAST((event_id * 73) % 400 AS INT) AS y,
+        |    CAST(40 + (event_id % 4) * 20 AS INT) AS w,
+        |    CAST(40 + (event_id % 3) * 25 AS INT) AS h,
+        |    value AS conf
+        |  FROM events)
+        |SELECT b.frame_id, b.det_id, b.conf FROM dets b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM dets a
+        |  WHERE a.frame_id = b.frame_id
+        |    AND (a.conf > b.conf OR (a.conf = b.conf AND a.det_id < b.det_id))
+        |    AND CAST(greatest(0, least(a.x + a.w, b.x + b.w) - greatest(a.x, b.x))
+        |       * greatest(0, least(a.y + a.h, b.y + b.h) - greatest(a.y, b.y)) AS DOUBLE)
+        |      / CAST(a.w * a.h + b.w * b.h
+        |       - greatest(0, least(a.x + a.w, b.x + b.w) - greatest(a.x, b.x))
+        |       * greatest(0, least(a.y + a.h, b.y + b.h) - greatest(a.y, b.y)) AS DOUBLE) > 0.3)
+        |ORDER BY frame_id, det_id""".stripMargin,
   )
 }

@@ -1,0 +1,105 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (BASELINE.json mandate): image/audio/video as
+  * opaque BINARY columns + typed metadata, with decode / feature-extract /
+  * resize / frame-sample as batched per-partition transforms.
+  *
+  * This is the engine form of the reference's inference boundary
+  * (`blobFromImage` + `net.forward`, `main.py:93-96`; CLIP encode
+  * `main.py:71-79`): the engine's contract starts and ends at
+  * schema-typed columns; the model call is a pluggable per-partition
+  * function with batch shape (SURVEY §2.2 P1/P2, S3 broadcast-model
+  * pattern).
+  *
+  * The decode step itself is a clearly-marked DETERMINISTIC STUB — the
+  * container has no image/audio codecs — but everything Spark-side is
+  * real and tested: schema, batching, per-partition model init, output
+  * shape.
+  */
+object Multimodal {
+
+  /** media record: id + modality + opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  val featureDim = 8
+
+  /** Fixture stand-in: documents texts as payload bytes, metadata derived
+    * deterministically from doc_id. */
+  def syntheticMedia(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3).cast("int") + 1).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (lit(64) + (col("doc_id") % 8) * 32).cast("int").as("width"),
+        (lit(64) + (col("doc_id") % 5) * 32).cast("int").as("height"),
+        when(col("doc_id") % 3 === 2, ((col("doc_id") % 30) + 1).cast("int"))
+          .otherwise(lit(1)).cast("int").as("n_frames")).as("meta"))
+
+  /** ======= STUB: stands in for a real image/audio decoder + encoder =====
+    * Deterministic fake "model": features are byte-sum folds of the
+    * payload. Replace with a real codec + model forward pass; the
+    * signature (bytes → Array[Float] of featureDim) is the contract. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Float](featureDim)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % featureDim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    acc
+  }
+  // =======================================================================
+
+  /** Batched per-partition feature extraction: the Scala analog of a
+    * Pandas-UDF-over-mapInPandas — rows are grouped into fixed-size
+    * batches, the "model" is initialized once per partition (the broadcast
+    * model pattern, `main.py:26-48` module scope / SURVEY S3), and each
+    * batch goes through one forward call. */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media_type", StringType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "media_type", "payload").mapPartitions { rows =>
+      // per-partition init point: a real impl deserializes the broadcast
+      // model here, once, before the batch loop
+      val model: Array[Byte] => Array[Float] = decodeStub
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          Row(r.getLong(0), r.getString(1), model(r.getAs[Array[Byte]](2)).toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Metadata-level resize: pure column arithmetic, no payload touch —
+    * resizing bookkeeping belongs in the plan, not the UDF. */
+  def resizeMeta(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    media
+      .withColumn("scale_x", lit(targetW).cast("double") / col("meta.width"))
+      .withColumn("scale_y", lit(targetH).cast("double") / col("meta.height"))
+      .withColumn("meta", struct(
+        lit(targetW).as("width"), lit(targetH).as("height"), col("meta.n_frames").as("n_frames")))
+
+  /** Frame sampling plan for videos: every k-th frame index as rows —
+    * generator-shaped (E-UDTF via sequence+explode), no payload decode. */
+  def sampleFrames(media: DataFrame, everyK: Int): DataFrame =
+    media.filter(col("media_type") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK))).as("frame_idx"))
+}

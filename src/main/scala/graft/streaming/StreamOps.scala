@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** E-STREAM-WIN / E-WATERMARK / E-DEDUP(stream) — the streaming
+  * transformations, written as `DataFrame => DataFrame` so the SAME logical
+  * pipeline runs in batch (oracle-checked: q_crowd_alert, q_session) and
+  * under `readStream` (IncrementalExecution). That one-definition-two-modes
+  * shape is the engine's answer to the reference's copy-pasted pipeline
+  * (`main.py` vs `app/views.py:76-210` — SURVEY §0 duplication map).
+  *
+  * Expected input schema: the events fixture (ts TIMESTAMP, user_id BIGINT,
+  * event_type STRING, value DOUBLE, ...).
+  */
+object StreamOps {
+
+  /** Crowd alert (`main.py:226-233` spine): filter → tumbling-window count
+    * per key → threshold. Watermark bounds state: windows older than the
+    * delay are finalized and evicted — the principled version of the
+    * reference's drop-late-implicitly behavior (SURVEY §2.2 note). */
+  def crowdAlert(events: DataFrame,
+                 windowDur: String = "1 day",
+                 watermarkDelay: String = "1 hour",
+                 threshold: Int = 3): DataFrame =
+    events
+      .filter(col("event_type") =!= "error")
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > threshold)
+      .select(col("window.start").as("win_start"), col("user_id"), col("n_events"))
+
+  /** Sliding-window value sum per event type (multi-camera dashboard
+    * analog). */
+  def slidingValue(events: DataFrame,
+                   windowDur: String = "10 minutes",
+                   slide: String = "5 minutes",
+                   watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows per user (30-minute gap) — streaming twin of
+    * Relational.sessionize / q_session. */
+  def sessions(events: DataFrame,
+               gap: String = "30 minutes",
+               watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"), col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup with bounded state: duplicates of (user_id,
+    * event_type) within the watermark horizon are dropped; watermark lets
+    * Spark evict seen-keys state (E-DEDUP stream form). */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+}

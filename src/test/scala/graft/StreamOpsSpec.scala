@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
+              value: Double, props: String)
+
+/** E-STREAM-WIN / E-WATERMARK: the same StreamOps pipeline in batch and
+  * streaming mode; watermark late-data semantics (SURVEY §5.4). */
+class StreamOpsSpec extends SparkSpec {
+
+  def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+  def ev(id: Long, min: Long, user: Long, typ: String = "view"): Ev =
+    Ev(id, ts(min), user, typ, 1.0, "{}")
+
+  def runStream(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                name: String, batches: Seq[Seq[Ev]]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = transform(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try batches.foreach { b => input.addData(b); query.processAllAvailable() }
+    finally query.stop()
+    spark.table(name)
+  }
+
+  test("streaming crowdAlert equals the batch pipeline on the same data (one definition, two modes)") {
+    import spark.implicits._
+    // enough events for one user-day to cross the >3 threshold
+    val events = (0 until 10).map(i => ev(i, min = i * 30, user = 1)) ++
+      Seq(ev(100, 24 * 60 * 3, 1)) // late horizon-advancer so windows finalize
+    val streamed = runStream(StreamOps.crowdAlert(_, "1 day", "1 hour", 3), "crowd_out",
+        Seq(events.take(5), events.drop(5)))
+      .select(unix_timestamp(col("win_start")).as("w"), col("user_id"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = StreamOps.crowdAlert(spark.createDataset(events).toDF(), "1 day", "1 hour", 3)
+      .select(unix_timestamp(col("win_start")).as("w"), col("user_id"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    // append-mode streaming only emits finalized (watermark-passed) windows
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    // the day-0 window is finalized and must agree exactly
+    assert(streamed.filter(_._1 == 0L) == batch.filter(_._1 == 0L))
+  }
+
+  test("watermark: late row within delay is counted, row later than the watermark is dropped") {
+    import spark.implicits._
+    // tumbling 10-min windows, 10-min watermark delay
+    val b1 = Seq(ev(0, 1, 1), ev(1, 2, 1), ev(2, 3, 1))  // window [0,10)
+    val b2 = Seq(ev(3, 25, 1))                            // advances watermark to 15
+    val b3 = Seq(ev(4, 5, 1))                             // too late: watermark 15 > window end 10
+    val b4 = Seq(ev(5, 60, 1))                            // closes window [20,30)
+    val out = runStream(
+      df => df.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n")),
+      "wm_out", Seq(b1, b2, b3, b4))
+      .select(unix_timestamp(col("window.start")).as("w"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == 3L)     // the late ev(4) at min 5 was NOT counted
+    assert(out(1200L) == 1L)  // window [20,30) holds only the on-time ev(3)
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
+    import spark.implicits._
+    val b1 = Seq(ev(0, 1, 1, "click"), ev(1, 2, 1, "click"), ev(2, 3, 2, "click"))
+    val out = runStream(StreamOps.dedupWithinWatermark(_, "1 hour"), "dedup_out", Seq(b1))
+    assert(out.count() == 2) // (1,click) duplicate dropped
+  }
+
+  test("sliding windows emit overlapping windows per event type") {
+    import spark.implicits._
+    val evs = Seq(ev(0, 12, 1, "view"), ev(1, 13, 2, "view"), ev(2, 200, 1, "view"))
+    val out = runStream(StreamOps.slidingValue(_, "10 minutes", "5 minutes", "5 minutes"),
+      "slide_out", Seq(evs))
+      .select(unix_timestamp(col("win_start")).as("w"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    // events at min 12-13 belong to windows starting at min 5 and min 10
+    assert(out(300L) == 2L && out(600L) == 2L)
+  }
+}
