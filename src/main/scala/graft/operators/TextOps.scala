@@ -114,7 +114,8 @@ object TextOps {
     * pairs blocked by source. Quadratic within block — oracle twin of the
     * LSH path below. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val toks = distinctTokens(spark, dir)
+    // persisted: referenced three times (both join sides + sizes)
+    val toks = distinctTokens(spark, dir).persist()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = toks.as("a")
       .join(toks.as("b"),
@@ -140,7 +141,7 @@ object TextOps {
 
   /** MinHash permutation parameters: k=16 hashes, deterministic
     * "seed 42"-flavored affine constants, prime modulus 2^31−1. */
-  private[operators] val MinhashParams: Seq[(Int, Long, Long)] =
+  val MinhashParams: Seq[(Int, Long, Long)] =
     (0 until 16).map(i => (i, 1000003L + 7919L * i, 42L + 1009L * i))
   private val MinhashPrime = 2147483647L
 
@@ -151,26 +152,38 @@ object TextOps {
     * sets are discriminative. At 100 TB the signature is one narrow agg per
     * doc and candidates meet via band-key equi-join (no all-pairs shuffle). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val params = MinhashParams.toDF("i", "a", "b")
     val tokArr = split(col("text"), " ")
-    val shingles = transform(
-      slice(tokArr, lit(1), greatest(size(tokArr) - 1, lit(0))),
-      (t, i) => concat(t, lit("_"), element_at(tokArr, i + 2)))
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(shingles)).as("tok"))
-      .withColumn("code", tokenCode(col("tok")))
-    val sigs = toks.crossJoin(broadcast(params))
-      .groupBy("doc_id", "i")
-      .agg(min((col("a") * col("code") + col("b")) % MinhashPrime).as("minh"))
-    val bands = sigs
-      .withColumn("band", (col("i") / 8).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("minh")))),
-          s => s.getField("minh").cast("string")), ",").as("key"))
-    bands.as("x")
-      .join(bands.as("y"),
+    // zip_with of the two shifted slices, NOT element_at(tokArr, i+2) in a
+    // transform lambda: a non-foldable outer reference inside a HOF lambda
+    // is re-evaluated per element, turning shingling quadratic in doc
+    // length (measured 3 s for 5 k docs before the rewrite).
+    val nShingle = greatest(size(tokArr) - 1, lit(0))
+    val shingles = zip_with(
+      slice(tokArr, lit(1), nShingle),
+      slice(tokArr, lit(2), nShingle),
+      (a, b) => concat(a, lit("_"), b))
+    // One vectorized pass per doc: shingle codes once, then all 16 minhash
+    // permutations as array_min over a mapped array — no shingle explode,
+    // no 16× cross join, zero shuffle before the band-key self-join. At
+    // 100 TB the signature stage is a pure narrow projection.
+    val codes = transform(array_distinct(shingles), tokenCode _)
+    def minhash(a: Long, b: Long): Column =
+      array_min(transform(col("codes"), c => (lit(a) * c + lit(b)) % MinhashPrime))
+    def bandKey(band: Int): Column =
+      concat_ws(",", MinhashParams.slice(band * 8, band * 8 + 8)
+        .map { case (_, a, b) => minhash(a, b).cast("string") }: _*)
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), codes.as("codes"))
+      .filter(size(col("codes")) > 0) // 1-token docs have no shingles → no signature
+      .select(col("doc_id"),
+        posexplode(array(bandKey(0), bandKey(1))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+      // materialize once: the band self-join would otherwise recompute the
+      // whole signature pipeline for each side (same strategy a 100 TB run
+      // would use — persist/checkpoint signatures before candidate join)
+      .persist()
+    sigs.as("x")
+      .join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -181,17 +194,20 @@ object TextOps {
   /** E-DEDUP: 16-bit SimHash fingerprint — per-token hash bits weighted by
     * token multiplicity, sign-aggregated per bit position. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val params = MinhashParams.toDF("i", "a", "b")
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("code", tokenCode(col("tok")))
-    val bits = toks.crossJoin(broadcast(params))
-      .withColumn("contrib", ((col("a") * col("code") + col("b")) % MinhashPrime % 2) * 2 - 1)
-      .groupBy("doc_id", "i")
-      .agg(sum("contrib").as("s"))
-    bits.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), i)")).otherwise(0L)).as("simhash"))
+    // Same vectorization as minhashLsh: token codes once (multiset — SimHash
+    // weights by multiplicity), then each bit's signed sum is one HOF
+    // aggregate; the fingerprint assembles in a single projection, no
+    // explode/shuffle at all.
+    val codes = transform(split(col("text"), " "), tokenCode _)
+    def bit(i: Int, a: Long, b: Long): Column = {
+      val s = aggregate(col("codes"),
+        lit(0L), (acc, c) => acc + ((lit(a) * c + lit(b)) % MinhashPrime % 2) * 2 - 1)
+      when(s > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), codes.as("codes"))
+      .select(col("doc_id"),
+        MinhashParams.map { case (i, a, b) => bit(i, a, b) }.reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 
