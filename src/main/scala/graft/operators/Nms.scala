@@ -89,14 +89,15 @@ object Nms {
     * survives iff no same-frame box a with (conf, id) strictly stronger has
     * IoU(a, b) > 0.3. */
   def dominanceQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Iou.{box, iou => iouExpr}
     val dets = detectionsFromEvents(spark, dir)
     val a = dets.as("a")
     val b = dets.as("b")
-    val interW = greatest(lit(0), least(col("a.x") + col("a.w"), col("b.x") + col("b.w")) - greatest(col("a.x"), col("b.x")))
-    val interH = greatest(lit(0), least(col("a.y") + col("a.h"), col("b.y") + col("b.h")) - greatest(col("a.y"), col("b.y")))
-    val inter = interW * interH
-    val union = col("a.w") * col("a.h") + col("b.w") * col("b.h") - inter
-    val iouCol = inter.cast("double") / union.cast("double")
+    // codegen'd custom expression (graft.functions.Iou) — same arithmetic
+    // as the inline greatest/least formulation and the DuckDB oracle
+    val iouCol = iouExpr(
+      box(col("a.x"), col("a.y"), col("a.w"), col("a.h")),
+      box(col("b.x"), col("b.y"), col("b.w"), col("b.h")))
     val stronger = col("a.conf") > col("b.conf") ||
       (col("a.conf") === col("b.conf") && col("a.det_id") < col("b.det_id"))
     b.join(a,

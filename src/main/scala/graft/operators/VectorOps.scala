@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.functions.CosineSimilarity.cosineSim
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -67,7 +68,7 @@ object VectorOps {
     val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
     cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("p_emb"), col("c_emb")))
+      .withColumn("cos", cosineSim(col("p_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("probe_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
@@ -108,7 +109,7 @@ object VectorOps {
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
     cands.join(broadcast(probes), Seq("bucket"))
       .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("p_emb"), col("c_emb")))
+      .withColumn("cos", cosineSim(col("p_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("bucket"), round(col("cos"), 4).as("cos_sim"))

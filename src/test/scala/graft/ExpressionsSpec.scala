@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.CosineSimilarity.cosineSim
+import graft.functions.Iou.{box, iou}
+import graft.functions.VectorFunctions
+import graft.operators.Nms
+import org.apache.spark.sql.functions._
+
+/** Custom Catalyst expressions: bit-identical to their HOF/Scala twins
+  * (that equivalence is what makes swapping them under oracle-checked
+  * queries safe) + SQL registration via the function registry. */
+class ExpressionsSpec extends SparkSpec {
+
+  lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("CosineSimilarity === HOF cosine, bit for bit") {
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+      .limit(2000)
+    val diffs = pairs.select(
+      (cosineSim(col("ea"), col("eb")) - VectorFunctions.cosine(col("ea"), col("eb"))).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(diffs.nonEmpty && diffs.forall(_ == 0.0))
+  }
+
+  test("Iou expression === Nms.iou scala function") {
+    import spark.implicits._
+    val boxes = (0 until 50).map(i =>
+      (i, (i * 17) % 90, (i * 31) % 90, 10 + i % 40, 10 + i % 30))
+      .toDF("id", "x", "y", "w", "h")
+    val a = boxes.select(col("id").as("ia"), box(col("x"), col("y"), col("w"), col("h")).as("ba"),
+      col("x").as("xa"), col("y").as("ya"), col("w").as("wa"), col("h").as("ha"))
+    val b = boxes.select(col("id").as("ib"), box(col("x"), col("y"), col("w"), col("h")).as("bb"),
+      col("x").as("xb"), col("y").as("yb"), col("w").as("wb"), col("h").as("hb"))
+    val rows = a.crossJoin(b)
+      .select(iou(col("ba"), col("bb")).as("e"),
+        col("xa"), col("ya"), col("wa"), col("ha"), col("xb"), col("yb"), col("wb"), col("hb"))
+      .collect()
+    rows.foreach { r =>
+      val expected = Nms.iou(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8))
+      assert(r.getDouble(0) == expected)
+    }
+  }
+
+  test("SQL surface: cosine_sim and iou callable from spark.sql after registration") {
+    GraftExtensions.register(spark)
+    emb.createOrReplaceTempView("emb_ext_test")
+    val c = spark.sql(
+      """SELECT cosine_sim(a.embedding, b.embedding) AS c
+        |FROM emb_ext_test a JOIN emb_ext_test b ON a.vec_id = b.vec_id
+        |WHERE a.vec_id < 5""".stripMargin)
+      .collect().map(_.getDouble(0))
+    assert(c.length == 5 && c.forall(v => math.abs(v - 1.0) < 1e-9))
+    val i = spark.sql(
+      "SELECT iou(named_struct('x',0,'y',0,'w',10,'h',10), named_struct('x',5,'y',0,'w',10,'h',10)) AS i")
+      .head().getDouble(0)
+    assert(math.abs(i - 50.0 / 150.0) < 1e-12)
+  }
+
+  test("cosine_sim participates in whole-stage codegen (no fallback in plan)") {
+    val plan = emb.select(cosineSim(col("embedding"), col("embedding")).as("c"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" is the compact WholeStageCodegen marker on the Project node
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1) Project"))
+  }
+
+  test("type checking rejects wrong argument types") {
+    GraftExtensions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1, 2), array(3, 4))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_sim"))
+  }
+}
