@@ -32,6 +32,7 @@ object SparkEntry {
     "q_rollup" -> (Relational.aggRollup _),
     "q_cube" -> (Relational.aggCube _),
     "q_win_topk" -> (Relational.windowTopkPerGroup _),
+    "q_topk_agg" -> (Relational.topkAggregator _),
     "q_win_edge" -> (Relational.windowAlarmEdge _),
     "q_win_frames" -> (Relational.windowFrames _),
     "q_topk_global" -> (Relational.topkGlobal _),
@@ -151,6 +152,22 @@ object SparkEntry {
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q_win_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    // q_topk_agg: identical semantics/oracle as q_win_topk, via the typed
+    // TopKAggregator instead of a window (E-UDAF path)
+    "q_topk_agg" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER (PARTITION BY o_custkey

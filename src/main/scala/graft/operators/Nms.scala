@@ -60,6 +60,25 @@ object Nms {
       .flatMapGroups((_, it) => greedy(it.toSeq, iouThreshold).iterator)
   }
 
+  /** Row-local greedy NMS: kept INDICES into parallel box/conf arrays —
+    * the `cv2.dnn.NMSBoxes(boxes, confidences, confT, iouT)` signature
+    * (`main.py:125`). When detections are nested per frame row (the
+    * natural source shape, SURVEY §1.1), suppression never needs the
+    * groupByKey shuffle at all: it is a scalar function of one row, safe
+    * in streaming and embarrassingly parallel at any scale. */
+  def keepIndices(xs: Seq[Int], ys: Seq[Int], ws: Seq[Int], hs: Seq[Int],
+                  confs: Seq[Double], confThreshold: Double, iouThreshold: Double): Seq[Int] = {
+    val order = confs.indices
+      .filter(i => confs(i) > confThreshold)
+      .sortBy(i => (-confs(i), i))
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+    order.foreach { i =>
+      if (!kept.exists(k => iou(xs(k), ys(k), ws(k), hs(k), xs(i), ys(i), ws(i), hs(i)) > iouThreshold))
+        kept += i
+    }
+    kept.sorted.toSeq
+  }
+
   /** Deterministic detection synth from the events fixture (event_id is
     * unique+monotonic, so ids and tie-breaks are stable): frame = user_id,
     * box geometry from integer functions of event_id, conf = value. */

@@ -193,6 +193,27 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** E-UDAF twin of windowTopkPerGroup: the same per-customer top-3, but
+    * through the typed TopKAggregator — bounded k-row buffers with
+    * map-side partial merge instead of a full per-group sort. Oracle SQL
+    * is identical to q_win_topk. */
+  def topkAggregator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val topk = TopKAggregator(3)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, r._3))
+      .agg(topk.toColumn)
+      .flatMap { case (cust, top) =>
+        top.zipWithIndex.map { case (s, i) => (cust, (i + 1).toLong, s.id, s.score) }
+      }
+      .toDF("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
   /** E-WIN analytic `lag` = the batch form of the edge-triggered alarm latch
     * (`main.py:171-185`): emit exactly the rows where `fire` rises F→T.
     * Streaming form lives in graft.streaming.AlarmLatch (E-STATE). */
