@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.streaming.{AlarmLatch, FireSignal, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Sources & sinks (SURVEY S1/S5/S7): a real parquet file-stream source
+  * driving the crowd pipeline, the append sink (S5 row insert), the
+  * foreachBatch side-effect sink (S7), HLL approx-distinct at the scan,
+  * and latch state surviving a checkpoint restart. */
+class SourceSinkSpec extends SparkSpec {
+
+  test("S1: parquet file source streams the events fixture through crowdAlert") {
+    val dir = Files.createTempDirectory("events_stream").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(Schemas.events).parquet(dir)
+    val q = StreamOps.crowdAlert(stream)
+      .writeStream.outputMode("update").format("memory").queryName("file_crowd").start()
+    try q.processAllAvailable() finally q.stop()
+    import spark.implicits._
+    val streamed = spark.table("file_crowd")
+      .select(unix_timestamp(col("win_start")).as("w"), col("user_id"))
+      .as[(Long, Long)].collect().toSet
+    val batch = StreamOps.crowdAlert(Tables.events(spark, sf))
+      .select(unix_timestamp(col("win_start")).as("w"), col("user_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("S5: append sink — row inserts accumulate (the register() path)") {
+    val dir = Files.createTempDirectory("users_sink").toString + "/users"
+    val u1 = Tables.customer(spark, sf).limit(10)
+    u1.write.mode("append").parquet(dir)
+    u1.write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 20)
+  }
+
+  test("S7: foreachBatch alert sink fires per micro-batch with the alert rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val input = MemoryStream[FireSignal]
+    val q = AlarmLatch(input.toDS()).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.Alert], id: Long) =>
+        seen.synchronized { seen ++= batch.collect().map(a => (id, a.camera_id)) }
+        ()
+      }
+      .start()
+    try {
+      input.addData(Seq(FireSignal("c1", new Timestamp(1000), true)))
+      q.processAllAvailable()
+      input.addData(Seq(FireSignal("c1", new Timestamp(2000), false),
+        FireSignal("c1", new Timestamp(3000), true)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.map(_._2).toSeq == Seq("c1", "c1")) // one alert per rising edge
+    assert(seen.map(_._1).distinct.length == 2)     // delivered across two micro-batches
+  }
+
+  test("E-AGG HLL: approx_count_distinct within 5% of exact at the fixture scale") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact"),
+        approx_count_distinct("user_id").as("approx"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, exact, approx) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$t: $approx vs $exact")
+    }
+  }
+
+  test("E-STATE: latch state survives a checkpoint restart (no duplicate alert)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("latch_ckpt").toString
+    val out = Files.createTempDirectory("latch_out").toString
+    val input = MemoryStream[FireSignal]
+
+    // memory sink can't recover from a checkpoint; the parquet sink can
+    def start() = AlarmLatch(input.toDS()).writeStream
+      .outputMode("append").format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try { input.addData(Seq(FireSignal("c", new Timestamp(1000), true))); q1.processAllAvailable() }
+    finally q1.stop()
+
+    // restart from the checkpoint: still latched — a continuing T must NOT re-alert
+    val q2 = start()
+    try {
+      input.addData(Seq(FireSignal("c", new Timestamp(2000), true),
+        FireSignal("c", new Timestamp(3000), false),
+        FireSignal("c", new Timestamp(4000), true)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val alerts = spark.read.parquet(out).as[graft.streaming.Alert]
+      .collect().map(_.ts.getTime / 1000).sorted.toSeq
+    assert(alerts == Seq(1L, 4L)) // edge before restart + edge after re-arm; t=2000 suppressed
+  }
+}
