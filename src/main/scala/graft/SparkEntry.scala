@@ -39,6 +39,8 @@ object SparkEntry {
     "q_sort" -> (Relational.sortMultiKey _),
     "q_set_ops" -> (Relational.setOps _),
     "q_date" -> (Relational.dateBreakdown _),
+    "q_date_parts" -> (Relational.dateParts _),
+    "q_map_funcs" -> (Relational.mapFunctions _),
     "q_math" -> (Relational.mathScalars _),
     "q_json" -> (Relational.jsonExtract _),
     "q_crowd_alert" -> (Relational.crowdAlert _),
@@ -210,6 +212,12 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' + INTERVAL 90 DAY
         |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "q_date_parts" ->
+      """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
+    // q_map_funcs: rows-only (MapType parse needs DuckDB's json extension)
     "q_math" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(sqrt(l_extendedprice), 4) AS sqrt_price,

@@ -278,6 +278,36 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total"))
       .orderBy("yr", "mo")
 
+  /** E-DATE parts: day-of-week × hour-of-day activity heatmap over events
+    * ("historical trend analysis", paper p.1). Spark dayofweek is
+    * Sunday=1; the oracle maps DuckDB's Sunday=0 with +1. */
+  def dateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+      .orderBy("dow", "hr")
+
+  /** E-MAP: MapType surface — parse `props` as MAP<STRING,INT>, then
+    * map_keys/map_values/element_at/map_concat. Rows-only driver check
+    * (DuckDB's JSON-to-map needs the json extension); covered by
+    * QueriesSpec execution + the q_json regexp-based oracle for the same
+    * payload. */
+  def mapFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(
+        col("event_id"),
+        map_keys(col("m")).as("keys"),
+        map_values(col("m")).as("vals"),
+        element_at(col("m"), "k").cast("long").as("k_val"),
+        size(map_concat(col("m"), map(lit("extra"), lit(1)))).cast("long").as("n_concat"))
+      .filter(col("k_val").isNotNull)
+      .orderBy("event_id")
+
   /** E-MATH: sqrt/exp/ln/pow/abs/round — the scalar pieces of softmax and
     * L2-normalize (`main.py:78-79`), checked on relational columns. */
   def mathScalars(spark: SparkSession, dir: String): DataFrame =
