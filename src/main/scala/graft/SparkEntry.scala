@@ -24,6 +24,7 @@ object SparkEntry {
     "q_filter" -> (Relational.filterPredicates _),
     "q_agg" -> (Relational.aggPricingSummary _),
     "q_agg_distinct" -> (Relational.aggDistinct _),
+    "q_salted_agg" -> (Scale.saltedAggQuery _),
     "q_join_bc" -> (Relational.joinBroadcast _),
     "q_join_shuffle" -> (Relational.joinShuffle _),
     "q_join_multi" -> (Relational.joinMultiway _),
@@ -102,6 +103,11 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
         |  round(min(value), 2) AS min_value,
         |  round(max(value), 2) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q_salted_agg: the two-phase salted plan must equal the plain GROUP BY
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_join_bc" ->
       """SELECT p_brand,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns (SURVEY §4 / BASELINE.json 100 TB mandate): skew salting
+  * and two-phase aggregation, written as reusable library transforms with
+  * an oracle-checked query proving the rewrite is semantics-preserving.
+  */
+object Scale {
+
+  /** Two-phase salted aggregation: groupBy(key, salt) partial → groupBy
+    * (key) final. For a skewed key (one camera producing most frames, one
+    * hot user), the first phase spreads the hot key over `buckets`
+    * reducers; the second phase combines `buckets` rows per key —
+    * O(keys × buckets), tiny. The salt derives from a hash of the whole
+    * input row, so the rewrite is deterministic and, because both count
+    * and decimal-sum are commutative monoids, the final result is
+    * IDENTICAL to the direct aggregation (q_salted_agg's oracle is the
+    * plain GROUP BY).
+    *
+    * (Spark's AQE skew handling covers joins; aggregation skew is still
+    * the pipeline author's job — this is that tool.) */
+  def saltedAgg(df: DataFrame, key: String, buckets: Int)(aggs: (Column, String)*): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(hash(struct(df.columns.map(col): _*)), lit(buckets)))
+    val partial = salted.groupBy(col(key), col("_salt"))
+      .agg(aggs.head._1.as("_p0"), aggs.tail.zipWithIndex.map { case ((c, _), i) => c.as(s"_p${i + 1}") }: _*)
+    // final combine: sum of partial counts / sums per key
+    partial.groupBy(col(key))
+      .agg(sum(col("_p0")).as(aggs.head._2),
+        aggs.tail.zipWithIndex.map { case ((_, n), i) => sum(col(s"_p${i + 1}")).as(n) }: _*)
+  }
+
+  /** Oracle-checked proof query: per-event-type count + exact decimal sum
+    * via the salted two-phase plan; must hash-match the plain GROUP BY. */
+  def saltedAggQuery(spark: SparkSession, dir: String): DataFrame =
+    saltedAgg(Tables.events(spark, dir), "event_type", buckets = 8)(
+      count(lit(1)) -> "n_events",
+      sum(col("value").cast("decimal(18,2)")) -> "value_dec")
+      .select(col("event_type"), col("n_events"),
+        round(col("value_dec"), 2).cast("double").as("total_value"))
+      .orderBy("event_type")
+}

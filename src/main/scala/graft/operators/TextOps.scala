@@ -114,13 +114,16 @@ object TextOps {
     * pairs blocked by source. Quadratic within block — oracle twin of the
     * LSH path below. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: referenced three times (both join sides + sizes)
-    val toks = distinctTokens(spark, dir).persist()
+    // persisted: referenced three times (both join sides + sizes).
+    // The self-join key is xxhash64(source, tok) — one 8-byte comparison
+    // instead of two string equalities; a 64-bit collision would need two
+    // of the ~600 distinct (source, token) pairs to collide (~1e-16).
+    val toks = distinctTokens(spark, dir)
+      .withColumn("tk", xxhash64(col("source"), col("tok"))).persist()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = toks.as("a")
       .join(toks.as("b"),
-        col("a.tok") === col("b.tok") && col("a.source") === col("b.source")
-          && col("a.doc_id") < col("b.doc_id"))
+        col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter") / (col("sz1") + col("sz2") - col("inter"))
