@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `token_code(s)` = Σ codepoint(char_j) · j (1-based) — the engine-neutral
+  * integer token code used by the MinHash/SimHash family (TextOps), as a
+  * codegen'd expression.
+  *
+  * Semantics match both the HOF formulation
+  * (`aggregate(transform(split(tok, ""), ascii(c)·(i+1)))`) and the DuckDB
+  * oracle (`list_sum(list_transform(range(1, length+1),
+  * j -> ascii(substr(tok, j, 1)) * j))`): per-character codepoint times
+  * 1-based position. The HOF version allocates a per-character array of
+  * singleton strings and interprets three lambdas per token — this is one
+  * generated loop.
+  */
+case class TokenCode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_code expects STRING, got ${child.dataType.sql}")
+
+  @inline private def codeOf(s: String): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < s.length) { acc += s.charAt(j).toLong * (j + 1); j += 1 }
+    acc
+  }
+
+  override def nullSafeEval(v: Any): Any = codeOf(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 0L;
+         |for (int $j = 0; $j < $s.length(); $j++) {
+         |  $acc += (long) $s.charAt($j) * ($j + 1);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenCode {
+  def tokenCode(c: Column): Column = GraftBridge.column(TokenCode(GraftBridge.expression(c)))
+}

@@ -135,12 +135,12 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
-  /** Engine-neutral token code: Σ ascii(char_j)·j (1-based). Integer-only
-    * so Spark and DuckDB agree exactly. */
+  /** Engine-neutral token code: Σ codepoint(char_j)·j (1-based). Integer-
+    * only so Spark and DuckDB agree exactly; codegen'd expression (the HOF
+    * per-char formulation interpreted three lambdas per character —
+    * see graft.functions.TokenCode). */
   private def tokenCode(tok: Column): Column =
-    aggregate(
-      transform(split(tok, ""), (c, i) => ascii(c).cast("long") * (i.cast("long") + 1L)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.TokenCode.tokenCode(tok)
 
   /** MinHash permutation parameters: k=16 hashes, deterministic
     * "seed 42"-flavored affine constants, prime modulus 2^31−1. */

@@ -65,6 +65,18 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*(1) Project"))
   }
 
+  test("TokenCode expression === the HOF ascii-fold on fixture tokens") {
+    import graft.functions.TokenCode.tokenCode
+    val hof = aggregate(
+      transform(split(col("tok"), ""), (c, i) => ascii(c).cast("long") * (i.cast("long") + 1L)),
+      lit(0L), (acc, v) => acc + v)
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok")).distinct()
+    val diffs = toks.select((tokenCode(col("tok")) - hof).as("d"))
+      .collect().map(_.getLong(0))
+    assert(diffs.nonEmpty && diffs.forall(_ == 0L))
+  }
+
   test("type checking rejects wrong argument types") {
     GraftExtensions.register(spark)
     val err = intercept[Exception] {
