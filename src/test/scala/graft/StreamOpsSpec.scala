@@ -72,6 +72,19 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.count() == 2) // (1,click) duplicate dropped
   }
 
+  test("session windows: events within the gap merge, a gap break starts a new session") {
+    import spark.implicits._
+    // user 1: events at min 0, 10, 20 (one session), then min 120 (new session)
+    val evs = Seq(ev(0, 0, 1), ev(1, 10, 1), ev(2, 20, 1), ev(3, 120, 1),
+      ev(4, 600, 1)) // horizon-advancer finalizes both sessions
+    val out = runStream(StreamOps.sessions(_, "30 minutes", "10 minutes"),
+      "sess_out", Seq(evs.take(3), evs.drop(3)))
+      .select(unix_timestamp(col("sess_start")).as("s"), col("n_events"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == 3L)          // min 0-20 merged into one session
+    assert(out(7200L) == 1L)       // min 120 opened a fresh session
+  }
+
   test("sliding windows emit overlapping windows per event type") {
     import spark.implicits._
     val evs = Seq(ev(0, 12, 1, "view"), ev(1, 13, 2, "view"), ev(2, 200, 1, "view"))
