@@ -85,6 +85,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(7200L) == 1L)       // min 120 opened a fresh session
   }
 
+  test("E-SET streaming: two camera streams union into one pipeline (paper p.3 multi-camera)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val camA = MemoryStream[Ev]
+    val camB = MemoryStream[Ev]
+    val q = StreamOps.crowdAlert(camA.toDF().unionByName(camB.toDF()), "1 day", "1 hour", 3)
+      .writeStream.outputMode("update").format("memory").queryName("union_out").start()
+    try {
+      camA.addData((0 until 3).map(i => ev(i, i * 10, user = 1)))
+      camB.addData((0 until 3).map(i => ev(100 + i, i * 10 + 5, user = 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val n = spark.table("union_out")
+      .select(col("n_events")).as[Long].collect()
+    assert(n.contains(6L)) // only the union of both streams crosses the >3 threshold
+  }
+
   test("sliding windows emit overlapping windows per event type") {
     import spark.implicits._
     val evs = Seq(ev(0, 12, 1, "view"), ev(1, 13, 2, "view"), ev(2, 200, 1, "view"))
