@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** AQE skew handling (SURVEY §4: "skewed keys → salting or AQE skew-join"):
+  * a planted hot key makes one shuffle partition ~100× the median; AQE
+  * must split it (skew=true on the join) and the result must equal the
+  * non-adaptive join. */
+class SkewSpec extends SparkSpec {
+
+  test("AQE splits the hot partition in a skewed sort-merge join") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("skew").toString
+    // key 0: 200k rows; keys 1..50: 200 rows each
+    val skewed = spark.range(200000).select(lit(0L).as("k"), col("id").as("v"))
+      .unionByName(spark.range(10000).select((col("id") % 50 + 1).as("k"), col("id").as("v")))
+    skewed.write.mode("overwrite").parquet(s"$dir/fact")
+    spark.range(51).select(col("id").as("k"), (col("id") * 7).as("w"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+
+      val joined = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), "k")
+      // execute THIS QueryExecution (count() would plan a separate one and
+      // the adaptive plan would never finalize here)
+      val n = joined.toLocalIterator().asScala.length
+      assert(n == 210000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+}
