@@ -223,7 +223,14 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
-    // q_map_funcs: rows-only (MapType parse needs DuckDB's json extension)
+    // q_map_funcs: the fixture's props format is fixed (`{"k": N}`), so the
+    // MAP<STRING,INT> parse has an extension-free oracle
+    "q_map_funcs" ->
+      """SELECT event_id, ['k'] AS keys,
+        |  [CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)] AS vals,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val,
+        |  CAST(2 AS BIGINT) AS n_concat
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_math" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
