@@ -5,11 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Driver bench: one JSON line with per-query wall times at
   * SPARK_GRAFT_SF_DIR. Queries are materialized through the noop sink so
   * the measurement covers the full plan (scan → shuffle → sort → project),
-  * not a count() that lets the optimizer drop sorts and prune columns. */
+  * not a count() that lets the optimizer drop sorts and prune columns.
+  *
+  * Each query runs SPARK_GRAFT_REPEATS times (default 3) and reports the
+  * per-query MEDIAN — single-shot timings swung 2-4× between identical
+  * runs (r1 verdict: q_scan_proj/q_math/q_json/q_join_shuffle flagged on
+  * what turned out to be measurement noise). Shapes come from
+  * SparkEntry.benchShapes: the production plan, minus verify-only total
+  * sorts. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,20 +27,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def run(name: String): Unit = {
+      SparkEntry.benchShapes(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // drop intra-query persisted blocks (LSH signatures, token sets) so
+      // caches neither accumulate across the session nor carry between
+      // repeats of the same query
+      spark.catalog.clearCache()
+    }
 
     // JVM + codegen warmup (smallest fixture): without it the first measured
     // query absorbs ~5 s of classloading/codegen that is not query cost.
-    try SparkEntry.queries("q_agg")(spark, "/root/testdata/sf0.001")
+    try SparkEntry.benchShapes("q_agg")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+    val results = SparkEntry.benchShapes.keys.toSeq.sorted.map { name =>
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try run(name) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

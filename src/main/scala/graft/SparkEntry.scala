@@ -66,7 +66,21 @@ object SparkEntry {
     "q_binary_meta" -> (TextOps.binaryMeta _),
     "q_nms_greedy" -> (Nms.greedyQuery _),
     "q_nms_dominance" -> (Nms.dominanceQuery _),
+    // rows-only driver check: HLL sketch estimates are engine-specific,
+    // so there is deliberately no oracleSql entry
+    "q_approx_distinct" -> (Relational.approxDistinct _),
   )
+
+  /** Bench-time plan shapes: identical to `queries` except that the two
+    * full-table projections drop their trailing total ORDER BY — that sort
+    * exists only so the oracle compare is deterministic, and at scale it
+    * would be a full range-shuffle of the unaggregated table. Verify still
+    * runs the sorted `queries` form, so correctness coverage is unchanged. */
+  def benchShapes: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ Map(
+      "q_scan_proj" -> (Relational.scanProjectCore _),
+      "q_math" -> (Relational.mathScalarsCore _),
+    )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -166,13 +180,6 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
-    "q_topk_agg" ->
-      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    CAST(row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-        |  FROM orders) t
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     // q_topk_agg: identical semantics/oracle as q_win_topk, via the typed
     // TopKAggregator instead of a window (E-UDAF path)
     "q_topk_agg" ->
@@ -224,10 +231,11 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
     // q_map_funcs: the fixture's props format is fixed (`{"k": N}`), so the
-    // MAP<STRING,INT> parse has an extension-free oracle
+    // MAP<STRING,INT> parse has an extension-free oracle. Scalar columns
+    // only — the driver's pandas comparator cannot sort ARRAY cells.
     "q_map_funcs" ->
-      """SELECT event_id, ['k'] AS keys,
-        |  [CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)] AS vals,
+      """SELECT event_id, 'k' AS keys_csv,
+        |  CAST(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS VARCHAR) AS vals_csv,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val,
         |  CAST(2 AS BIGINT) AS n_concat
         |FROM events ORDER BY event_id""".stripMargin,

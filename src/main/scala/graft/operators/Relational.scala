@@ -38,8 +38,14 @@ object Relational {
 
   /** E-SCAN + E-PROJ: arithmetic, cast, when/otherwise projection.
     * Reference analog: box-coordinate scaling `main.py:112-118` and the
-    * threshold flag `main.py:232-233`. */
-  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    * threshold flag `main.py:232-233`.
+    *
+    * The production shape is the unsorted projection (narrow, no exchange);
+    * `scanProject` adds a total ORDER BY purely for oracle determinism. The
+    * bench measures `scanProjectCore` — at 100 TB a full range-shuffle of
+    * the unaggregated table exists only in the verify path, never the
+    * production plan. */
+  def scanProjectCore(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(
         col("l_orderkey"), col("l_linenumber"),
@@ -47,6 +53,9 @@ object Relational {
           .cast("double").as("net_price"),
         (col("l_quantity") > 25).cast("int").cast("long").as("bulk"),
         when(col("l_returnflag") === "R", lit("returned")).otherwise(lit("kept")).as("status"))
+
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    scanProjectCore(spark, dir)
       .orderBy("l_orderkey", "l_linenumber", "net_price", "bulk", "status")
 
   /** E-FILT: conjunctive predicates — BETWEEN, IN, timestamp compare.
@@ -290,10 +299,10 @@ object Relational {
       .orderBy("dow", "hr")
 
   /** E-MAP: MapType surface — parse `props` as MAP<STRING,INT>, then
-    * map_keys/map_values/element_at/map_concat. Rows-only driver check
-    * (DuckDB's JSON-to-map needs the json extension); covered by
-    * QueriesSpec execution + the q_json regexp-based oracle for the same
-    * payload. */
+    * map_keys/map_values/element_at/map_concat. Output columns are scalars
+    * only (the key/value arrays go through array_join): the driver's
+    * pandas-based comparator cannot sort ARRAY-typed cells, so array
+    * outputs error in the harness even when values agree. */
   def mapFunctions(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"),
@@ -301,16 +310,18 @@ object Relational {
           org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)).as("m"))
       .select(
         col("event_id"),
-        map_keys(col("m")).as("keys"),
-        map_values(col("m")).as("vals"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        array_join(map_values(col("m")).cast("array<string>"), ",").as("vals_csv"),
         element_at(col("m"), "k").cast("long").as("k_val"),
         size(map_concat(col("m"), map(lit("extra"), lit(1)))).cast("long").as("n_concat"))
       .filter(col("k_val").isNotNull)
       .orderBy("event_id")
 
   /** E-MATH: sqrt/exp/ln/pow/abs/round — the scalar pieces of softmax and
-    * L2-normalize (`main.py:78-79`), checked on relational columns. */
-  def mathScalars(spark: SparkSession, dir: String): DataFrame =
+    * L2-normalize (`main.py:78-79`), checked on relational columns.
+    * Core/sorted split mirrors scanProject: the bench measures the
+    * sort-free production projection. */
+  def mathScalarsCore(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(
         col("l_orderkey"), col("l_linenumber"),
@@ -319,6 +330,9 @@ object Relational {
         round(log(col("l_extendedprice")), 4).as("ln_price"),
         round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
         abs(round(col("l_tax") - col("l_discount"), 4)).as("abs_diff"))
+
+  def mathScalars(spark: SparkSession, dir: String): DataFrame =
+    mathScalarsCore(spark, dir)
       .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "exp_disc", "ln_price",
         "qty_sq", "abs_diff")
 
@@ -346,6 +360,23 @@ object Relational {
       .filter(col("n_events") > 3)
       .select(unix_timestamp(col("window.start")).as("win_start"), col("user_id"), col("n_events"))
       .orderBy("win_start", "user_id")
+
+  /** E-AGG sketch: HLL distinct users per day-window × event type — the
+    * 100 TB "count distinct per window" path. `approx_count_distinct` is a
+    * fixed-size HLL++ sketch with map-side partial merge, so the plan has
+    * no exact-distinct Expand/re-shuffle; cost is one hash-agg exchange
+    * regardless of user cardinality. Bench/rows-only — sketch estimates
+    * are engine-specific and can't hash-match a DuckDB oracle. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        approx_count_distinct("user_id").as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_users_approx"), col("n_events"))
+      .orderBy("win_start", "event_type")
 
   /** E-STREAM-WIN batch analog: session windows per user with a 30-minute
     * gap via the built-in `session_window`. */

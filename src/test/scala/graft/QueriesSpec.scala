@@ -14,6 +14,25 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no duplicate keys in the oracleSql source literal") {
+    // Map literals silently keep the last duplicate key; count the key
+    // literals in the source text against the materialized map size.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")), "UTF-8")
+    def keysIn(section: String): Seq[String] =
+      "\"(q_\\w+)\" ->".r.findAllMatchIn(section).map(_.group(1)).toSeq
+    val querySection = src.substring(src.indexOf("def queries"), src.indexOf("def benchShapes"))
+    val oracleSection = src.substring(src.indexOf("def oracleSql"))
+    for ((lits, map, label) <- Seq(
+        (keysIn(querySection), SparkEntry.queries, "queries"),
+        (keysIn(oracleSection), SparkEntry.oracleSql, "oracleSql"))) {
+      val dups = lits.groupBy(identity).filter(_._2.size > 1).keys
+      assert(dups.isEmpty, s"duplicate $label key literals: $dups")
+      assert(lits.size == map.size,
+        s"source has ${lits.size} $label key literals but map has ${map.size}")
+    }
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val df = fn(spark, sf)
