@@ -41,6 +41,7 @@ object SparkEntry {
     "q_set_ops" -> (Relational.setOps _),
     "q_date" -> (Relational.dateBreakdown _),
     "q_date_parts" -> (Relational.dateParts _),
+    "q_date_pruned" -> (Relational.datePruned _),
     "q_map_funcs" -> (Relational.mapFunctions _),
     "q_math" -> (Relational.mathScalars _),
     "q_json" -> (Relational.jsonExtract _),
@@ -53,6 +54,7 @@ object SparkEntry {
     "q_sim_topk" -> (VectorOps.simTopK _),
     "q_ann_bucket" -> (VectorOps.annBuckets _),
     "q_ann_topk" -> (VectorOps.annTopK _),
+    "q_ann_multiband" -> (VectorOps.annTopKMultiband _),
     "q_str" -> (TextOps.strFunctions _),
     "q_text_quality" -> (TextOps.textQuality _),
     "q_langid" -> (TextOps.langId _),
@@ -82,9 +84,59 @@ object SparkEntry {
       "q_math" -> (Relational.mathScalarsCore _),
     )
 
+  /** DuckDB twin of VectorOps.annTopKMultiband, generated so the 24
+    * Walsh-hyperplane projections and 4 band keys stay structurally in
+    * lockstep with the Scala constants (Bands × BitsPerBand). Integer-only
+    * sign arithmetic (bit_count((i-1) & j) % 2) matches Spark's
+    * bit_count(i & j) on the 0-based transform index exactly. */
+  private def annMultibandOracle: String = {
+    val bands = operators.VectorOps.Bands
+    val bits = operators.VectorOps.BitsPerBand
+    val dots = (1 to bands * bits).map { j =>
+      s"    list_sum(list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE) * (1.0 - 2.0 * (bit_count((i-1) & $j) % 2)))) AS d$j"
+    }.mkString(",\n")
+    val keyCols = (0 until bands).map { b =>
+      (0 until bits).map { r =>
+        s"(CASE WHEN d${1 + b * bits + r} > 0 THEN ${1L << r} ELSE 0 END)"
+      }.mkString("    CAST(", " + ", s" AS BIGINT) AS k$b")
+    }.mkString(",\n")
+    val bandsUnion = (0 until bands).map { b =>
+      s"  SELECT vec_id, $b AS band, k$b AS key FROM keyed"
+    }.mkString("\n  UNION ALL\n")
+    def norm(t: String) =
+      s"sqrt(list_sum(list_transform(range(1,65), i -> CAST($t.embedding[i] AS DOUBLE) * CAST($t.embedding[i] AS DOUBLE))))"
+    val dot = "list_sum(list_transform(range(1,65), i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    s"""WITH d AS (
+       |  SELECT vec_id, embedding,
+       |$dots
+       |  FROM embeddings
+       |), keyed AS (
+       |  SELECT vec_id,
+       |$keyCols
+       |  FROM d
+       |), bands AS (
+       |$bandsUnion
+       |), cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+       |  FROM bands p JOIN bands c ON p.band = c.band AND p.key = c.key AND c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < 20
+       |), pairs AS (
+       |  SELECT cd.probe_id, cd.cand_id, $dot / (${norm("p")} * ${norm("c")}) AS cos
+       |  FROM cand cd
+       |  JOIN embeddings p ON p.vec_id = cd.probe_id
+       |  JOIN embeddings c ON c.vec_id = cd.cand_id
+       |), ranked AS (
+       |  SELECT probe_id, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+       |  FROM pairs)
+       |SELECT probe_id, rank, cand_id, round(cos, 4) AS cos_sim
+       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_ann_multiband" -> annMultibandOracle,
     "q_scan_proj" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_price,
@@ -230,6 +282,16 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
+    // q_date_pruned: engine reads the date-PARTITIONED events twin with a
+    // partition-pruned scan; the oracle applies the identical date window
+    // to the raw single-file table — results must match exactly
+    "q_date_pruned" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // q_map_funcs: the fixture's props format is fixed (`{"k": N}`), so the
     // MAP<STRING,INT> parse has an extension-free oracle. Scalar columns
     // only — the driver's pandas comparator cannot sort ARRAY cells.

@@ -113,6 +113,26 @@ object Tables {
     spark.read.schema(raw).parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+  /** events re-written once per sf dir as a date-partitioned table
+    * (`event_date=YYYY-MM-DD/` directories) in scratch space, then read
+    * back. Partition layout is THE 100 TB scan lever: a date-ranged query
+    * reads only matching directories (the scan's `PartitionFilters`), so
+    * cost tracks the queried window, not table size. The fixture ships as
+    * a single file, so the partitioned twin is materialized here; a real
+    * deployment would ingest straight into this layout. */
+  def eventsByDate(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_events_by_date/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$scratch/_SUCCESS").exists()) {
+      events(spark, dir)
+        .withColumn("event_date", expr("CAST(ts AS DATE)"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(scratch)
+    }
+    spark.read
+      .schema(StructType(Schemas.events :+ StructField("event_date", DateType)))
+      .parquet(scratch)
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", Schemas.documents)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", Schemas.embeddings)
 }

@@ -31,10 +31,20 @@ case class TokenCode(child: Expression) extends UnaryExpression {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"token_code expects STRING, got ${child.dataType.sql}")
 
+  /** Codepoint iteration (not UTF-16 code units): positions count
+    * codepoints and the multiplier is the full codepoint value, matching
+    * the oracle's codepoint-based substr/ascii exactly for non-ASCII
+    * tokens (surrogate pairs advance one position, not two). */
   @inline private def codeOf(s: String): Long = {
     var acc = 0L
     var j = 0
-    while (j < s.length) { acc += s.charAt(j).toLong * (j + 1); j += 1 }
+    var pos = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      pos += 1
+      acc += cp.toLong * pos
+      j += Character.charCount(cp)
+    }
     acc
   }
 
@@ -44,12 +54,18 @@ case class TokenCode(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       val j = ctx.freshName("j")
+      val pos = ctx.freshName("pos")
+      val cp = ctx.freshName("cp")
       val acc = ctx.freshName("acc")
       s"""
          |java.lang.String $s = $c.toString();
          |long $acc = 0L;
-         |for (int $j = 0; $j < $s.length(); $j++) {
-         |  $acc += (long) $s.charAt($j) * ($j + 1);
+         |int $pos = 0;
+         |for (int $j = 0; $j < $s.length(); ) {
+         |  int $cp = $s.codePointAt($j);
+         |  $pos += 1;
+         |  $acc += (long) $cp * $pos;
+         |  $j += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -361,6 +361,19 @@ object Relational {
       .select(unix_timestamp(col("window.start")).as("win_start"), col("user_id"), col("n_events"))
       .orderBy("win_start", "user_id")
 
+  /** E-SCAN partition pruning: daily totals for one queried week over the
+    * date-partitioned events layout (Tables.eventsByDate). The event_date
+    * predicate resolves against directory names (scan `PartitionFilters`),
+    * so only 7 of the 30 day-partitions are ever opened — the per-day
+    * historical trend query (paper p.1) at 100 TB touches the queried
+    * window, not the table. Oracle runs the same filter on the raw table. */
+  def datePruned(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsByDate(spark, dir)
+      .filter(col("event_date").between(lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+      .orderBy("day", "event_type")
+
   /** E-AGG sketch: HLL distinct users per day-window × event type — the
     * 100 TB "count distinct per window" path. `approx_count_distinct` is a
     * fixed-size HLL++ sketch with map-side partial merge, so the plan has

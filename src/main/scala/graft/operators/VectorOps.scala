@@ -99,6 +99,73 @@ object VectorOps {
       .select(col("vec_id"), bucketExpr.as("bucket"))
       .orderBy("vec_id")
 
+  /** Walsh-Hadamard hyperplane sign: component i of hyperplane j is
+    * (-1)^popcount(i AND j) — 64 mutually orthogonal ±1 hyperplanes for a
+    * 64-dim embedding, going well past the 6 planes the single-bit Hadamard
+    * pattern (`hyperSign`) supports. Integer-only, so the DuckDB oracle
+    * reproduces it exactly via bit_count((i-1) & j) % 2. */
+  private def whSign(i: Column, j: Int): Column =
+    lit(1.0) - lit(2.0) * (bit_count(i.bitwiseAND(lit(j))) % 2).cast("double")
+
+  /** Signed projection of the embedding onto Walsh hyperplane j. */
+  private def whDot(j: Int): Column =
+    aggregate(
+      transform(col("embedding"), (x, i) => x.cast("double") * whSign(i, j)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Multiband LSH parameters: 4 bands × 6 bits = 24 hyperplanes (j =
+    * 1..24; j = 0 is the all-positive plane and carries no locality).
+    * OR-amplification: candidates match on ANY band, so for neighbor
+    * collision probability p per bit, recall is 1-(1-p^6)^4 instead of the
+    * single-code p^4 — higher recall at far finer buckets (2^6 per band vs
+    * the legacy 2^4 total), which is what keeps within-bucket candidate
+    * sets sub-quadratic at 100 TB. */
+  val Bands = 4
+  val BitsPerBand = 6
+
+  /** Band key b: 6-bit code from hyperplanes j = 1 + b*6 .. 6 + b*6. */
+  private def bandKey(b: Int): Column =
+    (0 until BitsPerBand).map { r =>
+      (whDot(1 + b * BitsPerBand + r) > 0).cast("long") * lit(1L << r)
+    }.reduce(_ + _)
+
+  /** vec_id → (band, key) pairs, one row per band — the narrow signature
+    * projection (no shuffle; the only exchange is the candidate join). */
+  private[graft] def bandedSignaturesOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(array((0 until Bands).map(bandKey): _*)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("key"))
+
+  /** Multiband ANN over an arbitrary (vec_id, embedding) frame: top-k
+    * neighbors per probe over candidates sharing ANY of the 4 band keys.
+    * Pair dedupe runs on bare ids; embeddings re-attach afterwards by key —
+    * at 100 TB the wide vector column never rides through the distinct's
+    * shuffle. */
+  private[graft] def annMultibandOn(emb: DataFrame, isProbe: Column, k: Int): DataFrame = {
+    val sigs = bandedSignaturesOf(emb)
+    val probes = sigs.filter(isProbe)
+      .select(col("vec_id").as("probe_id"), col("band"), col("key"))
+    val cands = sigs.select(col("vec_id").as("cand_id"), col("band"), col("key"))
+    val pairs = cands.join(broadcast(probes), Seq("band", "key"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select("probe_id", "cand_id")
+      .distinct()
+    val pe = emb.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val ce = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    pairs.join(broadcast(pe), "probe_id").join(ce, "cand_id")
+      .withColumn("cos", cosineSim(col("p_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** E-SIM scale path, multiband: top-3 neighbors per probe (vec_id < 20)
+    * on the embeddings fixture. */
+  def annTopKMultiband(spark: SparkSession, dir: String): DataFrame =
+    annMultibandOn(Tables.embeddings(spark, dir), col("vec_id") < 20, 3)
+
   /** ANN top-3 within-bucket neighbors for probes (vec_id < 20): the
     * bucket equi-join replaces the brute-force cross product. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Partition-pruning proof (E-SCAN, SURVEY §2.3): a date-ranged filter
+  * over the date-partitioned events twin must resolve against directory
+  * names — the scan carries PartitionFilters and opens only the matching
+  * day-partitions, never the whole table. */
+class PruningSpec extends SparkSpec {
+
+  test("date filter prunes partitions: PartitionFilters set, 7 of 30 days read") {
+    // AQE wraps materialized stages in leaf QueryStageExec nodes that
+    // plan.collect cannot cross; pruning is orthogonal to AQE, so turn it
+    // off for this one measurement to get a traversable plan with metrics.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val (scans, _) = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Relational.datePruned(spark, sf)
+      df.collect() // execute so scan metrics are populated
+      (df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }, ())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert(scans.nonEmpty, "no FileSourceScanExec in the plan")
+    val scan = scans.head
+    val pf = scan.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("event_date"), s"no event_date partition filter in scan: $pf")
+
+    val filesRead = scan.metrics("numFiles").value
+    val totalDays = Tables.eventsByDate(spark, sf)
+      .select("event_date").distinct().count()
+    assert(totalDays == 30, s"fixture spans $totalDays days, expected 30")
+    assert(filesRead <= 7, s"scan read $filesRead files; pruning should cap it at 7 day-partitions")
+  }
+
+  test("pruned result equals the unpartitioned filter") {
+    val pruned = Relational.datePruned(spark, sf).collect().toSeq
+    val plain = Tables.events(spark, sf)
+      .filter(col("ts").cast("date").between(lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+      .groupBy(date_format(col("ts").cast("date"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
+      .orderBy("day", "event_type")
+      .collect().toSeq
+    assert(pruned == plain)
+  }
+}

@@ -20,16 +20,19 @@ class SkewSpec extends SparkSpec {
     spark.range(51).select(col("id").as("k"), (col("id") * 7).as("w"))
       .write.mode("overwrite").parquet(s"$dir/dim")
 
-    val prev = Map(
-      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
-      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"))
+    // capture EVERY config this test mutates — leaking the aggressive
+    // 100KB/64KB AQE tuning into the shared session would silently change
+    // how later suites plan their shuffles
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+    val prev = tuned.keys.map(k => k -> spark.conf.get(k)).toMap
     try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
 
       val joined = spark.read.parquet(s"$dir/fact")
         .join(spark.read.parquet(s"$dir/dim"), "k")
