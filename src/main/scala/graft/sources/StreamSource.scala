@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** S1 — the unbounded ingestion boundary (`main.py:143-149` is the
+  * reference's camera loop: frame-at-a-time, at-most-once, no replay).
+  * The engine's sources are all replayable `readStream` DataFrames with
+  * the SAME downstream pipeline (`DataFrame => DataFrame`, StreamOps), so
+  * swapping transport never touches query logic:
+  *
+  *   - fileDrop: a drop directory of parquet/json event files — the batch
+  *     backfill twin of the live feed; also how every stream≡batch spec
+  *     drives the pipeline deterministically.
+  *   - rateEvents: the built-in `rate` source mapped onto the events
+  *     schema — a deterministic synthetic camera for tests and soak
+  *     benches, no external broker needed.
+  *   - kafka: `format("kafka")` — the production multi-camera bus (paper
+  *     p.3 "large number of cameras"). The connector jar
+  *     (spark-sql-kafka-0-10) is a DEPLOY-time dependency; this container
+  *     ships without it, so StreamSourceSpec asserts the wiring fails with
+  *     the standard missing-data-source error rather than silently
+  *     degrading.
+  */
+object StreamSource {
+
+  /** File-drop directory: each dropped file is one micro-batch of events.
+    * `maxFilesPerTrigger=1` keeps replay deterministic in specs. */
+  def fileDrop(spark: SparkSession, dir: String, schema: StructType,
+               format: String = "parquet"): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .format(format)
+      .load(dir)
+
+  /** Synthetic camera feed: the rate source's (timestamp, value) rows
+    * mapped deterministically onto the events shape, tagged with a camera
+    * id. value-derived fields mirror the fixture generators so downstream
+    * windowed counts behave like the real table. */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int, cameraId: String): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        (col("value") % 50).as("user_id"),
+        element_at(array(lit("click"), lit("view"), lit("purchase"), lit("error")),
+          (col("value") % 4).cast("int") + 1).as("event_type"),
+        (col("value") % 200).cast("double").as("value"),
+        lit(cameraId).as("camera_id"))
+
+  /** Kafka topic → events stream: JSON payloads on `value` parsed against
+    * the declared schema. Requires spark-sql-kafka on the classpath —
+    * load() throws DATA_SOURCE_NOT_FOUND otherwise (see scaladoc above). */
+  def kafka(spark: SparkSession, bootstrapServers: String, topic: String,
+            schema: StructType): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("e"))
+      .select(col("e.*"))
+
+  /** Multi-camera fan-in: N per-camera streams union into one logical
+    * stream (paper p.3). Union of streaming sources is a narrow op — each
+    * source keeps its own offsets; no shuffle until the first stateful op. */
+  def multiCamera(cameras: Seq[DataFrame]): DataFrame =
+    cameras.reduce(_.unionByName(_))
+}
