@@ -55,6 +55,7 @@ object SparkEntry {
     "q_ann_bucket" -> (VectorOps.annBuckets _),
     "q_ann_topk" -> (VectorOps.annTopK _),
     "q_ann_multiband" -> (VectorOps.annTopKMultiband _),
+    "q_embed_neardup" -> (VectorOps.embedNearDup _),
     "q_str" -> (TextOps.strFunctions _),
     "q_text_quality" -> (TextOps.textQuality _),
     "q_langid" -> (TextOps.langId _),
@@ -89,7 +90,15 @@ object SparkEntry {
     * lockstep with the Scala constants (Bands × BitsPerBand). Integer-only
     * sign arithmetic (bit_count((i-1) & j) % 2) matches Spark's
     * bit_count(i & j) on the 0-based transform index exactly. */
-  private def annMultibandOracle: String = {
+  private def multibandNorm(t: String): String =
+    s"sqrt(list_sum(list_transform(range(1,65), i -> CAST($t.embedding[i] AS DOUBLE) * CAST($t.embedding[i] AS DOUBLE))))"
+  private val multibandDot: String =
+    "list_sum(list_transform(range(1,65), i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+
+  /** Shared CTE prefix (d → keyed → bands) for the multiband-LSH oracles:
+    * per-vector Walsh projections, per-band 6-bit keys, one (band, key)
+    * row per band. */
+  private def multibandCtes: String = {
     val bands = operators.VectorOps.Bands
     val bits = operators.VectorOps.BitsPerBand
     val dots = (1 to bands * bits).map { j =>
@@ -103,9 +112,6 @@ object SparkEntry {
     val bandsUnion = (0 until bands).map { b =>
       s"  SELECT vec_id, $b AS band, k$b AS key FROM keyed"
     }.mkString("\n  UNION ALL\n")
-    def norm(t: String) =
-      s"sqrt(list_sum(list_transform(range(1,65), i -> CAST($t.embedding[i] AS DOUBLE) * CAST($t.embedding[i] AS DOUBLE))))"
-    val dot = "list_sum(list_transform(range(1,65), i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
     s"""WITH d AS (
        |  SELECT vec_id, embedding,
        |$dots
@@ -116,12 +122,21 @@ object SparkEntry {
        |  FROM d
        |), bands AS (
        |$bandsUnion
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of VectorOps.annTopKMultiband, generated so the 24
+    * Walsh-hyperplane projections and 4 band keys stay structurally in
+    * lockstep with the Scala constants (Bands × BitsPerBand). Integer-only
+    * sign arithmetic (bit_count((i-1) & j) % 2) matches Spark's
+    * bit_count(i & j) on the 0-based transform index exactly. */
+  private def annMultibandOracle: String =
+    s"""$multibandCtes, cand AS (
        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
        |  FROM bands p JOIN bands c ON p.band = c.band AND p.key = c.key AND c.vec_id <> p.vec_id
        |  WHERE p.vec_id < 20
        |), pairs AS (
-       |  SELECT cd.probe_id, cd.cand_id, $dot / (${norm("p")} * ${norm("c")}) AS cos
+       |  SELECT cd.probe_id, cd.cand_id, $multibandDot / (${multibandNorm("p")} * ${multibandNorm("c")}) AS cos
        |  FROM cand cd
        |  JOIN embeddings p ON p.vec_id = cd.probe_id
        |  JOIN embeddings c ON c.vec_id = cd.cand_id
@@ -131,12 +146,26 @@ object SparkEntry {
        |  FROM pairs)
        |SELECT probe_id, rank, cand_id, round(cos, 4) AS cos_sim
        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
-  }
+
+  /** DuckDB twin of VectorOps.embedNearDup: same band CTEs, v1 < v2
+    * candidate pairs, exact cosine ≥ 0.35 filter. */
+  private def embedNearDupOracle: String =
+    s"""$multibandCtes, cand AS (
+       |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+       |), scored AS (
+       |  SELECT cd.v1, cd.v2, $multibandDot / (${multibandNorm("p")} * ${multibandNorm("c")}) AS cos
+       |  FROM cand cd
+       |  JOIN embeddings p ON p.vec_id = cd.v1
+       |  JOIN embeddings c ON c.vec_id = cd.v2)
+       |SELECT v1, v2, round(cos, 4) AS cos_sim
+       |FROM scored WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_ann_multiband" -> annMultibandOracle,
+    "q_embed_neardup" -> embedNearDupOracle,
     "q_scan_proj" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_price,

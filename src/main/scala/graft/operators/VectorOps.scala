@@ -166,6 +166,33 @@ object VectorOps {
   def annTopKMultiband(spark: SparkSession, dir: String): DataFrame =
     annMultibandOn(Tables.embeddings(spark, dir), col("vec_id") < 20, 3)
 
+  /** E-DEDUP, embedding form (mandate: embedding-cosine near-dup): ALL
+    * near-duplicate pairs, not per-probe top-k — multiband LSH candidates
+    * (v1 < v2, any shared band key) filtered by exact cosine ≥ threshold.
+    * The candidate join is the same sub-quadratic band equi-join as
+    * annTopKMultiband; embeddings re-attach by id after the pair dedupe so
+    * the 64-float arrays never ride through the distinct's shuffle. The
+    * fixture threshold 0.35 exercises the operator on data without planted
+    * twins (true near-dup pipelines run ≥ 0.9 — AnnSpec's planted-twin test
+    * covers that regime). */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val sigs = bandedSignaturesOf(emb)
+    val pairs = sigs.as("x")
+      .join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    val e1 = emb.select(col("vec_id").as("v1"), col("embedding").as("emb1"))
+    val e2 = emb.select(col("vec_id").as("v2"), col("embedding").as("emb2"))
+    pairs.join(e1, "v1").join(e2, "v2")
+      .withColumn("cos", cosineSim(col("emb1"), col("emb2")))
+      .filter(col("cos") >= 0.35)
+      .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("v1", "v2")
+  }
+
   /** ANN top-3 within-bucket neighbors for probes (vec_id < 20): the
     * bucket equi-join replaces the brute-force cross product. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
