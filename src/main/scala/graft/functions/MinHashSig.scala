@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `minhash_sig(codes)` — the full k-permutation MinHash signature in ONE
+  * pass over the shingle-code array: min_c (a_i·c + b_i) mod p for each of
+  * the k affine permutations.
+  *
+  * Integer-only arithmetic, so bit-identity with the HOF twin
+  * (`array_min(transform(codes, (a·c+b) % p))` per permutation) is exact,
+  * not just ulp-close; the HOF twin interprets 2 lambdas × k permutations
+  * per row. Empty input yields null, matching array_min on an empty array.
+  */
+case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Long)
+  extends UnaryExpression {
+
+  require(as.length == bs.length && as.nonEmpty)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects ARRAY<BIGINT>, got ${t.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val c = arr.getLong(i)
+      var p = 0
+      while (p < k) {
+        val h = (as(p) * c + bs(p)) % prime
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aArr = ctx.addMutableState("long[]", "mhA",
+      v => s"$v = new long[]{${as.mkString("L,")}L};")
+    val bArr = ctx.addMutableState("long[]", "mhB",
+      v => s"$v = new long[]{${bs.mkString("L,")}L};")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val h = ctx.freshName("h")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[${as.length}];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $c = $a.getLong($i);
+         |    for (int $p = 0; $p < ${as.length}; $p++) {
+         |      long $h = ($aArr[$p] * $c + $bArr[$p]) % ${prime}L;
+         |      if ($h < $mins[$p]) $mins[$p] = $h;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  def minhashSig(c: Column, params: Seq[(Int, Long, Long)], prime: Long): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c),
+      params.map(_._2), params.map(_._3), prime))
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `simhash16(codes)` — the k-bit SimHash fingerprint in ONE pass over the
+  * token-code array: per bit i, s_i = Σ_c (((a_i·c + b_i) mod p mod 2)·2−1);
+  * fingerprint = Σ (s_i > 0) << i.
+  *
+  * Integer-only, bit-identical to the HOF twin (one
+  * `aggregate(codes, signed-bit sum)` per bit position), which interprets
+  * 1 lambda × k bits per element per row. Empty input → 0, matching the
+  * zero-seeded aggregate (no bit sum is positive).
+  */
+case class SimHash16(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Long)
+  extends UnaryExpression {
+
+  require(as.length == bs.length && as.nonEmpty)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash16 expects ARRAY<BIGINT>, got ${t.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = as.length
+    val s = new Array[Long](k)
+    var i = 0
+    while (i < n) {
+      val c = arr.getLong(i)
+      var p = 0
+      while (p < k) {
+        s(p) += ((as(p) * c + bs(p)) % prime % 2) * 2 - 1
+        p += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var p = 0
+    while (p < k) {
+      if (s(p) > 0) fp |= (1L << p)
+      p += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aArr = ctx.addMutableState("long[]", "shA",
+      v => s"$v = new long[]{${as.mkString("L,")}L};")
+    val bArr = ctx.addMutableState("long[]", "shB",
+      v => s"$v = new long[]{${bs.mkString("L,")}L};")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val s = ctx.freshName("s")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $s = new long[${as.length}];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $c = $a.getLong($i);
+         |  for (int $p = 0; $p < ${as.length}; $p++) {
+         |    $s[$p] += (($aArr[$p] * $c + $bArr[$p]) % ${prime}L % 2L) * 2L - 1L;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $p = 0; $p < ${as.length}; $p++) {
+         |  if ($s[$p] > 0L) $fp |= (1L << $p);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+  def simhash16(c: Column, params: Seq[(Int, Long, Long)], prime: Long): Column =
+    GraftBridge.column(SimHash16(GraftBridge.expression(c),
+      params.map(_._2), params.map(_._3), prime))
+}

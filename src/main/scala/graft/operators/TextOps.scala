@@ -146,7 +146,7 @@ object TextOps {
     * "seed 42"-flavored affine constants, prime modulus 2^31−1. */
   val MinhashParams: Seq[(Int, Long, Long)] =
     (0 until 16).map(i => (i, 1000003L + 7919L * i, 42L + 1009L * i))
-  private val MinhashPrime = 2147483647L
+  private[graft] val MinhashPrime = 2147483647L
 
   /** E-DEDUP scale path: MinHash+LSH candidate pairs — word-bigram
     * shingles, 16-hash signature, 2 bands × 8 rows, pairs bucketed by
@@ -165,19 +165,21 @@ object TextOps {
       slice(tokArr, lit(1), nShingle),
       slice(tokArr, lit(2), nShingle),
       (a, b) => concat(a, lit("_"), b))
-    // One vectorized pass per doc: shingle codes once, then all 16 minhash
-    // permutations as array_min over a mapped array — no shingle explode,
-    // no 16× cross join, zero shuffle before the band-key self-join. At
+    // One vectorized pass per doc: shingle codes once (codegen'd
+    // TokenCode), then ALL 16 minhash permutations in a single codegen'd
+    // sweep over the code array (MinHashSig — the HOF array_min-per-
+    // permutation twin interpreted 32 lambdas/row). No shingle explode, no
+    // 16× cross join, zero shuffle before the band-key self-join. At
     // 100 TB the signature stage is a pure narrow projection.
     val codes = transform(array_distinct(shingles), tokenCode _)
-    def minhash(a: Long, b: Long): Column =
-      array_min(transform(col("codes"), c => (lit(a) * c + lit(b)) % MinhashPrime))
     def bandKey(band: Int): Column =
-      concat_ws(",", MinhashParams.slice(band * 8, band * 8 + 8)
-        .map { case (_, a, b) => minhash(a, b).cast("string") }: _*)
+      concat_ws(",", (0 until 8)
+        .map(i => element_at(col("mins"), band * 8 + i + 1).cast("string")): _*)
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), codes.as("codes"))
       .filter(size(col("codes")) > 0) // 1-token docs have no shingles → no signature
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("codes"), MinhashParams, MinhashPrime).as("mins"))
       .select(col("doc_id"),
         posexplode(array(bandKey(0), bandKey(1))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
@@ -198,19 +200,15 @@ object TextOps {
     * token multiplicity, sign-aggregated per bit position. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     // Same vectorization as minhashLsh: token codes once (multiset — SimHash
-    // weights by multiplicity), then each bit's signed sum is one HOF
-    // aggregate; the fingerprint assembles in a single projection, no
-    // explode/shuffle at all.
+    // weights by multiplicity), then ALL 16 signed bit-sums in a single
+    // codegen'd sweep over the code array (SimHash16 — the per-bit HOF
+    // aggregate twin interpreted 16 lambdas per element); the fingerprint
+    // assembles inline, no explode/shuffle at all.
     val codes = transform(split(col("text"), " "), tokenCode _)
-    def bit(i: Int, a: Long, b: Long): Column = {
-      val s = aggregate(col("codes"),
-        lit(0L), (acc, c) => acc + ((lit(a) * c + lit(b)) % MinhashPrime % 2) * 2 - 1)
-      when(s > 0, lit(1L << i)).otherwise(lit(0L))
-    }
     Tables.documents(spark, dir)
       .select(col("doc_id"), codes.as("codes"))
       .select(col("doc_id"),
-        MinhashParams.map { case (i, a, b) => bit(i, a, b) }.reduce(_ + _).as("simhash"))
+        graft.functions.SimHash16.simhash16(col("codes"), MinhashParams, MinhashPrime).as("simhash"))
       .orderBy("doc_id")
   }
 

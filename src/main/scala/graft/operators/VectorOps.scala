@@ -75,23 +75,13 @@ object VectorOps {
       .orderBy("probe_id", "rank")
   }
 
-  /** Deterministic ±1 Hadamard-pattern hyperplane: sign of component i of
-    * hyperplane j = +1 iff bit j of i is 0. Expressible identically in the
-    * DuckDB oracle (integer ops only). */
-  private def hyperSign(i: Column, j: Int): Column =
-    lit(1.0) - lit(2.0) * (shiftright(i, j) % 2).cast("double")
-
-  /** Random-hyperplane LSH bucket id (4 bits) per vector — the scale path
-    * for E-SIM: same-bucket candidates only. */
-  private def bucketExpr: Column = {
-    val e = col("embedding")
-    (0 until 4).map { j =>
-      val dotJ = aggregate(
-        transform(e, (x, i) => x.cast("double") * hyperSign(i, j)),
-        lit(0.0), (acc, v) => acc + v)
-      (dotJ > 0).cast("long") * lit(1L << j)
-    }.reduce(_ + _)
-  }
+  /** Legacy 4-bit hyperplane LSH bucket id per vector (same-bucket
+    * candidates only) — one WalshBandKeys pass over LegacyPlanes;
+    * bit-identical to the original per-bit Hadamard HOF formulation
+    * (ExpressionsSpec). */
+  private def bucketExpr: Column =
+    element_at(graft.functions.WalshBandKeys.walshBandKeys(
+      col("embedding"), Seq(LegacyPlanes)), 1)
 
   /** ANN bucketing: vec_id → 4-bit hyperplane bucket. */
   def annBuckets(spark: SparkSession, dir: String): DataFrame =
@@ -99,41 +89,34 @@ object VectorOps {
       .select(col("vec_id"), bucketExpr.as("bucket"))
       .orderBy("vec_id")
 
-  /** Walsh-Hadamard hyperplane sign: component i of hyperplane j is
-    * (-1)^popcount(i AND j) — 64 mutually orthogonal ±1 hyperplanes for a
-    * 64-dim embedding, going well past the 6 planes the single-bit Hadamard
-    * pattern (`hyperSign`) supports. Integer-only, so the DuckDB oracle
-    * reproduces it exactly via bit_count((i-1) & j) % 2. */
-  private def whSign(i: Column, j: Int): Column =
-    lit(1.0) - lit(2.0) * (bit_count(i.bitwiseAND(lit(j))) % 2).cast("double")
-
-  /** Signed projection of the embedding onto Walsh hyperplane j. */
-  private def whDot(j: Int): Column =
-    aggregate(
-      transform(col("embedding"), (x, i) => x.cast("double") * whSign(i, j)),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Multiband LSH parameters: 4 bands × 6 bits = 24 hyperplanes (j =
-    * 1..24; j = 0 is the all-positive plane and carries no locality).
-    * OR-amplification: candidates match on ANY band, so for neighbor
-    * collision probability p per bit, recall is 1-(1-p^6)^4 instead of the
-    * single-code p^4 — higher recall at far finer buckets (2^6 per band vs
-    * the legacy 2^4 total), which is what keeps within-bucket candidate
-    * sets sub-quadratic at 100 TB. */
+  /** Multiband LSH parameters: 4 bands × 6 bits = 24 Walsh-Hadamard
+    * hyperplanes (component i of hyperplane j has sign
+    * (-1)^popcount(i AND j); j = 1..24 — j = 0 is the all-positive plane
+    * and carries no locality). OR-amplification: candidates match on ANY
+    * band, so for neighbor collision probability p per bit, recall is
+    * 1-(1-p^6)^4 instead of the single-code p^4 — higher recall at far
+    * finer buckets (2^6 per band vs the legacy 2^4 total), which is what
+    * keeps within-bucket candidate sets sub-quadratic at 100 TB. The
+    * integer-only sign arithmetic is reproduced exactly by the DuckDB
+    * oracle via bit_count((i-1) & j) % 2. */
   val Bands = 4
   val BitsPerBand = 6
+  private[graft] val MultibandPlanes: Seq[Seq[Int]] =
+    (0 until Bands).map(b => (0 until BitsPerBand).map(r => 1 + b * BitsPerBand + r))
+  /** The legacy 4-bit single code = Walsh hyperplanes {1,2,4,8} (bit j of
+    * i == popcount(i & 2^j) mod 2, so the original per-bit Hadamard
+    * pattern is this subset of the Walsh family). */
+  private[graft] val LegacyPlanes: Seq[Int] = Seq(1, 2, 4, 8)
 
-  /** Band key b: 6-bit code from hyperplanes j = 1 + b*6 .. 6 + b*6. */
-  private def bandKey(b: Int): Column =
-    (0 until BitsPerBand).map { r =>
-      (whDot(1 + b * BitsPerBand + r) > 0).cast("long") * lit(1L << r)
-    }.reduce(_ + _)
+  import graft.functions.WalshBandKeys.walshBandKeys
 
   /** vec_id → (band, key) pairs, one row per band — the narrow signature
-    * projection (no shuffle; the only exchange is the candidate join). */
+    * projection (no shuffle; the only exchange is the candidate join).
+    * All 24 hyperplane projections happen in ONE codegen'd pass over the
+    * array (WalshBandKeys) instead of 24 interpreted HOF aggregates. */
   private[graft] def bandedSignaturesOf(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-        posexplode(array((0 until Bands).map(bandKey): _*)))
+        posexplode(walshBandKeys(col("embedding"), MultibandPlanes)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("key"))
 
   /** Multiband ANN over an arbitrary (vec_id, embedding) frame: top-k

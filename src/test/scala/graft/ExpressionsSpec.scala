@@ -77,6 +77,61 @@ class ExpressionsSpec extends SparkSpec {
     assert(diffs.nonEmpty && diffs.forall(_ == 0L))
   }
 
+  test("WalshBandKeys === per-hyperplane HOF aggregates, bit for bit") {
+    import graft.functions.WalshBandKeys.walshBandKeys
+    val planes = graft.operators.VectorOps.MultibandPlanes
+    def whDot(j: Int) = aggregate(
+      transform(col("embedding"), (x, i) => x.cast("double") *
+        (lit(1.0) - lit(2.0) * (bit_count(i.bitwiseAND(lit(j))) % 2).cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    def hofKey(band: Seq[Int]) = band.zipWithIndex.map { case (j, r) =>
+      (whDot(j) > 0).cast("long") * lit(1L << r)
+    }.reduce(_ + _)
+    val rows = emb.select(
+        walshBandKeys(col("embedding"), planes).as("expr"),
+        array(planes.map(hofKey): _*).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("MinHashSig === per-permutation HOF array_min, bit for bit") {
+    import graft.functions.{MinHashSig, TokenCode}
+    import graft.operators.TextOps
+    val codes = transform(array_distinct(split(col("text"), " ")), TokenCode.tokenCode _)
+    val hof = array(TextOps.MinhashParams.map { case (_, a, b) =>
+      array_min(transform(col("codes"), c => (lit(a) * c + lit(b)) % TextOps.MinhashPrime))
+    }: _*)
+    val rows = Tables.documents(spark, sf)
+      .select(codes.as("codes")).filter(size(col("codes")) > 0)
+      .select(
+        MinHashSig.minhashSig(col("codes"), TextOps.MinhashParams, TextOps.MinhashPrime).as("expr"),
+        hof.as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("SimHash16 === per-bit HOF aggregates, bit for bit") {
+    import graft.functions.{SimHash16, TokenCode}
+    import graft.operators.TextOps
+    val codes = transform(split(col("text"), " "), TokenCode.tokenCode _)
+    def bit(i: Int, a: Long, b: Long) = {
+      val s = aggregate(col("codes"),
+        lit(0L), (acc, c) => acc + ((lit(a) * c + lit(b)) % TextOps.MinhashPrime % 2) * 2 - 1)
+      when(s > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val hof = TextOps.MinhashParams.map { case (i, a, b) => bit(i, a, b) }.reduce(_ + _)
+    val rows = Tables.documents(spark, sf)
+      .select(codes.as("codes"))
+      .select(
+        SimHash16.simhash16(col("codes"), TextOps.MinhashParams, TextOps.MinhashPrime).as("expr"),
+        hof.as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("type checking rejects wrong argument types") {
     GraftExtensions.register(spark)
     val err = intercept[Exception] {
