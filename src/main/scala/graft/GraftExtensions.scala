@@ -2,12 +2,16 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, Iou}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, Iou, MinHashSig, SimHash16, TokenCode, WalshBandKeys}
+import graft.operators.{TextOps, VectorOps}
 
 /** SQL-surface registration for the engine's custom Catalyst expressions
-  * (SURVEY §7.1 SQL-first testability): `cosine_sim(arr, arr)` and
-  * `iou(box, box)` become callable from `spark.sql`.
+  * (SURVEY §7.1 SQL-first testability): `cosine_sim(arr, arr)`,
+  * `iou(box, box)`, `token_code(str)`, and the sketch family —
+  * `minhash_sig(codes)`, `simhash16(codes)`, `walsh_band_keys(embedding)`,
+  * bound to the engine's canonical parameters (TextOps.MinhashParams,
+  * VectorOps.MultibandPlanes) — become callable from `spark.sql`.
   *
   * Two registration paths:
   *   - `spark.sql.extensions=graft.GraftExtensions` at session build
@@ -15,24 +19,33 @@ import graft.functions.{CosineSimilarity, Iou}
   *   - `GraftExtensions.register(spark)` on a live session (tests, REPL).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      exprs => CosineSimilarity(exprs(0), exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("iou"),
-      new ExpressionInfo(classOf[Iou].getName, "iou"),
-      exprs => Iou(exprs(0), exprs(1))))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(builder.getClass.getName, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "iou" -> (exprs => Iou(exprs(0), exprs(1))),
+    "token_code" -> (exprs => TokenCode(exprs(0))),
+    "minhash_sig" -> (exprs =>
+      MinHashSig(exprs(0), TextOps.MinhashParams.map(_._2),
+        TextOps.MinhashParams.map(_._3), TextOps.MinhashPrime)),
+    "simhash16" -> (exprs =>
+      SimHash16(exprs(0), TextOps.MinhashParams.map(_._2),
+        TextOps.MinhashParams.map(_._3), TextOps.MinhashPrime)),
+    "walsh_band_keys" -> (exprs =>
+      WalshBandKeys(exprs(0), VectorOps.MultibandPlanes)))
+
   /** Late registration on an existing session. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "iou", exprs => Iou(exprs(0), exprs(1)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

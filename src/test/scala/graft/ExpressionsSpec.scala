@@ -132,6 +132,24 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("sketch functions: SQL-callable and inside whole-stage codegen") {
+    import graft.functions.WalshBandKeys.walshBandKeys
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_ext_test")
+    val sketches = spark.sql(
+      """SELECT simhash16(transform(split(text, ' '), t -> token_code(t))) AS s,
+        |       minhash_sig(transform(split(text, ' '), t -> token_code(t))) AS m
+        |FROM docs_ext_test""".stripMargin).collect()
+    assert(sketches.nonEmpty && sketches.forall(r => !r.isNullAt(0) && r.getSeq[Long](1).length == 16))
+    emb.createOrReplaceTempView("emb_ext_test")
+    val keys = spark.sql("SELECT walsh_band_keys(embedding) AS k FROM emb_ext_test").collect()
+    assert(keys.nonEmpty && keys.forall(_.getSeq[Long](0).length == graft.operators.VectorOps.Bands))
+    val plan = emb.select(
+        walshBandKeys(col("embedding"), graft.operators.VectorOps.MultibandPlanes).as("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1) Project"))
+  }
+
   test("type checking rejects wrong argument types") {
     GraftExtensions.register(spark)
     val err = intercept[Exception] {
