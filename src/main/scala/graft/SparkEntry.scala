@@ -30,6 +30,8 @@ object SparkEntry {
     "q_join_multi" -> (Relational.joinMultiway _),
     "q_join_semi" -> (Relational.joinSemi _),
     "q_join_anti" -> (Relational.joinAnti _),
+    "q_asof_join" -> (AsOf.asofQuery _),
+    "q_range_join" -> (RangeJoin.rangeJoinQuery _),
     "q_rollup" -> (Relational.aggRollup _),
     "q_cube" -> (Relational.aggCube _),
     "q_win_topk" -> (Relational.windowTopkPerGroup _),
@@ -237,6 +239,34 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    // q_range_join: the oracle states the range predicate directly; the
+    // engine's bucketed equi-join + exact filter must produce identical
+    // pairs (each true pair meets exactly once)
+    "q_range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, count(*) AS n_clicks
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |GROUP BY 1, 2 ORDER BY p.user_id, purchase_id""".stripMargin,
+    // q_asof_join: the oracle replicates the engine's union-window as-of
+    // form (ROWS-framed last_value IGNORE NULLS); side 0 sorts right rows
+    // first at equal ts so the ≤ contract includes same-instant clicks
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |    CAST(NULL AS BIGINT) AS rv, CAST(NULL AS BIGINT) AS rtb, 1 AS side
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, CAST(NULL AS BIGINT), event_id, event_id, 0
+        |  FROM events WHERE event_type = 'click'
+        |), m AS (
+        |  SELECT user_id, purchase_id, side,
+        |    last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, side, rtb ROWS UNBOUNDED PRECEDING) AS click_id
+        |  FROM u)
+        |SELECT user_id, purchase_id, click_id FROM m WHERE side = 1
+        |ORDER BY user_id, purchase_id""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
