@@ -85,6 +85,7 @@ object SparkEntry {
     queries ++ Map(
       "q_scan_proj" -> (Relational.scanProjectCore _),
       "q_math" -> (Relational.mathScalarsCore _),
+      "q_map_funcs" -> (Relational.mapFunctionsCore _),
     )
 
   /** DuckDB twin of VectorOps.annTopKMultiband, generated so the 24

