@@ -71,9 +71,11 @@ object SparkEntry {
     "q_binary_meta" -> (TextOps.binaryMeta _),
     "q_nms_greedy" -> (Nms.greedyQuery _),
     "q_nms_dominance" -> (Nms.dominanceQuery _),
-    // rows-only driver check: HLL sketch estimates are engine-specific,
-    // so there is deliberately no oracleSql entry
+    "q_quantiles" -> (Relational.quantiles _),
+    // rows-only driver checks: HLL estimates and Spark's per-row sampling
+    // draw are engine-specific, so deliberately no oracleSql entries
     "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_sample" -> (TextOps.stratifiedSample _),
   )
 
   /** Bench-time plan shapes: identical to `queries` except that the two
@@ -240,6 +242,15 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    // q_quantiles: Spark `percentile` and DuckDB `quantile_cont` share the
+    // exact linear-interpolation definition over integer inputs
+    "q_quantiles" ->
+      """SELECT source,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // q_range_join: the oracle states the range predicate directly; the
     // engine's bucketed equi-join + exact filter must produce identical
     // pairs (each true pair meets exactly once)

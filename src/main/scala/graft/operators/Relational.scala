@@ -377,6 +377,22 @@ object Relational {
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
       .orderBy("day", "event_type")
 
+  /** E-AGG quantiles: exact interpolated percentiles of document length
+    * per source (the length-distribution profile every corpus pipeline
+    * reports). Spark's `percentile` is the exact linear-interpolation
+    * definition DuckDB's quantile_cont uses, so this is oracle-checkable;
+    * the approximate sketch twin at scale is `percentile_approx`
+    * (rows-only, like q_approx_distinct). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
   /** E-AGG sketch: HLL distinct users per day-window × event type — the
     * 100 TB "count distinct per window" path. `approx_count_distinct` is a
     * fixed-size HLL++ sketch with map-side partial merge, so the plan has

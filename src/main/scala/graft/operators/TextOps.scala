@@ -220,6 +220,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Stratified sampling (training-data rebalancing): per-language
+    * Bernoulli fractions via sampleBy — downsample the dominant strata,
+    * keep the rare ones whole. Seeded, so repeated runs agree within one
+    * Spark version; the driver check is rows-only since no other engine
+    * reproduces Spark's per-row hash draw. The spec asserts per-stratum
+    * rates and determinism instead. */
+  val SampleFractions: Map[String, Double] =
+    Map("en" -> 0.2, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.8, "zh" -> 1.0)
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .stat.sampleBy("lang", SampleFractions, 42L)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   /** E-TEXT: global top-20 terms (explode → count → TakeOrdered). */
   def topTerms(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -54,6 +54,26 @@ class AsOfSpec extends SparkSpec {
     assert(got.collect().toSeq == naive.orderBy("user_id", "purchase_id").collect().toSeq)
   }
 
+  test("asOfJoin ≡ naive per-row latest-at-or-before on randomized data") {
+    // seeded generative check: ties on ts, keys with no right rows, and
+    // interleavings the micro cases don't enumerate
+    val rnd = new scala.util.Random(42)
+    val leftRows = (0 until 300).map(i => (rnd.nextInt(12).toLong, ts(rnd.nextInt(40).toLong), i.toLong))
+    val rightRows = (0 until 300).map(i => (rnd.nextInt(12).toLong, ts(rnd.nextInt(40).toLong), (1000 + i).toLong))
+    val left = leftRows.toDF("user_id", "ts", "purchase_id")
+    val right = rightRows.toDF("user_id", "ts", "click_id")
+    val got = AsOf.asOfJoin(left, right, "user_id", "ts", "click_id", "click_id")
+      .select("purchase_id", "click_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val expected = leftRows.map { case (k, lts, pid) =>
+      val matches = rightRows.filter { case (rk, rts, _) => rk == k && !rts.after(lts) }
+      pid -> (if (matches.isEmpty) None
+              else Some(matches.maxBy { case (_, rts, rid) => (rts.getTime, rid) }._3))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("plan shape: one hash exchange on the key, no nested-loop range join") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.filter(col("event_type") === "purchase")
