@@ -162,24 +162,29 @@ object TextOps {
     * ~30 words, so unigram token sets collide for most long docs; bigram
     * sets are discriminative. At 100 TB the signature is one narrow agg per
     * doc and candidates meet via band-key equi-join (no all-pairs shuffle). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val tokArr = split(col("text"), " ")
-    // zip_with of the two shifted slices, NOT element_at(tokArr, i+2) in a
-    // transform lambda: a non-foldable outer reference inside a HOF lambda
-    // is re-evaluated per element, turning shingling quadratic in doc
-    // length (measured 3 s for 5 k docs before the rewrite).
+  /** Word-bigram shingle codes of a text column — zip_with of the two
+    * shifted slices, NOT element_at(tokArr, i+2) in a transform lambda: a
+    * non-foldable outer reference inside a HOF lambda is re-evaluated per
+    * element, turning shingling quadratic in doc length (measured 3 s for
+    * 5 k docs before the rewrite). */
+  private[graft] def shingleCodes(text: Column): Column = {
+    val tokArr = split(text, " ")
     val nShingle = greatest(size(tokArr) - 1, lit(0))
     val shingles = zip_with(
       slice(tokArr, lit(1), nShingle),
       slice(tokArr, lit(2), nShingle),
       (a, b) => concat(a, lit("_"), b))
+    transform(array_distinct(shingles), tokenCode _)
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // One vectorized pass per doc: shingle codes once (codegen'd
     // TokenCode), then ALL 16 minhash permutations in a single codegen'd
     // sweep over the code array (MinHashSig — the HOF array_min-per-
     // permutation twin interpreted 32 lambdas/row). No shingle explode, no
     // 16× cross join, zero shuffle before the band-key self-join. At
     // 100 TB the signature stage is a pure narrow projection.
-    val codes = transform(array_distinct(shingles), tokenCode _)
+    val codes = shingleCodes(col("text"))
     def bandKey(band: Int): Column =
       concat_ws(",", (0 until 8)
         .map(i => element_at(col("mins"), band * 8 + i + 1).cast("string")): _*)

@@ -62,4 +62,25 @@ object StreamOps {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Streaming CONTENT near-dup screen: a document whose full MinHash
+    * signature (word-bigram shingles, 16 permutations — the same codegen'd
+    * MinHashSig as the batch LSH path) repeats within the watermark
+    * horizon is dropped. Signature equality is the strict AND of the
+    * batch path's band keys, so this suppresses probable near-duplicates
+    * (exact duplicates always), with state bounded by the watermark — the
+    * streaming front-door of the dedup family: screen on ingest, batch
+    * LSH for the full corpus. Expects (ts TIMESTAMP, doc_id, text). */
+  def nearDupScreen(docs: DataFrame,
+                    watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.operators.TextOps
+    docs
+      .withColumn("sig", concat_ws(",",
+        graft.functions.MinHashSig.minhashSig(
+          TextOps.shingleCodes(col("text")), TextOps.MinhashParams, TextOps.MinhashPrime)
+          .cast("array<string>")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("sig")
+      .drop("sig")
+  }
 }

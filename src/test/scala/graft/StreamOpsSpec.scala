@@ -72,6 +72,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.count() == 2) // (1,click) duplicate dropped
   }
 
+  test("nearDupScreen drops repeated-signature documents, keeps distinct content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.nearDupScreen(docs, "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("neardup_out").start()
+    try {
+      input.addData(Seq(
+        (1L, ts(1), "the quick brown fox jumps over the dog"),
+        (2L, ts(2), "the quick brown fox jumps over the dog"), // exact dup -> dropped
+        (3L, ts(3), "an entirely different sentence about spark streams")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("neardup_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("session windows: events within the gap merge, a gap break starts a new session") {
     import spark.implicits._
     // user 1: events at min 0, 10, 20 (one session), then min 120 (new session)
