@@ -19,13 +19,15 @@ import graft.operators.{TextOps, VectorOps}
   *   - `GraftExtensions.register(spark)` on a live session (tests, REPL).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(builder.getClass.getName, name),
         builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.GreedyNmsStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -42,10 +44,15 @@ object GraftExtensions {
     "walsh_band_keys" -> (exprs =>
       WalshBandKeys(exprs(0), VectorOps.MultibandPlanes)))
 
-  /** Late registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Late registration on an existing session: functions + the planner
+    * strategy for graft's custom logical operators. */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GreedyNmsStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GreedyNmsStrategy
+  }
 }

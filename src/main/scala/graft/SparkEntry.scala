@@ -70,6 +70,7 @@ object SparkEntry {
     "q_top_terms" -> (TextOps.topTerms _),
     "q_binary_meta" -> (TextOps.binaryMeta _),
     "q_nms_greedy" -> (Nms.greedyQuery _),
+    "q_nms_exec" -> (Nms.greedyExecQuery _),
     "q_nms_dominance" -> (Nms.dominanceQuery _),
     "q_quantiles" -> (Relational.quantiles _),
     // rows-only driver checks: HLL estimates and Spark's per-row sampling
@@ -165,6 +166,46 @@ object SparkEntry {
        |  JOIN embeddings c ON c.vec_id = cd.v2)
        |SELECT v1, v2, round(cos, 4) AS cos_sim
        |FROM scored WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin
+
+  /** Shared by q_nms_greedy and q_nms_exec (identical semantics, two
+    * execution strategies): the order-dependent greedy pass as a
+    * recursive CTE — one iteration per confidence rank, carrying each
+    * frame's kept-box list; division (not inter > t*union) so the IoU
+    * comparison hits the same doubles as the engine (SURVEY §7.4 #1). */
+  private val greedyNmsOracle: String =
+    """WITH RECURSIVE dets AS (
+      |  SELECT event_id AS det_id, user_id AS frame_id,
+      |    CAST((event_id * 37) % 400 AS INT) AS x,
+      |    CAST((event_id * 73) % 400 AS INT) AS y,
+      |    CAST(40 + (event_id % 4) * 20 AS INT) AS w,
+      |    CAST(40 + (event_id % 3) * 25 AS INT) AS h,
+      |    value AS conf,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rn
+      |  FROM events
+      |), step(r, frame_id, kept) AS (
+      |  SELECT 1, frame_id,
+      |    [struct_pack(det_id := det_id, x := x, y := y, w := w, h := h, conf := conf)]
+      |  FROM dets WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.r + 1, s.frame_id,
+      |    CASE WHEN len(list_filter(s.kept, k ->
+      |        CAST(greatest(0, least(k.x + k.w, d.x + d.w) - greatest(k.x, d.x))
+      |           * greatest(0, least(k.y + k.h, d.y + d.h) - greatest(k.y, d.y)) AS DOUBLE)
+      |        / CAST(k.w * k.h + d.w * d.h
+      |           - greatest(0, least(k.x + k.w, d.x + d.w) - greatest(k.x, d.x))
+      |           * greatest(0, least(k.y + k.h, d.y + d.h) - greatest(k.y, d.y)) AS DOUBLE)
+      |        > 0.3)) > 0
+      |      THEN s.kept
+      |      ELSE list_append(s.kept,
+      |        struct_pack(det_id := d.det_id, x := d.x, y := d.y, w := d.w, h := d.h, conf := d.conf))
+      |    END
+      |  FROM step s JOIN dets d ON d.frame_id = s.frame_id AND d.rn = s.r + 1
+      |)
+      |SELECT frame_id, k.det_id AS det_id, k.conf AS conf FROM (
+      |  SELECT frame_id, unnest(kept) AS k FROM (
+      |    SELECT frame_id, kept, r, max(r) OVER (PARTITION BY frame_id) AS mx FROM step) t
+      |  WHERE r = mx) u
+      |ORDER BY frame_id, det_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -618,41 +659,10 @@ object SparkEntry {
     // pass expressed as a recursive CTE — one iteration per confidence
     // rank, carrying each frame's kept-box list; division (not
     // inter > t*union) so the IoU comparison hits the same doubles as the
-    // engine (SURVEY §7.4 #1).
-    "q_nms_greedy" ->
-      """WITH RECURSIVE dets AS (
-        |  SELECT event_id AS det_id, user_id AS frame_id,
-        |    CAST((event_id * 37) % 400 AS INT) AS x,
-        |    CAST((event_id * 73) % 400 AS INT) AS y,
-        |    CAST(40 + (event_id % 4) * 20 AS INT) AS w,
-        |    CAST(40 + (event_id % 3) * 25 AS INT) AS h,
-        |    value AS conf,
-        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rn
-        |  FROM events
-        |), step(r, frame_id, kept) AS (
-        |  SELECT 1, frame_id,
-        |    [struct_pack(det_id := det_id, x := x, y := y, w := w, h := h, conf := conf)]
-        |  FROM dets WHERE rn = 1
-        |  UNION ALL
-        |  SELECT s.r + 1, s.frame_id,
-        |    CASE WHEN len(list_filter(s.kept, k ->
-        |        CAST(greatest(0, least(k.x + k.w, d.x + d.w) - greatest(k.x, d.x))
-        |           * greatest(0, least(k.y + k.h, d.y + d.h) - greatest(k.y, d.y)) AS DOUBLE)
-        |        / CAST(k.w * k.h + d.w * d.h
-        |           - greatest(0, least(k.x + k.w, d.x + d.w) - greatest(k.x, d.x))
-        |           * greatest(0, least(k.y + k.h, d.y + d.h) - greatest(k.y, d.y)) AS DOUBLE)
-        |        > 0.3)) > 0
-        |      THEN s.kept
-        |      ELSE list_append(s.kept,
-        |        struct_pack(det_id := d.det_id, x := d.x, y := d.y, w := d.w, h := d.h, conf := d.conf))
-        |    END
-        |  FROM step s JOIN dets d ON d.frame_id = s.frame_id AND d.rn = s.r + 1
-        |)
-        |SELECT frame_id, k.det_id AS det_id, k.conf AS conf FROM (
-        |  SELECT frame_id, unnest(kept) AS k FROM (
-        |    SELECT frame_id, kept, r, max(r) OVER (PARTITION BY frame_id) AS mx FROM step) t
-        |  WHERE r = mx) u
-        |ORDER BY frame_id, det_id""".stripMargin,
+    // engine (SURVEY §7.4 #1). q_nms_exec (the custom-SparkPlan form) has
+    // identical semantics and shares this oracle verbatim.
+    "q_nms_exec" -> greedyNmsOracle,
+    "q_nms_greedy" -> greedyNmsOracle,
     "q_nms_dominance" ->
       """WITH dets AS (
         |  SELECT event_id AS det_id, user_id AS frame_id,

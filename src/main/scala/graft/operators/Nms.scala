@@ -104,6 +104,18 @@ object Nms {
       .orderBy("frame_id", "det_id")
   }
 
+  /** Greedy NMS through the custom plan operator (GreedyNmsNode →
+    * GreedyNmsExec via GreedyNmsStrategy): identical semantics to
+    * greedyQuery — and therefore the same recursive-CTE oracle — with the
+    * typed flatMapGroups object boundary replaced by one InternalRow pass
+    * behind a declared exchange + sort. */
+  def greedyExecQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    graft.plans.GreedyNms(detectionsFromEvents(spark, dir), 0.3)
+      .select("frame_id", "det_id", "conf")
+      .orderBy("frame_id", "det_id")
+  }
+
   /** Dominance suppression (anti theta-join, oracle-checkable): box b
     * survives iff no same-frame box a with (conf, id) strictly stronger has
     * IoU(a, b) > 0.3. */
