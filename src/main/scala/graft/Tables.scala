@@ -121,7 +121,9 @@ object Tables {
     * a single file, so the partitioned twin is materialized here; a real
     * deployment would ingest straight into this layout. */
   def eventsByDate(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_events_by_date/" +
+    // v1 = current partition layout; bump on layout change so stale
+    // scratch from an older build is never silently re-read
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_events_by_date/v1_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(s"$scratch/_SUCCESS").exists()) {
       events(spark, dir)
