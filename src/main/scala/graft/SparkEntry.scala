@@ -77,6 +77,7 @@ object SparkEntry {
     // draw are engine-specific, so deliberately no oracleSql entries
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_sample" -> (TextOps.stratifiedSample _),
+    "q_ivf_topk" -> (Ivf.ivfTopK _),
   )
 
   /** Bench-time plan shapes: identical to `queries` except that the two

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.CosineSimilarity.cosineSim
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E-SIM, IVF variant (mandate: "an IVF or LSH-bucketed variant as the
+  * scale path" — LSH lives in VectorOps; this is the inverted-file
+  * sibling): a k-means coarse quantizer partitions vectors into k lists,
+  * probes search only the nProbe nearest lists.
+  *
+  * Scale shape: training the quantizer is the standard driver-coordinated
+  * step (MLlib k-means — centroids are tiny and broadcast); assignment is
+  * one model.transform projection; the probe phase is a centroid ranking
+  * over k×probes rows followed by an equi-join on the list id — so, like
+  * the LSH path, candidates meet through an equi-join and the all-pairs
+  * product never materializes. Seeded (42) and iteration-capped, so the
+  * partitioning is deterministic for a given Spark version; results are
+  * driver-checked rows-only (no external engine reproduces MLlib k-means),
+  * with recall and determinism asserted in IvfSpec.
+  */
+object Ivf {
+
+  val K = 16
+  val NProbe = 2
+
+  /** (vec_id, embedding, list) assignment plus the fitted centers. */
+  private def assign(spark: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(K).setSeed(42L).setMaxIter(10)
+      .fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("list"))
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** q_ivf_topk: top-3 cosine neighbors per probe (vec_id < 20), searching
+    * only the NProbe nearest inverted lists. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, centers) = assign(spark, dir)
+    val centersDf = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("list", "center")
+    // rank the k centroids per probe by squared euclidean distance (the
+    // quantizer's own metric); keep the NProbe nearest lists
+    val probes = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val dist = aggregate(
+      zip_with(col("p_emb"), col("center"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+    val wc = Window.partitionBy("probe_id").orderBy(col("dist"), col("list"))
+    val probeLists = probes.crossJoin(broadcast(centersDf))
+      .withColumn("dist", dist)
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= NProbe)
+      .select(col("probe_id"), col("p_emb"), col("list"))
+    // candidates = members of the probed lists only (equi-join on list id)
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    assigned.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("list"))
+      .join(broadcast(probeLists), Seq("list"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosineSim(col("p_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
+}

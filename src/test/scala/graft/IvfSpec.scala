@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity.cosineSim
+import graft.operators.Ivf
+
+/** IVF ANN: recall against the brute-force cosine truth and seeded
+  * determinism (the properties the rows-only driver check cannot see). */
+class IvfSpec extends SparkSpec {
+
+  private val ivfSf = "/root/testdata/sf0.01"
+
+  private lazy val truth: Set[(Long, Long)] = {
+    val e = Tables.embeddings(spark, ivfSf)
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosineSim(col("p_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("probe_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("IVF recall@3 over the nProbe nearest lists") {
+    val got = Ivf.ivfTopK(spark, ivfSf)
+      .select("probe_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"IVF recall@3: $recall%.3f (searching ${Ivf.NProbe}/${Ivf.K} lists)")
+    // measured 0.517 — the data-adaptive quantizer far outperforms the
+    // data-oblivious sign-LSH (0.133) on this weak-similarity fixture
+    // while scanning 12.5% of candidates; floor leaves seed/version slack
+    assert(recall >= 0.4, f"IVF recall degraded to $recall%.3f")
+  }
+
+  test("seeded quantizer: identical results across runs") {
+    val a = Ivf.ivfTopK(spark, ivfSf).collect().map(_.toSeq).toSeq
+    val b = Ivf.ivfTopK(spark, ivfSf).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+}
