@@ -63,6 +63,26 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream range join — the streaming twin of
+    * graft.operators.RangeJoin: purchases enriched with the clicks in the
+    * hour before them, joined as two live streams. Watermarks on BOTH
+    * sides plus the time-range join condition let Spark bound and evict
+    * join state (a click older than purchase-watermark − 1 h can never
+    * match again); without them a stream-stream join's state grows
+    * forever. Expects two event-shaped streams (ts, user_id, event_id). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        watermarkDelay: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermarkDelay)
+    p.join(c, expr(
+      "c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming CONTENT near-dup screen: a document whose full MinHash
     * signature (word-bigram shingles, 16 permutations — the same codegen'd
     * MinHashSig as the batch LSH path) repeats within the watermark

@@ -72,6 +72,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.count() == 2) // (1,click) duplicate dropped
   }
 
+  test("stream-stream range join matches the batch range join on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      clicks.addData(Seq(ev(10, 5, 1, "click"), ev(11, 50, 1, "click"),
+        ev(12, 30, 2, "click")))
+      purchases.addData(Seq(
+        ev(20, 40, 1, "purchase"),  // window [min -20, 40]: catches click@5, not click@50
+        ev(21, 200, 1, "purchase"), // no click in its prior hour
+        ev(22, 35, 2, "purchase"))) // catches user 2's click@30
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssj_out")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    // batch reference: same predicate on the same rows
+    val allC = Seq(ev(10, 5, 1, "click"), ev(11, 50, 1, "click"), ev(12, 30, 2, "click"))
+    val allP = Seq(ev(20, 40, 1, "purchase"), ev(21, 200, 1, "purchase"), ev(22, 35, 2, "purchase"))
+    val expected = (for {
+      p <- allP; c <- allC
+      if c.user_id == p.user_id
+      if !c.ts.after(p.ts) && c.ts.getTime >= p.ts.getTime - 3600000L
+    } yield (p.event_id, c.event_id)).toSet
+    assert(streamed == expected && streamed.nonEmpty)
+  }
+
   test("nearDupScreen drops repeated-signature documents, keeps distinct content") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
