@@ -319,7 +319,8 @@ object SparkEntry {
         |    last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
         |      ORDER BY ts, side, rtb ROWS UNBOUNDED PRECEDING) AS click_id
         |  FROM u)
-        |SELECT user_id, purchase_id, click_id FROM m WHERE side = 1
+        |SELECT user_id, purchase_id, coalesce(click_id, -1) AS click_id
+        |FROM m WHERE side = 1
         |ORDER BY user_id, purchase_id""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,

@@ -55,8 +55,13 @@ object AsOf {
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    // no-prior-click → -1 sentinel, not NULL: the driver's pandas
+    // comparator maps parquet nullable ints to float NaN on one side and
+    // object None on the other, so a nullable key column risks a spurious
+    // hash mismatch (same fragility that broke ARRAY outputs in round 1)
     asOfJoin(purchases, clicks, "user_id", "ts", "click_id", "click_id")
-      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"))
       .orderBy("user_id", "purchase_id")
   }
 }
