@@ -47,18 +47,32 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
+    // Failures are tracked, not folded into the median: a query that
+    // crashes instantly must not report its time-to-failure as a fast
+    // valid timing. Failed queries carry a -1 sentinel in "queries", the
+    // exception in "errors", and the process exits nonzero.
     val results = SparkEntry.benchShapes.keys.toSeq.sorted.map { name =>
-      val times = (1 to repeats).map { _ =>
+      val attempts = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val err = try { run(name); None }
+        catch { case t: Throwable => Some(t.toString) }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      name -> median(times)
+      val ok = attempts.collect { case (t, None) => t }
+      (name, if (ok.nonEmpty) Some(median(ok)) else None,
+        attempts.flatMap(_._2).headOption.filter(_ => ok.isEmpty))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jsonStr(s: String): String =
+      "\"" + s.replaceAll("[\\\\\"]", "_").replaceAll("\\s+", " ").take(200) + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, None, e) =>
+      "\"" + k + "\":" + jsonStr(e.getOrElse("unknown failure")) }
+      .mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val nFailed = results.count(_._2.isEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
+    if (nFailed > 0) sys.exit(1)
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
 
 /** Explicit schemas for the driver fixtures (`/root/repo/FIXTURES.md`).
@@ -121,18 +121,41 @@ object Tables {
     * a single file, so the partitioned twin is materialized here; a real
     * deployment would ingest straight into this layout. */
   def eventsByDate(spark: SparkSession, dir: String): DataFrame = {
-    // v1 = current partition layout; bump on layout change so stale
-    // scratch from an older build is never silently re-read
-    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_events_by_date/v1_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    if (!new java.io.File(s"$scratch/_SUCCESS").exists()) {
+    // scratch key = layout version (v2; bump on layout change) + fixture
+    // content signature (mtime+size of events.parquet), so a regenerated
+    // fixture at the same path is never answered from stale scratch
+    val src = new java.io.File(s"$dir/events.parquet")
+    val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
+    val sig = s"${files.map(_.lastModified).max}_${files.map(_.length).sum}"
+    val scratch = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_by_date/v2_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + sig)
+    if (!new java.io.File(scratch, "_SUCCESS").exists()) {
+      // write into a process-private temp dir, publish by atomic rename:
+      // two JVMs (Verify and Bench) may race here and a reader must never
+      // see a half-written layout. rename onto an existing dir fails, so
+      // the loser just discards its copy and reads the winner's.
+      val tmp = new java.io.File(scratch.getPath +
+        s".tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
       events(spark, dir)
         .withColumn("event_date", expr("CAST(ts AS DATE)"))
-        .write.mode("overwrite").partitionBy("event_date").parquet(scratch)
+        // one shuffle partition per date -> exactly one file per day
+        // directory: deterministic file counts for pruning evidence and
+        // right-sized files (the 100 TB ingest shape: cluster by the
+        // partition key before writing a partitioned layout)
+        .repartition(col("event_date"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(tmp.getPath)
+      if (!tmp.renameTo(scratch)) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(tmp)
+      }
     }
     spark.read
       .schema(StructType(Schemas.events :+ StructField("event_date", DateType)))
-      .parquet(scratch)
+      .parquet(scratch.getPath)
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", Schemas.documents)

@@ -113,31 +113,42 @@ object TextOps {
     * token self-joins) cannot shrink the candidate set: near-all same-
     * source pairs genuinely overlap and must be verified. The cheapest
     * exact verification is set-as-bitmap: a global token dictionary maps
-    * each token to a bit, a document's distinct-token set becomes one
-    * LONG, and Jaccard is bit_count(a&b) / bit_count(a|b) — pure codegen
-    * integer ops, no per-pair token shuffle at all. Same result set as
-    * the token-join formulation; the quadratic-pairs block scan remains,
-    * which is why the LSH path below is the screening sibling at scale
-    * (where a real vocabulary also outgrows one long — the general form
-    * is an ARRAY<LONG> bitmap, same arithmetic per word). */
+    * each token to a bit, a document's distinct-token set becomes a packed
+    * ARRAY<LONG> bitmap (graft.functions.BitmapFromBits — self-sized to
+    * the doc's own max bit, so no global vocabulary length is threaded
+    * through), and the pair intersection is one codegen'd popcount sweep
+    * (BitmapAndCount; shorter bitmap = implicit zero blocks). Vocabulary-
+    * unbounded — the original single-LONG variant wrapped shifts mod 64
+    * past 64 distinct tokens — at the same all-codegen cost (a
+    * MAP<block,mask> + HOF-aggregate formulation was tried first and ran
+    * 2.3× slower: interpreted lambdas per candidate pair). Same result
+    * set as the token-join formulation; the quadratic-pairs block scan
+    * remains, which is why the LSH path below is the screening sibling
+    * at scale. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
     // dictionary: token -> bit position. The single-partition window is a
-    // vocabulary build (31 rows here) — broadcast-sized by construction.
+    // vocabulary build — broadcast-sized by construction (dedup vocab, not
+    // corpus; a vocabulary too big to broadcast would swap this window for
+    // zipWithIndex over a sorted distinct).
     val dict = toks.select("tok").distinct()
       .withColumn("bit",
         row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
     val masks = toks.join(broadcast(dict), "tok")
       .groupBy("doc_id", "source")
-      .agg(sum(expr("shiftleft(1L, bit)")).as("mask"), count(lit(1)).as("sz"))
+      .agg(collect_list(col("bit")).as("bits"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.Bitmap.bitmapFromBits(col("bits")).as("mm"),
+        size(col("bits")).cast("long").as("sz"))
     val jac = col("inter") / (col("sz1") + col("sz2") - col("inter"))
-    masks.select(col("doc_id").as("d1"), col("source"), col("mask").as("m1"), col("sz").as("sz1"))
-      .join(masks.select(col("doc_id").as("d2"), col("source"), col("mask").as("m2"), col("sz").as("sz2")),
+    masks.select(col("doc_id").as("d1"), col("source"), col("mm").as("mm1"), col("sz").as("sz1"))
+      .join(masks.select(col("doc_id").as("d2"), col("source"), col("mm").as("mm2"), col("sz").as("sz2")),
         "source")
       .filter(col("d1") < col("d2"))
-      .withColumn("inter", bit_count(col("m1").bitwiseAND(col("m2"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.Bitmap.bitmapAndCount(col("mm1"), col("mm2")))
       .filter(jac >= 0.9)
       .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
       .orderBy("d1", "d2")

@@ -94,11 +94,20 @@ object StreamOps {
   def nearDupScreen(docs: DataFrame,
                     watermarkDelay: String = "1 hour"): DataFrame = {
     import graft.operators.TextOps
+    val codes = TextOps.shingleCodes(col("text"))
     docs
-      .withColumn("sig", concat_ws(",",
-        graft.functions.MinHashSig.minhashSig(
-          TextOps.shingleCodes(col("text")), TextOps.MinhashParams, TextOps.MinhashPrime)
-          .cast("array<string>")))
+      // a <2-token doc has no shingles and therefore no signature
+      // (MinHashSig yields null, which concat_ws would collapse to "" —
+      // colliding every shingle-less doc onto one key and dropping distinct
+      // content). Such docs are exempt from the screen: keyed by doc_id,
+      // each is its own equivalence class, mirroring the batch path's
+      // size(codes) > 0 filter.
+      .withColumn("sig",
+        when(size(codes) > 0, concat_ws(",",
+          graft.functions.MinHashSig.minhashSig(
+            codes, TextOps.MinhashParams, TextOps.MinhashPrime)
+            .cast("array<string>")))
+          .otherwise(concat(lit("__nosig__:"), col("doc_id").cast("string"))))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("sig")
       .drop("sig")

@@ -32,7 +32,9 @@ class PruningSpec extends SparkSpec {
     val totalDays = Tables.eventsByDate(spark, sf)
       .select("event_date").distinct().count()
     assert(totalDays == 30, s"fixture spans $totalDays days, expected 30")
-    assert(filesRead <= 7, s"scan read $filesRead files; pruning should cap it at 7 day-partitions")
+    // eventsByDate repartitions by event_date before the partitioned write,
+    // so each day directory holds exactly one file: 7 pruned days = 7 files
+    assert(filesRead == 7, s"scan read $filesRead files; pruning + one-file-per-day should make it exactly 7")
   }
 
   test("pruned result equals the unpartitioned filter") {

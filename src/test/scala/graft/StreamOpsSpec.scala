@@ -113,11 +113,15 @@ class StreamOpsSpec extends SparkSpec {
       input.addData(Seq(
         (1L, ts(1), "the quick brown fox jumps over the dog"),
         (2L, ts(2), "the quick brown fox jumps over the dog"), // exact dup -> dropped
-        (3L, ts(3), "an entirely different sentence about spark streams")))
+        (3L, ts(3), "an entirely different sentence about spark streams"),
+        // <2-token docs have no shingles/signature: each must pass the
+        // screen on its own, not collide on a shared empty signature
+        (4L, ts(4), "hello"),
+        (5L, ts(5), "goodbye")))
       q.processAllAvailable()
     } finally q.stop()
     val kept = spark.table("neardup_out").select("doc_id").as[Long].collect().toSet
-    assert(kept == Set(1L, 3L))
+    assert(kept == Set(1L, 3L, 4L, 5L))
   }
 
   test("session windows: events within the gap merge, a gap break starts a new session") {
