@@ -66,6 +66,8 @@ object SparkEntry {
     "q_dedup_exact" -> (TextOps.dedupExact _),
     "q_jaccard_pairs" -> (TextOps.jaccardPairs _),
     "q_minhash_lsh" -> (TextOps.minhashLsh _),
+    "q_neardup_clusters" -> (TextOps.nearDupClusters _),
+    "q_tfidf" -> (TextOps.tfidf _),
     "q_simhash" -> (TextOps.simhash _),
     "q_top_terms" -> (TextOps.topTerms _),
     "q_binary_meta" -> (TextOps.binaryMeta _),
@@ -91,6 +93,40 @@ object SparkEntry {
       "q_math" -> (Relational.mathScalarsCore _),
       "q_map_funcs" -> (Relational.mapFunctionsCore _),
     )
+
+  /** Shared CTE chain for the MinHash-LSH oracles (q_minhash_lsh,
+    * q_neardup_clusters): word-bigram shingles → engine-neutral token
+    * codes → 16 affine permutations → 2 band keys → candidate pairs.
+    * Ends with the `pairs(d1, d2)` CTE. */
+  private val minhashPairCtes: String =
+    """toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      j -> string_split(text, ' ')[j] || '_' || string_split(text, ' ')[j + 1])) AS tok
+      |    FROM documents) raw
+      |), codes AS (
+      |  SELECT tok, list_sum(list_transform(range(1, length(tok) + 1),
+      |    j -> ascii(substr(tok, j, 1)) * j)) AS code
+      |  FROM (SELECT DISTINCT tok FROM toks) dt
+      |), params(i, a, b) AS (VALUES
+      |  (0, 1000003, 42), (1, 1007922, 1051), (2, 1015841, 2060), (3, 1023760, 3069),
+      |  (4, 1031679, 4078), (5, 1039598, 5087), (6, 1047517, 6096), (7, 1055436, 7105),
+      |  (8, 1063355, 8114), (9, 1071274, 9123), (10, 1079193, 10132), (11, 1087112, 11141),
+      |  (12, 1095031, 12150), (13, 1102950, 13159), (14, 1110869, 14168), (15, 1118788, 15177)
+      |), sigs AS (
+      |  SELECT t.doc_id, p.i,
+      |    min((CAST(p.a AS BIGINT) * c.code + p.b) % 2147483647) AS minh
+      |  FROM toks t JOIN codes c ON t.tok = c.tok CROSS JOIN params p
+      |  GROUP BY 1, 2
+      |), bands AS (
+      |  SELECT doc_id, i // 8 AS band,
+      |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS key
+      |  FROM sigs GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+      |)""".stripMargin
 
   /** DuckDB twin of VectorOps.annTopKMultiband, generated so the 24
     * Walsh-hyperplane projections and 4 band keys stay structurally in
@@ -602,33 +638,42 @@ object SparkEntry {
         |WHERE i / (sa.sz + sb.sz - i) >= 0.9
         |ORDER BY d1, d2""".stripMargin,
     "q_minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
-        |      j -> string_split(text, ' ')[j] || '_' || string_split(text, ' ')[j + 1])) AS tok
-        |    FROM documents) raw
-        |), codes AS (
-        |  SELECT tok, list_sum(list_transform(range(1, length(tok) + 1),
-        |    j -> ascii(substr(tok, j, 1)) * j)) AS code
-        |  FROM (SELECT DISTINCT tok FROM toks) dt
-        |), params(i, a, b) AS (VALUES
-        |  (0, 1000003, 42), (1, 1007922, 1051), (2, 1015841, 2060), (3, 1023760, 3069),
-        |  (4, 1031679, 4078), (5, 1039598, 5087), (6, 1047517, 6096), (7, 1055436, 7105),
-        |  (8, 1063355, 8114), (9, 1071274, 9123), (10, 1079193, 10132), (11, 1087112, 11141),
-        |  (12, 1095031, 12150), (13, 1102950, 13159), (14, 1110869, 14168), (15, 1118788, 15177)
-        |), sigs AS (
-        |  SELECT t.doc_id, p.i,
-        |    min((CAST(p.a AS BIGINT) * c.code + p.b) % 2147483647) AS minh
-        |  FROM toks t JOIN codes c ON t.tok = c.tok CROSS JOIN params p
-        |  GROUP BY 1, 2
-        |), bands AS (
-        |  SELECT doc_id, i // 8 AS band,
-        |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS key
-        |  FROM sigs GROUP BY 1, 2)
-        |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-        |FROM bands x JOIN bands y
-        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+      s"""WITH $minhashPairCtes
+        |SELECT d1, d2 FROM pairs
         |ORDER BY d1, d2""".stripMargin,
+    "q_neardup_clusters" ->
+      // same pair graph as q_minhash_lsh; component min via WITH RECURSIVE
+      // reachability (undirected edges = both orientations of each pair)
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT d2 AS src, d1 AS dst FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT src AS doc_id, min(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), n AS (SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    round(tf.tf * ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)), 4) AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, tok, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, tok, score FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

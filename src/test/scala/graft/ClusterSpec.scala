@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** Near-dup clustering (E-DEDUP decision stage): min-label propagation
+  * must find true connected components — including multi-hop chains,
+  * where a doc's canonical representative is only reachable transitively
+  * (the case the per-pair LSH listing alone cannot decide). */
+class ClusterSpec extends SparkSpec {
+
+  private def cc(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    TextOps.connectedComponents(
+        nodes.toDF("doc_id"), pairs.toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("multi-hop chain collapses to the component min; singletons self-label") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    // isolated 20
+    val got = cc(Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("edgeless graph: every node is its own cluster") {
+    val got = cc(Seq(5L, 6L, 7L), Seq.empty)
+    assert(got == Map(5L -> 5L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("q_neardup_clusters on the fixture: labels cover all docs, respect the LSH pairs") {
+    import spark.implicits._
+    val labels = TextOps.nearDupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val docs = Tables.documents(spark, sf).select("doc_id").as[Long].collect()
+    assert(labels.keySet == docs.toSet)
+    // every LSH pair must land in the same cluster
+    val pairs = TextOps.minhashLsh(spark, sf).as[(Long, Long)].collect()
+    pairs.foreach { case (d1, d2) =>
+      assert(labels(d1) == labels(d2), s"pair ($d1,$d2) split across clusters")
+    }
+    // a cluster's label is a member of the cluster and its minimum
+    labels.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keySet.min == label)
+    }
+  }
+}
