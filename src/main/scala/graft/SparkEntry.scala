@@ -25,6 +25,7 @@ object SparkEntry {
     "q_agg" -> (Relational.aggPricingSummary _),
     "q_agg_distinct" -> (Relational.aggDistinct _),
     "q_salted_agg" -> (Scale.saltedAggQuery _),
+    "q_bloom_join" -> (Scale.bloomSemiJoin _),
     "q_join_bc" -> (Relational.joinBroadcast _),
     "q_join_shuffle" -> (Relational.joinShuffle _),
     "q_join_multi" -> (Relational.joinMultiway _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "q_simhash" -> (TextOps.simhash _),
     "q_top_terms" -> (TextOps.topTerms _),
     "q_binary_meta" -> (TextOps.binaryMeta _),
+    "q_frame_sample" -> (graft.multimodal.Multimodal.frameSampleQuery _),
     "q_nms_greedy" -> (Nms.greedyQuery _),
     "q_nms_exec" -> (Nms.greedyExecQuery _),
     "q_nms_dominance" -> (Nms.dominanceQuery _),
@@ -287,6 +289,15 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_bloom_join" ->
+      // bloom false positives are cleared by the exact semi-join, so the
+      // oracle is the PLAIN semi-join: the sketch changes the plan, never
+      // the result
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_join_bc" ->
       """SELECT p_brand,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
@@ -702,6 +713,12 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_frame_sample" ->
+      // synthetic media metadata (Multimodal.syntheticMedia): doc_id%3=2 ->
+      // video with (doc_id%30)+1 frames; sampled every 5th frame index
+      """SELECT doc_id AS media_id, unnest(range(0, (doc_id % 30) + 1, 5)) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // Greedy NMS IS oracle-checkable after all: the order-dependent greedy
     // pass expressed as a recursive CTE — one iteration per confidence
     // rank, carrying each frame's kept-box list; division (not

@@ -102,4 +102,13 @@ object Multimodal {
     media.filter(col("media_type") === "video")
       .select(col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK))).as("frame_idx"))
+
+  /** q_frame_sample: every-5th-frame plan over the synthetic media table —
+    * the generator path (sequence+explode) under the oracle gate; the
+    * sampled index list is pure metadata arithmetic, so DuckDB reproduces
+    * it exactly from the documents fixture. */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(syntheticMedia(spark, dir), 5)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy("media_id", "frame_idx")
 }

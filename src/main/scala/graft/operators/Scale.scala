@@ -41,4 +41,36 @@ object Scale {
       .select(col("event_type"), col("n_events"),
         round(col("value_dec"), 2).cast("double").as("total_value"))
       .orderBy("event_type")
+
+  /** Runtime-filter pattern: semi-join the fact table to a filtered dim,
+    * with a Bloom filter of the dim keys pruning the fact side BEFORE the
+    * join shuffle. At 100 TB this is THE lever for selective dim joins —
+    * the shuffle only carries fact rows that can possibly match (plus the
+    * sketch's ~fpp false positives, which the exact semi-join then
+    * clears, so the RESULT is identical to the plain semi-join and the
+    * oracle is the plain semi-join SQL). Building the sketch is one
+    * driver-coordinated pass over the (small, already-filtered) dim keys
+    * — the same lifecycle as a broadcast hash join's build side; the
+    * probe-side filter stays in whole-stage codegen (MightContainLong).
+    * Spark's AQE grows this filter automatically when statistics reveal
+    * it; the library form is for build sides the author KNOWS are
+    * selective (the reference's dim-table joins, SURVEY §2.2 P7). */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000.0)
+      .select("o_orderkey")
+    // sized from the actual build-side count: same driver pass that a
+    // broadcast build would do anyway; fpp 1% keeps the sketch a few
+    // hundred KB per million keys
+    val bf = hot.stat.bloomFilter("o_orderkey",
+      expectedNumItems = math.max(1000L, hot.count()), fpp = 0.01)
+    val pruned = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .filter(graft.functions.MightContainLong.mightContainLong(col("l_orderkey"), bf))
+    pruned.join(hot, pruned("l_orderkey") === hot("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
 }
