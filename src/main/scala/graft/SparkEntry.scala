@@ -68,6 +68,7 @@ object SparkEntry {
     "q_jaccard_pairs" -> (TextOps.jaccardPairs _),
     "q_minhash_lsh" -> (TextOps.minhashLsh _),
     "q_neardup_clusters" -> (TextOps.nearDupClusters _),
+    "q_corpus_prep" -> (TextOps.corpusPrep _),
     "q_tfidf" -> (TextOps.tfidf _),
     "q_simhash" -> (TextOps.simhash _),
     "q_top_terms" -> (TextOps.topTerms _),
@@ -667,6 +668,33 @@ object SparkEntry {
         |)
         |SELECT src AS doc_id, min(dst) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_corpus_prep" ->
+      // composed pipeline: quality gate >= 20 tokens -> exact-dedup keepers
+      // -> near-dup cluster representatives (cluster min = own id) ->
+      // per-language doc/token totals
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT d2 AS src, d1 AS dst FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), clusters AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        |), q AS (
+        |  SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 20
+        |), ke AS (
+        |  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+        |), kept AS (
+        |  SELECT q.lang, q.n_tokens FROM q
+        |  JOIN ke ON ke.doc_id = q.doc_id
+        |  JOIN clusters c ON c.doc_id = q.doc_id AND c.cluster_id = q.doc_id
+        |)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -342,6 +342,34 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** Composed training-data prep pipeline (the mandate families working
+    * together, not in isolation): quality gate (≥20 tokens) → exact dedup
+    * (min doc_id per text hash) → near-dup representatives only (doc is
+    * its own LSH cluster min) → per-language corpus stats. Every stage is
+    * the already-oracled operator; the pipeline proves they compose —
+    * semi-joins keep the doc set narrow between stages, and the only
+    * wide columns (text) never cross a shuffle after tokenization. */
+  def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quality = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tokens") >= 20)
+    val exactKeep = quality
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val reps = nearDupClusters(spark, dir)
+      .filter(col("cluster_id") === col("doc_id"))
+      .select("doc_id")
+    quality
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(reps, Seq("doc_id"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens_total"))
+      .orderBy("lang")
+  }
+
   /** E-TEXT: global top-20 terms (explode → count → TakeOrdered). */
   def topTerms(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
