@@ -78,6 +78,8 @@ object SparkEntry {
     "q_nms_exec" -> (Nms.greedyExecQuery _),
     "q_nms_dominance" -> (Nms.dominanceQuery _),
     "q_quantiles" -> (Relational.quantiles _),
+    "q_histogram" -> (Relational.histogram _),
+    "q_group_stats" -> (Relational.groupStats _),
     // rows-only driver checks: HLL estimates and Spark's per-row sampling
     // draw are engine-specific, so deliberately no oracleSql entries
     "q_approx_distinct" -> (Relational.approxDistinct _),
@@ -341,6 +343,18 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
         |  count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_group_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(value), 4) AS mean_value,
+        |  round(stddev_samp(value), 4) AS sd_value,
+        |  round(min(value), 4) AS min_value,
+        |  round(max(value), 4) AS max_value,
+        |  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q_range_join: the oracle states the range predicate directly; the
     // engine's bucketed equi-join + exact filter must produce identical
     // pairs (each true pair meets exactly once)

@@ -421,6 +421,33 @@ object Relational {
         col("event_type"), col("n_users_approx"), col("n_events"))
       .orderBy("win_start", "event_type")
 
+  /** Data-profiling histogram: fixed-width value buckets of order totals —
+    * the distribution pass every ingest/training pipeline runs before
+    * deciding filters. One narrow projection + partial-agg'd count per
+    * bucket: cost is a scan plus a tiny exchange, at any scale. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select((floor(col("o_totalprice") / 50000) * 50000).cast("long").as("bucket_lo"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket_lo")
+
+  /** Data-profiling summary statistics per group: count / mean / sample
+    * stddev / extrema / value↔user correlation. All single-pass
+    * partial-aggregable moments — the profile never reshuffles the data,
+    * only the per-group moment tuples. */
+  def groupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("value"), 4).as("mean_value"),
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(min("value"), 4).as("min_value"),
+        round(max("value"), 4).as("max_value"),
+        round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_value_user"))
+      .orderBy("event_type")
+
   /** E-STREAM-WIN batch analog: session windows per user with a 30-minute
     * gap via the built-in `session_window`. */
   def sessionize(spark: SparkSession, dir: String): DataFrame =
