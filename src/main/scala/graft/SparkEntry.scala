@@ -79,6 +79,7 @@ object SparkEntry {
     "q_nms_dominance" -> (Nms.dominanceQuery _),
     "q_quantiles" -> (Relational.quantiles _),
     "q_histogram" -> (Relational.histogram _),
+    "q_pivot" -> (Relational.pivotQuery _),
     "q_group_stats" -> (Relational.groupStats _),
     // rows-only driver checks: HLL estimates and Spark's per-row sampling
     // draw are engine-specific, so deliberately no oracleSql entries
@@ -347,6 +348,15 @@ object SparkEntry {
       """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot" ->
+      // portable pivot: conditional aggregation (CASE) instead of engine
+      // PIVOT syntax; zero-count cells coalesce to 0 on both sides
+      """SELECT l_returnflag,
+        |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_n,
+        |  coalesce(CAST(round(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS DOUBLE), 0.0) AS f_qty,
+        |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_n,
+        |  coalesce(CAST(round(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS DOUBLE), 0.0) AS o_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_group_stats" ->
       """SELECT event_type, count(*) AS n,
         |  round(avg(value), 4) AS mean_value,

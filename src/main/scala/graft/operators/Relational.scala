@@ -421,6 +421,22 @@ object Relational {
         col("event_type"), col("n_users_approx"), col("n_events"))
       .orderBy("win_start", "event_type")
 
+  /** E-AGG pivot: wide-format breakdown (return flag × line status counts
+    * and quantity sums). `pivot` with an EXPLICIT value list — without it
+    * Spark must first scan for distinct pivot values (an extra job) and
+    * the output schema becomes data-dependent, which breaks at scale and
+    * in streaming. Explicit values keep this a single hash aggregate. */
+  def pivotQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("qty"))
+      .select(col("l_returnflag"),
+        coalesce(col("F_n"), lit(0L)).as("f_n"), coalesce(col("F_qty"), lit(0.0)).as("f_qty"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"), coalesce(col("O_qty"), lit(0.0)).as("o_qty"))
+      .orderBy("l_returnflag")
+
   /** Data-profiling histogram: fixed-width value buckets of order totals —
     * the distribution pass every ingest/training pipeline runs before
     * deciding filters. One narrow projection + partial-agg'd count per

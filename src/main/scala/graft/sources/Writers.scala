@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Write-side library (S5 row-insert sink at scale): the layouts the read
+  * side depends on are produced here, not assumed.
+  *
+  * The two levers a 100 TB table lives or dies by:
+  *   - PARTITION LAYOUT: directory-level pruning (see Tables.eventsByDate /
+  *     PruningSpec). Written by `writePartitioned`, which clusters rows by
+  *     the partition key first so each partition directory gets one
+  *     right-sized file instead of one file per upstream task.
+  *   - FILE SIZING: streaming ingest and fine-grained partitions produce
+  *     small files whose per-file open/footer cost dominates scans.
+  *     `compact` rewrites a table at a target rows-per-file without
+  *     changing its contents — the standard maintenance pass.
+  */
+object Writers {
+
+  /** Partitioned parquet write: repartition by the partition column(s)
+    * before `partitionBy`, so every partition directory is written by
+    * exactly one task → one file (or as many as `filesPerPartition`).
+    * Without the repartition, every upstream task appends its own file to
+    * every directory it has rows for: task-count × partition-count small
+    * files. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       filesPerPartition: Int = 1): Unit = {
+    val keys = partitionCols.map(col)
+    val clustered =
+      if (filesPerPartition <= 1) df.repartition(keys: _*)
+      else df.repartition(filesPerPartition * partitionCols.size, keys: _*)
+    clustered.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** Small-file compaction: rewrite `path` so files hold ~`targetRows`
+    * rows each. Row-count proxy for byte sizing (the fixture rows are
+    * near-constant width; a production pass would target bytes via
+    * `spark.sql.files.maxRecordsPerFile` the same way). Contents are
+    * unchanged — one narrow count + one coalesced rewrite, then an
+    * atomic-rename swap so readers never see a half-compacted table. */
+  def compact(spark: SparkSession, path: String, targetRows: Long): Unit = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    val tmp = path + s".compact_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    // coalesce, not repartition: narrowing the file count needs no shuffle
+    df.coalesce(files).write.mode("overwrite").parquet(tmp)
+    val dst = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(dst)
+    if (!new java.io.File(tmp).renameTo(dst)) {
+      rm(new java.io.File(tmp))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Writers
+
+/** Write-side layout levers (S5 at scale): partitioned writes must give
+  * one file per partition directory; compaction must shrink file counts
+  * without changing contents. */
+class WritersSpec extends SparkSpec {
+
+  private def parquetFiles(dir: java.io.File): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    walk(dir)
+  }
+
+  test("writePartitioned: one file per partition directory, contents round-trip") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_writers").toString + "/byday"
+    val src = (0 until 1000).map(i => (i.toLong, f"2024-01-${i % 10 + 1}%02d", i * 1.5))
+      .toDF("id", "day", "v")
+    Writers.writePartitioned(src, out, Seq("day"))
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("day="))
+    assert(dirs.length == 10)
+    dirs.foreach { d =>
+      val files = parquetFiles(d)
+      assert(files.length == 1, s"${d.getName} has ${files.length} files, expected 1")
+    }
+    val back = spark.read.parquet(out).select("id", "v").as[(Long, Double)].collect().toSet
+    assert(back == src.select("id", "v").as[(Long, Double)].collect().toSet)
+  }
+
+  test("compact: many small files collapse to the row-targeted count, data unchanged") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_writers").toString + "/frag"
+    val src = (0 until 900).map(i => (i.toLong, i % 7)).toDF("id", "k")
+    src.repartition(30).write.mode("overwrite").parquet(out)
+    val before = parquetFiles(new java.io.File(out)).length
+    assert(before >= 25, s"fixture should start fragmented, got $before files")
+    Writers.compact(spark, out, targetRows = 300)
+    val after = parquetFiles(new java.io.File(out)).length
+    assert(after == 3, s"expected 3 compacted files, got $after")
+    val back = spark.read.parquet(out).as[(Long, Int)].collect().toSet
+    assert(back == src.as[(Long, Int)].collect().toSet)
+  }
+}
