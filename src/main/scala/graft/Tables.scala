@@ -160,4 +160,23 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", Schemas.documents)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", Schemas.embeddings)
+
+  /** Register every fixture table as a temp view and the engine's custom
+    * expressions as SQL functions: the full surface becomes usable from
+    * pure `spark.sql` (the dashboard/ad-hoc entry the reference exposes
+    * through Django views, SURVEY §3.2 — here it's ANSI SQL over the same
+    * operators). */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    region(spark, dir).createOrReplaceTempView("region")
+    nation(spark, dir).createOrReplaceTempView("nation")
+    customer(spark, dir).createOrReplaceTempView("customer")
+    supplier(spark, dir).createOrReplaceTempView("supplier")
+    part(spark, dir).createOrReplaceTempView("part")
+    orders(spark, dir).createOrReplaceTempView("orders")
+    lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    events(spark, dir).createOrReplaceTempView("events")
+    documents(spark, dir).createOrReplaceTempView("documents")
+    embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    GraftExtensions.register(spark)
+  }
 }

@@ -34,4 +34,35 @@ class PlansSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](GreedyNms(bad, 0.3))
     assert(e.getMessage.contains("GreedyNms needs"))
   }
+
+  test("q_bloom_join plan: bloom predicate filters the probe side below the semi-join") {
+    val plan = operators.Scale.bloomSemiJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("mightcontainlong"), s"bloom filter absent:\n${plan.take(1500)}")
+    val joinAt = plan.indexOf("LeftSemi")
+    val bloomAt = plan.indexOf("mightcontainlong")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      "bloom filter should sit under (after, in tree print order) the semi-join")
+  }
+
+  test("q_pivot plan: pre-aggregated pivot, no distinct-value scan, no Expand") {
+    val plan = operators.Relational.pivotQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    // explicit pivot values -> Spark pre-aggregates on (flag, status) and
+    // pivots the aggregated tuples: exactly the 2 aggregation exchanges
+    // (plus the output sort), never an Expand or a distinct-scan stage
+    val exchanges = plan.linesIterator.count(_.trim.stripPrefix("+- ").stripPrefix(":- ")
+      .startsWith("Exchange"))
+    assert(exchanges <= 3, s"pivot should need at most 2 agg exchanges + output sort, got $exchanges")
+    assert(!plan.contains("Expand"), "unexpected Expand in pivot plan")
+  }
+
+  test("q_jaccard_pairs plan: bitmap expressions are inline (no HOF lambda interpreter)") {
+    val plan = operators.TextOps.jaccardPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bitmapfrombits") && plan.contains("bitmapandcount"),
+      s"bitmap expressions missing:\n${plan.take(1500)}")
+    assert(!plan.contains("lambdafunction"),
+      "interpreted lambda in the pair-verification path")
+  }
 }
