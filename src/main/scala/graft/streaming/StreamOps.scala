@@ -83,6 +83,28 @@ object StreamOps {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Streaming windowed top-k: highest-value events per (window, type).
+    * The window-function `row_number() <= k` form is NOT streamable
+    * (ranking needs the closed window); the typed TopKAggregator is —
+    * its bounded k-row buffer merges incrementally across micro-batches
+    * exactly like map-side partial aggregation at 100 TB, and the
+    * watermark finalizes+evicts window state. Same operator serves batch
+    * (q_topk_agg's oracle) and stream — this is its streaming face. */
+  def windowTopK(events: DataFrame, windowDur: String = "1 day",
+                 watermarkDelay: String = "1 hour", k: Int = 3): DataFrame = {
+    val topk = udaf(graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        posexplode(col("top")))
+      .select(col("win_start"), col("event_type"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("event_id"), col("col.score").as("value"))
+  }
+
   /** Streaming CONTENT near-dup screen: a document whose full MinHash
     * signature (word-bigram shingles, 16 permutations — the same codegen'd
     * MinHashSig as the batch LSH path) repeats within the watermark

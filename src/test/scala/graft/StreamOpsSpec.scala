@@ -124,6 +124,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L, 5L))
   }
 
+  test("streaming windowed top-k equals the batch aggregator on finalized windows") {
+    import spark.implicits._
+    // one day-window with 6 events for type "view"; horizon-advancer closes it
+    val evs = (0 until 6).map(i => Ev(i, ts(i * 60), 1, "view", 10.0 + i, "{}")) :+
+      ev(100, 24 * 60 * 3, 1)
+    val streamed = runStream(StreamOps.windowTopK(_, "1 day", "1 hour", 3), "wtopk_out",
+        Seq(evs.take(3), evs.drop(3)))
+      .select(unix_timestamp(col("win_start")).as("w"), col("event_type"),
+        col("rank"), col("event_id"), col("value"))
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    val batch = StreamOps.windowTopK(spark.createDataset(evs).toDF(), "1 day", "1 hour", 3)
+      .select(unix_timestamp(col("win_start")).as("w"), col("event_type"),
+        col("rank"), col("event_id"), col("value"))
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    // day-0 "view" window is finalized: top-3 by value desc = events 5,4,3
+    assert(streamed.filter(t => t._1 == 0L && t._2 == "view")
+      .map(t => (t._3, t._4)) == Set((1L, 5L), (2L, 4L), (3L, 3L)))
+  }
+
   test("session windows: events within the gap merge, a gap break starts a new session") {
     import spark.implicits._
     // user 1: events at min 0, 10, 20 (one session), then min 120 (new session)
