@@ -80,6 +80,7 @@ object SparkEntry {
     "q_quantiles" -> (Relational.quantiles _),
     "q_histogram" -> (Relational.histogram _),
     "q_pivot" -> (Relational.pivotQuery _),
+    "q_unpivot" -> (Relational.unpivotQuery _),
     "q_group_stats" -> (Relational.groupStats _),
     // rows-only driver checks: HLL estimates and Spark's per-row sampling
     // draw are engine-specific, so deliberately no oracleSql entries
@@ -98,6 +99,7 @@ object SparkEntry {
       "q_scan_proj" -> (Relational.scanProjectCore _),
       "q_math" -> (Relational.mathScalarsCore _),
       "q_map_funcs" -> (Relational.mapFunctionsCore _),
+      "q_unpivot" -> (Relational.unpivotCore _),
     )
 
   /** Shared CTE chain for the MinHash-LSH oracles (q_minhash_lsh,
@@ -344,6 +346,17 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
         |  count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_unpivot" ->
+      // portable melt: one UNION ALL branch per measure
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
         |  count(*) AS n

@@ -437,6 +437,25 @@ object Relational {
         coalesce(col("O_n"), lit(0L)).as("o_n"), coalesce(col("O_qty"), lit(0.0)).as("o_qty"))
       .orderBy("l_returnflag")
 
+  /** E-PROJ unpivot (melt): the four lineitem measures to long format —
+    * the wide→long reshape feeding per-measure profiling. Spark's
+    * `unpivot` is a Generate-style projection (each row fans out to 4),
+    * no shuffle at all; the trailing total sort exists only for oracle
+    * determinism and is dropped in the bench shape. */
+  def unpivotCore(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+
+  def unpivotQuery(spark: SparkSession, dir: String): DataFrame =
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture: the total
+    // order must include every output column
+    unpivotCore(spark, dir).orderBy("l_orderkey", "l_linenumber", "measure", "value")
+
   /** Data-profiling histogram: fixed-width value buckets of order totals —
     * the distribution pass every ingest/training pipeline runs before
     * deciding filters. One narrow projection + partial-agg'd count per
