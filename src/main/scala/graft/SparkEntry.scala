@@ -85,6 +85,7 @@ object SparkEntry {
     // rows-only driver checks: HLL estimates and Spark's per-row sampling
     // draw are engine-specific, so deliberately no oracleSql entries
     "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_quantiles_approx" -> (Relational.quantilesApprox _),
     "q_sample" -> (TextOps.stratifiedSample _),
     "q_ivf_topk" -> (Ivf.ivfTopK _),
   )

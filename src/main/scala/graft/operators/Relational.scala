@@ -404,6 +404,21 @@ object Relational {
         count(lit(1)).as("n_docs"))
       .orderBy("source")
 
+  /** E-AGG sketch twin of `quantiles`: KLL/GK-style `percentile_approx` —
+    * fixed-size mergeable sketch per group, so at 100 TB the exchange
+    * carries sketches, never the value distribution. Rows-only driver
+    * check (sketch estimates are engine-specific), benched alongside the
+    * exact form; accuracy parameter 1000 ≈ ±0.1% rank error. */
+  def quantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        expr("percentile_approx(n_chars, 0.5, 1000)").as("p50"),
+        expr("percentile_approx(n_chars, 0.9, 1000)").as("p90"),
+        expr("percentile_approx(n_chars, 0.99, 1000)").as("p99"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
   /** E-AGG sketch: HLL distinct users per day-window × event type — the
     * 100 TB "count distinct per window" path. `approx_count_distinct` is a
     * fixed-size HLL++ sketch with map-side partial merge, so the plan has

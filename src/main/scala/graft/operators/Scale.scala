@@ -23,7 +23,8 @@ object Scale {
     * (Spark's AQE skew handling covers joins; aggregation skew is still
     * the pipeline author's job — this is that tool.) */
   def saltedAgg(df: DataFrame, key: String, buckets: Int)(aggs: (Column, String)*): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(hash(struct(df.columns.map(col): _*)), lit(buckets)))
+    val salted = df.withColumn("_salt",
+      pmod(hash(struct(df.columns.toIndexedSeq.map(col): _*)), lit(buckets)))
     val partial = salted.groupBy(col(key), col("_salt"))
       .agg(aggs.head._1.as("_p0"), aggs.tail.zipWithIndex.map { case ((c, _), i) => c.as(s"_p${i + 1}") }: _*)
     // final combine: sum of partial counts / sums per key

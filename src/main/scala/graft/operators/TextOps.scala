@@ -261,7 +261,7 @@ object TextOps {
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
     var prev: java.math.BigDecimal = null
     var cur = labelSum(labels)
     while (prev == null || cur.compareTo(prev) != 0) {

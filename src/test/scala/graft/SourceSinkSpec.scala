@@ -73,6 +73,21 @@ class SourceSinkSpec extends SparkSpec {
     }
   }
 
+  test("E-AGG sketch quantiles: percentile_approx within 5% of the exact percentile") {
+    import spark.implicits._
+    val approx = operators.Relational.quantilesApprox(spark, sf)
+      .select("source", "p50", "p90").as[(String, Long, Long)].collect()
+      .map { case (s, a, b) => s -> ((a, b)) }.toMap
+    val exact = operators.Relational.quantiles(spark, sf)
+      .select("source", "p50", "p90").as[(String, Double, Double)].collect()
+    assert(exact.nonEmpty)
+    exact.foreach { case (s, e50, e90) =>
+      val (a50, a90) = approx(s)
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"$s p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.05, s"$s p90: $a90 vs $e90")
+    }
+  }
+
   test("E-STATE: latch state survives a checkpoint restart (no duplicate alert)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
