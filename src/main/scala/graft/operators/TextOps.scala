@@ -258,8 +258,16 @@ object TextOps {
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    // seed with min(self, direct neighbors) — round 1 folded into the
+    // initialization, so the common diameter-1 components (pairwise dup
+    // clusters) converge after a single fixpoint-check round
+    val seed = edges.groupBy(col("src")).agg(min("dst").as("nbr0"))
+      .select(col("src").as("seed_id"), col("nbr0"))
     var labels = nodes
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+      .join(seed, col("doc_id") === col("seed_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("nbr0"), col("doc_id"))).as("cluster_id"))
+      .persist()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
     var prev: java.math.BigDecimal = null
