@@ -20,17 +20,22 @@ object Writers {
 
   /** Partitioned parquet write: repartition by the partition column(s)
     * before `partitionBy`, so every partition directory is written by
-    * exactly one task → one file (or as many as `filesPerPartition`).
-    * Without the repartition, every upstream task appends its own file to
-    * every directory it has rows for: task-count × partition-count small
-    * files. */
+    * exactly one task → one file. Without the repartition, every upstream
+    * task appends its own file to every directory it has rows for:
+    * task-count × partition-count small files.
+    *
+    * `maxRecordsPerFile` (> 0) caps rows per file — the writer rolls a
+    * new file once a task exceeds it, which is how a HOT partition splits
+    * into several right-sized files while cold ones stay single-file.
+    * (Not a repartition salt: hashing (key, salt) into the task pool
+    * cannot guarantee a key's salts land in distinct tasks.) */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
-                       filesPerPartition: Int = 1): Unit = {
+                       maxRecordsPerFile: Long = 0L): Unit = {
     val keys = partitionCols.map(col)
-    val clustered =
-      if (filesPerPartition <= 1) df.repartition(keys: _*)
-      else df.repartition(filesPerPartition * partitionCols.size, keys: _*)
-    clustered.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    df.repartition(keys: _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile) // 0 = no cap
+      .partitionBy(partitionCols: _*).parquet(path)
   }
 
   /** Small-file compaction: rewrite `path` so files hold ~`targetRows`

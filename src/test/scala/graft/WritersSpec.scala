@@ -31,6 +31,23 @@ class WritersSpec extends SparkSpec {
     assert(back == src.select("id", "v").as[(Long, Double)].collect().toSet)
   }
 
+  test("writePartitioned with maxRecordsPerFile splits hot partitions into capped files") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_writers").toString + "/capped"
+    // 250 rows per day; a 100-row cap must roll each day into 3 files
+    val src = (0 until 1000).map(i => (i.toLong, f"2024-01-${i % 4 + 1}%02d", i * 1.5))
+      .toDF("id", "day", "v")
+    Writers.writePartitioned(src, out, Seq("day"), maxRecordsPerFile = 100L)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("day="))
+    assert(dirs.length == 4)
+    dirs.foreach { d =>
+      val n = parquetFiles(d).length
+      assert(n == 3, s"${d.getName}: expected 3 capped files (ceil(250/100)), got $n")
+    }
+    val back = spark.read.parquet(out).select("id", "v").as[(Long, Double)].collect().toSet
+    assert(back == src.select("id", "v").as[(Long, Double)].collect().toSet)
+  }
+
   test("compact: many small files collapse to the row-targeted count, data unchanged") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_writers").toString + "/frag"
