@@ -33,15 +33,23 @@ object Ivf {
     * coarse quantizer per query (the original shape here) charged ~1.7 s
     * of index-build to each lookup. The cache models the production
     * lifecycle: fit on first touch, every later query is probe-only.
-    * Keyed by dir; a changed corpus is a new index build by definition. */
+    * Keyed by dir + fixture content signature (mtime/size, the
+    * Tables.eventsByDate staleness rule): a changed corpus is a new
+    * index build by definition. */
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.clustering.KMeansModel]()
+
+  private def cacheKey(dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
+    s"${dir}_${files.map(_.lastModified).max}_${files.map(_.length).sum}"
+  }
 
   /** (vec_id, embedding, list) assignment plus the fitted centers. */
   private def assign(spark: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("features", array_to_vector(col("embedding")))
-    val model = modelCache.computeIfAbsent(dir, _ =>
+    val model = modelCache.computeIfAbsent(cacheKey(dir), _ =>
       new KMeans()
         .setK(K).setSeed(42L).setMaxIter(10)
         .fit(emb))

@@ -453,9 +453,10 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** E-PROJ unpivot (melt): the four lineitem measures to long format —
-    * the wide→long reshape feeding per-measure profiling. Spark's
-    * `unpivot` is a Generate-style projection (each row fans out to 4),
-    * no shuffle at all; the trailing total sort exists only for oracle
+    * the wide→long reshape feeding per-measure profiling. Spark plans
+    * `unpivot` as a codegen'd Expand (each row fans out to 4 in the same
+    * WholeStageCodegen as the scan — PLANS.md shows a 3-node, zero-
+    * exchange plan); the trailing total sort exists only for oracle
     * determinism and is dropped in the bench shape. */
   def unpivotCore(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
