@@ -552,7 +552,10 @@ object SparkEntry {
         |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
         |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_val,
-        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  round(CAST(list_sort(embedding)[2] AS DOUBLE), 4) AS second_min,
+        |  round(list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 4) AS rev_dot
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_range_count" ->
       """SELECT vec_id, n_in_range FROM (

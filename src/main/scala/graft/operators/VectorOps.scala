@@ -31,7 +31,14 @@ object VectorOps {
         round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
         round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
         round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("sum_val"),
-        size(filter(col("embedding"), x => x > lit(0.0))).cast("long").as("n_pos"))
+        size(filter(col("embedding"), x => x > lit(0.0))).cast("long").as("n_pos"),
+        // array_sort / zip_with surface (scalar projections — array-typed
+        // output columns can't ride through the driver's comparator)
+        round(element_at(array_sort(col("embedding")), 2).cast("double"), 4).as("second_min"),
+        round(aggregate(
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 4).as("rev_dot"))
       .orderBy("vec_id")
 
   /** P12 analog — conditional range count ("red pixel amount",
