@@ -36,6 +36,7 @@ object SparkEntry {
     "q_rollup" -> (Relational.aggRollup _),
     "q_cube" -> (Relational.aggCube _),
     "q_win_topk" -> (Relational.windowTopkPerGroup _),
+    "q_win_analytic" -> (Relational.windowAnalytic _),
     "q_topk_agg" -> (Relational.topkAggregator _),
     "q_win_edge" -> (Relational.windowAlarmEdge _),
     "q_win_frames" -> (Relational.windowFrames _),
@@ -347,6 +348,15 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
         |  count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_win_analytic" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS order_month,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rnk,
+        |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk,
+        |  coalesce(lead(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey), -1.0) AS next_price
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_unpivot" ->
       // portable melt: one UNION ALL branch per measure
       """SELECT * FROM (
@@ -555,7 +565,9 @@ object SparkEntry {
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
         |  round(CAST(list_sort(embedding)[2] AS DOUBLE), 4) AS second_min,
         |  round(list_sum(list_transform(range(1, len(embedding) + 1),
-        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 4) AS rev_dot
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 4) AS rev_dot,
+        |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS zip_first_x
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_range_count" ->
       """SELECT vec_id, n_in_range FROM (

@@ -452,6 +452,27 @@ object Relational {
         coalesce(col("O_n"), lit(0L)).as("o_n"), coalesce(col("O_qty"), lit(0.0)).as("o_qty"))
       .orderBy("l_returnflag")
 
+  /** E-WIN analytic functions with REAL ties: rank/dense_rank over order
+    * priority (ties make them diverge from row_number — rank jumps,
+    * dense_rank doesn't), lead over a tie-broken unique ordering (lead
+    * under ties would be nondeterministic), and date_trunc to month
+    * (E-DATE). Probe-bounded to keep the oracle output small. */
+  def windowAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTies = Window.partitionBy("o_custkey").orderBy(col("o_orderpriority"))
+    val wUnique = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("order_month"))
+      .withColumn("rnk", rank().over(wTies).cast("long"))
+      .withColumn("drnk", dense_rank().over(wTies).cast("long"))
+      .withColumn("next_price", coalesce(lead(col("o_totalprice"), 1).over(wUnique), lit(-1.0)))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** E-PROJ unpivot (melt): the four lineitem measures to long format —
     * the wide→long reshape feeding per-measure profiling. Spark plans
     * `unpivot` as a codegen'd Expand (each row fans out to 4 in the same

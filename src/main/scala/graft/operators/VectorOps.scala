@@ -32,13 +32,17 @@ object VectorOps {
         round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
         round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("sum_val"),
         size(filter(col("embedding"), x => x > lit(0.0))).cast("long").as("n_pos"),
-        // array_sort / zip_with surface (scalar projections — array-typed
-        // output columns can't ride through the driver's comparator)
+        // array_sort / zip_with / array_position / arrays_zip surface
+        // (scalar projections — array-typed output columns can't ride
+        // through the driver's comparator)
         round(element_at(array_sort(col("embedding")), 2).cast("double"), 4).as("second_min"),
         round(aggregate(
           zip_with(col("embedding"), reverse(col("embedding")),
             (a, b) => a.cast("double") * b.cast("double")),
-          lit(0.0), (acc, x) => acc + x), 4).as("rev_dot"))
+          lit(0.0), (acc, x) => acc + x), 4).as("rev_dot"),
+        array_position(col("embedding"), array_max(col("embedding"))).cast("long").as("argmax_pos"),
+        round(element_at(arrays_zip(col("embedding").as("x"), reverse(col("embedding")).as("y")), 1)
+          .getField("x").cast("double"), 4).as("zip_first_x"))
       .orderBy("vec_id")
 
   /** P12 analog — conditional range count ("red pixel amount",
