@@ -38,6 +38,18 @@ object Writers {
       .partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Streaming-ingest form: append micro-batches into the partitioned
+    * layout (the `foreachBatch` body of a stream → table pipeline). Same
+    * clustering as `writePartitioned`, append semantics — each batch adds
+    * one file per touched partition, and `compact` is the maintenance
+    * pass that later folds those per-batch files together. */
+  def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                        maxRecordsPerFile: Long = 0L): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** Small-file compaction: rewrite `path` so files hold ~`targetRows`
     * rows each. Row-count proxy for byte sizing (the fixture rows are
     * near-constant width; a production pass would target bytes via

@@ -48,6 +48,36 @@ class WritersSpec extends SparkSpec {
     assert(back == src.select("id", "v").as[(Long, Double)].collect().toSet)
   }
 
+  test("streaming ingest lands in the partitioned layout; a date filter scans only its partition") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.{col, to_date}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_writers").toString + "/stream_ingest"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, Double)]
+    val q = input.toDF().toDF("id", "ts", "v")
+      .withColumn("day", to_date(col("ts")))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Writers.appendPartitioned(batch, out, Seq("day"))
+      }
+      .start()
+    def t(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    try {
+      input.addData(Seq((1L, t(1), 1.0), (2L, t(2), 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq((3L, t(1), 3.0), (4L, t(3), 4.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // layout: day=2024-01-01 touched by both batches -> 2 files; days 2, 3 one each
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("day="))
+      .map(d => d.getName -> parquetFiles(d).length).toMap
+    assert(dirs == Map("day=2024-01-01" -> 2, "day=2024-01-02" -> 1, "day=2024-01-03" -> 1))
+    // a date filter reads ONLY its partition
+    val scan = spark.read.parquet(out).filter(col("day") === "2024-01-01")
+    assert(scan.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("compact: many small files collapse to the row-targeted count, data unchanged") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_writers").toString + "/frag"
