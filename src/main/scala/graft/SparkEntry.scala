@@ -463,14 +463,20 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS moving_sum3
+        |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS moving_sum3,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+        |    ORDER BY epoch(o_orderdate) RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_30d
         |FROM orders ORDER BY o_custkey, o_orderkey, running_total""".stripMargin,
     "q_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_sort" ->
-      """SELECT event_type, user_id, value, event_id FROM events
-        |ORDER BY event_type ASC, value DESC, event_id ASC""".stripMargin,
+      // high_val nulls: placement spelled explicitly (Spark desc default
+      // is nulls-last; DuckDB's default null order is configurable)
+      """SELECT event_type, user_id, value, event_id,
+        |  CASE WHEN value > 90 THEN value END AS high_val
+        |FROM events
+        |ORDER BY event_type ASC, high_val DESC NULLS LAST, value DESC, event_id ASC""".stripMargin,
     "q_set_ops" ->
       """WITH clicks AS (SELECT user_id FROM events WHERE event_type = 'click'),
         |     purchases AS (SELECT user_id FROM events WHERE event_type = 'purchase')
@@ -520,8 +526,13 @@ object SparkEntry {
         |  abs(round(l_tax - l_discount, 4)) AS abs_diff
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, sqrt_price, exp_disc, ln_price, qty_sq, abs_diff""".stripMargin,
     "q_json" ->
-      """SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
-        |FROM (SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k FROM events) t
+      // k via regexp, k2 via JSONPath (json_extract_string) — the engine's
+      // from_json/get_json_object pair must agree, so n_mismatch is 0
+      """SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(CASE WHEN k2 = k THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatch
+        |FROM (SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2
+        |      FROM events) t
         |WHERE k IS NOT NULL
         |GROUP BY 1 ORDER BY k_bucket""".stripMargin,
     "q_crowd_alert" ->

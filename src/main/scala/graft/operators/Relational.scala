@@ -251,13 +251,21 @@ object Relational {
     * (3-row window) of order totals per customer. */
   def windowFrames(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    // RANGE frame needs a single numeric ordering key; value-based frames
+    // include ALL order-date ties, so the result is deterministic even
+    // though the tie ORDER isn't — 30 trailing days of spend per customer.
+    val wr = Window.partitionBy("o_custkey")
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-30L * 86400, 0)
     Tables.orders(spark, dir)
       .select(
         col("o_custkey"), col("o_orderkey"),
         round(sum(dec2(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
           .cast("double").as("running_total"),
         round(sum(dec2(col("o_totalprice"))).over(w.rowsBetween(-2, 0)), 2)
-          .cast("double").as("moving_sum3"))
+          .cast("double").as("moving_sum3"),
+        round(sum(dec2(col("o_totalprice"))).over(wr), 2)
+          .cast("double").as("trailing_30d"))
       .orderBy("o_custkey", "o_orderkey", "running_total")
   }
 
@@ -270,9 +278,15 @@ object Relational {
 
   /** E-SORT: full multi-key sort (range-partitioned exchange at scale). */
   def sortMultiKey(spark: SparkSession, dir: String): DataFrame =
+    // high_val is genuinely nullable (null for value <= 90), so the null
+    // placement is explicit on BOTH engines: Spark's desc defaults to
+    // nulls-last but DuckDB's default null order is a server setting —
+    // spelling desc_nulls_last / DESC NULLS LAST pins it (E-SORT claim).
     Tables.events(spark, dir)
-      .select("event_type", "user_id", "value", "event_id")
-      .orderBy(col("event_type").asc, col("value").desc, col("event_id").asc)
+      .select(col("event_type"), col("user_id"), col("value"), col("event_id"),
+        when(col("value") > 90, col("value")).as("high_val"))
+      .orderBy(col("event_type").asc, col("high_val").desc_nulls_last,
+        col("value").desc, col("event_id").asc)
 
   /** E-SET: intersect / except / union with a branch tag — user cohorts by
     * event type (multi-camera union analog, paper p.3). */
@@ -356,10 +370,14 @@ object Relational {
     Tables.events(spark, dir)
       .select(col("event_id"),
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-          .getField("k").cast("long").as("k"))
+          .getField("k").cast("long").as("k"),
+        // path-extraction twin (E-MAP/JSON claim): string-typed JSONPath
+        // lookup without a declared schema — both forms must agree
+        get_json_object(col("props"), "$.k").cast("long").as("k2"))
       .filter(col("k").isNotNull)
       .groupBy((col("k") % 10).as("k_bucket"))
-      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        sum(when(col("k2") === col("k"), 0L).otherwise(1L)).as("n_mismatch"))
       .orderBy("k_bucket")
 
   /** Flagship (SURVEY §7.3) — "when is an area crowded?" on events:
