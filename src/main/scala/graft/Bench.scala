@@ -7,12 +7,20 @@ import org.apache.spark.sql.SparkSession
   * the measurement covers the full plan (scan → shuffle → sort → project),
   * not a count() that lets the optimizer drop sorts and prune columns.
   *
-  * Each query runs SPARK_GRAFT_REPEATS times (default 3) and reports the
-  * per-query MEDIAN — single-shot timings swung 2-4× between identical
-  * runs (r1 verdict: q_scan_proj/q_math/q_json/q_join_shuffle flagged on
-  * what turned out to be measurement noise). Shapes come from
-  * SparkEntry.benchShapes: the production plan, minus verify-only total
-  * sorts. */
+  * Noise robustness: repeats are INTERLEAVED round-robin — pass 1 runs
+  * every query once in order, then pass 2, then pass 3 — and the per-query
+  * number is the median across passes. With back-to-back repeats a single
+  * transient stall (GC, page cache eviction, a co-tenant burst) captures
+  * ALL samples of whichever query it lands on and the median defends
+  * nothing; interleaving spreads one stall window across many queries so
+  * at most one sample per query is affected and the median discards it.
+  * Raw per-pass samples are emitted in the JSON ("samples") so a reader
+  * can audit exactly that.
+  *
+  * Failures are tracked, not folded into the median: a failed repeat
+  * records a -1 sample, every failure (even one that other repeats
+  * survived — a flaky query is a bug, not a fast median) lands in
+  * "errors", and the process exits nonzero. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,7 +40,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       // drop intra-query persisted blocks (LSH signatures, token sets) so
       // caches neither accumulate across the session nor carry between
-      // repeats of the same query
+      // passes
       spark.catalog.clearCache()
     }
 
@@ -47,32 +55,40 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
-    // Failures are tracked, not folded into the median: a query that
-    // crashes instantly must not report its time-to-failure as a fast
-    // valid timing. Failed queries carry a -1 sentinel in "queries", the
-    // exception in "errors", and the process exits nonzero.
-    val results = SparkEntry.benchShapes.keys.toSeq.sorted.map { name =>
-      val attempts = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
-        val err = try { run(name); None }
-        catch { case t: Throwable => Some(t.toString) }
-        ((System.nanoTime() - t0) / 1e9, err)
-      }
+    val names = SparkEntry.benchShapes.keys.toSeq.sorted
+    // samples(name)(pass) = (seconds, error); -1 s stands in for a failed
+    // repeat in the emitted array
+    val samples = scala.collection.mutable.Map.empty[String, Vector[(Double, Option[String])]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to repeats; name <- names) {
+      val t0 = System.nanoTime()
+      val err = try { run(name); None }
+      catch { case t: Throwable => Some(t.toString) }
+      samples(name) = samples(name) :+ (((System.nanoTime() - t0) / 1e9, err))
+    }
+
+    val results = names.map { name =>
+      val attempts = samples(name)
       val ok = attempts.collect { case (t, None) => t }
-      (name, if (ok.nonEmpty) Some(median(ok)) else None,
-        attempts.flatMap(_._2).headOption.filter(_ => ok.isEmpty))
+      val firstErr = attempts.collectFirst { case (_, Some(e)) => e }
+      (name, if (ok.nonEmpty) Some(median(ok)) else None, firstErr,
+        attempts.map { case (t, e) => if (e.isEmpty) t else -1.0 })
     }
     def jsonStr(s: String): String =
       "\"" + s.replaceAll("[\\\\\"]", "_").replaceAll("\\s+", " ").take(200) + "\""
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v.getOrElse(-1.0) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, None, e) =>
-      "\"" + k + "\":" + jsonStr(e.getOrElse("unknown failure")) }
+    val raw = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e), _) =>
+      "\"" + k + "\":" + jsonStr(e) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    val nFailed = results.count(_._2.isEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
+    val nFailed = results.count(_._2.isEmpty)          // every repeat failed
+    val nFlaky = results.count(r => r._2.nonEmpty && r._3.nonEmpty) // some repeats failed
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"errors":$errs,"failed":$nFailed,"flaky":$nFlaky,"sf":"$sfDir"}""")
     spark.stop()
-    if (nFailed > 0) sys.exit(1)
+    if (nFailed > 0 || nFlaky > 0) sys.exit(1)
   }
 }

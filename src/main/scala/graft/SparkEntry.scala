@@ -35,8 +35,10 @@ object SparkEntry {
     "q_range_join" -> (RangeJoin.rangeJoinQuery _),
     "q_rollup" -> (Relational.aggRollup _),
     "q_cube" -> (Relational.aggCube _),
+    "q_grouping_sets" -> (Relational.aggGroupingSets _),
     "q_win_topk" -> (Relational.windowTopkPerGroup _),
     "q_win_analytic" -> (Relational.windowAnalytic _),
+    "q_win_dist" -> (Relational.windowDistribution _),
     "q_topk_agg" -> (Relational.topkAggregator _),
     "q_win_edge" -> (Relational.windowAlarmEdge _),
     "q_win_frames" -> (Relational.windowFrames _),
@@ -357,6 +359,22 @@ object SparkEntry {
         |    PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey), -1.0) AS next_price
         |FROM orders WHERE o_custkey < 200
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // q_win_dist: percent_rank/cume_dist are rank-based (tie-safe) so they
+    // run over the tied priority ordering; ntile and first_value are
+    // position-based so they get the tie-broken unique ordering — identical
+    // semantics in DuckDB
+    "q_win_dist" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderpriority, o_orderkey) AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderpriority), 6) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderpriority), 6) AS cume,
+        |  first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderpriority, o_orderkey) AS top_price
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_unpivot" ->
       // portable melt: one UNION ALL branch per measure
       """SELECT * FROM (
@@ -427,6 +445,16 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())
         |ORDER BY region, nation""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

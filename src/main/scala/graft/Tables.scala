@@ -161,6 +161,37 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", Schemas.documents)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", Schemas.embeddings)
 
+  /** S4: relational-store source — the reference keeps its users in an
+    * RDBMS (SQLite via the Django ORM: `crowd_surveillance/crowd_surveillance/
+    * settings.py:78-83`, point lookups in `app/views.py:27`). Spark's JDBC
+    * source covers that substrate; this container ships the Derby embedded
+    * driver, and the semantics (pushdown, partitioned read) are
+    * driver-agnostic.
+    *
+    * Filters on the returned frame push down INTO the database
+    * (`PushedFilters` on the JDBC scan — the `views.py:27` point lookup
+    * becomes a `WHERE username = ?` on the DB side, not a full-table pull). */
+  def usersJdbc(spark: SparkSession, url: String, table: String = "users",
+                driver: String = "org.apache.derby.jdbc.EmbeddedDriver"): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).option("driver", driver)
+      .load()
+
+  /** Parallel form of `usersJdbc` for big tables: split the key range into
+    * `numPartitions` concurrent reads — the JDBC-side analog of a
+    * partitioned file scan. Each executor issues its own bounded-range
+    * query, so a dimension too big for one connection still loads wide. */
+  def usersJdbcPartitioned(spark: SparkSession, url: String, table: String,
+                           partitionColumn: String, lowerBound: Long, upperBound: Long,
+                           numPartitions: Int,
+                           driver: String = "org.apache.derby.jdbc.EmbeddedDriver"): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).option("driver", driver)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound).option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .load()
+
   /** Register every fixture table as a temp view and the engine's custom
     * expressions as SQL functions: the full surface becomes usable from
     * pure `spark.sql` (the dashboard/ad-hoc entry the reference exposes

@@ -25,8 +25,15 @@ case class BitmapFromBits(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(IntegerType, _) =>
+      // containsNull is REJECTED at analysis time: getInt on a null slot
+      // would silently read 0 and set bit 0 — a wrong bitmap, not an error.
+      // Callers with nullable arrays must filter/coalesce first.
+      case ArrayType(IntegerType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(IntegerType, true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "bitmap_from_bits expects ARRAY<INT> with non-nullable elements " +
+            "(a null element would silently set bit 0); filter nulls first")
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"bitmap_from_bits expects ARRAY<INT>, got ${t.sql}")
@@ -39,6 +46,9 @@ case class BitmapFromBits(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       val b = arr.getInt(i)
+      if (b < 0)
+        throw new IllegalArgumentException(
+          s"bitmap_from_bits: bit position must be non-negative, got $b")
       if (b > max) max = b
       i += 1
     }
@@ -64,6 +74,8 @@ case class BitmapFromBits(child: Expression) extends UnaryExpression {
          |int $max = -1;
          |for (int $i = 0; $i < $n; $i++) {
          |  int $b = $a.getInt($i);
+         |  if ($b < 0) throw new IllegalArgumentException(
+         |    "bitmap_from_bits: bit position must be non-negative, got " + $b);
          |  if ($b > $max) $max = $b;
          |}
          |long[] $blocks = new long[$max / 64 + 1];

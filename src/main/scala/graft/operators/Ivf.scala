@@ -33,26 +33,30 @@ object Ivf {
     * coarse quantizer per query (the original shape here) charged ~1.7 s
     * of index-build to each lookup. The cache models the production
     * lifecycle: fit on first touch, every later query is probe-only.
-    * Keyed by dir + fixture content signature (mtime/size, the
-    * Tables.eventsByDate staleness rule): a changed corpus is a new
-    * index build by definition. */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.clustering.KMeansModel]()
+    * Keyed by DIR, holding (content signature, model): a changed corpus
+    * (new mtime/size) REPLACES the dir's entry instead of accumulating a
+    * new one per signature — one live model per fixture, superseded
+    * indexes are dropped, so the cache is bounded by the number of
+    * distinct dirs, not the number of rewrites. */
+  private[graft] val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.ml.clustering.KMeansModel)]()
 
-  private def cacheKey(dir: String): String = {
+  private def contentSig(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
-    s"${dir}_${files.map(_.lastModified).max}_${files.map(_.length).sum}"
+    s"${files.map(_.lastModified).max}_${files.map(_.length).sum}"
   }
 
   /** (vec_id, embedding, list) assignment plus the fitted centers. */
   private def assign(spark: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("features", array_to_vector(col("embedding")))
-    val model = modelCache.computeIfAbsent(cacheKey(dir), _ =>
-      new KMeans()
+    val sig = contentSig(dir)
+    val model = modelCache.compute(dir, (_, prev) =>
+      if (prev != null && prev._1 == sig) prev
+      else (sig, new KMeans()
         .setK(K).setSeed(42L).setMaxIter(10)
-        .fit(emb))
+        .fit(emb)))._2
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("list"))
     (assigned, model.clusterCenters.map(_.toArray))

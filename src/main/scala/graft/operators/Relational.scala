@@ -491,6 +491,59 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** E-WIN distribution analytics: ntile / percent_rank / cume_dist /
+    * first_value — the remaining analytic family next to rank/dense_rank/
+    * lag/lead (windowAnalytic) and frames (windowFrames). Determinism
+    * under ties is split by function kind: percent_rank and cume_dist are
+    * RANK-based (all tied rows get the same value), so they run over the
+    * genuinely tied priority ordering; ntile assigns by row POSITION
+    * (ties would be placed arbitrarily), so it gets the tie-broken unique
+    * ordering, as does first_value (whichever row is "first" among ties
+    * would otherwise be engine-dependent). */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTies = Window.partitionBy("o_custkey").orderBy(col("o_orderpriority"))
+    val wUnique = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(wUnique).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(wTies), 6))
+      .withColumn("cume", round(cume_dist().over(wTies), 6))
+      .withColumn("top_price", first_value(col("o_totalprice")).over(wUnique))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** E-AGG-SETS: explicit GROUPING SETS — ((region, nation), (nation), ())
+    * — a NON-hierarchical set list (nation without its region) that neither
+    * rollup nor cube can express. Same scale shape as aggRollup: one
+    * pre-aggregation to the finest grain, then Expand over dim-sized
+    * partials; SUM(decimal) and COUNT both re-aggregate exactly. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("rname"), col("n_name").as("nname"))
+      .agg(sum(dec2(col("l_extendedprice")) * (oneDec - dec2(col("l_discount")))).as("rev"),
+        count(lit(1)).as("cnt"))
+      // SQL text for the same reason as aggRollup: Dataset-API grouping
+      // attrs carry plan-id metadata that false-positives the ambiguous-
+      // self-join check inside Expand.
+      .transform { base =>
+        base.createOrReplaceTempView("graft_gsets_base")
+        base.sparkSession.sql(
+          """SELECT * FROM (
+            |  SELECT coalesce(rname, 'ALL') AS region, coalesce(nname, 'ALL') AS nation,
+            |    CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+            |    CAST(sum(cnt) AS BIGINT) AS n_items
+            |  FROM graft_gsets_base
+            |  GROUP BY GROUPING SETS ((rname, nname), (nname), ())) t
+            |ORDER BY region, nation""".stripMargin)
+      }
+
   /** E-PROJ unpivot (melt): the four lineitem measures to long format —
     * the wide→long reshape feeding per-measure profiling. Spark plans
     * `unpivot` as a codegen'd Expand (each row fans out to 4 in the same

@@ -129,13 +129,19 @@ object TextOps {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
-    // dictionary: token -> bit position. The single-partition window is a
-    // vocabulary build — broadcast-sized by construction (dedup vocab, not
-    // corpus; a vocabulary too big to broadcast would swap this window for
-    // zipWithIndex over a sorted distinct).
-    val dict = toks.select("tok").distinct()
-      .withColumn("bit",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
+    // dictionary: token -> bit position, via zipWithIndex over the sorted
+    // distinct vocabulary — indices stay distributed (each partition offsets
+    // by the preceding partitions' counts), unlike a row_number window whose
+    // empty ORDER BY frame funnels the whole vocabulary through ONE task.
+    // The orderBy makes the assignment deterministic, so a Catalyst
+    // recomputation of this frame (it feeds both sides of the pair
+    // self-join) rebuilds the identical mapping.
+    val sess = spark
+    import sess.implicits._
+    val dict = toks.select("tok").distinct().orderBy("tok").as[String]
+      .rdd.zipWithIndex()
+      .map { case (tok, idx) => (tok, idx.toInt) }
+      .toDF("tok", "bit")
     val masks = toks.join(broadcast(dict), "tok")
       .groupBy("doc_id", "source")
       .agg(collect_list(col("bit")).as("bits"))
@@ -268,8 +274,12 @@ object TextOps {
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("nbr0"), col("doc_id"))).as("cluster_id"))
       .persist()
+    // coalesce to 0: sum() over zero rows is null, and a null labelSum
+    // would never satisfy the fixpoint comparison — an empty nodes frame
+    // must terminate (first round: 0 == 0), not loop forever
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prev: java.math.BigDecimal = null
     var cur = labelSum(labels)
     while (prev == null || cur.compareTo(prev) != 0) {

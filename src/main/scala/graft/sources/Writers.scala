@@ -54,24 +54,50 @@ object Writers {
     * rows each. Row-count proxy for byte sizing (the fixture rows are
     * near-constant width; a production pass would target bytes via
     * `spark.sql.files.maxRecordsPerFile` the same way). Contents are
-    * unchanged — one narrow count + one coalesced rewrite, then an
-    * atomic-rename swap so readers never see a half-compacted table. */
+    * unchanged.
+    *
+    * Swap protocol — the live table is never deleted before its
+    * replacement is in place:
+    *   1. write the compacted copy to `path.compact_<pid>_<nonce>`
+    *   2. rename live → `path.old_<nonce>`   (live table intact, just moved)
+    *   3. rename tmp  → `path`               (replacement goes live)
+    *   4. delete the old copy
+    * If step 2 fails, the live table was never touched. If step 3 fails,
+    * the old copy is renamed back and the tmp copy is KEPT — the error
+    * names its path so the data is recoverable either way. Same-directory
+    * renames are single filesystem ops, so a reader sees the old table or
+    * the new one, never a half-deleted tree. */
   def compact(spark: SparkSession, path: String, targetRows: Long): Unit = {
     val df = spark.read.parquet(path)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
-    val tmp = path + s".compact_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val nonce = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val tmp = new java.io.File(path + s".compact_$nonce")
     // coalesce, not repartition: narrowing the file count needs no shuffle
-    df.coalesce(files).write.mode("overwrite").parquet(tmp)
-    val dst = new java.io.File(path)
+    df.coalesce(files).write.mode("overwrite").parquet(tmp.getPath)
+    swapIn(new java.io.File(path), tmp, new java.io.File(path + s".old_$nonce"))
+  }
+
+  /** The swap step of `compact`, separated so the failure paths are
+    * unit-testable: replace live dir `dst` with `tmp` via `old` as the
+    * parking spot. On any failure the live table is still readable at
+    * `dst` and the replacement is still on disk at `tmp` — the exception
+    * names it. */
+  private[graft] def swapIn(dst: java.io.File, tmp: java.io.File, old: java.io.File): Unit = {
+    if (!dst.renameTo(old))
+      throw new java.io.IOException(
+        s"compaction swap failed for $dst: could not move live table aside; " +
+          s"table untouched, compacted copy kept at $tmp")
+    if (!tmp.renameTo(dst)) {
+      old.renameTo(dst) // put the original back; same-dir rename
+      throw new java.io.IOException(
+        s"compaction swap failed for $dst: could not move compacted copy in; " +
+          s"original restored, compacted copy kept at $tmp")
+    }
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
-    rm(dst)
-    if (!new java.io.File(tmp).renameTo(dst)) {
-      rm(new java.io.File(tmp))
-      throw new java.io.IOException(s"compaction swap failed for $path")
-    }
+    rm(old)
   }
 }

@@ -25,6 +25,13 @@ class ClusterSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("empty nodes frame terminates with an empty result (fixpoint sum coalesces to 0)") {
+    // sum() over zero rows is null; without the coalesce the fixpoint
+    // comparison never succeeds and the propagation loop spins forever
+    val got = cc(Seq.empty, Seq.empty)
+    assert(got.isEmpty)
+  }
+
   test("edgeless graph: every node is its own cluster") {
     val got = cc(Seq(5L, 6L, 7L), Seq.empty)
     assert(got == Map(5L -> 5L, 6L -> 6L, 7L -> 7L))

@@ -150,6 +150,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*(1) Project"))
   }
 
+  test("bitmap_from_bits: negative bit positions raise a descriptive error, not an opaque AIOOBE") {
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq(Array(3, -1, 5)).toDF("bits")
+        .select(graft.functions.Bitmap.bitmapFromBits(col("bits")))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("non-negative")), s"got: ${msgs(err)}")
+  }
+
+  test("bitmap_from_bits: nullable-element arrays are rejected at analysis time") {
+    import spark.implicits._
+    // array(col, lit(null)) has containsNull = true; a null slot would
+    // otherwise silently read as bit 0
+    val err = intercept[Exception] {
+      Seq(1).toDF("b")
+        .select(graft.functions.Bitmap.bitmapFromBits(
+          array(col("b"), lit(null).cast("int"))))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("non-nullable")
+      || err.getMessage.toLowerCase.contains("null"), err.getMessage.take(300))
+  }
+
   test("type checking rejects wrong argument types") {
     GraftExtensions.register(spark)
     val err = intercept[Exception] {

@@ -42,4 +42,26 @@ class IvfSpec extends SparkSpec {
     val b = Ivf.ivfTopK(spark, ivfSf).collect().map(_.toSeq).toSeq
     assert(a.nonEmpty && a == b)
   }
+
+  test("quantizer cache: reused while the corpus is unchanged, REPLACED when it changes") {
+    // private scratch copy of the fixture so its mtime can be bumped
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cache").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    Ivf.ivfTopK(spark, dir).collect()
+    val first = Ivf.modelCache.get(dir)
+    assert(first != null)
+    // unchanged corpus: the fitted model is reused, not retrained
+    Ivf.ivfTopK(spark, dir).collect()
+    assert(Ivf.modelCache.get(dir)._2 eq first._2)
+    // changed corpus (new mtime => new content signature): the dir's single
+    // entry is replaced — superseded index evicted, cache bounded by dirs
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    assert(f.setLastModified(f.lastModified() + 60000))
+    Ivf.ivfTopK(spark, dir).collect()
+    val second = Ivf.modelCache.get(dir)
+    assert(second._1 != first._1, "content signature should have changed")
+    assert(!(second._2 eq first._2), "model should have been retrained")
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.DriverManager
+import org.apache.spark.sql.functions._
+
+/** S4 relational-store substrate: the reference keeps its users in an
+  * RDBMS behind the ORM (SQLite, `crowd_surveillance/crowd_surveillance/
+  * settings.py:78-83`; point lookup on login, `app/views.py:27`). The
+  * engine's JDBC read path covers that store — Derby embedded is the
+  * driver available in this container; the semantics under test
+  * (predicate pushdown into the DB, partitioned parallel reads) are
+  * driver-agnostic. */
+class JdbcSourceSpec extends SparkSpec {
+
+  // one embedded database per suite, seeded with an auth_user-shaped table
+  private lazy val dbPath: String = {
+    System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+    val dir = java.nio.file.Files.createTempDirectory("graft_derby").toString + "/usersdb"
+    val conn = DriverManager.getConnection(s"jdbc:derby:$dir;create=true")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE users (id BIGINT NOT NULL PRIMARY KEY, " +
+        "username VARCHAR(64) NOT NULL, email VARCHAR(128))")
+      st.close()
+      val ins = conn.prepareStatement("INSERT INTO users VALUES (?, ?, ?)")
+      (1 to 50).foreach { i =>
+        ins.setLong(1, i.toLong)
+        ins.setString(2, s"user$i")
+        ins.setString(3, s"user$i@example.test")
+        ins.addBatch()
+      }
+      ins.executeBatch()
+      ins.close()
+    } finally conn.close()
+    dir
+  }
+  private def url = s"jdbc:derby:$dbPath"
+
+  test("usersJdbc round-trips the relational user table") {
+    import spark.implicits._
+    val rows = Tables.usersJdbc(spark, url)
+      .select(col("id").cast("long"), col("username"))
+      .as[(Long, String)].collect().toSet
+    assert(rows.size == 50)
+    assert(rows.contains((7L, "user7")))
+  }
+
+  test("point lookup pushes the username predicate into the database (views.py:27)") {
+    import spark.implicits._
+    val df = Tables.usersJdbc(spark, url).filter(col("username") === "user7")
+    val plan = df.queryExecution.executedPlan.toString
+    // the lookup must reach the DB as WHERE username = ..., not a full pull
+    assert(plan.contains("PushedFilters") &&
+      plan.toLowerCase.contains("equalto(username,user7"), plan.take(800))
+    assert(df.select(col("id").cast("long")).as[Long].collect().toSeq == Seq(7L))
+  }
+
+  test("partitioned JDBC read splits the key range into concurrent per-range queries") {
+    val df = Tables.usersJdbcPartitioned(spark, url, "users", "id",
+      lowerBound = 1L, upperBound = 51L, numPartitions = 4)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 50)
+  }
+}

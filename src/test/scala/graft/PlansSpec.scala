@@ -64,5 +64,10 @@ class PlansSpec extends SparkSpec {
       s"bitmap expressions missing:\n${plan.take(1500)}")
     assert(!plan.contains("lambdafunction"),
       "interpreted lambda in the pair-verification path")
+    // the token->bit dictionary is built via zipWithIndex over the sorted
+    // distinct vocabulary — distributed offsets, never an empty-ORDER-BY
+    // window that funnels the whole vocabulary through one task
+    assert(!plan.contains("SinglePartition"),
+      "vocabulary build collapses to a single partition")
   }
 }

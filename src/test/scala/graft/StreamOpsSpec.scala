@@ -174,6 +174,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(n.contains(6L)) // only the union of both streams crosses the >3 threshold
   }
 
+  test("windowed top-k aggregation buffer survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("wtopk_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("wtopk_out").toString
+    val input = MemoryStream[Ev]
+    // memory sink can't recover from a checkpoint; the parquet sink can
+    def start() = StreamOps.windowTopK(input.toDF(), "1 day", "1 hour", 3)
+      .writeStream.outputMode("append").format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+
+    // pre-restart: three day-0 events (values 10, 20, 30)
+    val q1 = start()
+    try {
+      input.addData(Seq(Ev(1, ts(0), 1, "view", 10.0, "{}"),
+        Ev(2, ts(10), 1, "view", 20.0, "{}"),
+        Ev(3, ts(20), 1, "view", 30.0, "{}")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // post-restart: a higher value lands in the SAME window, then the
+    // horizon advances past it so the window finalizes
+    val q2 = start()
+    try {
+      input.addData(Seq(Ev(4, ts(30), 1, "view", 40.0, "{}"),
+        ev(100, 24 * 60 * 3, 1)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(out)
+      .filter(unix_timestamp(col("win_start")) === 0L && col("event_type") === "view")
+      .select(col("rank"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)].collect().toSet
+    // the top-3 spans the restart boundary — 40 arrived after, 30/20 before
+    // — which is only possible if the TopKAggregator buffer was restored
+    // from the checkpointed state store
+    assert(got == Set((1L, 4L, 40.0), (2L, 3L, 30.0), (3L, 2L, 20.0)))
+  }
+
   test("sliding windows emit overlapping windows per event type") {
     import spark.implicits._
     val evs = Seq(ev(0, 12, 1, "view"), ev(1, 13, 2, "view"), ev(2, 200, 1, "view"))

@@ -78,6 +78,41 @@ class WritersSpec extends SparkSpec {
     assert(scan.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("compact swap failure on the final rename restores the original table") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_writers").toString
+    val live = base + "/t"
+    val src = (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    src.coalesce(1).write.parquet(live)
+    // a missing tmp dir makes step "tmp -> live" fail AFTER the live table
+    // was parked aside: swapIn must put it back and name the kept copy
+    val err = intercept[java.io.IOException] {
+      Writers.swapIn(new java.io.File(live),
+        new java.io.File(base + "/missing_tmp"), new java.io.File(base + "/t.old"))
+    }
+    assert(err.getMessage.contains("original restored"))
+    assert(err.getMessage.contains("missing_tmp"))
+    val back = spark.read.parquet(live).as[(Long, Double)].collect().toSet
+    assert(back == src.as[(Long, Double)].collect().toSet)
+  }
+
+  test("compact swap failure on the first rename leaves the live table and the compacted copy intact") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_writers").toString
+    val tmp = base + "/t.compact_x"
+    val src = (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    src.coalesce(1).write.parquet(tmp)
+    // live dir doesn't exist -> step "live -> old" fails before anything moved
+    val err = intercept[java.io.IOException] {
+      Writers.swapIn(new java.io.File(base + "/nonexistent_live"),
+        new java.io.File(tmp), new java.io.File(base + "/t.old"))
+    }
+    assert(err.getMessage.contains("table untouched"))
+    // the compacted copy is still on disk at the path the error names
+    val kept = spark.read.parquet(tmp).as[(Long, Double)].collect().toSet
+    assert(kept == src.as[(Long, Double)].collect().toSet)
+  }
+
   test("compact: many small files collapse to the row-targeted count, data unchanged") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_writers").toString + "/frag"
