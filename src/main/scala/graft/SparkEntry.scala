@@ -372,7 +372,9 @@ object SparkEntry {
         |  round(cume_dist() OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderpriority), 6) AS cume,
         |  first_value(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderpriority, o_orderkey) AS top_price
+        |    ORDER BY o_orderpriority, o_orderkey) AS top_price,
+        |  coalesce(nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderpriority, o_orderkey), -1.0) AS second_price
         |FROM orders WHERE o_custkey < 200
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_unpivot" ->

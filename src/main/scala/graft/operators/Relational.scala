@@ -513,6 +513,10 @@ object Relational {
       .withColumn("pct_rank", round(percent_rank().over(wTies), 6))
       .withColumn("cume", round(cume_dist().over(wTies), 6))
       .withColumn("top_price", first_value(col("o_totalprice")).over(wUnique))
+      // nth_value over the default growing frame: null until the frame
+      // holds 2 rows — identical in DuckDB; coalesce pins the null
+      .withColumn("second_price",
+        coalesce(nth_value(col("o_totalprice"), 2).over(wUnique), lit(-1.0)))
       .orderBy("o_custkey", "o_orderkey")
   }
 

@@ -50,6 +50,19 @@ object Writers {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** S5 row-insert sink into a relational store: the reference writes new
+    * users through the ORM into SQLite (`app/views.py:49-52`); the engine
+    * side is `df.write.jdbc`. Each partition opens its own connection and
+    * batches inserts, so write parallelism is the partition count —
+    * `coalesce` first when the target DB can't take that many writers. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "append",
+                driver: String = "org.apache.derby.jdbc.EmbeddedDriver"): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("driver", driver)
+    df.write.mode(mode).jdbc(url, table, props)
+  }
+
   /** Small-file compaction: rewrite `path` so files hold ~`targetRows`
     * rows each. Row-count proxy for byte sizing (the fixture rows are
     * near-constant width; a production pass would target bytes via

@@ -54,6 +54,27 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("sess_start"), col("user_id"), col("n_events"))
 
+  /** Streaming data-quality profile: per-window per-type moments — the
+    * ingest-time face of Relational.groupStats (q_group_stats). Every
+    * statistic here is a partial-aggregable moment, so the state per
+    * (window, type) is ONE small tuple merged incrementally across
+    * micro-batches, and the watermark finalizes + evicts it — profiling
+    * a 100 TB/day stream costs per-group state, not per-row state. */
+  def windowProfile(events: DataFrame,
+                    windowDur: String = "1 day",
+                    watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("value"), 4).as("mean_value"),
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(min("value"), 4).as("min_value"),
+        round(max("value"), 4).as("max_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("mean_value"), col("sd_value"), col("min_value"), col("max_value"))
+
   /** Streaming exact dedup with bounded state: duplicates of (user_id,
     * event_type) within the watermark horizon are dropped; watermark lets
     * Spark evict seen-keys state (E-DEDUP stream form). */

@@ -55,6 +55,17 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.select(col("id").cast("long")).as[Long].collect().toSeq == Seq(7L))
   }
 
+  test("writeJdbc round-trips a frame into the relational store (views.py:49-52 registration)") {
+    import spark.implicits._
+    val out = (51 to 60).map(i => (i.toLong, s"user$i", s"user$i@example.test"))
+      .toDF("id", "username", "email")
+    graft.sources.Writers.writeJdbc(out, url, "users_out")
+    val back = Tables.usersJdbc(spark, url, "users_out")
+      .select(col("id").cast("long"), col("username"))
+      .as[(Long, String)].collect().toSet
+    assert(back == (51 to 60).map(i => (i.toLong, s"user$i")).toSet)
+  }
+
   test("partitioned JDBC read splits the key range into concurrent per-range queries") {
     val df = Tables.usersJdbcPartitioned(spark, url, "users", "id",
       lowerBound = 1L, upperBound = 51L, numPartitions = 4)

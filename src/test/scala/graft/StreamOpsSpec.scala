@@ -174,6 +174,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(n.contains(6L)) // only the union of both streams crosses the >3 threshold
   }
 
+  test("streaming window profile equals the batch moments on finalized windows") {
+    import spark.implicits._
+    // day-0 "view" values 10..15 across two micro-batches; advancer closes it
+    val evs = (0 until 6).map(i => Ev(i, ts(i * 60), 1, "view", 10.0 + i, "{}")) :+
+      ev(100, 24 * 60 * 3, 1)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(unix_timestamp(col("win_start")).as("w"), col("event_type"),
+        col("n"), col("mean_value"),
+        // stddev_samp of a single-row group is null (the advancer's window)
+        coalesce(col("sd_value"), lit(-1.0)).as("sd_value"),
+        col("min_value"), col("max_value"))
+      .as[(Long, String, Long, Double, Double, Double, Double)].collect().toSet
+    val streamed = shape(runStream(StreamOps.windowProfile(_, "1 day", "1 hour"),
+      "profile_out", Seq(evs.take(3), evs.drop(3))))
+    val batch = shape(StreamOps.windowProfile(spark.createDataset(evs).toDF(), "1 day", "1 hour"))
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    // the finalized day-0 window: moments over 10..15 computed across
+    // micro-batch boundaries (mean 12.5, min 10, max 15)
+    val day0 = streamed.filter(t => t._1 == 0L && t._2 == "view")
+    assert(day0.map(t => (t._3, t._4, t._6, t._7)) == Set((6L, 12.5, 10.0, 15.0)))
+  }
+
   test("windowed top-k aggregation buffer survives a checkpoint restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
