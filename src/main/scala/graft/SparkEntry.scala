@@ -81,6 +81,7 @@ object SparkEntry {
     "q_nms_exec" -> (Nms.greedyExecQuery _),
     "q_nms_dominance" -> (Nms.dominanceQuery _),
     "q_quantiles" -> (Relational.quantiles _),
+    "q_impute" -> (Relational.imputeQuery _),
     "q_histogram" -> (Relational.histogram _),
     "q_pivot" -> (Relational.pivotQuery _),
     "q_unpivot" -> (Relational.unpivotQuery _),
@@ -350,6 +351,20 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
         |  count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q_impute: per-group median fill — quantile_cont ≡ Spark percentile on
+    // integer inputs; was_missing cast to BIGINT (scalar-only outputs)
+    "q_impute" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END AS nc
+        |  FROM documents
+        |), m AS (
+        |  SELECT source, quantile_cont(nc, 0.5) AS grp_med FROM d GROUP BY source
+        |)
+        |SELECT doc_id, d.source, round(coalesce(CAST(nc AS DOUBLE), grp_med), 4) AS nc_imputed,
+        |  CAST(nc IS NULL AS BIGINT) AS was_missing
+        |FROM d JOIN m ON d.source = m.source
+        |ORDER BY doc_id""".stripMargin,
     "q_win_analytic" ->
       """SELECT o_custkey, o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS order_month,

@@ -422,6 +422,27 @@ object Relational {
         count(lit(1)).as("n_docs"))
       .orderBy("source")
 
+  /** Training-data imputation: rows with a missing measure (derived
+    * nullable reading here) are filled with their group's MEDIAN — the
+    * standard missing-value pass before model training. Scale shape: one
+    * per-group aggregate (dim-sized) broadcast-joined back onto the fact
+    * side; the fact table is scanned once and never windowed or
+    * re-shuffled. `percentile` ≡ DuckDB `quantile_cont` exactly on
+    * integer inputs (same linear interpolation — proven by q_quantiles). */
+  def imputeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(col("n_chars") % 7 === 0, lit(null)).otherwise(col("n_chars"))
+          .cast("long").as("nc"))
+    val med = d.groupBy("source")
+      .agg(expr("percentile(nc, 0.5)").as("grp_med"))
+    d.join(broadcast(med), "source")
+      .select(col("doc_id"), col("source"),
+        round(coalesce(col("nc").cast("double"), col("grp_med")), 4).as("nc_imputed"),
+        col("nc").isNull.cast("long").as("was_missing"))
+      .orderBy("doc_id")
+  }
+
   /** E-AGG sketch twin of `quantiles`: KLL/GK-style `percentile_approx` —
     * fixed-size mergeable sketch per group, so at 100 TB the exchange
     * carries sketches, never the value distribution. Rows-only driver
