@@ -50,6 +50,20 @@ object Writers {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** Backfill form: DYNAMIC partition overwrite — replaces only the
+    * partition directories present in `df`, leaving every other partition
+    * untouched. Re-running one day of a 100 TB date-partitioned table
+    * rewrites one day; the static overwrite `writePartitioned` uses would
+    * first drop the whole table. Same clustering as `writePartitioned`
+    * so each replaced directory is rewritten by one task. */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String],
+                          maxRecordsPerFile: Long = 0L): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** S5 row-insert sink into a relational store: the reference writes new
     * users through the ORM into SQLite (`app/views.py:49-52`); the engine
     * side is `df.write.jdbc`. Each partition opens its own connection and

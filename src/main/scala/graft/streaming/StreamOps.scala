@@ -75,6 +75,22 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("mean_value"), col("sd_value"), col("min_value"), col("max_value"))
 
+  /** Streaming cardinality monitor: approximate distinct users per
+    * (window, type) — the HLL++ sketch merges across micro-batches the
+    * same way map-side partials merge in batch, so state per group is one
+    * fixed-size sketch, never a user set. The streaming face of
+    * q_approx_distinct: cardinality tracking over an unbounded stream at
+    * bounded memory. */
+  def windowCardinality(events: DataFrame,
+                        windowDur: String = "1 day",
+                        watermarkDelay: String = "1 hour",
+                        rsd: Double = 0.05): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("approx_users"))
+
   /** Streaming exact dedup with bounded state: duplicates of (user_id,
     * event_type) within the watermark horizon are dropped; watermark lets
     * Spark evict seen-keys state (E-DEDUP stream form). */

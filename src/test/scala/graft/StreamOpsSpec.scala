@@ -196,6 +196,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(day0.map(t => (t._3, t._4, t._6, t._7)) == Set((6L, 12.5, 10.0, 15.0)))
   }
 
+  test("streaming window cardinality: HLL merges across micro-batches, matches batch, tracks exact") {
+    import spark.implicits._
+    // day-0: 40 distinct users for "view", split across two micro-batches
+    // (20 each) so the per-window sketch MUST merge across batches
+    val evs = (0 until 40).map(i => ev(i, min = i * 30, user = i % 40)) :+
+      ev(100, 24 * 60 * 3, 1)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(unix_timestamp(col("win_start")).as("w"), col("event_type"), col("approx_users"))
+      .as[(Long, String, Long)].collect().toSet
+    val streamed = shape(runStream(StreamOps.windowCardinality(_, "1 day", "1 hour"),
+      "card_out", Seq(evs.take(20), evs.drop(20))))
+    val batch = shape(StreamOps.windowCardinality(spark.createDataset(evs).toDF(), "1 day", "1 hour"))
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    val day0 = streamed.collect { case (0L, "view", n) => n }
+    assert(day0.size == 1)
+    // HLL at rsd 0.05 on 40 exact distinct users
+    assert(math.abs(day0.head - 40.0) / 40.0 < 0.05, s"approx ${day0.head} vs exact 40")
+  }
+
   test("windowed top-k aggregation buffer survives a checkpoint restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

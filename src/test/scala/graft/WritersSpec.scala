@@ -78,6 +78,24 @@ class WritersSpec extends SparkSpec {
     assert(scan.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("overwritePartitions replaces only the partitions present in the frame (backfill)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_writers").toString + "/dyn"
+    val init = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0), (3L, "2024-01-03", 3.0))
+      .toDF("id", "day", "v")
+    Writers.writePartitioned(init, out, Seq("day"))
+    val day1File = parquetFiles(new java.io.File(out + "/day=2024-01-01")).head
+    val day1Mtime = day1File.lastModified()
+    // backfill ONLY day 2 with corrected rows
+    val fix = Seq((20L, "2024-01-02", 20.0), (21L, "2024-01-02", 21.0)).toDF("id", "day", "v")
+    Writers.overwritePartitions(fix, out, Seq("day"))
+    val back = spark.read.parquet(out).select("id", "v").as[(Long, Double)].collect().toSet
+    // day 2 replaced wholesale; days 1 and 3 untouched (same file, same mtime)
+    assert(back == Set((1L, 1.0), (20L, 20.0), (21L, 21.0), (3L, 3.0)))
+    assert(day1File.exists() && day1File.lastModified() == day1Mtime,
+      "day=2024-01-01 must not be rewritten by a day-2 backfill")
+  }
+
   test("compact swap failure on the final rename restores the original table") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_writers").toString
