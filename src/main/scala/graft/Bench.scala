@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Driver bench: one JSON line with per-query wall times at
-  * SPARK_GRAFT_SF_DIR. Queries are materialized through the noop sink so
-  * the measurement covers the full plan (scan → shuffle → sort → project),
-  * not a count() that lets the optimizer drop sorts and prune columns.
+/** Driver bench: per-query wall times at SPARK_GRAFT_SF_DIR, materialized
+  * through the noop sink so the measurement covers the full plan
+  * (scan → shuffle → sort → project), not a count() that lets the optimizer
+  * drop sorts and prune columns.
   *
   * Noise robustness: repeats are INTERLEAVED round-robin — pass 1 runs
   * every query once in order, then pass 2, then pass 3 — and the per-query
@@ -14,18 +14,34 @@ import org.apache.spark.sql.SparkSession
   * ALL samples of whichever query it lands on and the median defends
   * nothing; interleaving spreads one stall window across many queries so
   * at most one sample per query is affected and the median discards it.
-  * Raw per-pass samples are emitted in the JSON ("samples") so a reader
-  * can audit exactly that.
+  * Queries on the WATCHLIST (those a prior round read >1.3× baseline) get
+  * extra interleaved passes, up to `watchRepeats` samples, so their
+  * medians rest on 5 observations instead of 3.
+  *
+  * Output contract (round-5 lesson: the single line with inline samples
+  * outgrew the driver's stdout tail capture and BENCH_r05 parsed as null):
+  * the LAST stdout line is a COMPACT JSON object — total + per-query
+  * medians only. The full per-repeat samples and error strings go to a
+  * separate file (`bench_samples.json`, override SPARK_GRAFT_SAMPLES_OUT)
+  * for human audit. All floats are formatted with Locale.ROOT so the JSON
+  * stays valid on comma-decimal locales.
   *
   * Failures are tracked, not folded into the median: a failed repeat
   * records a -1 sample, every failure (even one that other repeats
-  * survived — a flaky query is a bug, not a fast median) lands in
-  * "errors", and the process exits nonzero. */
+  * survived — a flaky query is a bug, not a fast median) lands in the
+  * samples file's "errors", and the process exits nonzero. */
 object Bench {
+  /** Queries the round-5 verdict read >1.3× baseline: medians for these
+    * rest on `watchRepeats` samples, not the default `repeats`. */
+  private val watchlist: Set[String] =
+    Set("q_json", "q_join_shuffle", "q_join_semi", "q_langid", "q_map_funcs")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val watchRepeats = sys.env.getOrElse("SPARK_GRAFT_WATCH_REPEATS", "5").toInt max repeats
+    val samplesOut = sys.env.getOrElse("SPARK_GRAFT_SAMPLES_OUT", "bench_samples.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,18 +70,25 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Locale-independent fixed-point formatting (f"$t%.3f" follows the JVM
+    // default locale and emits ',' decimals on e.g. de_DE → invalid JSON).
+    def num(t: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
 
     val names = SparkEntry.benchShapes.keys.toSeq.sorted
     // samples(name)(pass) = (seconds, error); -1 s stands in for a failed
     // repeat in the emitted array
     val samples = scala.collection.mutable.Map.empty[String, Vector[(Double, Option[String])]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to repeats; name <- names) {
+    def pass(qs: Seq[String]): Unit = for (name <- qs) {
       val t0 = System.nanoTime()
       val err = try { run(name); None }
       catch { case t: Throwable => Some(t.toString) }
       samples(name) = samples(name) :+ (((System.nanoTime() - t0) / 1e9, err))
     }
+    for (_ <- 1 to repeats) pass(names)
+    // extra interleaved passes over just the watchlist (still round-robin
+    // within the pass, so one stall can't take out a query's whole tail)
+    for (_ <- (repeats + 1) to watchRepeats) pass(names.filter(watchlist))
 
     val results = names.map { name =>
       val attempts = samples(name)
@@ -76,10 +99,10 @@ object Bench {
     }
     def jsonStr(s: String): String =
       "\"" + s.replaceAll("[\\\\\"]", "_").replaceAll("\\s+", " ").take(200) + "\""
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v.getOrElse(-1.0) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v.fold("-1.0")(num) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, _, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]") }
+      "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) =>
       "\"" + k + "\":" + jsonStr(e) }
@@ -87,8 +110,17 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val nFailed = results.count(_._2.isEmpty)          // every repeat failed
     val nFlaky = results.count(r => r._2.nonEmpty && r._3.nonEmpty) // some repeats failed
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"errors":$errs,"failed":$nFailed,"flaky":$nFlaky,"sf":"$sfDir"}""")
+
+    // Full audit record → file (this is what overflowed stdout in round 5).
+    val audit =
+      s"""{"samples":$raw,"errors":$errs,"repeats":$repeats,"watch_repeats":$watchRepeats,"watchlist":${watchlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(samplesOut),
+      audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable => System.err.println(s"samples file write failed: $t") }
+
     spark.stop()
+    // Compact machine-readable line LAST on stdout — nothing may print after.
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"flaky":$nFlaky,"sf":"$sfDir"}""")
     if (nFailed > 0 || nFlaky > 0) sys.exit(1)
   }
 }

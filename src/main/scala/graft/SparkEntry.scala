@@ -54,6 +54,7 @@ object SparkEntry {
     "q_crowd_alert" -> (Relational.crowdAlert _),
     "q_session" -> (Relational.sessionize _),
     "q_validate" -> (Relational.validationDispatch _),
+    "q_auth" -> (Relational.authenticate _),
     "q_arr" -> (VectorOps.arrayOps _),
     "q_range_count" -> (VectorOps.rangeCount _),
     "q_vec_norm" -> (VectorOps.vectorNorms _),
@@ -92,6 +93,9 @@ object SparkEntry {
     "q_quantiles_approx" -> (Relational.quantilesApprox _),
     "q_sample" -> (TextOps.stratifiedSample _),
     "q_ivf_topk" -> (Ivf.ivfTopK _),
+    // rows-only: the batched scorer's digest arithmetic + row-local NMS
+    // have no SQL twin; CrowdPipelineSpec pins batch-shape invariance
+    "q_pipeline" -> (graft.pipeline.CrowdPipeline.pipelineQuery _),
   )
 
   /** Bench-time plan shapes: identical to `queries` except that the two
@@ -105,6 +109,7 @@ object SparkEntry {
       "q_math" -> (Relational.mathScalarsCore _),
       "q_map_funcs" -> (Relational.mapFunctionsCore _),
       "q_unpivot" -> (Relational.unpivotCore _),
+      "q_json" -> (Relational.jsonExtractCore _),
     )
 
   /** Shared CTE chain for the MinHash-LSH oracles (q_minhash_lsh,
@@ -465,6 +470,7 @@ object SparkEntry {
         |ORDER BY region, nation""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
@@ -612,6 +618,29 @@ object SparkEntry {
         |    ELSE 'ok' END AS status
         |  FROM customer) t
         |GROUP BY status ORDER BY status""".stripMargin,
+    "q_auth" ->
+      """WITH users AS (
+        |  SELECT c_name AS username,
+        |    md5(CAST(c_custkey AS VARCHAR)) AS salt,
+        |    sha256(md5(CAST(c_custkey AS VARCHAR)) || 'pw_' || CAST(c_custkey AS VARCHAR)) AS pw_sha,
+        |    (c_custkey % 7 <> 0) AS is_active
+        |  FROM customer
+        |), attempts AS (
+        |  SELECT c_name AS username,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'wrong'
+        |         ELSE 'pw_' || CAST(c_custkey AS VARCHAR) END AS attempt_pw
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_name || '?' AS username, 'x' AS attempt_pw
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |)
+        |SELECT a.username,
+        |  CASE WHEN u.pw_sha IS NULL THEN 'no_user'
+        |       WHEN NOT u.is_active THEN 'inactive'
+        |       WHEN sha256(u.salt || a.attempt_pw) = u.pw_sha THEN 'ok'
+        |       ELSE 'bad_password' END AS verdict
+        |FROM attempts a LEFT JOIN users u ON a.username = u.username
+        |ORDER BY a.username, verdict""".stripMargin,
     "q_arr" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

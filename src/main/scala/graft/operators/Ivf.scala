@@ -37,9 +37,20 @@ object Ivf {
     * (new mtime/size) REPLACES the dir's entry instead of accumulating a
     * new one per signature — one live model per fixture, superseded
     * indexes are dropped, so the cache is bounded by the number of
-    * distinct dirs, not the number of rewrites. */
+    * distinct dirs, not the number of rewrites.
+    *
+    * The map holds a LAZY fit holder, not the fitted model: CHM.compute
+    * runs its remapping function under the bin lock, and a multi-second
+    * KMeans fit inside it would stall every unrelated dir hashing to the
+    * same bin (the CHM contract wants remappers short). The lock is held
+    * only for the entry swap; the fit itself runs on first `.model`
+    * access outside it, with `lazy val`'s per-holder monitor making two
+    * racing queries of the SAME dir fit once. */
+  private[graft] final class LazyModel(fit: () => org.apache.spark.ml.clustering.KMeansModel) {
+    lazy val model: org.apache.spark.ml.clustering.KMeansModel = fit()
+  }
   private[graft] val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.ml.clustering.KMeansModel)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, LazyModel)]()
 
   private def contentSig(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
@@ -54,9 +65,9 @@ object Ivf {
     val sig = contentSig(dir)
     val model = modelCache.compute(dir, (_, prev) =>
       if (prev != null && prev._1 == sig) prev
-      else (sig, new KMeans()
+      else (sig, new LazyModel(() => new KMeans()
         .setK(K).setSeed(42L).setMaxIter(10)
-        .fit(emb)))._2
+        .fit(emb))))._2.model
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("list"))
     (assigned, model.clusterCenters.map(_.toArray))

@@ -364,6 +364,23 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "exp_disc", "ln_price",
         "qty_sq", "abs_diff")
 
+  /** E-MAP/JSON bench shape: one `from_json` parse of `props` per row,
+    * then the same bucketed aggregate as [[jsonExtract]]. The oracle shape
+    * below parses TWICE on purpose (schema'd `from_json` vs JSONPath
+    * `get_json_object` must agree — that's the E-MAP/JSON twin claim), but
+    * doubling the parse is an oracle concern, not a cost a production
+    * query pays; the bench measures the single-parse plan (pattern of
+    * scanProjectCore / mathScalarsCore). */
+  def jsonExtractCore(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("k_bucket")
+
   /** E-MAP/JSON: extract typed field from the `props` JSON payload
     * (`events.props`, FIXTURES.md) and aggregate on it. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -562,6 +579,7 @@ object Relational {
         base.sparkSession.sql(
           """SELECT * FROM (
             |  SELECT coalesce(rname, 'ALL') AS region, coalesce(nname, 'ALL') AS nation,
+            |    CAST(grouping(rname) * 2 + grouping(nname) AS BIGINT) AS gid,
             |    CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
             |    CAST(sum(cnt) AS BIGINT) AS n_items
             |  FROM graft_gsets_base
@@ -627,6 +645,52 @@ object Relational {
         unix_timestamp(col("session_window.start")).as("sess_start"),
         col("n_events"), col("session_value"))
       .orderBy("user_id", "sess_start")
+
+  /** V4 credential verification — the auth path's missing half: the
+    * reference's `authenticate` does a point lookup AND verifies a salted
+    * password digest (`crowd_surveillance/app/views.py:27-34`, Django
+    * `check_password` over a stored salted hash), not just row existence.
+    * Engine-neutral deterministic scheme: salt = md5(user key), stored =
+    * sha256(salt || password). The credential store is derived from
+    * `customer` so the DuckDB oracle can rebuild it from the same parquet;
+    * the RDBMS-substrate twin (users in Derby, read via Tables.usersJdbc)
+    * runs the identical verdict logic in JdbcSourceSpec. */
+  def authUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_name").as("username"),
+      md5(col("c_custkey").cast("string")).as("salt"),
+      sha2(concat(md5(col("c_custkey").cast("string")),
+        lit("pw_"), col("c_custkey").cast("string")), 256).as("pw_sha"),
+      (col("c_custkey") % 7 =!= 0).as("is_active"))
+
+  /** Login attempts: every third user typos the password, every eleventh
+    * key also probes a nonexistent account ('?' can't collide with the
+    * `Customer#...` namespace) — so all four verdict branches are hit. */
+  def authAttempts(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.select(col("c_name").as("username"),
+        when(col("c_custkey") % 3 === 0, lit("wrong"))
+          .otherwise(concat(lit("pw_"), col("c_custkey").cast("string"))).as("attempt_pw"))
+      .unionAll(c.filter(col("c_custkey") % 11 === 0)
+        .select(concat(col("c_name"), lit("?")).as("username"), lit("x").as("attempt_pw")))
+  }
+
+  /** Verdict dispatch over any credential store (parquet-derived or JDBC):
+    * find the user row, recompute the salted digest from the attempt,
+    * classify — no_user / inactive / bad_password / ok. The digest
+    * recompute is one codegen'd sha2 per attempt; at scale the users side
+    * is a dim (broadcast) and attempts stream past it. */
+  def authVerdicts(users: DataFrame, attempts: DataFrame): DataFrame =
+    attempts.join(users, Seq("username"), "left")
+      .select(col("username"),
+        when(col("pw_sha").isNull, lit("no_user"))
+          .when(!col("is_active"), lit("inactive"))
+          .when(sha2(concat(col("salt"), col("attempt_pw")), 256) === col("pw_sha"), lit("ok"))
+          .otherwise(lit("bad_password")).as("verdict"))
+
+  def authenticate(spark: SparkSession, dir: String): DataFrame =
+    authVerdicts(authUsers(spark, dir), authAttempts(spark, dir))
+      .orderBy("username", "verdict")
 
   /** V1-V5 validation dispatch (`verify.py:40-50`): first-failing-rule
     * when-chain over customer rows, aggregated to status counts. */

@@ -106,53 +106,75 @@ object TextOps {
       .orderBy("keep_id")
 
   /** E-DEDUP near-dup, exact form: token-set Jaccard ≥ 0.9 between doc
-    * pairs blocked by source — via DICTIONARY BITMAPS.
+    * pairs blocked by source — PREFIX-FILTERED candidate join + bitmap
+    * verification (the AllPairs/PPJoin recipe, Bayardo et al. WWW'07).
     *
-    * The fixture's vocabulary is tiny (31 words) and every token appears
-    * in ~77% of documents, so token-signature pruning (prefix filtering,
-    * token self-joins) cannot shrink the candidate set: near-all same-
-    * source pairs genuinely overlap and must be verified. The cheapest
-    * exact verification is set-as-bitmap: a global token dictionary maps
-    * each token to a bit, a document's distinct-token set becomes a packed
-    * ARRAY<LONG> bitmap (graft.functions.BitmapFromBits — self-sized to
-    * the doc's own max bit, so no global vocabulary length is threaded
-    * through), and the pair intersection is one codegen'd popcount sweep
-    * (BitmapAndCount; shorter bitmap = implicit zero blocks). Vocabulary-
-    * unbounded — the original single-LONG variant wrapped shifts mod 64
-    * past 64 distinct tokens — at the same all-codegen cost (a
-    * MAP<block,mask> + HOF-aggregate formulation was tried first and ran
-    * 2.3× slower: interpreted lambdas per candidate pair). Same result
-    * set as the token-join formulation; the quadratic-pairs block scan
-    * remains, which is why the LSH path below is the screening sibling
-    * at scale. */
+    * Shape, in three scale-safe stages:
+    *  1. Token ranks: global frequency-ordered dictionary (rarest = rank
+    *     0) via distributed `zipWithIndex` over the sorted (freq, tok)
+    *     frame — no driver collect; the orderBy makes a Catalyst
+    *     recomputation rebuild the identical mapping.
+    *  2. Candidates: each doc exposes only its PREFIX — the
+    *     `sz - ceil(0.9·sz) + 1` rarest ranks (integer arithmetic, no
+    *     double rounding). Two docs with Jaccard ≥ 0.9 provably share a
+    *     prefix rank, so the equi-join on (source, prefix_rank) loses
+    *     nothing, and its fan-out is bounded by posting-list length of the
+    *     RARE tokens — sub-quadratic on any real corpus, vs the old
+    *     within-`source` all-pairs self-join that was quadratic in group
+    *     size (the one 100 TB scale-killer the round-5 audit found). A
+    *     lossless length filter (10·min_sz ≥ 9·max_sz) prunes further.
+    *  3. Verify: distinct candidate (d1,d2) pairs re-join the persisted
+    *     per-doc bitmaps by id; the exact intersection is one codegen'd
+    *     popcount sweep (BitmapAndCount over BitmapFromBits-packed
+    *     ARRAY<LONG>, self-sized, vocabulary-unbounded).
+    * The result set is identical to the all-pairs formulation (prefix +
+    * length filters are lossless for jac ≥ 0.9); on the tiny-vocabulary
+    * fixture the prefix join degenerates gracefully (rare-token postings
+    * are still the shortest lists there are), while at 100 TB it is the
+    * difference between a posting-list join and |group|² pairs. The LSH
+    * path below remains the probabilistic screening sibling. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
-    // dictionary: token -> bit position, via zipWithIndex over the sorted
-    // distinct vocabulary — indices stay distributed (each partition offsets
-    // by the preceding partitions' counts), unlike a row_number window whose
+    // rank: token -> global frequency order (ascending, ties by token), via
+    // zipWithIndex — indices stay distributed (each partition offsets by
+    // the preceding partitions' counts), unlike a row_number window whose
     // empty ORDER BY frame funnels the whole vocabulary through ONE task.
-    // The orderBy makes the assignment deterministic, so a Catalyst
-    // recomputation of this frame (it feeds both sides of the pair
-    // self-join) rebuilds the identical mapping.
     val sess = spark
     import sess.implicits._
-    val dict = toks.select("tok").distinct().orderBy("tok").as[String]
+    val ranked = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy("freq", "tok").select("tok").as[String]
       .rdd.zipWithIndex()
       .map { case (tok, idx) => (tok, idx.toInt) }
       .toDF("tok", "bit")
-    val masks = toks.join(broadcast(dict), "tok")
+    val docs = toks.join(broadcast(ranked), "tok")
       .groupBy("doc_id", "source")
-      .agg(collect_list(col("bit")).as("bits"))
-      .select(col("doc_id"), col("source"),
+      .agg(sort_array(collect_list(col("bit"))).as("bits"))
+      .select(col("doc_id"), col("source"), col("bits"),
         graft.functions.Bitmap.bitmapFromBits(col("bits")).as("mm"),
         size(col("bits")).cast("long").as("sz"))
+      // feeds both candidate sides and the verify join — persist once (the
+      // checkpoint-signatures-before-candidate-join strategy a 100 TB run
+      // uses; same pattern as minhashPairs)
+      .persist()
+    // prefix length p = sz - ceil(0.9*sz) + 1, via ceil(9x/10) =
+    // floor((9x+9)/10) — exact in doubles because 10k/10 divides without
+    // rounding, whereas a literal 0.9*sz can land on 18.000000000000004
+    // and ceil to 19, silently dropping true pairs
+    val prefix = docs.select(col("doc_id"), col("source"), col("sz"),
+      explode(slice(col("bits"), lit(1),
+        (col("sz") - floor((col("sz") * 9 + 9) / 10) + 1).cast("int"))).as("pbit"))
+    val cands = prefix.select(col("doc_id").as("d1"), col("source"), col("pbit"), col("sz").as("sz1"))
+      .join(prefix.select(col("doc_id").as("d2"), col("source"), col("pbit"), col("sz").as("sz2")),
+        Seq("source", "pbit"))
+      .filter(col("d1") < col("d2")
+        && col("sz1") * 10 >= col("sz2") * 9 && col("sz2") * 10 >= col("sz1") * 9)
+      .select("d1", "d2").distinct()
     val jac = col("inter") / (col("sz1") + col("sz2") - col("inter"))
-    masks.select(col("doc_id").as("d1"), col("source"), col("mm").as("mm1"), col("sz").as("sz1"))
-      .join(masks.select(col("doc_id").as("d2"), col("source"), col("mm").as("mm2"), col("sz").as("sz2")),
-        "source")
-      .filter(col("d1") < col("d2"))
+    cands
+      .join(docs.select(col("doc_id").as("d1"), col("mm").as("mm1"), col("sz").as("sz1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("mm").as("mm2"), col("sz").as("sz2")), "d2")
       .withColumn("inter",
         graft.functions.Bitmap.bitmapAndCount(col("mm1"), col("mm2")))
       .filter(jac >= 0.9)

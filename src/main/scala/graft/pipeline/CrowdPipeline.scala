@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.operators.Nms
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -61,12 +61,90 @@ object CrowdPipeline {
 
   private val scoreStubUdf = udf((image: Array[Byte]) => scoreStub(image))
 
+  /** ======= STUB (the heavier twin of `scoreStub`): stands in for a real
+    * batched forward pass. Non-trivial on purpose — several FNV mixing
+    * rounds over every payload byte — so the benched pipeline measures the
+    * scoring boundary at a realistic per-byte cost instead of a near-free
+    * closure; detections then derive from the digest exactly like
+    * `scoreStub` derives them from the byte sum. */
+  def scoreHeavy(image: Array[Byte]): Seq[Det] = {
+    if (image == null || image.isEmpty) return Nil
+    var h = -3750763034362895579L // FNV-1a 64 offset basis
+    var round = 0
+    while (round < 16) {
+      var i = 0
+      while (i < image.length) { h = (h ^ (image(i) & 0xff)) * 1099511628211L; i += 1 }
+      round += 1
+    }
+    val sum = (h % 1000003L + 1000003L) % 1000003L
+    val n = (sum % 9L).toInt
+    (0 until n).map { i =>
+      val seed = sum + i * 131
+      Det((seed % 300).toInt, (seed % 271).toInt,
+        40 + (seed % 5).toInt * 15, 40 + (seed % 7).toInt * 10,
+        0.3 + (seed % 70) / 100.0,
+        if (i % 4 == 0) (i % 3) else 0)
+    }
+  }
+  // =======================================================================
+
   /** Attach detections with the stub model. */
   def score(frames: DataFrame): DataFrame = scoreWith(frames, scoreStubUdf)
 
   /** Attach detections with any `BINARY → ARRAY<STRUCT>` scorer. */
   def scoreWith(frames: DataFrame, scorer: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
     frames.withColumn("dets", scorer(col("image")))
+
+  /** P1/P2 batched form: per-partition scoring with explicit batch shape —
+    * the inference boundary a real model needs (one forward call per batch,
+    * model initialized once per partition = the S3 broadcast-model
+    * pattern, `main.py:26-48` module scope). Output schema is identical to
+    * [[scoreWith]], so everything downstream (`personCounts`) is shared;
+    * CrowdPipelineSpec pins batch-shape invariance (any batchSize ≡ the
+    * row-at-a-time UDF). */
+  def scoreBatched(frames: DataFrame, scorer: Array[Byte] => Seq[Det] = scoreHeavy,
+                   batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(frameSchema.fields :+
+      StructField("dets", detectionType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    frames.select("camera_id", "frame_id", "ts", "image").mapPartitions { rows =>
+      // per-partition init point: a real impl deserializes the broadcast
+      // model here, once, before the batch loop
+      val model: Array[Byte] => Seq[Det] = scorer
+      rows.grouped(batchSize).flatMap { batch =>
+        // one "forward call" per batch
+        val dets = batch.map(r => model(r.getAs[Array[Byte]](3)))
+        batch.lazyZip(dets).map { (r, ds) =>
+          Row(r.get(0), r.get(1), r.get(2), r.get(3),
+            ds.map(d => Row(d.x, d.y, d.w, d.h, d.conf, d.class_id)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame records derived from the documents fixture (payload bytes stand
+    * in for the encoded image, source = camera) — the same stand-in
+    * Multimodal.syntheticMedia uses, shaped to `frameSchema`. */
+  def framesFromDocuments(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir).select(
+      col("source").as("camera_id"),
+      col("doc_id").as("frame_id"),
+      timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"),
+      encode(col("text"), "UTF-8").as("image"))
+
+  /** q_pipeline: the full dataflow, benched — batched heavy scorer →
+    * per-frame column algebra → per-camera rollup. Scoring and analytics
+    * are one narrow pass (zero shuffles before the final small agg), so
+    * the bench number is dominated by the scoring boundary itself — the
+    * P2 pattern's overhead, measured. Deterministic (rows-only
+    * correctness: the scorer's digest arithmetic has no SQL twin). */
+  def pipelineQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    personCounts(scoreBatched(framesFromDocuments(spark, dir)))
+      .groupBy("camera_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("crowded"), 1L).otherwise(0L)).as("n_crowded"),
+        sum("person_count").as("persons"))
+      .orderBy("camera_id")
 
   private val keepIdxUdf = udf(
     (xs: Seq[Int], ys: Seq[Int], ws: Seq[Int], hs: Seq[Int], confs: Seq[Double],

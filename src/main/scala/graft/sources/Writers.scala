@@ -92,8 +92,10 @@ object Writers {
     * If step 2 fails, the live table was never touched. If step 3 fails,
     * the old copy is renamed back and the tmp copy is KEPT — the error
     * names its path so the data is recoverable either way. Same-directory
-    * renames are single filesystem ops, so a reader sees the old table or
-    * the new one, never a half-deleted tree. */
+    * renames are single filesystem ops, so a reader never sees a
+    * partially deleted tree — but between steps 2 and 3 there is a brief
+    * window with NO directory at the live path, so a concurrent reader
+    * must tolerate (retry on) FileNotFoundException. */
   def compact(spark: SparkSession, path: String, targetRows: Long): Unit = {
     val df = spark.read.parquet(path)
     val n = df.count()

@@ -171,4 +171,47 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("sig")
       .drop("sig")
   }
+
+  /** S5 streaming face: micro-batched stream → relational store, the
+    * streaming twin of the batch `Writers.writeJdbc` (reference
+    * registration sink, `app/views.py:49-52` — new rows land in the RDBMS
+    * as they arrive). `foreachBatch` is Spark's JDBC-sink recipe: each
+    * micro-batch appends through the batch writer, stamped with its
+    * batchId. Replay safety — after a crash the last batch can be
+    * re-delivered — comes from the stamp: a batch first DELETEs its own
+    * batch_id rows, so re-appending is idempotent (delete of a batch_id
+    * that never landed is a no-op; the first-ever batch tolerates the
+    * table not existing yet). */
+  def jdbcSink(stream: DataFrame, url: String, table: String,
+               checkpoint: String,
+               driver: String = "org.apache.derby.jdbc.EmbeddedDriver"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        jdbcSinkBatch(batch.toDF(), batchId, url, table, driver)
+      }
+      .start()
+
+  /** One micro-batch of [[jdbcSink]] (visible so the replay contract is
+    * directly testable): clear this batchId's rows, then append stamped.
+    * Calling it twice with the same id leaves exactly one copy. */
+  private[graft] def jdbcSinkBatch(batch: DataFrame, batchId: Long,
+                                   url: String, table: String,
+                                   driver: String = "org.apache.derby.jdbc.EmbeddedDriver"): Unit = {
+    try {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        // Spark's JDBC writer quotes column identifiers at CREATE TABLE, so
+        // the stamp column is case-sensitive "batch_id" — an unquoted
+        // batch_id would normalize to BATCH_ID and miss (the miss surfaced
+        // as silent non-idempotence, caught by the replay spec)
+        st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+        st.close()
+      } finally conn.close()
+    } catch { case _: java.sql.SQLException => () } // first batch: table absent
+    graft.sources.Writers.writeJdbc(
+      batch.withColumn("batch_id", lit(batchId)), url, table, driver = driver)
+  }
 }

@@ -80,4 +80,33 @@ class CrowdPipelineSpec extends SparkSpec {
       .select("label", "person_count").head()
     assert(row.getString(0) == s"Persons: ${row.getLong(1)}")
   }
+
+  test("batched scorer is batch-shape invariant and equals the row-at-a-time UDF") {
+    import spark.implicits._
+    val udfScorer = udf((image: Array[Byte]) => CrowdPipeline.scoreHeavy(image))
+    val fdf = spark.createDataset(frames).toDF()
+    def collectDets(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Row]] =
+      df.select("frame_id", "dets").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Row](1)).toMap
+    val viaUdf = collectDets(CrowdPipeline.scoreWith(fdf, udfScorer))
+    // batch size must be invisible in the result — including a size that
+    // straddles partition boundaries and one that exceeds the partition
+    for (bs <- Seq(1, 7, 1024)) {
+      val viaBatch = collectDets(CrowdPipeline.scoreBatched(fdf, CrowdPipeline.scoreHeavy _, bs))
+      assert(viaBatch == viaUdf, s"batchSize=$bs diverged")
+    }
+  }
+
+  test("q_pipeline: benched pipeline entry is deterministic and exercises every stage") {
+    import spark.implicits._
+    val out = CrowdPipeline.pipelineQuery(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // deterministic across plans/runs (it's in the bench + rows-only gate)
+    assert(out.collect().toSeq == rows.toSeq)
+    // the scorer actually detects (persons > 0 somewhere) and the crowd
+    // threshold actually fires somewhere
+    assert(rows.map(_.getLong(3)).sum > 0)
+    assert(rows.map(_.getLong(2)).sum > 0)
+  }
 }

@@ -66,6 +66,22 @@ class JdbcSourceSpec extends SparkSpec {
     assert(back == (51 to 60).map(i => (i.toLong, s"user$i")).toSet)
   }
 
+  test("V4 hash-verify against the JDBC-backed credential store (views.py:27-34)") {
+    import graft.operators.Relational
+    // the credential dim lands in the RDBMS (the reference's actual
+    // substrate), is read back through the JDBC source, and the SAME
+    // verdict logic that q_auth oracle-checks over parquet must agree
+    graft.sources.Writers.writeJdbc(Relational.authUsers(spark, sf), url, "auth_users")
+    val got = Relational.authVerdicts(
+        Tables.usersJdbc(spark, url, "auth_users"), Relational.authAttempts(spark, sf))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = Relational.authenticate(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want)
+    // all four dispatch branches are live in the fixture
+    assert(Set("ok", "bad_password", "inactive", "no_user").subsetOf(want.map(_._2)))
+  }
+
   test("partitioned JDBC read splits the key range into concurrent per-range queries") {
     val df = Tables.usersJdbcPartitioned(spark, url, "users", "id",
       lowerBound = 1L, upperBound = 51L, numPartitions = 4)
