@@ -25,7 +25,9 @@ object SparkEntry {
     "q_agg" -> (Relational.aggPricingSummary _),
     "q_agg_distinct" -> (Relational.aggDistinct _),
     "q_salted_agg" -> (Scale.saltedAggQuery _),
+    "q_salted_join" -> (Scale.saltedJoinQuery _),
     "q_bloom_join" -> (Scale.bloomSemiJoin _),
+    "q_merge" -> (Relational.mergeUpsertQuery _),
     "q_join_bc" -> (Relational.joinBroadcast _),
     "q_join_shuffle" -> (Relational.joinShuffle _),
     "q_join_multi" -> (Relational.joinMultiway _),
@@ -305,6 +307,28 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q_salted_join: the replicated (key, salt) join must equal the plain join
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q_merge: anti-join-union upsert ≡ declarative "updates win, rest survive"
+    "q_merge" ->
+      """WITH updates AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |    'new_' || CAST(c_custkey AS VARCHAR) AS c_name, 0.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |)
+        |SELECT c_custkey, c_name, c_acctbal FROM (
+        |  SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal FROM updates
+        |) ORDER BY c_custkey""".stripMargin,
     "q_bloom_join" ->
       // bloom false positives are cleared by the exact semi-join, so the
       // oracle is the PLAIN semi-join: the sketch changes the plan, never

@@ -692,6 +692,40 @@ object Relational {
     authVerdicts(authUsers(spark, dir), authAttempts(spark, dir))
       .orderBy("username", "verdict")
 
+  /** E-MERGE keyed upsert, query form — the reference's registration flow
+    * is an ORM save (`app/views.py:49-52`: insert a new user, or update
+    * the row a key collision finds), and every large-scale table needs the
+    * same verb for late-arriving corrections. Relational shape:
+    *   merged = (target ANTI-JOIN updates ON key) UNION ALL updates
+    * — target rows not superseded survive, every update/insert row lands.
+    * Updates are dim-sized in practice (a day of corrections against
+    * years of data), so the anti-join BROADCASTS the update keyset and
+    * the 100 TB fact side is one scan, no shuffle before the verify sort.
+    * The physical twin, `Writers.mergeUpsert`, pushes the same plan
+    * through dynamic partition overwrite so only partitions containing an
+    * updated key are rewritten. */
+  def mergeUpdates(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    // corrections: every 10th key re-states its balance; inserts: every
+    // 100th key spawns a new id outside the existing key range
+    c.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"))
+      .unionByName(c.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("new_"), col("c_custkey").cast("string")).as("c_name"),
+          lit(0.0).as("c_acctbal")))
+  }
+
+  def mergeUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal")
+    val updates = mergeUpdates(spark, dir)
+    target.join(broadcast(updates), Seq("c_custkey"), "left_anti")
+      .unionByName(updates)
+      .orderBy("c_custkey")
+  }
+
   /** V1-V5 validation dispatch (`verify.py:40-50`): first-failing-rule
     * when-chain over customer rows, aggregated to status counts. */
   def validationDispatch(spark: SparkSession, dir: String): DataFrame =

@@ -43,6 +43,45 @@ object Scale {
         round(col("value_dec"), 2).cast("double").as("total_value"))
       .orderBy("event_type")
 
+  /** Skew-safe replicated join: the JOIN twin of [[saltedAgg]]. A shuffle
+    * join hashes each side by the join key, so one hot key (one camera
+    * producing most frames) lands ALL its fact rows on one reducer no
+    * matter how many there are. Salting spreads it: the fact side gets a
+    * deterministic salt in [0, buckets) (hash of the whole row — same
+    * derivation as saltedAgg, so the rewrite is replayable), the dim side
+    * is REPLICATED once per salt value, and the join key becomes
+    * (key, salt) — the hot key now occupies `buckets` reducers. Dim cost
+    * is buckets× its size, which is why this is a FACT-×-MEDIUM-DIM tool:
+    * a dim small enough to broadcast should broadcast (no shuffle at
+    * all), and plain SMJ skew is AQE's job (SkewSpec); salting is for the
+    * shapes AQE can't rebalance — streaming joins planned before stats
+    * exist, or a build side just over the broadcast threshold. The
+    * `shuffle_hash` hint keeps the demo on the shuffled-join path a
+    * too-small fixture dim would otherwise broadcast away. Result is
+    * IDENTICAL to the plain join: every fact row meets exactly the one
+    * dim replica sharing its salt (q_salted_join's oracle is the plain
+    * join). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, buckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(hash(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(buckets)))
+    val replicated = dim.withColumn("_salt",
+      explode(array((0 until buckets).map(lit(_)): _*)))
+    saltedFact.join(replicated.hint("shuffle_hash"), Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Oracle-checked proof query: lineitem×orders revenue per priority via
+    * the salted replicated join; must hash-match the plain join. */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
+    val dim = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    saltedJoin(fact, dim, "l_orderkey", buckets = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Runtime-filter pattern: semi-join the fact table to a filtered dim,
     * with a Bloom filter of the dim keys pruning the fact side BEFORE the
     * join shuffle. At 100 TB this is THE lever for selective dim joins —

@@ -64,6 +64,49 @@ object Writers {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** Keyed upsert (MERGE) into a partitioned parquet table — the physical
+    * twin of `Relational.mergeUpsertQuery` (reference semantics: the ORM
+    * save in `app/views.py:49-52` inserts or updates by key). Scope is
+    * partition-surgical: only partition directories that CONTAIN an
+    * updated or inserted key are rewritten (via dynamic partition
+    * overwrite); a day of corrections against a 100 TB table touches that
+    * day, not the table. Inside each affected partition the merge is the
+    * anti-join-union plan: surviving target rows (broadcast anti-join on
+    * the dim-sized update keyset) + all update rows.
+    *
+    * Contract: `updates` has the target's schema, and the partition
+    * column value is part of row identity — an update that MOVES a key
+    * across partitions must be expressed as delete+insert (same
+    * restriction as Hive/Iceberg dynamic-partition upserts).
+    *
+    * Spark refuses to overwrite a path its plan is also reading, so the
+    * merged slice is staged next to the table first, then swapped in with
+    * dynamic overwrite from the staged copy; the staging dir is removed
+    * after the swap, and a crash before the swap leaves the live table
+    * untouched. */
+  def mergeUpsert(spark: SparkSession, path: String, updates: DataFrame,
+                  key: String, partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val target = spark.read.parquet(path)
+    val cols = target.columns.toIndexedSeq
+    val hitParts = updates.select(partitionCols.map(col): _*).distinct()
+    val affected = target.join(broadcast(hitParts), partitionCols, "left_semi")
+    val merged = affected
+      .join(broadcast(updates.select(col(key))), Seq(key), "left_anti")
+      .unionByName(updates.select(cols.map(col): _*))
+    val staging = new java.io.File(
+      path + s".merge_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    merged.write.parquet(staging.getPath)
+    try overwritePartitions(spark.read.parquet(staging.getPath), path, partitionCols)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(staging)
+    }
+  }
+
   /** S5 row-insert sink into a relational store: the reference writes new
     * users through the ORM into SQLite (`app/views.py:49-52`); the engine
     * side is `df.write.jdbc`. Each partition opens its own connection and

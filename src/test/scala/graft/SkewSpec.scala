@@ -44,4 +44,25 @@ class SkewSpec extends SparkSpec {
       assert(plan.contains("skew=true"), s"AQE did not mark the skewed join:\n${plan.take(2000)}")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("salted replicated join equals the plain join and shuffles on (key, salt)") {
+    import graft.operators.Scale
+    val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    val dim = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val salted = Scale.saltedJoin(fact, dim, "l_orderkey", buckets = 8)
+      .select("l_orderkey", "l_extendedprice", "o_orderpriority")
+    val plain = fact.join(dim, "l_orderkey")
+      .select("l_orderkey", "l_extendedprice", "o_orderpriority")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .sorted(Ordering.Tuple3(Ordering.Long, Ordering.Double.TotalOrdering, Ordering.String))
+    assert(multiset(salted).sameElements(multiset(plain)))
+    // the join really runs on the salted composite key (hot-key rows are
+    // spread over `buckets` reducers), on the shuffled-hash path — not
+    // collapsed back to a broadcast of the replicated dim
+    val plan = salted.queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n${plan.take(1500)}")
+    assert(plan.contains("_salt"), "join keys must include the salt column")
+  }
 }

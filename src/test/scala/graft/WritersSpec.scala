@@ -96,6 +96,29 @@ class WritersSpec extends SparkSpec {
       "day=2024-01-01 must not be rewritten by a day-2 backfill")
   }
 
+  test("mergeUpsert rewrites only partitions containing an updated key; untouched partitions keep their files") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_writers").toString + "/merge"
+    val init = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0),   // partition a: key 2 will be updated
+      (3L, "b", 3.0), (4L, "b", 4.0),   // partition b: untouched
+      (5L, "c", 5.0))                   // partition c: untouched
+      .toDF("id", "grp", "v")
+    Writers.writePartitioned(init, out, Seq("grp"))
+    val bFile = parquetFiles(new java.io.File(out + "/grp=b")).head
+    val bMtime = bFile.lastModified()
+    // one correction in partition a, one insert into a NEW partition d
+    val updates = Seq((2L, "a", 20.0), (9L, "d", 9.0)).toDF("id", "grp", "v")
+    Writers.mergeUpsert(spark, out, updates, "id", Seq("grp"))
+    val back = spark.read.parquet(out).select("id", "v").as[(Long, Double)].collect().toSet
+    assert(back == Set((1L, 1.0), (2L, 20.0), (3L, 3.0), (4L, 4.0), (5L, 5.0), (9L, 9.0)))
+    assert(bFile.exists() && bFile.lastModified() == bMtime,
+      "grp=b holds no updated key and must not be rewritten")
+    // the staging dir is cleaned up after the swap
+    assert(!new java.io.File(out).getParentFile.listFiles()
+      .exists(_.getName.startsWith("merge.merge_")))
+  }
+
   test("compact swap failure on the final rename restores the original table") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_writers").toString
