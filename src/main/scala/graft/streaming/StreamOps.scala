@@ -193,6 +193,31 @@ object StreamOps {
       }
       .start()
 
+  /** Keyed-correction sink into a partitioned lake table: each micro-batch
+    * MERGEs (`Writers.mergeUpsert`) instead of appending, so a late row
+    * re-stating a key SUPERSEDES the stored row — the streaming face of
+    * the upsert verb (q_merge), and the lake-side twin of [[jdbcSink]].
+    * Only partition directories containing a batch's keys are rewritten.
+    * Replay safety: merging the same batch twice is a fixpoint (second
+    * merge replaces rows with identical content), so post-crash
+    * re-delivery cannot duplicate. Contract: at most one row per key per
+    * micro-batch (dedupe upstream — `dropDuplicatesWithinWatermark` —
+    * otherwise which duplicate wins is arbitrary); the partition value is
+    * part of row identity, as in `Writers.mergeUpsert`. */
+  def upsertSink(stream: DataFrame, path: String, key: String,
+                 partitionCols: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val df = batch.toDF()
+        if (!new java.io.File(path).exists())
+          graft.sources.Writers.writePartitioned(df, path, partitionCols)
+        else
+          graft.sources.Writers.mergeUpsert(df.sparkSession, path, df, key, partitionCols)
+      }
+      .start()
+
   /** One micro-batch of [[jdbcSink]] (visible so the replay contract is
     * directly testable): clear this batchId's rows, then append stamped.
     * Calling it twice with the same id leaves exactly one copy. */

@@ -265,6 +265,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(300L) == 2L && out(600L) == 2L)
   }
 
+  test("streaming keyed-correction sink: a later micro-batch supersedes a stored row by key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("graft_upsert_sink")
+    val path = s"$scratch/table"
+    val input = MemoryStream[Ev]
+    val shaped = input.toDF().select(col("event_id").as("id"),
+      (col("user_id") % 2).cast("string").as("grp"), col("value").as("v"))
+    val q = StreamOps.upsertSink(shaped, path, "id", Seq("grp"), s"$scratch/ckpt")
+    try {
+      input.addData(Seq(Ev(1L, ts(0), 0L, "view", 10.0, "{}"),
+        Ev(2L, ts(1), 1L, "view", 11.0, "{}")))
+      q.processAllAvailable()
+      // batch 2: key 2 re-stated (correction), key 3 brand new
+      input.addData(Seq(Ev(2L, ts(2), 1L, "view", 99.0, "{}"),
+        Ev(3L, ts(3), 2L, "view", 12.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(path).select("id", "v").as[(Long, Double)].collect().toSet
+    // the correction REPLACED key 2's row — exactly one row per key survives
+    assert(back == Set((1L, 10.0), (2L, 99.0), (3L, 12.0)))
+  }
+
   test("streaming JDBC sink: micro-batches land in the relational store, batch-stamped (views.py:49-52)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
