@@ -28,6 +28,7 @@ object SparkEntry {
     "q_salted_join" -> (Scale.saltedJoinQuery _),
     "q_bloom_join" -> (Scale.bloomSemiJoin _),
     "q_merge" -> (Relational.mergeUpsertQuery _),
+    "q_heavy_hitters" -> (Relational.heavyHitters _),
     "q_join_bc" -> (Relational.joinBroadcast _),
     "q_join_shuffle" -> (Relational.joinShuffle _),
     "q_join_multi" -> (Relational.joinMultiway _),
@@ -307,6 +308,12 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q_heavy_hitters: the frequent-items sketch is exact while distinct
+    // items fit its tracked capacity (fixture: ≤1.5k distinct vs 8192
+    // tracked), so the oracle is the plain histogram
+    "q_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY n_events DESC, user_id""".stripMargin,
     // q_salted_join: the replicated (key, salt) join must equal the plain join
     "q_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

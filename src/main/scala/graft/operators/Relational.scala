@@ -492,6 +492,25 @@ object Relational {
         col("event_type"), col("n_users_approx"), col("n_events"))
       .orderBy("win_start", "event_type")
 
+  /** E-SKETCH heavy hitters: most-frequent items by a mergeable
+    * frequent-items sketch (`approx_top_k`, DataSketches ItemsSketch under
+    * a TypedImperativeAggregate) — the 100 TB way to ask "which cameras /
+    * users dominate the feed": per-partition sketches of FIXED size merge
+    * on the exchange; raw (item, count) pairs never shuffle. The sketch is
+    * provably EXACT while distinct items fit its tracked capacity, so with
+    * k and maxItemsTracked sized over the fixture cardinality (≤1.5k
+    * distinct users at every test sf vs 8192 tracked) the result is the
+    * exact histogram and the oracle is a plain GROUP BY; at corpus scale
+    * the SAME query degrades gracefully to guaranteed-error-bound
+    * estimates. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("graft_hh_events")
+    spark.sql(
+      """SELECT item AS user_id, count AS n_events FROM (
+        |  SELECT inline(approx_top_k(user_id, 2000, 8192)) FROM graft_hh_events
+        |) ORDER BY n_events DESC, user_id""".stripMargin)
+  }
+
   /** E-AGG pivot: wide-format breakdown (return flag × line status counts
     * and quantity sums). `pivot` with an EXPLICIT value list — without it
     * Spark must first scan for distinct pivot values (an extra job) and
