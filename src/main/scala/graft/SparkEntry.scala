@@ -29,6 +29,8 @@ object SparkEntry {
     "q_bloom_join" -> (Scale.bloomSemiJoin _),
     "q_merge" -> (Relational.mergeUpsertQuery _),
     "q_heavy_hitters" -> (Relational.heavyHitters _),
+    "q_scd2" -> (Relational.scd2 _),
+    "q_dq_checks" -> (Relational.dqChecks _),
     "q_join_bc" -> (Relational.joinBroadcast _),
     "q_join_shuffle" -> (Relational.joinShuffle _),
     "q_join_multi" -> (Relational.joinMultiway _),
@@ -314,6 +316,44 @@ object SparkEntry {
     "q_heavy_hitters" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY n_events DESC, user_id""".stripMargin,
+    "q_scd2" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), r AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM s
+        |), h AS (
+        |  SELECT user_id, run_id, min(event_type) AS event_type, min(ts) AS vf
+        |  FROM r GROUP BY user_id, run_id
+        |)
+        |SELECT user_id, event_type,
+        |  CAST(floor(epoch(vf)) AS BIGINT) AS valid_from,
+        |  coalesce(CAST(floor(epoch(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id))) AS BIGINT), -1) AS valid_to
+        |FROM h ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin,
+    "q_dq_checks" ->
+      """WITH cs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |    CAST(sum(CASE WHEN NOT (c_acctbal BETWEEN -1000.0 AND 10000.0) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |    CAST(sum(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v_fmt
+        |  FROM customer
+        |)
+        |SELECT check_name, n_violations, n_checked FROM (
+        |  SELECT 'completeness_acctbal' AS check_name, v_null AS n_violations, n AS n_checked FROM cs
+        |  UNION ALL SELECT 'range_acctbal', v_range, n FROM cs
+        |  UNION ALL SELECT 'format_name', v_fmt, n FROM cs
+        |  UNION ALL SELECT 'pk_unique_custkey',
+        |    CAST(coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM (SELECT c_custkey, count(*) AS k FROM customer GROUP BY c_custkey)
+        |  UNION ALL SELECT 'fk_orders_customer',
+        |    CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+        |    CAST((SELECT count(*) FROM orders) AS BIGINT)
+        |) ORDER BY check_name""".stripMargin,
     // q_salted_join: the replicated (key, salt) join must equal the plain join
     "q_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
@@ -491,6 +531,7 @@ object SparkEntry {
         |ORDER BY user_id, purchase_id""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem

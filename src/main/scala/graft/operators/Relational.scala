@@ -180,6 +180,7 @@ object Relational {
         base.sparkSession.sql(
           """SELECT * FROM (
             |  SELECT coalesce(rname, 'ALL') AS region, coalesce(nname, 'ALL') AS nation,
+            |    CAST(grouping(rname) * 2 + grouping(nname) AS BIGINT) AS gid,
             |    CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
             |    CAST(sum(cnt) AS BIGINT) AS n_items
             |  FROM graft_rollup_base
@@ -710,6 +711,68 @@ object Relational {
   def authenticate(spark: SparkSession, dir: String): DataFrame =
     authVerdicts(authUsers(spark, dir), authAttempts(spark, dir))
       .orderBy("username", "verdict")
+
+  /** E-WIN SCD2: slowly-changing-dimension history from a change log —
+    * each run of consecutive equal values per user becomes one validity
+    * interval [valid_from, valid_to), the current row open-ended (-1).
+    * The warehouse pattern behind "what was this entity's state at time
+    * t" (the dimension-side complement of the as-of join): change flag by
+    * lag, run id by running sum, interval bounds by min + lead. All three
+    * windows share ONE (user_id)-partitioned sort at scale — no
+    * fact-table self-join, no explode. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byEvent = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runs = Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("chg", when(lag("event_type", 1).over(byEvent).isNull
+        || lag("event_type", 1).over(byEvent) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(
+        byEvent.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      // event_type is constant within a run by construction
+      .agg(min("event_type").as("event_type"), min("ts").as("vf"))
+    val byRun = Window.partitionBy("user_id").orderBy("run_id")
+    runs.select(col("user_id"), col("event_type"),
+        unix_timestamp(col("vf")).as("valid_from"),
+        coalesce(unix_timestamp(lead("vf", 1).over(byRun)), lit(-1L)).as("valid_to"))
+      // adjacent runs can share a boundary instant (equal-ts events), so
+      // the total order needs all four columns
+      .orderBy("user_id", "valid_from", "event_type", "valid_to")
+  }
+
+  /** Data-quality constraint report (the validation pass a training
+    * pipeline runs before ingest; generalizes the reference's field
+    * validators, `verify.py:40-50`, from per-row dispatch to table-level
+    * contracts): each check is (name, violations, population). The three
+    * customer column checks fold into ONE scan (a single aggregate
+    * unpivoted by `stack`); primary-key uniqueness is a keyed count; the
+    * referential check is a broadcast anti-join count, so the fact side
+    * never shuffles. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val colChecks = c.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(!col("c_acctbal").between(-1000.0, 10000.0), 1L).otherwise(0L)).as("v_range"),
+        sum(when(!col("c_name").rlike("^Customer#[0-9]+$"), 1L).otherwise(0L)).as("v_fmt"))
+      .selectExpr(
+        "stack(3, 'completeness_acctbal', v_null, 'range_acctbal', v_range, 'format_name', v_fmt) AS (check_name, n_violations)",
+        "n AS n_checked")
+    val pk = c.groupBy("c_custkey").agg(count(lit(1)).as("k"))
+      .agg(coalesce(sum(when(col("k") > 1, 1L).otherwise(0L)), lit(0L)).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+      .select(lit("pk_unique_custkey").as("check_name"), col("n_violations"), col("n_checked"))
+    val fk = o.select(col("o_custkey"))
+      .join(broadcast(c.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(o.agg(count(lit(1)).as("n_checked")))
+      .select(lit("fk_orders_customer").as("check_name"), col("n_violations"), col("n_checked"))
+    colChecks.select("check_name", "n_violations", "n_checked")
+      .unionByName(pk).unionByName(fk)
+      .orderBy("check_name")
+  }
 
   /** E-MERGE keyed upsert, query form — the reference's registration flow
     * is an ORM save (`app/views.py:49-52`: insert a new user, or update
