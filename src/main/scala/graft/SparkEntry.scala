@@ -77,6 +77,7 @@ object SparkEntry {
     "q_jaccard_pairs" -> (TextOps.jaccardPairs _),
     "q_minhash_lsh" -> (TextOps.minhashLsh _),
     "q_neardup_clusters" -> (TextOps.nearDupClusters _),
+    "q_pagerank" -> (TextOps.pageRank _),
     "q_corpus_prep" -> (TextOps.corpusPrep _),
     "q_tfidf" -> (TextOps.tfidf _),
     "q_simhash" -> (TextOps.simhash _),
@@ -150,6 +151,22 @@ object SparkEntry {
       |  FROM bands x JOIN bands y
       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
       |)""".stripMargin
+
+  /** q_pagerank oracle iterations, unrolled: plain recursive CTEs cannot
+    * aggregate over the recursive reference per step, so the 5 fixed
+    * power iterations chain as r1..r5, each mirroring the Spark loop
+    * body exactly — integer division only (`//` here, `div` there), sum
+    * of per-edge quotients, then damping on the total. */
+  private val pagerankIterCtes: String = (1 to 5).map { k =>
+    s"""r$k AS (
+       |  SELECT d.doc_id,
+       |    (SELECT ((1000000000000 // n) * 15) // 100 FROM nn)
+       |      + (85 * coalesce(c.c, 0)) // 100 AS pr
+       |  FROM documents d LEFT JOIN (
+       |    SELECT e.dst AS doc_id, CAST(sum(r.pr // g.deg) AS BIGINT) AS c
+       |    FROM edges e JOIN r${k - 1} r ON e.src = r.doc_id JOIN deg g ON g.src = e.src
+       |    GROUP BY e.dst) c ON c.doc_id = d.doc_id)""".stripMargin
+  }.mkString(",\n")
 
   /** DuckDB twin of VectorOps.annTopKMultiband, generated so the 24
     * Walsh-hyperplane projections and 4 band keys stay structurally in
@@ -863,6 +880,19 @@ object SparkEntry {
       s"""WITH $minhashPairCtes
         |SELECT d1, d2 FROM pairs
         |ORDER BY d1, d2""".stripMargin,
+    "q_pagerank" ->
+      // same pair graph; 5 unrolled integer-arithmetic power iterations
+      s"""WITH $minhashPairCtes,
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT d2 AS src, d1 AS dst FROM pairs
+        |), deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |r0 AS (SELECT doc_id, (SELECT 1000000000000 // n FROM nn) AS pr FROM documents),
+        |$pagerankIterCtes
+        |SELECT doc_id, pr FROM r5 ORDER BY pr DESC, doc_id""".stripMargin,
     "q_neardup_clusters" ->
       // same pair graph as q_minhash_lsh; component min via WITH RECURSIVE
       // reachability (undirected edges = both orientations of each pair)

@@ -113,4 +113,45 @@ object Scale {
         round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** Incremental aggregate maintenance (materialized-view maintenance):
+    * a stored per-key state of COMMUTATIVE-MONOID partials (count + exact
+    * decimal sum — the same partials two-phase aggregation already
+    * relies on) is folded together with one new data slice's partials,
+    * instead of re-aggregating history. At 100 TB this is the rolling-
+    * metrics pattern: each arriving day costs one slice-sized aggregate
+    * plus a state-sized merge — the full table is never rescanned. Means,
+    * rates etc. derive from (n, s) at read time (`readAggState`), which
+    * is why the STATE stores raw partials rather than finished averages:
+    * averages don't merge, partials do.
+    *
+    * Each slice must be folded exactly once (this is the batch twin of
+    * the streaming sinks' replay discipline — gate redelivery upstream,
+    * e.g. by slice id). The rewrite goes through the compact/merge
+    * staging path: new state is written beside the old and swapped in,
+    * so a crash mid-maintenance leaves the previous state readable. */
+  def maintainAggState(spark: SparkSession, statePath: String, slice: DataFrame,
+                       key: String, valueCol: String): Unit = {
+    val partials = slice.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(18,2)").as("s"))
+    val state = new java.io.File(statePath)
+    if (!state.exists()) { partials.write.parquet(statePath); return }
+    val merged = spark.read.parquet(statePath).unionByName(partials)
+      .groupBy(col(key))
+      .agg(sum(col("n")).as("n"),
+        // cap back to the state schema: sum widens decimal precision and
+        // repeated maintenance would otherwise creep 18,2 → 28,2 → 38,2
+        sum(col("s")).cast("decimal(18,2)").as("s"))
+    val nonce = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val tmp = new java.io.File(statePath + s".maintain_$nonce")
+    merged.write.parquet(tmp.getPath)
+    graft.sources.Writers.swapIn(state, tmp, new java.io.File(statePath + s".old_$nonce"))
+  }
+
+  /** Read the maintained state back as finished metrics: count, exact
+    * 2-dp total, and the derived mean. */
+  def readAggState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .select(col("*"), round(col("s") / col("n"), 2).cast("double").as("mean"))
 }

@@ -279,6 +279,47 @@ object TextOps {
     out
   }
 
+  /** Link-analysis centrality over the near-dup pair graph: PageRank with
+    * 5 fixed power iterations and damping 0.85 — "which documents sit at
+    * the center of a duplication neighborhood", the ranking complement of
+    * the [[nearDupClusters]] partition (cluster representatives can be
+    * chosen by rank instead of min-id). All arithmetic is INTEGER: ranks
+    * live at scale 1e12, every division is integer division (`div`), so
+    * the result is engine-neutral — no float accumulation-order drift —
+    * and the DuckDB oracle unrolls the same 5 iterations as chained CTEs
+    * (plain recursive CTEs cannot aggregate per step). Mass rounds down
+    * and dangling mass evaporates; both sides do the same.
+    *
+    * Scale shape: each iteration is one equi-join (edges × ranks, both
+    * partitioned by src at 100 TB) + a partial-agg contribution sum —
+    * the same per-round discipline as [[connectedComponents]], no
+    * driver-side data, fixed loop count. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist() // probed 5×; ContextCleaner drops the cache with the frame
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "deg_src")
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val n = docs.count() // dim-sized scalar (same license as the CC fixpoint)
+    val scale = 1000000000000L
+    val teleport = (scale / n) * 15 / 100
+    var ranks = docs.select(col("doc_id"), lit(scale / n).as("pr"))
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("doc_id"))
+        .join(deg, col("src") === col("deg_src"))
+        .select(col("dst"), expr("pr div deg").as("q"))
+        .groupBy("dst").agg(sum(col("q")).as("c"))
+        .withColumnRenamed("dst", "doc_id")
+      ranks = docs.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(teleport) + expr("(85 * coalesce(c, 0)) div 100")).as("pr"))
+    }
+    ranks.orderBy(desc("pr"), col("doc_id"))
+  }
+
   /** Min-label connected components: nodes(doc_id) + undirected edges
     * (d1, d2) → (doc_id, cluster_id = component min). The propagation loop
     * behind nearDupClusters, separated so graph shapes the fixture can't
