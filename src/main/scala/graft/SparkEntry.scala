@@ -31,6 +31,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (Relational.heavyHitters _),
     "q_scd2" -> (Relational.scd2 _),
     "q_dq_checks" -> (Relational.dqChecks _),
+    "q_outliers" -> (Relational.outliers _),
     "q_join_bc" -> (Relational.joinBroadcast _),
     "q_join_shuffle" -> (Relational.joinShuffle _),
     "q_join_multi" -> (Relational.joinMultiway _),
@@ -351,6 +352,24 @@ object SparkEntry {
         |  CAST(floor(epoch(vf)) AS BIGINT) AS valid_from,
         |  coalesce(CAST(floor(epoch(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id))) AS BIGINT), -1) AS valid_to
         |FROM h ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin,
+    // q_outliers: floor-scaled integer centi-units on both sides (DuckDB
+    // CAST(double AS BIGINT) rounds, Spark truncates; floor agrees), so
+    // quantile_cont ≡ percentile over exact dyadic rationals
+    "q_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events
+        |), med AS (
+        |  SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_type, abs(e.v - m.med) AS adev
+        |  FROM ev e JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+        |)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN d.adev > m.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q_dq_checks" ->
       """WITH cs AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,

@@ -512,6 +512,32 @@ object Relational {
         |) ORDER BY n_events DESC, user_id""".stripMargin)
   }
 
+  /** Robust outlier screen (median + MAD): flag events whose value sits
+    * more than 3 median-absolute-deviations from its group median — the
+    * anomaly-detection verb the reference exists for ("unusual activity",
+    * paper p.3), made distribution-robust (mean/stddev break under the
+    * very outliers being hunted). Exactness discipline: values scale to
+    * integer centi-units via floor (DuckDB CAST(double AS BIGINT) rounds,
+    * Spark truncates — floor agrees everywhere), so both medians
+    * interpolate over exact dyadic rationals and the oracle hash-matches.
+    * Scale shape: the two medians are dim-sized per-group aggregates
+    * broadcast back onto the fact scan (same pattern as q_impute); exact
+    * `percentile` is fine while groups are few — the sketch twin
+    * (percentile_approx) is the 100 TB swap-in. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("v"))
+    val med = ev.groupBy("event_type").agg(expr("percentile(v, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("v") - col("med")).as("adev"))
+    val mad = dev.groupBy("event_type").agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** E-AGG pivot: wide-format breakdown (return flag × line status counts
     * and quantity sums). `pivot` with an EXPLICIT value list — without it
     * Spark must first scan for distinct pivot values (an extra job) and
