@@ -32,6 +32,7 @@ object SparkEntry {
     "q_scd2" -> (Relational.scd2 _),
     "q_dq_checks" -> (Relational.dqChecks _),
     "q_outliers" -> (Relational.outliers _),
+    "q_funnel" -> (Relational.funnel _),
     "q_join_bc" -> (Relational.joinBroadcast _),
     "q_join_shuffle" -> (Relational.joinShuffle _),
     "q_join_multi" -> (Relational.joinMultiway _),
@@ -352,6 +353,26 @@ object SparkEntry {
         |  CAST(floor(epoch(vf)) AS BIGINT) AS valid_from,
         |  coalesce(CAST(floor(epoch(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id))) AS BIGINT), -1) AS valid_to
         |FROM h ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin,
+    "q_funnel" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), fc AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > fv.t_view GROUP BY e.user_id
+        |), fp AS (
+        |  SELECT e.user_id, min(e.ts) AS t_buy
+        |  FROM events e JOIN fc USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > fc.t_click GROUP BY e.user_id
+        |)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM fv
+        |  UNION ALL
+        |  SELECT '2_view_click', CAST(count(*) AS BIGINT) FROM fc
+        |  UNION ALL
+        |  SELECT '3_view_click_purchase', CAST(count(*) AS BIGINT) FROM fp
+        |) ORDER BY stage""".stripMargin,
     // q_outliers: floor-scaled integer centi-units on both sides (DuckDB
     // CAST(double AS BIGINT) rounds, Spark truncates; floor agrees), so
     // quantile_cont ≡ percentile over exact dyadic rationals

@@ -512,6 +512,32 @@ object Relational {
         |) ORDER BY n_events DESC, user_id""".stripMargin)
   }
 
+  /** Conversion funnel: how many users progress view → click → purchase
+    * IN ORDER (each stage strictly after the previous user's first
+    * qualifying event) — the ordered-sequence analytics verb behind
+    * "how far does traffic get". Each stage is a per-user min-timestamp
+    * aggregate joined to the previous stage's frame; every step keys on
+    * user_id, so at scale the whole chain reuses ONE hash partitioning
+    * (stage frames are user-cardinality, far smaller than events) and
+    * the fact table is scanned once per stage filter, never windowed. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val fc = ev.filter(col("event_type") === "click")
+      .join(fv, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fc, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_buy"))
+    fv.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(fc.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_view_click").as("stage"), col("n_users")))
+      .unionByName(fp.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_view_click_purchase").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
   /** Robust outlier screen (median + MAD): flag events whose value sits
     * more than 3 median-absolute-deviations from its group median — the
     * anomaly-detection verb the reference exists for ("unusual activity",
