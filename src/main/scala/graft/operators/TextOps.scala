@@ -296,16 +296,25 @@ object TextOps {
     * driver-side data, fixed loop count. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir)
+    val nodes = Tables.documents(spark, dir).select("doc_id")
+    pageRankOnGraph(nodes, pairs).orderBy(desc("pr"), col("doc_id"))
+  }
+
+  /** The power-iteration loop behind [[pageRank]], separated (same reason
+    * as [[connectedComponents]]) so graph shapes the fixture can't
+    * produce deterministically — stars, chains, dangling nodes — are
+    * unit-testable. nodes(doc_id) + undirected pairs(d1, d2) →
+    * (doc_id, pr) at integer scale 1e12, unsorted. */
+  private[graft] def pageRankOnGraph(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist() // probed 5×; ContextCleaner drops the cache with the frame
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "deg_src")
-    val docs = Tables.documents(spark, dir).select("doc_id")
-    val n = docs.count() // dim-sized scalar (same license as the CC fixpoint)
+    val n = nodes.count() // dim-sized scalar (same license as the CC fixpoint)
     val scale = 1000000000000L
     val teleport = (scale / n) * 15 / 100
-    var ranks = docs.select(col("doc_id"), lit(scale / n).as("pr"))
+    var ranks = nodes.select(col("doc_id"), lit(scale / n).as("pr"))
     for (_ <- 1 to 5) {
       val contrib = edges
         .join(ranks, edges("src") === ranks("doc_id"))
@@ -313,11 +322,11 @@ object TextOps {
         .select(col("dst"), expr("pr div deg").as("q"))
         .groupBy("dst").agg(sum(col("q")).as("c"))
         .withColumnRenamed("dst", "doc_id")
-      ranks = docs.join(contrib, Seq("doc_id"), "left")
+      ranks = nodes.join(contrib, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(teleport) + expr("(85 * coalesce(c, 0)) div 100")).as("pr"))
     }
-    ranks.orderBy(desc("pr"), col("doc_id"))
+    ranks
   }
 
   /** Min-label connected components: nodes(doc_id) + undirected edges
