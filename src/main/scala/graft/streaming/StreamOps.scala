@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+/** One funnel-relevant event (input row of `StreamOps.funnelStages`). */
+case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+
+/** Per-user funnel state: earliest qualifying ms-epoch per stage
+  * (Long.MaxValue = not reached). Three longs — bounded by construction. */
+case class FunnelProgress(view: Long, click: Long, buy: Long)
 
 /** E-STREAM-WIN / E-WATERMARK / E-DEDUP(stream) — the streaming
   * transformations, written as `DataFrame => DataFrame` so the SAME logical
@@ -170,6 +177,48 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("sig")
       .drop("sig")
+  }
+
+  /** Streaming conversion funnel (the stream face of q_funnel): per-user
+    * ordered-sequence detection — view, then a click strictly after the
+    * earliest view, then a purchase strictly after that click — with
+    * BOUNDED state: three timestamps per user, nothing else. Each
+    * micro-batch's rows sort by event time before folding (delivery order
+    * is not event order); timestamps only ever move EARLIER, and the
+    * strictly-after conditions are monotone under that (an earlier first
+    * view never invalidates a recorded click), so cross-batch order is
+    * tolerated with one documented exception: a click REJECTED because no
+    * earlier view was known yet is not revisited when a late view
+    * arrives — the bounded-state tradeoff every streaming sequence
+    * matcher makes (re-sending the click after the view converts it).
+    * Emits the user's currently reached stage (update mode). */
+  def funnelStages(events: DataFrame): Dataset[(Long, Int)] = {
+    val sess = events.sparkSession
+    import sess.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelProgress, (Long, Int)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelProgress]) =>
+          val none = Long.MaxValue
+          var s = state.getOption.getOrElse(FunnelProgress(none, none, none))
+          for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.event_type))) {
+            val t = r.ts.getTime
+            r.event_type match {
+              case "view" if t < s.view => s = s.copy(view = t)
+              case "click" if t > s.view && t < s.click => s = s.copy(click = t)
+              case "purchase" if t > s.click && t < s.buy => s = s.copy(buy = t)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          val stage = if (s.buy != none) 3 else if (s.click != none) 2
+            else if (s.view != none) 1 else 0
+          (uid, stage)
+      }
   }
 
   /** S5 streaming face: micro-batched stream → relational store, the

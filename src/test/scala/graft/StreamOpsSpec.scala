@@ -265,6 +265,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(300L) == 2L && out(600L) == 2L)
   }
 
+  test("streaming funnel: ordered view->click->purchase stages across micro-batches, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.funnelStages(input.toDF())
+      .toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 views then clicks; user 2 clicks BEFORE any view
+      // (must not count); user 3 only views
+      input.addData(Seq(
+        ev(1, 10, 1, "view"), ev(2, 11, 1, "click"),
+        ev(3, 10, 2, "click"),
+        ev(4, 12, 3, "view")))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (after click -> stage 3); user 2 views
+      // at min 12 then clicks at min 13 (click after view -> stage 2);
+      // user 3 "purchases" without ever clicking (stays stage 1)
+      input.addData(Seq(
+        ev(5, 13, 1, "purchase"),
+        ev(6, 12, 2, "view"), ev(7, 13, 2, "click"),
+        ev(8, 14, 3, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // stages only move forward, so max = the final reached stage (memory
+    // sink rows carry no batch id; `last` over an unordered group would race)
+    val reached = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(reached == Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
+
   test("streaming keyed-correction sink: a later micro-batch supersedes a stored row by key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
