@@ -298,6 +298,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(reached == Map(1L -> 3, 2L -> 2, 3L -> 1))
   }
 
+  test("streaming funnel state survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("funnel_out").toString
+    val input = MemoryStream[Ev]
+    // update-mode output: parquet sink is append-only, so persist each
+    // micro-batch's updates through foreachBatch
+    def start() = StreamOps.funnelStages(input.toDF()).toDF("user_id", "stage")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData(Seq(ev(1, 10, 1, "view"), ev(2, 11, 1, "click")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // post-restart purchase can only reach stage 3 if the restored state
+    // still holds the pre-restart click timestamp to be strictly after
+    val q2 = start()
+    try {
+      input.addData(Seq(ev(3, 12, 1, "purchase")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val stages = spark.read.parquet(out)
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .as[(Long, Int)].collect().toMap
+    assert(stages == Map(1L -> 3))
+  }
+
   test("streaming keyed-correction sink: a later micro-batch supersedes a stored row by key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
