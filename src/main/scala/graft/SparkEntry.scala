@@ -118,6 +118,11 @@ object SparkEntry {
       "q_map_funcs" -> (Relational.mapFunctionsCore _),
       "q_unpivot" -> (Relational.unpivotCore _),
       "q_json" -> (Relational.jsonExtractCore _),
+      // output-sized results whose trailing global sort exists only for
+      // the oracle compare: at scale both are table-cardinality outputs
+      // and the range-shuffle sort is not part of the production shape
+      "q_scd2" -> (Relational.scd2Core _),
+      "q_pagerank" -> (TextOps.pageRankCore _),
     )
 
   /** Shared CTE chain for the MinHash-LSH oracles (q_minhash_lsh,

@@ -148,6 +148,11 @@ object TextOps {
       .rdd.zipWithIndex()
       .map { case (tok, idx) => (tok, idx.toInt) }
       .toDF("tok", "bit")
+    // the broadcast hint is a FIXTURE-SCALE choice (the RDD-derived rank
+    // frame has no stats for Catalyst to decide with); at corpus scale the
+    // vocabulary outgrows a broadcast and this hint should be dropped —
+    // the tok equi-join then shuffles both sides, which is the correct
+    // postings-join shape there
     val docs = toks.join(broadcast(ranked), "tok")
       .groupBy("doc_id", "source")
       .agg(sort_array(collect_list(col("bit"))).as("bits"))
@@ -298,6 +303,16 @@ object TextOps {
     val pairs = minhashPairs(spark, dir)
     val nodes = Tables.documents(spark, dir).select("doc_id")
     pageRankOnGraph(nodes, pairs).orderBy(desc("pr"), col("doc_id"))
+  }
+
+  /** Bench shape of [[pageRank]]: ranks are doc-cardinality, so the
+    * global rank sort is verify-only — the production shape sorts within
+    * partitions (top-rank extraction at scale is a TakeOrdered, not a
+    * range-shuffle of all ranks). */
+  def pageRankCore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val nodes = Tables.documents(spark, dir).select("doc_id")
+    pageRankOnGraph(nodes, pairs).sortWithinPartitions(desc("pr"), col("doc_id"))
   }
 
   /** The power-iteration loop behind [[pageRank]], separated (same reason
