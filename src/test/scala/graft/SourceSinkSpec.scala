@@ -29,6 +29,24 @@ class SourceSinkSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("S2/S5: csv and json formats round-trip under a declared schema") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_fmt").toString
+    val src = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id").limit(100)
+    // text formats are interchange surfaces, not storage: always written
+    // and re-read under the DECLARED schema (inference is a job of its
+    // own and type-drifts silently — the S2 lesson)
+    src.write.option("header", "true").csv(s"$base/csv")
+    src.write.json(s"$base/json")
+    def back(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, String, Double)].collect().toSet
+    val want = back(src)
+    assert(back(spark.read.option("header", "true").schema(src.schema).csv(s"$base/csv")) == want)
+    assert(back(spark.read.schema(src.schema).json(s"$base/json")) == want)
+  }
+
   test("S5: append sink — row inserts accumulate (the register() path)") {
     val dir = Files.createTempDirectory("users_sink").toString + "/users"
     val u1 = Tables.customer(spark, sf).limit(10)

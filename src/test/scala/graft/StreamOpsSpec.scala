@@ -298,6 +298,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(reached == Map(1L -> 3, 2L -> 2, 3L -> 1))
   }
 
+  test("stream-static broadcast dim join enriches streaming events (S3 pattern)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static dim stays a broadcast build re-planned per micro-batch —
+    // the streaming face of the class-dim lookup (no stream-stream state)
+    val dim = Seq((0L, "zone_a"), (1L, "zone_b"), (2L, "zone_c")).toDF("user_id", "zone")
+    val input = MemoryStream[Ev]
+    val q = input.toDF().join(broadcast(dim), Seq("user_id"), "left")
+      .select("event_id", "zone")
+      .writeStream.format("memory").queryName("dim_join_out").outputMode("append").start()
+    try {
+      input.addData(Seq(ev(1, 0, 0), ev(2, 1, 1)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(3, 2, 5))) // user 5 not in the dim
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dim_join_out")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("zone_a"), 2L -> Some("zone_b"), 3L -> None))
+  }
+
   test("streaming funnel state survives a checkpoint restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
