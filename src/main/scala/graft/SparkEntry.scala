@@ -101,6 +101,9 @@ object SparkEntry {
     "q_quantiles_approx" -> (Relational.quantilesApprox _),
     "q_sample" -> (TextOps.stratifiedSample _),
     "q_ivf_topk" -> (Ivf.ivfTopK _),
+    // rows-only: int8 round/clamp arithmetic has no portable SQL twin at
+    // hash precision; QuantizeSpec bounds reconstruction + recall
+    "q_quantized_topk" -> (VectorOps.quantizedTopK _),
     // rows-only: the batched scorer's digest arithmetic + row-local NMS
     // have no SQL twin; CrowdPipelineSpec pins batch-shape invariance
     "q_pipeline" -> (graft.pipeline.CrowdPipeline.pipelineQuery _),

