@@ -74,7 +74,17 @@ object Bench {
     // default locale and emits ',' decimals on e.g. de_DE → invalid JSON).
     def num(t: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
 
+    // optional comma-list subset (SPARK_GRAFT_QUERIES=q_a,q_b) for cheap
+    // single-query baselining; unknown names fail fast rather than
+    // silently benching nothing
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.benchShapes.keySet
+      require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
+    }
     val names = SparkEntry.benchShapes.keys.toSeq.sorted
+      .filter(n => subset.forall(_.contains(n)))
     // samples(name)(pass) = (seconds, error); -1 s stands in for a failed
     // repeat in the emitted array
     val samples = scala.collection.mutable.Map.empty[String, Vector[(Double, Option[String])]]
