@@ -92,6 +92,7 @@ object SparkEntry {
     "q_quantiles" -> (Relational.quantiles _),
     "q_impute" -> (Relational.imputeQuery _),
     "q_histogram" -> (Relational.histogram _),
+    "q_histogram_eq" -> (Relational.histogramEquiDepth _),
     "q_pivot" -> (Relational.pivotQuery _),
     "q_unpivot" -> (Relational.unpivotQuery _),
     "q_group_stats" -> (Relational.groupStats _),
@@ -548,6 +549,20 @@ object SparkEntry {
       """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_histogram_eq: floor-scaled integer cents so quantile_cont ≡
+    // percentile over exact dyadic rationals (q_outliers discipline)
+    "q_histogram_eq" ->
+      """WITH o AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        |), qs AS (
+        |  SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.50) AS q2,
+        |    quantile_cont(v, 0.75) AS q3
+        |  FROM o
+        |)
+        |SELECT CAST(CASE WHEN v < q1 THEN 1 WHEN v < q2 THEN 2
+        |            WHEN v < q3 THEN 3 ELSE 4 END AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM o CROSS JOIN qs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pivot" ->
       // portable pivot: conditional aggregation (CASE) instead of engine
       // PIVOT syntax; zero-count cells coalesce to 0 on both sides

@@ -690,6 +690,31 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket_lo")
 
+  /** Equi-DEPTH histogram (quantile buckets) — the skew-honest twin of
+    * the fixed-width [[histogram]]: bucket boundaries are the quartiles,
+    * so each bucket holds ~25% of rows no matter how skewed the values.
+    * The boundary frame is ONE 4-value exact-percentile aggregate
+    * broadcast back onto a narrow scan (q_impute pattern); values are
+    * floor-scaled to integer cents so both engines interpolate quartiles
+    * over exact dyadic rationals (same discipline as q_outliers).
+    * Half-open bucket rule [lo, hi) with the top bucket closed. */
+  def histogramEquiDepth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("v"))
+    val qs = o.agg(
+      expr("percentile(v, 0.25)").as("q1"),
+      expr("percentile(v, 0.50)").as("q2"),
+      expr("percentile(v, 0.75)").as("q3"))
+    o.crossJoin(broadcast(qs))
+      .select(when(col("v") < col("q1"), lit(1L))
+        .when(col("v") < col("q2"), lit(2L))
+        .when(col("v") < col("q3"), lit(3L))
+        .otherwise(lit(4L)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   /** Data-profiling summary statistics per group: count / mean / sample
     * stddev / extrema / value↔user correlation. All single-pass
     * partial-aggregable moments — the profile never reshuffles the data,
