@@ -84,6 +84,10 @@ object SparkEntry {
     "q_tfidf" -> (TextOps.tfidf _),
     "q_simhash" -> (TextOps.simhash _),
     "q_top_terms" -> (TextOps.topTerms _),
+    "q_ngram" -> ((s: SparkSession, d: String) => TextOps.ngramTopK(s, d)),
+    "q_entropy" -> (TextOps.tokenEntropy _),
+    "q_locf" -> (Relational.gapFillLocf _),
+    "q_cdc" -> (Relational.cdcApply _),
     "q_binary_meta" -> (TextOps.binaryMeta _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.frameSampleQuery _),
     "q_nms_greedy" -> (Nms.greedyQuery _),
@@ -1039,6 +1043,71 @@ object SparkEntry {
       """SELECT tok, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    // q_ngram: range(1, len) is end-exclusive → i = 1..len-1, and DuckDB
+    // lists are 1-based, mirroring Spark's shifted-slice zip_with
+    "q_ngram" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT source, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t
+        |), c AS (
+        |  SELECT source, bigram, count(*) AS n FROM g GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, bigram, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY n DESC, bigram) AS rk
+        |  FROM c)
+        |SELECT source, bigram, n, rk FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
+    // q_entropy: both engines fold the SAME sorted count array
+    // left-to-right (list_sum(list_transform) ≡ aggregate) → bit-equal
+    // doubles before the display rounding
+    "q_entropy" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), c AS (
+        |  SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
+        |), s AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    list_sort(list(c)) AS cs
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, CAST(len(cs) AS BIGINT) AS n_terms,
+        |  round(list_sum(list_transform(cs,
+        |    c -> -(c / CAST(n_tokens AS DOUBLE)) * ln(c / CAST(n_tokens AS DOUBLE)))), 4) AS entropy
+        |FROM s ORDER BY source""".stripMargin,
+    "q_locf" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day FROM events
+        |), daily AS (
+        |  SELECT event_type, day, count(*) AS n FROM ev GROUP BY 1, 2
+        |), b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev
+        |), grid AS (
+        |  SELECT t.event_type, g.day
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b) g
+        |), j AS (
+        |  SELECT g.event_type, g.day, d.n
+        |  FROM grid g LEFT JOIN daily d USING (event_type, day))
+        |SELECT event_type, CAST(day AS DATE) AS day,
+        |  CAST(coalesce(last_value(n IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS n_filled,
+        |  n IS NOT NULL AS observed
+        |FROM j ORDER BY event_type, day""".stripMargin,
+    // q_cdc: oracle uses the window formulation on purpose — an
+    // independent derivation of the same latest-state semantics as the
+    // engine's max_by reduce
+    "q_cdc" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_type AS last_op, value AS last_value,
+        |  ts AS last_ts
+        |FROM r WHERE rk = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "q_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -895,6 +895,60 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** E-WIN/E-DATE: time-series gap fill + forward fill (LOCF) — the
+    * resample step every monitoring dashboard needs over the reference's
+    * event history (`views.py` dashboard; "historical trend analysis",
+    * paper p.1). A dense (event_type × day) calendar grid is generated
+    * from ONE global min/max aggregate (`sequence` + explode — no driver
+    * round-trip), daily counts left-join onto it, and missing days carry
+    * the last observed count via `last(_, ignoreNulls)` over a
+    * per-type ordered window. Scale: the grid is |types| × |days| — both
+    * dimension-like — and the window partitions by type, so the sort is
+    * per-type calendar-length, never event-count-length. */
+  def gapFillLocf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+    val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val grid = ev.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      .crossJoin(ev.select("event_type").distinct())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(
+        col("event_type"),
+        col("day").cast("date").as("day"),
+        coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L)).as("n_filled"),
+        col("n").isNotNull.as("observed"))
+      .orderBy("event_type", "day")
+  }
+
+  /** E-AGG/E-WIN: CDC apply — reduce a keyed change log to current state
+    * (the log-compaction half of [[mergeUpsertQuery]]'s upsert; reference
+    * seed: the per-user latest-state reads in `views.py`). `event_type`
+    * plays the op column: `error` = tombstone, anything else upserts.
+    * Scale shape: ONE `max_by(payload, (ts, event_id))` aggregate — the
+    * struct buffer makes it a SortAggregate (partition-LOCAL sort), but
+    * the partial max runs map-side, so the exchange moves one compacted
+    * row per key instead of every key's full history like the
+    * row_number-over-window formulation. Tombstoned keys are dropped
+    * AFTER the reduce, so
+    * a delete correctly shadows earlier updates. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_type"), col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(
+        col("user_id"),
+        col("last.event_type").as("last_op"),
+        col("last.value").as("last_value"),
+        col("last.ts").as("last_ts"))
+      .filter(col("last_op") =!= "error")
+      .orderBy("user_id")
+
   /** V1-V5 validation dispatch (`verify.py:40-50`): first-failing-rule
     * when-chain over customer rows, aggregated to status counts. */
   def validationDispatch(spark: SparkSession, dir: String): DataFrame =

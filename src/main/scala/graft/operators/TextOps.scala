@@ -483,6 +483,58 @@ object TextOps {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(20)
 
+  /** E-TEXT: top-k bigrams per source (n-gram language-model counts, the
+    * unigram→n-gram step of the mandate's token-counting family). The
+    * bigram array is built with `zip_with` over two shifted slices — one
+    * codegen'd pass per row; the per-element `element_at(split(...), i)`
+    * formulation would re-split the text for every gram (the interpreted-
+    * HOF outer-reference trap). Count then rank per source; the per-group
+    * top-k is a partial-aggregable count + one bounded window. */
+  def ngramTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(grams).as("bigram"))
+      .groupBy("source", "bigram").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n").desc, col("bigram"))
+    counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("source", "rk")
+  }
+
+  /** E-TEXT/E-AGG: per-source unigram Shannon entropy (corpus diversity
+    * profiling). Double-summation order differs between engines, so the
+    * term distribution is folded DETERMINISTICALLY: per-source term counts
+    * are collected into a SORTED array and `aggregate` folds it
+    * left-to-right — both engines reduce the identical sequence, so the
+    * doubles match bit-for-bit before the final display rounding. The
+    * collected array is vocabulary-sized (distinct terms per source), not
+    * corpus-sized — safe while vocabularies are dim-like (they are: text
+    * vocab, not document count, bounds it). */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("source")
+      .agg(
+        sum("c").as("n_tokens"),
+        array_sort(collect_list(col("c"))).as("cs"))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        size(col("cs")).cast("long").as("n_terms"),
+        round(aggregate(col("cs"), lit(0.0), (acc, c) => {
+          val p = c.cast("double") / col("n_tokens")
+          acc - p * log(p)
+        }), 4).as("entropy"))
+      .orderBy("source")
+  }
+
   /** Multimodal plumbing (mandate): opaque binary column + typed metadata.
     * The "decode" here is byte-level (length + digest) — the model-decode
     * stage proper is the mapPartitions stub in graft.multimodal. */
