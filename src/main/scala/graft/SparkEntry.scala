@@ -88,6 +88,7 @@ object SparkEntry {
     "q_entropy" -> (TextOps.tokenEntropy _),
     "q_locf" -> (Relational.gapFillLocf _),
     "q_cdc" -> (Relational.cdcApply _),
+    "q_corrupt" -> (Relational.corruptQuarantine _),
     "q_binary_meta" -> (TextOps.binaryMeta _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.frameSampleQuery _),
     "q_nms_greedy" -> (Nms.greedyQuery _),
@@ -1095,6 +1096,19 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS n_filled,
         |  n IS NOT NULL AS observed
         |FROM j ORDER BY event_type, day""".stripMargin,
+    // q_corrupt: the mangle drops the leading '{' so the payload is
+    // invalid from byte 0 — Spark from_json → null row, DuckDB
+    // json_valid → false, no partial-parse ambiguity
+    "q_corrupt" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN substr(props, 2) ELSE props END AS props
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN json_valid(props)
+        |    THEN CAST(json_extract(props, '$.k') AS BIGINT) END) AS BIGINT) AS k_sum
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_cdc: oracle uses the window formulation on purpose — an
     // independent derivation of the same latest-state semantics as the
     // engine's max_by reduce

@@ -895,6 +895,50 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** E-MAP/JSON: malformed-record quarantine accounting — the
+    * PERMISSIVE-mode half of JSON ingest (at 100 TB some fraction of
+    * `props` payloads WILL be truncated/garbled; the pipeline must count
+    * and route them, not die). A deterministic mangle (drop the leading
+    * `{` on every 7th record, so the payload is invalid from byte 0 — no
+    * partial-parse ambiguity between engines) stands in for wire
+    * corruption. PERMISSIVE `from_json` never nulls the struct — it nulls
+    * the FIELDS — so corrupt rows are detected the idiomatic way: a
+    * `columnNameOfCorruptRecord` slot that captures the raw unparseable
+    * payload (which is also what a real quarantine sink would route).
+    * The aggregate reports per-type corrupt counts alongside the sum over
+    * the rows that DID parse. One narrow scan, partial-aggregable. */
+  def corruptQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val mangled = when(col("event_id") % 7 === 0, substring(col("props"), 2, 1000000))
+      .otherwise(col("props"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, _quarantine STRING")
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(mangled, schema,
+          Map("columnNameOfCorruptRecord" -> "_quarantine")).as("parsed"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("parsed._quarantine").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(col("parsed.k")).as("k_sum"))
+      .orderBy("event_type")
+  }
+
+  /** In-flight data-quality metrics via `Dataset.observe`: row count, null
+    * count, and extrema of `valueCol` are accumulated DURING whatever
+    * action the caller runs on the returned frame — no second scan, no
+    * cache. This is how a 100 TB pipeline watches itself: contracts ride
+    * on the production query instead of doubling the I/O bill (the
+    * post-hoc twin of [[dqChecks]], which is its own scan). Metrics must
+    * be partial-aggregable (they are: count/sum/min/max) because each
+    * task contributes a partial buffer. */
+  def observeDq(df: DataFrame, obs: org.apache.spark.sql.Observation,
+                valueCol: String): DataFrame =
+    df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("n_null"),
+      min(col(valueCol)).as("v_min"),
+      max(col(valueCol)).as("v_max"))
+
   /** E-WIN/E-DATE: time-series gap fill + forward fill (LOCF) — the
     * resample step every monitoring dashboard needs over the reference's
     * event history (`views.py` dashboard; "historical trend analysis",
