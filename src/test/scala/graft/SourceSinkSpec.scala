@@ -29,6 +29,23 @@ class SourceSinkSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("S2/S5: orc round-trips with schema carried in the file (the non-parquet columnar store)") {
+    val base = Files.createTempDirectory("graft_orc").toString
+    val src = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    src.write.orc(s"$base/orc")
+    val back = spark.read.orc(s"$base/orc")
+    // columnar self-describing format: schema survives without re-declaring
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // predicate pushdown reaches the ORC scan like parquet's
+    val plan = back.filter(org.apache.spark.sql.functions.col("event_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,10)]"),
+      s"no pushed filter in ORC scan:\n$plan")
+  }
+
   test("S2/S5: csv and json formats round-trip under a declared schema") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_fmt").toString
