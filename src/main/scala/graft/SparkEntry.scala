@@ -86,6 +86,12 @@ object SparkEntry {
     "q_top_terms" -> (TextOps.topTerms _),
     "q_ngram" -> ((s: SparkSession, d: String) => TextOps.ngramTopK(s, d)),
     "q_entropy" -> (TextOps.tokenEntropy _),
+    "q_postings" -> (TextOps.postings _),
+    "q_edit_sim" -> (TextOps.editSimilarity _),
+    "q_triangles" -> (TextOps.triangleCensus _),
+    "q_mix" -> (TextOps.mixRates _),
+    "q_wsample" -> (TextOps.weightedSample _),
+    "q_zorder" -> (Layout.zorderQuery _),
     "q_locf" -> (Relational.gapFillLocf _),
     "q_cdc" -> (Relational.cdcApply _),
     "q_corrupt" -> (Relational.corruptQuarantine _),
@@ -1044,6 +1050,101 @@ object SparkEntry {
       """SELECT tok, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    "q_postings" ->
+      // inverted index: df over the full posting, sample capped at rk<=10
+      // BEFORE aggregation (mirrors the Spark bounded-collect shape)
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), ranked AS (
+        |  SELECT tok, doc_id,
+        |    count(*) OVER (PARTITION BY tok) AS df,
+        |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rk
+        |  FROM toks)
+        |SELECT tok, CAST(max(df) AS BIGINT) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS sample_docs
+        |FROM ranked WHERE rk <= 10 GROUP BY tok ORDER BY tok""".stripMargin,
+    "q_edit_sim" ->
+      // LSH candidate pairs -> Levenshtein over 80-char heads
+      s"""WITH $minhashPairCtes
+        |SELECT d1, d2,
+        |  CAST(levenshtein(substr(x.text, 1, 80), substr(y.text, 1, 80)) AS BIGINT) AS edit_dist
+        |FROM pairs
+        |JOIN documents x ON x.doc_id = d1
+        |JOIN documents y ON y.doc_id = d2
+        |WHERE levenshtein(substr(x.text, 1, 80), substr(y.text, 1, 80)) <= 40
+        |ORDER BY d1, d2""".stripMargin,
+    "q_triangles" ->
+      // ordered-edge triangle join over the same pair graph (d1 < d2):
+      // wedge a<b<c closed by edge (a, c); wedges from degree choose 2
+      s"""WITH $minhashPairCtes,
+        |deg AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT d1 AS v FROM pairs UNION ALL SELECT d2 AS v FROM pairs) b
+        |  GROUP BY v
+        |), w AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+        |t AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e1.d2 = e2.d1
+        |  JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+        |), e AS (SELECT count(*) AS n_edges FROM pairs)
+        |SELECT n_edges, n_wedges, n_triangles,
+        |  round(CASE WHEN n_wedges > 0
+        |    THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 4) AS clustering
+        |FROM e CROSS JOIN w CROSS JOIN t""".stripMargin,
+    "q_mix" ->
+      // mixing plan: named shares sum to 0.8, remainder 0.2 split evenly
+      // over unlisted sources; budget = half the corpus tokens; rate <= 1
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM per),
+        |t(source, target_share) AS (VALUES
+        |  ('src0', CAST(0.35 AS DOUBLE)), ('src1', CAST(0.20 AS DOUBLE)),
+        |  ('src2', CAST(0.12 AS DOUBLE)), ('src3', CAST(0.08 AS DOUBLE)),
+        |  ('src4', CAST(0.05 AS DOUBLE))),
+        |j AS (
+        |  SELECT per.source, per.n_docs, per.n_tokens, t.target_share
+        |  FROM per LEFT JOIN t USING (source)
+        |), n AS (SELECT count(*) AS n_other FROM j WHERE target_share IS NULL),
+        |s AS (
+        |  SELECT j.source, j.n_docs, j.n_tokens,
+        |    round(coalesce(j.target_share, CAST(0.2 AS DOUBLE) / n.n_other), 4) AS share
+        |  FROM j CROSS JOIN n
+        |), r AS (
+        |  SELECT s.source, s.n_docs, s.n_tokens, s.share,
+        |    round(least(1.0, b.budget * s.share / s.n_tokens), 4) AS rate
+        |  FROM s CROSS JOIN b)
+        |SELECT source, n_docs, n_tokens, share, rate,
+        |  CAST(floor(rate * n_tokens) AS BIGINT) AS est_tokens
+        |FROM r ORDER BY source""".stripMargin,
+    "q_wsample" ->
+      // Efraimidis-Spirakis weighted top-5 per source with a deterministic
+      // integer-hash uniform, so the draw is engine-neutral and checkable
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000003.0 AS u
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, source, n_tok,
+        |    round(pow(u, CAST(1.0 AS DOUBLE) / n_tok), 8) AS skey
+        |  FROM d
+        |), r AS (
+        |  SELECT source, doc_id, n_tok, skey,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS BIGINT) AS rank
+        |  FROM k)
+        |SELECT source, rank, doc_id, n_tok, skey
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "q_zorder" ->
+      // the same 32 shift/mask interleave terms Layout.zkey16 emits,
+      // generated from the shared bit-index loop (zkey16Sql)
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_partkey, l_suppkey,
+        |  CAST(${operators.Layout.zkey16Sql("l_partkey", "l_suppkey")} AS BIGINT) AS zkey
+        |FROM lineitem
+        |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 50""".stripMargin,
     // q_ngram: range(1, len) is end-exclusive → i = 1..len-1, and DuckDB
     // lists are 1-based, mirroring Spark's shifted-slice zip_with
     "q_ngram" ->

@@ -535,6 +535,158 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** E-TEXT: inverted-index build (term → document frequency + bounded
+    * posting sample) — the retrieval-side complement of [[tfidf]]: the
+    * postings equi-join is what makes token-overlap dedup and keyword
+    * search sub-quadratic at corpus scale.
+    *
+    * Scale shape: ONE hash-partition by term feeds both the window and
+    * the aggregate (same key → Catalyst reuses the exchange). The posting
+    * sample is CAPPED BEFORE collection — `row_number ≤ 10` filters the
+    * exploded rows, so no task ever materializes a full posting list (at
+    * 100 TB a stopword's postings are corpus-sized; `collect_list`-then-
+    * slice would hold them in one aggregation buffer). df counts the full
+    * posting via the unbounded count window on the same partition. */
+  def postings(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+    val wOrd = w.orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(wOrd))
+      .filter(col("rk") <= 10)
+      .groupBy("tok")
+      .agg(max("df").as("df"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string"))).as("sample_docs"))
+      .orderBy("tok")
+  }
+
+  /** E-DEDUP verification lens #2: edit-distance (record linkage) —
+    * Levenshtein over the first 80 chars of each LSH candidate pair.
+    * Where [[jaccardPairs]] verifies bag-of-words overlap, this catches
+    * ORDER-preserving near-duplication (shared prefixes, small edits) the
+    * set view is blind to. Candidates come from [[minhashPairs]], so the
+    * quadratic edit-distance kernel only ever runs on the LSH-screened
+    * pair set — the same candidates-then-verify discipline as the bitmap
+    * path; the 80-char cap bounds the O(n·m) DP per pair. */
+  def editSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val heads = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("head"))
+    minhashPairs(spark, dir)
+      .join(heads.select(col("doc_id").as("d1"), col("head").as("h1")), "d1")
+      .join(heads.select(col("doc_id").as("d2"), col("head").as("h2")), "d2")
+      .select(col("d1"), col("d2"), levenshtein(col("h1"), col("h2")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 40)
+      .orderBy("d1", "d2")
+  }
+
+  /** Graph shape of the duplication neighborhood: global triangle census
+    * over the MinHash-LSH pair graph — edge count, wedge count (paths of
+    * length 2), triangle count, and the global clustering coefficient
+    * 3·triangles/wedges. High clustering says near-dup candidates form
+    * tight cliques (true dup families); low says chains/stars (shingle
+    * collisions), so this is the graph-level quality gauge for the LSH
+    * parameters, the same way [[pageRank]] gauges centrality.
+    *
+    * Algorithm: the standard ordered-edge triangle join — every edge is
+    * kept as (lo, hi) once, and triangles are counted by joining the
+    * wedge (a<b, b<c) against the closing edge (a, c). Each step is an
+    * equi-join + partial-agg count: no node ever materializes its whole
+    * neighborhood, so the plan survives corpus-scale graphs (skew bound =
+    * max-degree wedge fan-out, the accepted cost of exact counting). */
+  def triangleCensus(spark: SparkSession, dir: String): DataFrame =
+    triangleCensusOnEdges(minhashPairs(spark, dir))
+
+  /** The census over any (d1 < d2) edge frame, separated (same reason as
+    * [[connectedComponents]]) so known graph shapes — a closed triangle
+    * with a pendant, a pure star — are unit-testable. */
+  private[graft] def triangleCensusOnEdges(pairs: DataFrame): DataFrame = {
+    val edges = pairs.persist() // joined 3× + degree scan
+    val deg = edges.select(col("d1").as("v")).unionByName(edges.select(col("d2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.d2") === col("e2.d1"))
+      .join(edges.as("e3"),
+        col("e1.d1") === col("e3.d1") && col("e2.d2") === col("e3.d2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    nEdges.crossJoin(wedges).crossJoin(tri) // three 1-row aggregates
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges")).otherwise(lit(0.0)), 4)
+          .as("clustering"))
+  }
+
+  /** Training-data mixing (mandate: corpus composition control): given a
+    * domain recipe — five named sources with explicit shares summing to
+    * 0.8, the remaining 0.2 split evenly across every OTHER source — and
+    * a global token budget (half the corpus), compute each source's
+    * sampling rate r = min(1, budget·share/tokens). This is the planning
+    * step of every "mix N domains to a recipe" pipeline — the output
+    * rates feed [[weightedSample]]-style selection. The recipe covers ALL
+    * domains (a left join + even-split default), so no source is silently
+    * dropped. One narrow agg per source + three 1-row broadcasts;
+    * entirely deterministic (integer token counts, exact share literals —
+    * the 0.2 remainder is a literal, not 1−0.8, which in doubles is
+    * 0.19999999999999996). */
+  val MixTargets: Seq[(String, Double)] = Seq(
+    "src0" -> 0.35, "src1" -> 0.20, "src2" -> 0.12, "src3" -> 0.08, "src4" -> 0.05)
+
+  def mixRates(spark: SparkSession, dir: String): DataFrame = {
+    val sess = spark
+    import sess.implicits._
+    val targets = MixTargets.toDF("source", "target_share")
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val joined = perSource.join(broadcast(targets), Seq("source"), "left")
+    val nOther = joined.filter(col("target_share").isNull)
+      .agg(count(lit(1)).as("n_other"))
+    val budget = perSource.agg((sum("n_tokens") / 2).cast("long").as("budget"))
+    joined
+      .crossJoin(broadcast(budget))
+      .crossJoin(broadcast(nOther))
+      .withColumn("share",
+        round(coalesce(col("target_share"), lit(0.2) / col("n_other")), 4))
+      .withColumn("rate",
+        round(least(lit(1.0), col("budget") * col("share") / col("n_tokens")), 4))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        col("rate"), floor(col("rate") * col("n_tokens")).cast("long").as("est_tokens"))
+      .orderBy("source")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * per-source top-5 docs by key u^(1/w), weight = document length, so
+    * longer documents are proportionally likelier — the selection step of
+    * token-budget mixing ([[mixRates]] plans, this draws). The uniform u
+    * is NOT an engine RNG: it derives from doc_id by integer arithmetic
+    * (Knuth multiplicative hash mod a prime), so the draw is reproducible
+    * across engines and the oracle can check it exactly — unlike
+    * [[stratifiedSample]], whose Spark-internal per-row draw forces a
+    * rows-only check. Ranking keys are rounded to 8 decimals before the
+    * (key desc, doc_id) order so cross-engine pow() ulp drift cannot flip
+    * ranks (a 1-ulp difference only matters if the true value sits within
+    * ~1e-16 of a 1e-8 grid boundary; ties themselves are safe — doc_id
+    * breaks them identically on both sides). Per-group top-k via row_number — one partial-aggregable
+    * shuffle, the q_win_topk shape. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = ((col("doc_id") * 2654435761L) % 1000003L + 1L).cast("double") / 1000003.0
+    val key = round(pow(u, lit(1.0) / col("n_tok")), 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("skey").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("skey", key)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_tok"), col("skey"))
+      .orderBy("source", "rank")
+  }
+
   /** Multimodal plumbing (mandate): opaque binary column + typed metadata.
     * The "decode" here is byte-level (length + digest) — the model-decode
     * stage proper is the mapPartitions stub in graft.multimodal. */

@@ -64,6 +64,19 @@ object Writers {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** Spread 16 bits over 32, zeros between (abcd… → a0b0c0d0…): the
+    * 4-step magic-mask half of the Morton interleave. private[graft] so
+    * LayoutSpec can prove it equals the 32-term specification form
+    * (`operators.Layout.zkey16`) the q_zorder oracle checks. */
+  private[graft] def spread16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    var x = c.bitwiseAND(lit(0xFFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x33333333L))
+    (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
   /** Z-ORDER clustered write: interleave the bits of two rank-quantized
     * numeric columns into a Morton code, range-partition + sort the rows
     * by it, and write — every produced file then covers a small
@@ -91,16 +104,8 @@ object Writers {
     def quant(c: Column, lo: Double, hi: Double): Column =
       least(lit(65535L), greatest(lit(0L),
         ((c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-300)) * 65535.0).cast("long")))
-    // spread 16 bits over 32 (zeros between): x = abcdefgh… → a0b0c0d0…
-    def spread(c: Column): Column = {
-      var x = c.bitwiseAND(lit(0xFFFFL))
-      x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
-      x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0FL))
-      x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x33333333L))
-      (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x55555555L))
-    }
-    val z = spread(quant(col(xCol), b.getDouble(0), b.getDouble(1)))
-      .bitwiseOR(shiftleft(spread(quant(col(yCol), b.getDouble(2), b.getDouble(3))), 1))
+    val z = spread16(quant(col(xCol), b.getDouble(0), b.getDouble(1)))
+      .bitwiseOR(shiftleft(spread16(quant(col(yCol), b.getDouble(2), b.getDouble(3))), 1))
     df.withColumn("_z", z)
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")

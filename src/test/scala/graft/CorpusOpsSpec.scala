@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-6 corpus operators on shapes the fixture can't
+  * pin: the triangle census on known graphs, the weighted sample's
+  * determinism and size bias, the postings cap, and the mixing plan's
+  * recipe invariants. (The fixture-level values are all DuckDB-oracled
+  * via q_triangles / q_wsample / q_postings / q_mix / q_edit_sim.) */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Double) = {
+    import spark.implicits._
+    val r = TextOps.triangleCensusOnEdges(edges.toDF("d1", "d2")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+  }
+
+  test("triangle census: closed triangle with a pendant edge") {
+    // 1-2-3 closed, 4 hangs off 3: deg = (2,2,3,1) → wedges 1+1+3 = 5
+    assert(census(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))) ==
+      ((4L, 5L, 1L, 0.6)))
+  }
+
+  test("triangle census: a star has wedges but no triangles") {
+    // hub 1 with 3 leaves: deg(1)=3 → 3 wedges, no closing edges
+    assert(census(Seq((1L, 2L), (1L, 3L), (1L, 4L))) == ((3L, 3L, 0L, 0.0)))
+  }
+
+  test("triangle census: K4 is fully clustered (coefficient 1)") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(census(k4) == ((6L, 12L, 4L, 1.0)))
+  }
+
+  test("weighted sample: 5 ranks per source, deterministic, keys in (0, 1]") {
+    val a = TextOps.weightedSample(spark, sf).collect()
+    val b = TextOps.weightedSample(spark, sf).collect()
+    assert(a.sameElements(b), "A-ES draw must be reproducible")
+    val bySource = a.groupBy(_.getString(0))
+    bySource.foreach { case (s, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to 5L), s"ranks of $s")
+    }
+    assert(a.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("weighted sample: selected docs skew long (weight = length)") {
+    // u^(1/w) grows with w, so winners should be longer than their source's
+    // average doc — compare mean selected n_tok against the corpus mean
+    val sel = TextOps.weightedSample(spark, sf)
+      .agg(avg("n_tok")).head().getDouble(0)
+    val all = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("double").as("n"))
+      .agg(avg("n")).head().getDouble(0)
+    assert(sel > all, s"selected mean $sel should exceed corpus mean $all")
+  }
+
+  test("postings: df counts the full posting, sample is capped at 10") {
+    val rows = TextOps.postings(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val sample = r.getString(2).split(",")
+      assert(sample.length == math.min(df, 10L), s"${r.getString(0)} sample size")
+      assert(sample.map(_.toLong).sorted.sameElements(sample.map(_.toLong)), "sorted ids")
+    }
+    // at least one token must actually exceed the cap for the cap to be tested
+    assert(rows.exists(_.getLong(1) > 10), "fixture should have a common token")
+  }
+
+  test("mixing plan: every source planned, shares sum to 1, rates feasible") {
+    val rows = TextOps.mixRates(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length == nSources, "no source silently dropped")
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 0.01, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, "rate in [0,1]")
+      assert(r.getLong(5) <= r.getLong(2), "cannot sample more tokens than exist")
+    }
+    // the plan must hit the budget to within the named-domain rounding:
+    // sources capped at rate 1.0 under-deliver, everything else matches
+    val est = rows.map(_.getLong(5)).sum.toDouble
+    val total = rows.map(_.getLong(2)).sum.toDouble
+    assert(est <= total / 2 * 1.01, "plan cannot exceed the half-corpus budget")
+  }
+
+  test("edit-distance verify runs only on LSH candidates and is bounded") {
+    val rows = TextOps.editSimilarity(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair order d1 < d2")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 40, "distance within gate")
+    }
+  }
+}
