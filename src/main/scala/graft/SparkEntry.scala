@@ -87,6 +87,8 @@ object SparkEntry {
     "q_ngram" -> ((s: SparkSession, d: String) => TextOps.ngramTopK(s, d)),
     "q_entropy" -> (TextOps.tokenEntropy _),
     "q_postings" -> (TextOps.postings _),
+    "q_bm25" -> (TextOps.bm25 _),
+    "q_pmi" -> (TextOps.pmiCollocations _),
     "q_edit_sim" -> (TextOps.editSimilarity _),
     "q_triangles" -> (TextOps.triangleCensus _),
     "q_mix" -> (TextOps.mixRates _),
@@ -1063,6 +1065,62 @@ object SparkEntry {
         |SELECT tok, CAST(max(df) AS BIGINT) AS df,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS sample_docs
         |FROM ranked WHERE rk <= 10 GROUP BY tok ORDER BY tok""".stripMargin,
+    "q_bm25" ->
+      // Robertson BM25, Lucene idf variant; every fractional literal is
+      // CAST to DOUBLE (bare 0.5/1.2 parse as DECIMAL in DuckDB and the
+      // decimal-arithmetic rounding would diverge from Spark's doubles)
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+        |), df AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), c AS (
+        |  SELECT count(DISTINCT doc_id) AS n_docs,
+        |    CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+        |  FROM toks
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    round(ln(CAST(1.0 AS DOUBLE)
+        |        + (c.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+        |      * tf.tf * (CAST(1.2 AS DOUBLE) + 1)
+        |      / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * dl.dl / c.avgdl)), 4) AS score
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN c
+        |), ranked AS (
+        |  SELECT doc_id, tok, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, tok, score FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_pmi" ->
+      // PMI over word bigrams: integer count products stay exact on both
+      // sides (long×long there, HUGEINT here), cast to DOUBLE only at the
+      // division so ln sees the identical IEEE value
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t
+        |), bi AS (
+        |  SELECT bigram, count(*) AS c_ab FROM g GROUP BY 1
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+        |  GROUP BY 1
+        |), n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM bi),
+        |s AS (
+        |  SELECT b.bigram, b.c_ab,
+        |    round(ln(CAST(n.n_bi * b.c_ab AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)), 4) AS pmi
+        |  FROM bi b
+        |  JOIN uni u1 ON u1.w = string_split(b.bigram, ' ')[1]
+        |  JOIN uni u2 ON u2.w = string_split(b.bigram, ' ')[2]
+        |  CROSS JOIN n
+        |  WHERE b.c_ab >= 5)
+        |SELECT bigram, c_ab, pmi FROM s ORDER BY pmi DESC, bigram LIMIT 15""".stripMargin,
     "q_edit_sim" ->
       // LSH candidate pairs -> Levenshtein over 80-char heads
       s"""WITH $minhashPairCtes

@@ -416,6 +416,74 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** E-TEXT ranking: BM25 term weights (Robertson; the Lucene-style
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)) variant), top-3 terms per doc —
+    * [[tfidf]]'s production-ranking sibling: tf saturates at k1 and long
+    * documents are normalized by dl/avgdl, so corpus-prep relevance
+    * scoring doesn't overweight verbose or repetitive docs. Same scale
+    * shape as tfidf: tf/dl are per-doc aggregates, df one narrow
+    * distinct+count joined back on the term key (strategy left to AQE),
+    * N and avgdl ride in as a broadcast one-row aggregate. k1 = 1.2,
+    * b = 0.75 (the standard defaults). */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val corpus = toks.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      (count(lit(1)) / countDistinct(col("doc_id"))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val score = round(idf * col("tf") * (lit(k1) + 1) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(dl, "doc_id")
+      .join(df, "tok")
+      .crossJoin(broadcast(corpus))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** E-TEXT collocations: pointwise mutual information over word bigrams —
+    * PMI = ln(N_bi·c(ab) / (c(a)·c(b))), the association-mining step of
+    * phrase detection (word2vec-style phrase merging, stopword-phrase
+    * screens). Counts reuse the [[ngramTopK]] shifted-slice zip_with (one
+    * codegen pass per row, no re-split); unigram counts join the bigram
+    * frame twice on the word keys — both sides partial-aggregated before
+    * the join, so the shuffle moves vocabulary-sized frames, not corpus
+    * tokens. Gate c(ab) ≥ 5 screens noise pairs (standard practice) and
+    * bounds the output; top-15 by (PMI desc, bigram) is a TakeOrdered. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toksArr = split(col("text"), " ")
+    val grams = zip_with(
+      slice(toksArr, lit(1), greatest(size(toksArr) - 1, lit(0))),
+      slice(toksArr, lit(2), greatest(size(toksArr) - 1, lit(0))),
+      (a, bb) => concat(a, lit(" "), bb))
+    val docs = Tables.documents(spark, dir)
+    val bi = docs.select(explode(grams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val uni = docs.select(explode(toksArr).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nBi = bi.agg(sum("c_ab").as("n_bi"))
+    bi.filter(col("c_ab") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nBi))
+      .select(col("bigram"), col("c_ab"),
+        round(log(col("n_bi") * col("c_ab") / (col("c1") * col("c2"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(15)
+  }
+
   /** E-DEDUP: 16-bit SimHash fingerprint — per-token hash bits weighted by
     * token multiplicity, sign-aggregated per bit position. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {

@@ -84,6 +84,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(est <= total / 2 * 1.01, "plan cannot exceed the half-corpus budget")
   }
 
+  test("bm25: three ranked terms per doc, scores non-increasing, length-normalized") {
+    val rows = TextOps.bm25(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (d, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(Array(1L, 2L, 3L)), s"doc $d ranks")
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $d monotone")
+    }
+  }
+
+  test("pmi: collocations gated at support 5, strongest first") {
+    val rows = TextOps.pmiCollocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    assert(rows.forall(_.getLong(1) >= 5), "support gate")
+    val pmis = rows.map(_.getDouble(2))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b }, "ordered by pmi desc")
+  }
+
   test("edit-distance verify runs only on LSH candidates and is bounded") {
     val rows = TextOps.editSimilarity(spark, sf).collect()
     rows.foreach { r =>
