@@ -70,6 +70,7 @@ object SparkEntry {
     "q_ann_topk" -> (VectorOps.annTopK _),
     "q_ann_multiband" -> (VectorOps.annTopKMultiband _),
     "q_embed_neardup" -> (VectorOps.embedNearDup _),
+    "q_kmeans_assign" -> (VectorOps.kmeansAssign _),
     "q_str" -> (TextOps.strFunctions _),
     "q_text_quality" -> (TextOps.textQuality _),
     "q_langid" -> (TextOps.langId _),
@@ -1065,6 +1066,24 @@ object SparkEntry {
         |SELECT tok, CAST(max(df) AS BIGINT) AS df,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS sample_docs
         |FROM ranked WHERE rk <= 10 GROUP BY tok ORDER BY tok""".stripMargin,
+    "q_kmeans_assign" ->
+      // nearest of 8 seed centroids by squared L2; the dimension fold is
+      // sequential on both sides (list_sum ≡ aggregate, q_entropy
+      // precedent) so distances are bit-identical before rank/round
+      """WITH c AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+        |), d AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE)))) AS dist2
+        |  FROM embeddings e CROSS JOIN c
+        |), r AS (
+        |  SELECT vec_id, c_id, dist2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rk
+        |  FROM d)
+        |SELECT vec_id, c_id AS cluster, round(dist2, 4) AS dist2
+        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "q_bm25" ->
       // Robertson BM25, Lucene idf variant; every fractional literal is
       // CAST to DOUBLE (bare 0.5/1.2 parse as DECIMAL in DuckDB and the

@@ -86,6 +86,33 @@ object VectorOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** E-SIM clustering assignment: every embedding labeled with its
+    * nearest of 8 fixed centroids (vec_id < 8 as deterministic seeds) by
+    * squared L2 — the assignment step at the heart of IVF/k-means,
+    * exposed as an ORACLE-CHECKED query (the trained `Ivf` path is
+    * rows-only because KMeans init is engine-internal; this pins the
+    * geometry arithmetic itself). Distances fold left-to-right over the
+    * dimension sequence (`aggregate` ≡ DuckDB `list_sum(list_transform)`,
+    * the q_entropy precedent), so both engines produce bit-identical
+    * doubles and the argmin rank cannot flip. Centroids broadcast; the
+    * scan stays narrow; per-vector argmin is a bounded window. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("c_emb"),
+        (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist2", d2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster"), round(col("dist2"), 4).as("dist2"))
+      .orderBy("vec_id")
+  }
+
   /** Legacy 4-bit hyperplane LSH bucket id per vector (same-bucket
     * candidates only) — one WalshBandKeys pass over LegacyPlanes;
     * bit-identical to the original per-bit Hadamard HOF formulation

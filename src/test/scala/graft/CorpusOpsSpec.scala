@@ -103,6 +103,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b }, "ordered by pmi desc")
   }
 
+  test("kmeans assignment: total, centroids self-assign at distance 0") {
+    val rows = graft.operators.VectorOps.kmeansAssign(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n, "every vector assigned exactly once")
+    rows.filter(_.getLong(0) < 8).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) && r.getDouble(2) == 0.0,
+        s"centroid ${r.getLong(0)} must be its own nearest at distance 0")
+    }
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+  }
+
   test("edit-distance verify runs only on LSH candidates and is bounded") {
     val rows = TextOps.editSimilarity(spark, sf).collect()
     rows.foreach { r =>
