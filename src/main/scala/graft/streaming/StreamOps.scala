@@ -6,6 +6,15 @@ import org.apache.spark.sql.functions._
 /** One funnel-relevant event (input row of `StreamOps.funnelStages`). */
 case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
 
+/** Accumulating per-user session state for [[StreamOps.sessionFinalize]]:
+  * bounds are epoch millis, count is the events folded so far. */
+case class SessionAcc(start: Long, end: Long, n: Long)
+
+/** A closed session: emitted exactly once, when the user has been idle
+  * past the gap relative to the event-time watermark. */
+case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
+                      sess_end: java.sql.Timestamp, n_events: Long)
+
 /** Per-user funnel state: earliest qualifying ms-epoch per stage
   * (Long.MaxValue = not reached). Three longs — bounded by construction. */
 case class FunnelProgress(view: Long, click: Long, buy: Long)
@@ -218,6 +227,61 @@ object StreamOps {
           val stage = if (s.buy != none) 3 else if (s.click != none) 2
             else if (s.view != none) 1 else 0
           (uid, stage)
+      }
+  }
+
+  /** Idle-timeout session finalizer: the custom-state sibling of the
+    * `session_window` aggregate ([[sessionCounts]]) — one summary row per
+    * CLOSED session, emitted exactly once, when the user has been idle
+    * longer than `gap` relative to the event-time watermark. This is the
+    * state-EVICTION pattern the other stateful ops here don't exercise
+    * (AlarmLatch and funnelStages hold state forever under NoTimeout):
+    * `GroupStateTimeout.EventTimeTimeout` + `setTimeoutTimestamp(end +
+    * gap)` makes Spark itself call the function with `hasTimedOut` once
+    * the watermark passes the deadline; the state is removed there, so
+    * per-user memory is bounded by session activity, not stream lifetime,
+    * and a user's NEXT event starts a fresh session. Late rows inside the
+    * watermark extend or backdate the open session (min/max fold — order
+    * within a batch is irrelevant); rows later than that were already
+    * declared impossible by the watermark contract.
+    *
+    * Use `session_window` when a plain count/sum per session is enough
+    * (aggregate state, restart-cheap); use this shape when the per-session
+    * fold needs custom logic (distinct pages, path signatures, fraud
+    * scores) that aggregates can't express. Expects (ts, user_id). */
+  def sessionFinalize(events: DataFrame, gap: String = "30 minutes",
+                      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    val sess = events.sparkSession
+    import sess.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: org.apache.spark.sql.streaming.GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the session is closed — emit
+            // its one summary row and evict the state
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq
+            val prev = state.getOption.getOrElse(SessionAcc(Long.MaxValue, Long.MinValue, 0L))
+            val next = SessionAcc(math.min(prev.start, ts.min),
+              math.max(prev.end, ts.max), prev.n + ts.size)
+            state.update(next)
+            state.setTimeoutTimestamp(next.end + gapMillis)
+            Iterator.empty
+          }
       }
   }
 

@@ -378,6 +378,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(back == Set((1L, 10.0), (2L, 99.0), (3L, 12.0)))
   }
 
+  test("session finalizer: idle timeout emits each closed session once and evicts state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def sec(s: Long): Timestamp = new Timestamp(s * 1000L)
+    def e(id: Long, s: Long, user: Long): Ev = Ev(id, sec(s), user, "view", 1.0, "{}")
+    val input = MemoryStream[Ev]
+    // gap 30 min (1800 s), watermark delay 10 min (600 s); the watermark
+    // used by batch N derives from data up to batch N-1, so timeouts land
+    // one batch after the advancing event
+    val query = StreamOps.sessionFinalize(input.toDF(), "30 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_fin").start()
+    try {
+      Seq(
+        Seq(e(1, 100, 1), e(2, 200, 1), e(3, 150, 2)), // open u1, u2
+        Seq(e(4, 3000, 3)),  // u3 opens; watermark still pre-deadline
+        Seq(e(5, 3100, 3)),  // watermark 3000-600=2400 > deadlines 2000/1950 → u1, u2 close
+        Seq(e(6, 6000, 2)),  // u2 starts a FRESH session (state was evicted)
+        Seq(e(7, 9000, 9)),  // watermark 6000-600=5400 > u3 deadline 4900 → u3 closes
+        Seq(e(8, 99999, 9)), // advance far enough to flush u2's second session
+        Seq(e(9, 100000, 9)) // one more batch so the flush watermark applies
+      ).foreach { b => input.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    val out = spark.table("sess_fin")
+      .select(col("user_id"), unix_timestamp(col("sess_start")).as("s"),
+        unix_timestamp(col("sess_end")).as("e"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out.contains((1L, 100L, 200L, 2L)), s"u1 session missing in $out")
+    assert(out.contains((2L, 150L, 150L, 1L)), "u2 first session")
+    assert(out.contains((2L, 6000L, 6000L, 1L)),
+      "u2 second session proves the first was evicted, not extended")
+    assert(out.contains((3L, 3000L, 3100L, 2L)), "u3 two-event session")
+    assert(out.count(_._1 == 1L) == 1, "u1 emitted exactly once")
+  }
+
   test("streaming JDBC sink: micro-batches land in the relational store, batch-stamped (views.py:49-52)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
