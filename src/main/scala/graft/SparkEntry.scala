@@ -62,6 +62,7 @@ object SparkEntry {
     "q_session" -> (Relational.sessionize _),
     "q_validate" -> (Relational.validationDispatch _),
     "q_auth" -> (Relational.authenticate _),
+    "q_corr_subq" -> (Relational.correlatedSubqueries _),
     "q_arr" -> (VectorOps.arrayOps _),
     "q_range_count" -> (VectorOps.rangeCount _),
     "q_vec_norm" -> (VectorOps.vectorNorms _),
@@ -807,6 +808,10 @@ object SparkEntry {
         |       ELSE 'bad_password' END AS verdict
         |FROM attempts a LEFT JOIN users u ON a.username = u.username
         |ORDER BY a.username, verdict""".stripMargin,
+    // the oracle IS the engine statement: both dialects speak this ANSI,
+    // so the decorrelated Catalyst plan is checked against DuckDB's own
+    // execution of the identical correlated spec
+    "q_corr_subq" -> operators.Relational.CorrSubqSql,
     "q_arr" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

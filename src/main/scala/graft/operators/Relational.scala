@@ -789,6 +789,32 @@ object Relational {
     authVerdicts(authUsers(spark, dir), authAttempts(spark, dir))
       .orderBy("username", "verdict")
 
+  /** Correlated subqueries — the decorrelation surface: a correlated
+    * SCALAR subquery (this order's price vs its customer's average) and a
+    * correlated EXISTS (a heavy line item on the order), written as the
+    * ANSI SQL a warehouse user would type. Catalyst DECORRELATES both:
+    * the scalar subquery becomes a per-custkey aggregate joined back on
+    * the key, EXISTS becomes a left-semi join — there is no per-row
+    * re-execution anywhere in the plan (PLANS.md shows the rewrite), so
+    * the shape scales like any aggregate + two joins. The oracle is the
+    * IDENTICAL statement: both engines speak this dialect, which is
+    * itself the point — q_corr_subq pins that the decorrelated plan
+    * computes exactly what the correlated spec says. */
+  val CorrSubqSql: String =
+    """SELECT o.o_orderkey, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+      |                              FROM orders o2
+      |                              WHERE o2.o_custkey = o.o_custkey)
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  def correlatedSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    spark.sql(CorrSubqSql)
+  }
+
   /** E-WIN SCD2: slowly-changing-dimension history from a change log —
     * each run of consecutive equal values per user becomes one validity
     * interval [valid_from, valid_to), the current row open-ended (-1).
