@@ -156,6 +156,63 @@ object Writers {
     }
   }
 
+  /** Keyed deletion from a partitioned parquet table — the
+    * right-to-be-forgotten verb (and [[mergeUpsert]]'s third leg:
+    * insert/update there, delete here). Partition-surgical like the
+    * merge: the doomed keys are located first (one broadcast semi-join),
+    * and only partitions that CONTAIN one are rewritten; deleting one
+    * user from a 100 TB table touches the partitions that user appears
+    * in, not the table.
+    *
+    * The dynamic-overwrite subtlety this method exists to get right: a
+    * partition whose EVERY row is deleted produces no output rows, and
+    * dynamic partition overwrite only replaces partitions PRESENT in the
+    * written data — the emptied partition's old files would silently
+    * survive the pass. So fully-emptied partitions are computed
+    * explicitly (affected minus surviving) and their directories removed
+    * after the swap. Partition values must be filesystem-safe scalars
+    * (the hive `col=value` layout the writers here already use). */
+  def deleteByKeys(spark: SparkSession, path: String, keys: DataFrame,
+                   key: String, partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val target = spark.read.parquet(path)
+    val doomed = keys.select(col(key))
+    val hitParts = target.join(broadcast(doomed), Seq(key), "left_semi")
+      .select(partitionCols.map(col): _*).distinct()
+    val affected = target.join(broadcast(hitParts), partitionCols, "left_semi")
+    val remaining = affected.join(broadcast(doomed), Seq(key), "left_anti")
+    // partition directories with no survivors — collected BEFORE the
+    // overwrite (both frames read the pre-swap table); dim-sized rows
+    val emptied = hitParts
+      .join(remaining.select(partitionCols.map(col): _*).distinct(),
+        partitionCols, "left_anti")
+      .collect()
+    val staging = new java.io.File(
+      path + s".delete_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    remaining.write.parquet(staging.getPath)
+    try {
+      // schema pinned explicitly: when every affected row is doomed the
+      // staged copy has no data files and an inferring read would fail
+      overwritePartitions(
+        spark.read.schema(target.schema).parquet(staging.getPath), path, partitionCols)
+      emptied.foreach { row =>
+        val dir = new java.io.File(path + partitionCols.zipWithIndex
+          .map { case (c, i) => s"/$c=${row.get(i)}" }.mkString)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        if (dir.exists()) rm(dir)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(staging)
+    }
+  }
+
   /** S5 row-insert sink into a relational store: the reference writes new
     * users through the ORM into SQLite (`app/views.py:49-52`); the engine
     * side is `df.write.jdbc`. Each partition opens its own connection and

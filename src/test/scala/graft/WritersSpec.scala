@@ -119,6 +119,43 @@ class WritersSpec extends SparkSpec {
       .exists(_.getName.startsWith("merge.merge_")))
   }
 
+  test("deleteByKeys rewrites only partitions holding a doomed key; a fully-emptied partition's directory is removed") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_writers").toString + "/del"
+    val init = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0),   // partition a: key 2 deleted
+      (3L, "b", 3.0), (4L, "b", 4.0),   // partition b: untouched
+      (5L, "c", 5.0), (6L, "c", 6.0))   // partition c: ALL keys deleted
+      .toDF("id", "grp", "v")
+    Writers.writePartitioned(init, out, Seq("grp"))
+    val bFile = parquetFiles(new java.io.File(out + "/grp=b")).head
+    val bMtime = bFile.lastModified()
+    val doomed = Seq(2L, 5L, 6L).toDF("id")
+    Writers.deleteByKeys(spark, out, doomed, "id", Seq("grp"))
+    val back = spark.read.parquet(out).select("id", "v").as[(Long, Double)].collect().toSet
+    assert(back == Set((1L, 1.0), (3L, 3.0), (4L, 4.0)))
+    assert(bFile.exists() && bFile.lastModified() == bMtime,
+      "grp=b holds no doomed key and must not be rewritten")
+    assert(!new java.io.File(out + "/grp=c").exists(),
+      "dynamic overwrite alone would leave the emptied partition's files; the dir must be gone")
+    assert(!new java.io.File(out).getParentFile.listFiles()
+      .exists(_.getName.startsWith("del.delete_")), "staging cleaned")
+  }
+
+  test("deleteByKeys with no matching key is a no-op that rewrites nothing") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_writers").toString + "/del2"
+    val init = Seq((1L, "a", 1.0), (3L, "b", 3.0)).toDF("id", "grp", "v")
+    Writers.writePartitioned(init, out, Seq("grp"))
+    val mtimes = Seq("a", "b").map(g => parquetFiles(new java.io.File(out + s"/grp=$g")).head)
+      .map(f => f -> f.lastModified()).toMap
+    Writers.deleteByKeys(spark, out, Seq(99L).toDF("id"), "id", Seq("grp"))
+    assert(spark.read.parquet(out).count() == 2)
+    mtimes.foreach { case (f, t) =>
+      assert(f.exists() && f.lastModified() == t, s"$f must be untouched")
+    }
+  }
+
   test("compact swap failure on the final rename restores the original table") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_writers").toString
