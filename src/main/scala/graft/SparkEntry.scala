@@ -95,6 +95,7 @@ object SparkEntry {
     "q_triangles" -> (TextOps.triangleCensus _),
     "q_mix" -> (TextOps.mixRates _),
     "q_wsample" -> (TextOps.weightedSample _),
+    "q_pack" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "q_zorder" -> (Layout.zorderQuery _),
     "q_locf" -> (Relational.gapFillLocf _),
     "q_cdc" -> (Relational.cdcApply _),
@@ -1201,6 +1202,23 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, share, rate,
         |  CAST(floor(rate * n_tokens) AS BIGINT) AS est_tokens
         |FROM r ORDER BY source""".stripMargin,
+    "q_pack" ->
+      // concat-and-chunk packing: running token sum per source, integer
+      // div/mod against the 2048 budget
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), s AS (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM d)
+        |SELECT source, doc_id, n_tok,
+        |  start_off % 2048 AS offset,
+        |  start_off // 2048 AS seq_id,
+        |  ((start_off + n_tok - 1) // 2048) > (start_off // 2048) AS spans_cut
+        |FROM s ORDER BY source, doc_id""".stripMargin,
     "q_wsample" ->
       // Efraimidis-Spirakis weighted top-5 per source with a deterministic
       // integer-hash uniform, so the draw is engine-neutral and checkable

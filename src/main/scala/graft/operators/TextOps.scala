@@ -755,6 +755,34 @@ object TextOps {
       .orderBy("source", "rank")
   }
 
+  /** Training-sequence packing (the concat-and-chunk recipe): per source,
+    * documents concatenate in doc_id order into one token stream that is
+    * cut every `budget` tokens; each document is labeled with the
+    * sequence its FIRST token lands in, its offset there, and whether it
+    * spans a cut — the bookkeeping a packed-pretraining loader needs.
+    * All integer arithmetic over one running-sum window.
+    *
+    * Scale shape: packing is inherently sequential along the stream, so
+    * the stream is the PARTITION — one window per source, never a global
+    * order. At 100 TB sources (or finer shard keys) are the parallel
+    * unit, the same way tokenizer shards are; the window sorts only
+    * within its shard. */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("start_off", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        (col("start_off") % budget).as("offset"),
+        expr(s"start_off div $budget").as("seq_id"),
+        (expr(s"(start_off + n_tok - 1) div $budget") > expr(s"start_off div $budget"))
+          .as("spans_cut"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Multimodal plumbing (mandate): opaque binary column + typed metadata.
     * The "decode" here is byte-level (length + digest) — the model-decode
     * stage proper is the mapPartitions stub in graft.multimodal. */

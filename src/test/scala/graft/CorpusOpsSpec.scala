@@ -114,6 +114,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.0))
   }
 
+  test("sequence packing: contiguous stream per source, correct cut bookkeeping") {
+    val rows = TextOps.packSequences(spark, sf, budget = 256).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val ordered = rs.sortBy(_._2)
+      // first doc opens the stream
+      assert(ordered.head._4 == 0L && ordered.head._5 == 0L, s"$src stream start")
+      // contiguity: each doc starts exactly where the previous ended
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val aStart = a._5 * 256 + a._4
+          val bStart = b._5 * 256 + b._4
+          assert(bStart == aStart + a._3, s"$src: doc ${b._2} not contiguous")
+        case _ => ()
+      }
+      // spans_cut ⇔ the doc crosses a 256 boundary
+      ordered.foreach { case (_, id, n, off, _, spans) =>
+        assert(spans == (off + n > 256), s"$src doc $id spans_cut")
+      }
+    }
+  }
+
   test("edit-distance verify runs only on LSH candidates and is bounded") {
     val rows = TextOps.editSimilarity(spark, sf).collect()
     rows.foreach { r =>
