@@ -355,6 +355,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(stages == Map(1L -> 3))
   }
 
+  test("session finalizer state and timeout survive a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def sec(s: Long): Timestamp = new Timestamp(s * 1000L)
+    def e(id: Long, s: Long, user: Long): Ev = Ev(id, sec(s), user, "view", 1.0, "{}")
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("sess_out").toString
+    val input = MemoryStream[Ev]
+    def start() = StreamOps.sessionFinalize(input.toDF(), "30 minutes", "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.SessionOut], _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .start()
+
+    // open u1's session, then stop BEFORE anything can close it
+    val q1 = start()
+    try {
+      input.addData(Seq(e(1, 100, 1), e(2, 200, 1)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // after restart, only the RESTORED state can produce the session row:
+    // the closing events carry a different user entirely
+    val q2 = start()
+    try {
+      Seq(Seq(e(3, 5000, 9)), Seq(e(4, 5100, 9)), Seq(e(5, 99999, 9)))
+        .foreach { b => input.addData(b); q2.processAllAvailable() }
+    } finally q2.stop()
+
+    val sessions = spark.read.parquet(out)
+      .select(col("user_id"), unix_timestamp(col("sess_start")).as("s"),
+        unix_timestamp(col("sess_end")).as("e"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sessions.contains((1L, 100L, 200L, 2L)),
+      s"u1's pre-restart session must close from restored state, got $sessions")
+  }
+
   test("streaming keyed-correction sink: a later micro-batch supersedes a stored row by key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
