@@ -63,6 +63,7 @@ object SparkEntry {
     "q_validate" -> (Relational.validationDispatch _),
     "q_auth" -> (Relational.authenticate _),
     "q_corr_subq" -> (Relational.correlatedSubqueries _),
+    "q_decay" -> (Relational.decayedActivity _),
     "q_arr" -> (VectorOps.arrayOps _),
     "q_range_count" -> (VectorOps.rangeCount _),
     "q_vec_norm" -> (VectorOps.vectorNorms _),
@@ -813,6 +814,19 @@ object SparkEntry {
     // so the decorrelated Catalyst plan is checked against DuckDB's own
     // execution of the identical correlated spec
     "q_corr_subq" -> operators.Relational.CorrSubqSql,
+    "q_decay" ->
+      // half-life decay folded over each user's SORTED timestamp list
+      // (sequential list_sum ≡ Spark aggregate — the q_entropy trick)
+      """WITH r AS (
+        |  SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS t_ref FROM events
+        |), u AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    list_sort(list(CAST(floor(epoch(ts)) AS BIGINT))) AS tss
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  round(list_sum(list_transform(tss,
+        |    t -> pow(CAST(2.0 AS DOUBLE), CAST(t - r.t_ref AS DOUBLE) / 604800.0))), 4) AS score
+        |FROM u CROSS JOIN r ORDER BY user_id""".stripMargin,
     "q_arr" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

@@ -815,6 +815,52 @@ object Relational {
     spark.sql(CorrSubqSql)
   }
 
+  /** Time-decayed engagement score: per user, Σ 2^((t−t_ref)/halflife)
+    * over their events at the corpus horizon t_ref — recency-weighted
+    * activity (the freshness signal ranking and sampling pipelines decay
+    * by). Half-life 7 days: an event a week old counts half.
+    *
+    * Two shapes, one semantics:
+    *  - THIS one (the oracle query) folds each user's SORTED timestamp
+    *    array left-to-right, the q_entropy determinism trick — both
+    *    engines reduce the identical sequence, so doubles match
+    *    bit-for-bit. Cost: per-user collected arrays (user-activity
+    *    sized — fine for dim-like keys, not for the 100 TB hot path).
+    *  - [[decayedActivityMonoid]] is the production shape: a plain
+    *    partial-aggregable SUM of 2^((t−t_ref)/hl) — no collect, no
+    *    sort, map-side combined like any sum; accumulation order varies,
+    *    so it is float-equal only to ~1e-9 (spec-bounded), which is why
+    *    the oracle pins the fold form instead. */
+  def decayedActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ref = Tables.events(spark, dir)
+      .agg(max(unix_timestamp(col("ts"))).as("t_ref"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), array_sort(collect_list(col("t"))).as("tss"))
+      .crossJoin(broadcast(ref))
+      .select(col("user_id"), col("n_events"),
+        round(aggregate(col("tss"), lit(0.0),
+          (acc, t) => acc + pow(lit(2.0), (t - col("t_ref")).cast("double") / 604800.0)), 4)
+          .as("score"))
+      .orderBy("user_id")
+  }
+
+  /** The partial-aggregable twin of [[decayedActivity]] — the shape a
+    * 100 TB run uses (see that scaladoc). */
+  def decayedActivityMonoid(spark: SparkSession, dir: String): DataFrame = {
+    val ref = Tables.events(spark, dir)
+      .agg(max(unix_timestamp(col("ts"))).as("t_ref"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"))
+      .crossJoin(broadcast(ref))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(pow(lit(2.0), (col("t") - col("t_ref")).cast("double") / 604800.0)).as("raw"))
+      .select(col("user_id"), col("n_events"), round(col("raw"), 4).as("score"))
+      .orderBy("user_id")
+  }
+
   /** E-WIN SCD2: slowly-changing-dimension history from a change log —
     * each run of consecutive equal values per user becomes one validity
     * interval [valid_from, valid_to), the current row open-ended (-1).

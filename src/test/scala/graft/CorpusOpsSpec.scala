@@ -136,6 +136,22 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("decayed activity: fold and monoid shapes agree; horizon event counts ~1") {
+    import graft.operators.Relational
+    val fold = Relational.decayedActivity(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val mono = Relational.decayedActivityMonoid(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(fold.keySet == mono.keySet)
+    fold.foreach { case (u, (n, s)) =>
+      assert(mono(u)._1 == n)
+      assert(math.abs(mono(u)._2 - s) <= 1e-4 + 1e-9 * math.abs(s),
+        s"user $u: fold $s vs monoid ${mono(u)._2}")
+      // decay weights are in (0, 1]: score bounded by event count, positive
+      assert(s > 0.0 && s <= n.toDouble + 1e-9, s"user $u score $s vs n $n")
+    }
+  }
+
   test("edit-distance verify runs only on LSH candidates and is bounded") {
     val rows = TextOps.editSimilarity(spark, sf).collect()
     rows.foreach { r =>
