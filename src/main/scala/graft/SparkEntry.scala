@@ -64,6 +64,7 @@ object SparkEntry {
     "q_auth" -> (Relational.authenticate _),
     "q_corr_subq" -> (Relational.correlatedSubqueries _),
     "q_decay" -> (Relational.decayedActivity _),
+    "q_skyline" -> (Relational.skyline _),
     "q_arr" -> (VectorOps.arrayOps _),
     "q_range_count" -> (VectorOps.rangeCount _),
     "q_vec_norm" -> (VectorOps.vectorNorms _),
@@ -1216,6 +1217,22 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, share, rate,
         |  CAST(floor(rate * n_tokens) AS BIGINT) AS est_tokens
         |FROM r ORDER BY source""".stripMargin,
+    "q_skyline" ->
+      // textbook quadratic NOT-EXISTS dominance — deliberately a
+      // DIFFERENT algorithm than the engine's sorted running-max window,
+      // so the oracle checks the algebra, not a restatement of it
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events)
+        |SELECT event_type, day, event_id, value, ts_sec
+        |FROM e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM e d
+        |  WHERE d.event_type = e.event_type AND d.day = e.day
+        |    AND d.value >= e.value AND d.ts_sec >= e.ts_sec
+        |    AND (d.value > e.value OR d.ts_sec > e.ts_sec))
+        |ORDER BY event_type, day, event_id""".stripMargin,
     "q_pack" ->
       // concat-and-chunk packing: running token sum per source, integer
       // div/mod against the 2048 budget

@@ -846,6 +846,43 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** 2-D skyline (Pareto frontier) per (event_type, day): the events no
+    * peer dominates — none with value ≥ AND ts ≥ and at least one
+    * strict — i.e. "highest-value AND most-recent" multi-criteria
+    * selection, the shape data-selection passes use to keep
+    * non-dominated candidates without collapsing criteria into one
+    * score.
+    *
+    * The engine does NOT self-join: for a 2-D skyline, sort the distinct
+    * value levels descending and keep a level iff its max-ts exceeds the
+    * RUNNING max-ts of all strictly-higher levels (one per-group agg +
+    * one bounded window over value levels); a row survives iff its level
+    * survives and it carries the level's max ts. O(n log n) per group
+    * and partial-aggregable, vs the textbook quadratic NOT-EXISTS
+    * self-join. The ORACLE runs that quadratic NOT EXISTS — an
+    * independent algorithm checking the window algebra, not a
+    * re-statement of it. Dominance compares raw parquet doubles (no
+    * arithmetic), so cross-engine equality is exact. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value"), unix_timestamp(col("ts")).as("t"), col("event_id"))
+    val levels = evs.groupBy("event_type", "day", "value")
+      .agg(max("t").as("gmax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "day").orderBy(col("value").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = levels
+      .withColumn("smax", max("gmax").over(w))
+      .filter(col("smax").isNull || col("gmax") > col("smax"))
+      .select(col("event_type"), col("day"), col("value"), col("gmax"))
+    evs.join(frontier, Seq("event_type", "day", "value"))
+      .filter(col("t") === col("gmax"))
+      .select(col("event_type"), col("day"), col("event_id"),
+        col("value"), col("t").as("ts_sec"))
+      .orderBy("event_type", "day", "event_id")
+  }
+
   /** The partial-aggregable twin of [[decayedActivity]] — the shape a
     * 100 TB run uses (see that scaladoc). */
   def decayedActivityMonoid(spark: SparkSession, dir: String): DataFrame = {

@@ -152,6 +152,22 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("skyline: window-algebra frontier equals a brute-force Scala dominance check") {
+    import org.apache.spark.sql.functions.{to_date, unix_timestamp}
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("event_id"), col("value"), unix_timestamp(col("ts")).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val expected = evs.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, g) =>
+      g.filter(e => !g.exists(d =>
+        d._4 >= e._4 && d._5 >= e._5 && (d._4 > e._4 || d._5 > e._5))).toSeq
+    }.map(e => (e._1, e._2, e._3)).toSet
+    val got = graft.operators.Relational.skyline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2))).toSet
+    assert(got == expected, s"diff: ${(got -- expected) ++ (expected -- got)}")
+  }
+
   test("edit-distance verify runs only on LSH candidates and is bounded") {
     val rows = TextOps.editSimilarity(spark, sf).collect()
     rows.foreach { r =>
