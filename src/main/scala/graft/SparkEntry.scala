@@ -65,6 +65,8 @@ object SparkEntry {
     "q_corr_subq" -> (Relational.correlatedSubqueries _),
     "q_decay" -> (Relational.decayedActivity _),
     "q_skyline" -> (Relational.skyline _),
+    "q_wau" -> (Relational.rollingActiveUsers _),
+    "q_cohort" -> (Relational.cohortRetention _),
     "q_arr" -> (VectorOps.arrayOps _),
     "q_range_count" -> (VectorOps.rangeCount _),
     "q_vec_norm" -> (VectorOps.vectorNorms _),
@@ -1217,6 +1219,25 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, share, rate,
         |  CAST(floor(rate * n_tokens) AS BIGINT) AS est_tokens
         |FROM r ORDER BY source""".stripMargin,
+    "q_wau" ->
+      // trailing-7-day distinct users per active day
+      """WITH act AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), days AS (SELECT DISTINCT day AS d FROM act)
+        |SELECT d AS day, count(DISTINCT user_id) AS wau
+        |FROM act JOIN days ON act.day >= d - INTERVAL 6 DAY AND act.day <= d
+        |GROUP BY d ORDER BY day""".stripMargin,
+    "q_cohort" ->
+      // first-activity cohorts probed at offsets 0/1/7/14
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), first AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT f.cohort_day, CAST(datediff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN first f USING (user_id)
+        |WHERE datediff('day', f.cohort_day, a.day) IN (0, 1, 7, 14)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q_skyline" ->
       // textbook quadratic NOT-EXISTS dominance — deliberately a
       // DIFFERENT algorithm than the engine's sorted running-max window,

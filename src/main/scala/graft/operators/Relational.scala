@@ -898,6 +898,44 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Rolling 7-day active users (WAU): per active day, distinct users
+    * seen in the trailing week. Sliding-window DISTINCT cannot partial-
+    * aggregate as a window function (distinct isn't subtractable), so
+    * the standard shape: dedupe to (user, day) FIRST — the only
+    * fact-sized shuffle — then a small range join of the day grid
+    * (dim-sized, broadcast) against the deduped activity re-counts each
+    * trailing window. Activity is |users|×|days| at most, so the 7×
+    * re-count multiplies a dimension, not the fact table. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = act.select(col("day").as("d")).distinct()
+    act.join(broadcast(days),
+        col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+      .groupBy(col("d").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(col("day"), col("wau"))
+      .orderBy("day")
+  }
+
+  /** Cohort retention: users grouped by FIRST-activity day, re-activity
+    * counted at day offsets 0/1/7/14 — "of the users who arrived on day
+    * X, how many came back a day/week/fortnight later". First-day is one
+    * keyed min; the retention join keys on user_id (both sides partition
+    * there at scale); offsets filter to the fixed probe set so the
+    * output is |cohorts|×4. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
+    activity.join(first, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset").isin(0L, 1L, 7L, 14L))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** E-WIN SCD2: slowly-changing-dimension history from a change log —
     * each run of consecutive equal values per user becomes one validity
     * interval [valid_from, valid_to), the current row open-ended (-1).
