@@ -67,6 +67,12 @@ object SparkEntry {
     "q_skyline" -> (Relational.skyline _),
     "q_wau" -> (Relational.rollingActiveUsers _),
     "q_cohort" -> (Relational.cohortRetention _),
+    "q_basket" -> (Relational.basketPairs _),
+    "q_abtest" -> (Relational.abTest _),
+    "q_split" -> (Curation.splitAssign _),
+    "q_leakage" -> (Curation.splitLeakage _),
+    "q_contamination" -> (Curation.contamination _),
+    "q_repetition" -> (Curation.repetitionScreen _),
     "q_arr" -> (VectorOps.arrayOps _),
     "q_range_count" -> (VectorOps.rangeCount _),
     "q_vec_norm" -> (VectorOps.vectorNorms _),
@@ -148,6 +154,12 @@ object SparkEntry {
       "q_scd2" -> (Relational.scd2Core _),
       "q_pagerank" -> (TextOps.pageRankCore _),
     )
+
+  /** SQL twin of Curation.splitOf — Knuth multiplicative hash, 90/5/5. */
+  private val splitCaseSql: String =
+    """CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+      |       WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+      |       ELSE 'test' END""".stripMargin
 
   /** Shared CTE chain for the MinHash-LSH oracles (q_minhash_lsh,
     * q_neardup_clusters): word-bigram shingles → engine-neutral token
@@ -1238,6 +1250,102 @@ object SparkEntry {
         |FROM act a JOIN first f USING (user_id)
         |WHERE datediff('day', f.cohort_day, a.day) IN (0, 1, 7, 14)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_basket" ->
+      // within-order pair join (bounded group size), supports + lift
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), n AS (SELECT count(DISTINCT ok) AS n_orders FROM items
+        |), supp AS (SELECT pk, count(*) AS supp FROM items GROUP BY pk
+        |), pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_both
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT p1, p2, CAST(n_both AS BIGINT) AS n_both,
+        |  round(n_both * n.n_orders / (s1.supp * s2.supp), 4) AS lift
+        |FROM pairs
+        |JOIN supp s1 ON pairs.p1 = s1.pk
+        |JOIN supp s2 ON pairs.p2 = s2.pk
+        |CROSS JOIN n
+        |ORDER BY n_both DESC, p1, p2 LIMIT 100""".stripMargin,
+    "q_abtest" ->
+      // two-proportion pooled z; every double derives from exact counts
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id
+        |), v AS (SELECT user_id % 2 AS variant, conv FROM u
+        |), c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM v)
+        |SELECT n0, c0, n1, c1,
+        |  round(CAST(c0 AS DOUBLE) / n0, 4) AS p0,
+        |  round(CAST(c1 AS DOUBLE) / n1, 4) AS p1,
+        |  round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) /
+        |    sqrt(CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+        |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |      * (1.0 / n0 + 1.0 / n1)), 4) AS z
+        |FROM c""".stripMargin,
+    "q_split" ->
+      s"""WITH s AS (
+        |  SELECT $splitCaseSql AS split, lang,
+        |    len(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "q_leakage" ->
+      // same LSH pair graph as q_minhash_lsh, filtered to cross-split edges
+      s"""WITH $minhashPairCtes,
+        |splits AS (SELECT doc_id, $splitCaseSql AS split FROM documents)
+        |SELECT p.d1, p.d2, s1.split AS split1, s2.split AS split2
+        |FROM pairs p
+        |JOIN splits s1 ON p.d1 = s1.doc_id
+        |JOIN splits s2 ON p.d2 = s2.doc_id
+        |WHERE s1.split <> s2.split
+        |ORDER BY d1, d2""".stripMargin,
+    "q_contamination" ->
+      // word 4-grams of the test split probed against train docs
+      s"""WITH grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, len(string_split(text, ' ')) - 2),
+        |      j -> string_split(text, ' ')[j] || '_' ||
+        |           string_split(text, ' ')[j + 1] || '_' ||
+        |           string_split(text, ' ')[j + 2] || '_' ||
+        |           string_split(text, ' ')[j + 3])) AS gram
+        |    FROM documents) raw
+        |), splits AS (SELECT doc_id, $splitCaseSql AS split FROM documents
+        |), test_grams AS (
+        |  SELECT DISTINCT gram FROM grams JOIN splits USING (doc_id)
+        |  WHERE split = 'test')
+        |SELECT g.doc_id, count(*) AS n_shared_grams
+        |FROM grams g
+        |JOIN splits s USING (doc_id)
+        |JOIN test_grams t USING (gram)
+        |WHERE s.split = 'train'
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      // duplicate-bigram mass; ratios divide exact BIGINT sums
+      """WITH g AS (
+        |  SELECT source, list_transform(range(1, len(string_split(text, ' '))),
+        |    j -> string_split(text, ' ')[j] || '_' ||
+        |         string_split(text, ' ')[j + 1]) AS g2
+        |  FROM documents
+        |), d AS (
+        |  SELECT source, CAST(len(g2) AS BIGINT) AS n_grams,
+        |    CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct
+        |  FROM g WHERE len(g2) > 0)
+        |SELECT source, count(*) AS n_docs,
+        |  round(1.0 - CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE), 4)
+        |    AS avg_rep,
+        |  CAST(sum(CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams > 0.1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q_skyline" ->
       // textbook quadratic NOT-EXISTS dominance — deliberately a
       // DIFFERENT algorithm than the engine's sorted running-max window,

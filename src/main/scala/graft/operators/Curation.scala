@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation verbs (LLM-pipeline mandate, SURVEY §2.3
+  * E-DEDUP/E-TEXT neighborhood): deterministic train/val/test splitting,
+  * cross-split near-duplicate leakage, benchmark n-gram decontamination,
+  * and intra-document repetition screening — the four checks a corpus
+  * passes through between "deduplicated" and "ready to train on".
+  *
+  * Everything here is engine-neutral integer/string arithmetic (no
+  * engine hash functions), so each query is DuckDB-oracle-checkable.
+  */
+object Curation {
+
+  /** Knuth multiplicative-hash constant (2654435761 = 2^32·φ⁻¹, public
+    * domain); doc_id·K mod 1000 is a deterministic, engine-neutral
+    * bucket. Products stay far below 2^63 for any realistic id, so both
+    * engines compute the same exact integer. */
+  private val SplitMult = 2654435761L
+
+  /** Split assignment 90/5/5 by hash bucket — a pure narrow projection.
+    * At 100 TB the split is recomputed from the id wherever needed
+    * (stateless, no split-table join, no shuffle) — the property that
+    * makes hash splits the standard over random draws. */
+  private[graft] def splitOf(id: Column): Column = {
+    val b = pmod(id * lit(SplitMult), lit(1000L))
+    when(b < 900, lit("train")).when(b < 950, lit("val")).otherwise(lit("test"))
+  }
+
+  /** Per-split / per-language corpus accounting: doc and token totals.
+    * The report a data curator reads before training — split sizes and
+    * language balance in one pass (scan → narrow project → one agg). */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(splitOf(col("doc_id")).as("split"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .orderBy("split", "lang")
+
+  /** Cross-split near-duplicate leakage: MinHash-LSH candidate pairs
+    * (TextOps.minhashPairs — the engine's dedup edge set) whose two docs
+    * land in DIFFERENT splits. A train/test near-dup silently inflates
+    * eval scores; this is the audit that catches it. Scale shape is
+    * inherited from minhashPairs (band-key equi-join, no all-pairs); the
+    * split columns are recomputed from the ids — zero extra joins. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    TextOps.minhashPairs(spark, dir)
+      .select(col("d1"), col("d2"),
+        splitOf(col("d1")).as("split1"), splitOf(col("d2")).as("split2"))
+      .filter(col("split1") =!= col("split2"))
+      .orderBy("d1", "d2")
+
+  /** Benchmark decontamination: train-split docs sharing any word
+    * 4-gram with the test split, with the shared-gram count. The
+    * standard pre-training hygiene pass (eval n-grams must not appear in
+    * training text). 4-grams are built by two chained zip_with passes
+    * over MATERIALIZED token arrays — each stage's array is bound to a
+    * column attribute first, because a recomputed-expression outer
+    * reference inside a HOF lambda re-evaluates per element (the
+    * quadratic trap documented at TextOps.shingleCodes). Scale: the
+    * test-split gram set is eval-benchmark-sized → broadcast; the train
+    * side is a narrow explode + one agg. No window, no self-join. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gram4(Tables.documents(spark, dir))
+    val testGrams = grams.filter(splitOf(col("doc_id")) === "test")
+      .select("gram").distinct()
+    grams.filter(splitOf(col("doc_id")) === "train")
+      .join(broadcast(testGrams), "gram")
+      .groupBy("doc_id")
+      // grams is already distinct per doc, so count(*) = distinct grams hit
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct (doc_id, gram) word 4-grams. g2[i] = tok_i‖tok_{i+1};
+    * zip_with(g2[i], g2[i+2]) = tok_i..tok_{i+3}. Both stages narrow. */
+  private def gram4(docs: DataFrame): DataFrame = {
+    val withToks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val g2 = withToks.select(col("doc_id"),
+      zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => concat(a, lit("_"), b)).as("g2"))
+    g2.select(col("doc_id"),
+        explode(array_distinct(zip_with(
+          slice(col("g2"), lit(1), greatest(size(col("g2")) - 2, lit(0))),
+          slice(col("g2"), lit(3), greatest(size(col("g2")) - 2, lit(0))),
+          (a, b) => concat(a, lit("_"), b)))).as("gram"))
+  }
+
+  /** Intra-document repetition screen (the Gopher-style repeated-n-gram
+    * quality gate): per-source micro-averaged duplicate-bigram mass and
+    * the count of docs over the 10% repetition threshold. Ratios divide
+    * exact BIGINT sums (never averaged doubles), so both engines produce
+    * bit-identical results. One narrow projection + one agg. */
+  def repetitionScreen(spark: SparkSession, dir: String): DataFrame = {
+    val withToks = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("t"))
+    val g2 = withToks.select(col("source"),
+      zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => concat(a, lit("_"), b)).as("g2"))
+    g2.select(col("source"),
+        size(col("g2")).cast("long").as("n_grams"),
+        size(array_distinct(col("g2"))).cast("long").as("n_distinct"))
+      .filter(col("n_grams") > 0)
+      .withColumn("rep", lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(lit(1.0) - sum("n_distinct").cast("double") / sum("n_grams"), 4)
+          .as("avg_rep"),
+        sum(when(col("rep") > 0.1, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("source")
+  }
+}

@@ -936,6 +936,63 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Market-basket co-occurrence: top part pairs bought together, with
+    * lift (observed co-orders ÷ independence expectation) — the
+    * association-rule verb behind "frequently bought together". The
+    * pair join is a self-join WITHIN an order, and TPC-H-shaped orders
+    * hold ≤7 lines, so the blow-up is quadratic in a BOUNDED group size
+    * — a fundamentally different scale class from an unbounded-key
+    * self-join (cf. the q_jaccard_pairs rework). Per-part supports are
+    * part-cardinality (dim-sized) → broadcast back onto the pairs; the
+    * order count is a 1-row agg cross-joined, never collected. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = items.select(countDistinct(col("ok")).as("n_orders"))
+    val supp = items.groupBy("pk").agg(count(lit(1)).as("supp"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(supp.select(col("pk").as("p1"), col("supp").as("s1"))), "p1")
+      .join(broadcast(supp.select(col("pk").as("p2"), col("supp").as("s2"))), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("n_both"),
+        round(col("n_both") * col("n_orders") / (col("s1") * col("s2")), 4)
+          .as("lift"))
+      .orderBy(col("n_both").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
+  /** Two-proportion A/B z-test: users split by a deterministic variant
+    * (user_id parity), conversion = any purchase over 150, pooled
+    * z-score in one row. Counts are exact integers; every double is
+    * derived from them by the same expression on both engines, so the
+    * score is bit-stable. Shape: one user-keyed agg (the only shuffle)
+    * → one global agg → scalar arithmetic. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+        .otherwise(0L)).as("conv"))
+      .select((col("user_id") % 2).as("variant"), col("conv"))
+    val counts = users.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0")
+    val p1 = col("c1").cast("double") / col("n1")
+    val pPool = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+    counts.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      round(p0, 4).as("p0"), round(p1, 4).as("p1"),
+      round((p0 - p1) /
+        sqrt(pPool * (lit(1.0) - pPool)
+          * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
+  }
+
   /** E-WIN SCD2: slowly-changing-dimension history from a change log —
     * each run of consecutive equal values per user becomes one validity
     * interval [valid_from, valid_to), the current row open-ended (-1).

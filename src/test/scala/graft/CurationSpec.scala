@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Curation, Relational, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation family: split determinism and proportions, leakage ⊆
+  * LSH pair graph, contamination confined to the train split, repetition
+  * bounds, basket pair ordering, and the A/B z-score identity — the
+  * invariants the row/hash oracle can't express. */
+class CurationSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("split assignment is deterministic, exhaustive, and ~90/5/5") {
+    val counts = Curation.splitAssign(spark, sfDir)
+      .groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(counts.keySet == Set("train", "val", "test"))
+    // hash buckets over sequential ids: bounded drift from 90/5/5
+    assert(counts("train").toDouble / total > 0.85)
+    assert(counts("val").toDouble / total < 0.10)
+    assert(counts("test").toDouble / total < 0.10)
+    // re-run yields the identical assignment (stateless hash, no RNG)
+    val a = Curation.splitAssign(spark, sfDir).collect().toSeq
+    val b = Curation.splitAssign(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("leakage pairs are exactly the cross-split subset of the LSH graph") {
+    val leak = Curation.splitLeakage(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = TextOps.minhashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(leak.subsetOf(all))
+    // every reported pair truly straddles splits
+    Curation.splitLeakage(spark, sfDir).collect().foreach { r =>
+      assert(r.getString(2) != r.getString(3))
+    }
+  }
+
+  test("contamination reports train docs only, with positive gram counts") {
+    val rows = Curation.contamination(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // recompute the split of each reported doc — must be train
+      val bucket = (r.getLong(0) * 2654435761L) % 1000L
+      assert(bucket < 900, s"doc ${r.getLong(0)} not in train split")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("repetition ratios stay in [0,1] and flagged <= docs") {
+    val rows = Curation.repetitionScreen(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, avgRep, flagged) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(avgRep >= 0.0 && avgRep <= 1.0)
+      assert(flagged >= 0 && flagged <= nDocs)
+    }
+  }
+
+  test("basket pairs: canonical ordering, bounded co-count, positive lift") {
+    val rows = Relational.basketPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val counts = rows.map(_.getLong(2))
+    // sorted by co-count descending (the top-k contract)
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // p1 < p2 canonical form
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("abtest: pooled z matches a local recomputation from the counts") {
+    val r = Relational.abTest(spark, sfDir).collect().head
+    val (n0, c0, n1, c1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n0 > 0 && n1 > 0 && c0 <= n0 && c1 <= n1)
+    val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val z = (p0 - p1) / math.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+    val zRounded = BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(6) - zRounded) < 1e-9)
+  }
+}
