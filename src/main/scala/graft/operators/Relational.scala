@@ -946,14 +946,27 @@ object Relational {
     * part-cardinality (dim-sized) → broadcast back onto the pairs; the
     * order count is a 1-row agg cross-joined, never collected. */
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val nOrders = items.select(countDistinct(col("ok")).as("n_orders"))
-    val supp = items.groupBy("pk").agg(count(lit(1)).as("supp"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+    // One lineitem scan → per-order sorted part set (collect_set dedups,
+    // array_sort makes downstream pair order deterministic). NOT a
+    // distinct + self-join: that shape scans the fact table per side and
+    // reshuffles each scan, and Catalyst will happily broadcast a
+    // fact-sized "items" side. Here pairs are expanded IN-ARRAY (groups
+    // are ≤7 parts, so the expansion is narrow and bounded) and the one
+    // wide exchange is the per-order grouping.
+    val sets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("pks"))
+      // feeds pairs, supports, and the order count — persist the
+      // order-cardinality frame instead of re-aggregating per consumer
+      .persist()
+    val nOrders = sets.select(count(lit(1)).as("n_orders"))
+    val supp = sets.select(explode(col("pks")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("supp"))
+    val pairs = sets
+      .select(explode(flatten(transform(col("pks"), (x, i) =>
+        transform(slice(col("pks"), i + lit(2), size(col("pks"))),
+          y => struct(x.as("p1"), y.as("p2")))))).as("pair"))
+      .groupBy(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
       .agg(count(lit(1)).as("n_both"))
     pairs
       .join(broadcast(supp.select(col("pk").as("p1"), col("supp").as("s1"))), "p1")
