@@ -70,4 +70,31 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       "vocabulary build collapses to a single partition")
   }
+
+  test("q_basket plan: one fact exchange, pairs expanded in-array, top-k not a sort") {
+    val qe = operators.Relational.basketPairs(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    // pairs are expanded in-array off the cached per-order sets: there
+    // is no order-key JOIN anywhere — every join in the plan is a
+    // broadcast of a dim-sized support/count frame. (The l_orderkey
+    // grouping exchange prints once per cache consumer in the string,
+    // but runs once through the InMemoryRelation.)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"fact-sized shuffle join in the basket plan:\n${plan.take(1500)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 should be TakeOrderedAndProject, not a global Sort")
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      "per-order set frame should be persisted, not re-aggregated per consumer")
+    spark.catalog.clearCache()
+  }
+
+  test("q_contamination plan: test grams broadcast; no per-doc window shuffle") {
+    val plan = operators.Curation.contamination(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"test-split gram set should broadcast:\n${plan.take(1500)}")
+    // 4-grams come from chained zip_with projections, never a
+    // lead()-window (which would shuffle every token row per doc)
+    assert(!plan.contains("Window"), "unexpected window in gram formation")
+  }
 }
