@@ -69,6 +69,10 @@ object SparkEntry {
     "q_cohort" -> (Relational.cohortRetention _),
     "q_basket" -> (Relational.basketPairs _),
     "q_abtest" -> (Relational.abTest _),
+    "q_transitions" -> (Relational.transitions _),
+    "q_concurrency" -> (Relational.peakConcurrency _),
+    "q_attribution" -> (Relational.attribution _),
+    "q_trend" -> (Relational.linearTrend _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -1346,6 +1350,68 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams > 0.1
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q_transitions" ->
+      // consecutive-pair lead per user; probabilities divide exact counts
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events
+        |), pairs AS (
+        |  SELECT event_type AS src, dst, count(*) AS n
+        |  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+        |), tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM pairs GROUP BY 1)
+        |SELECT src, dst, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / tot, 4) AS p
+        |FROM pairs JOIN tot USING (src) ORDER BY src, dst""".stripMargin,
+    "q_concurrency" ->
+      // sweep-line: explicit ROWS frame (RANGE default would sum peers);
+      // ends (-1) sort before starts (+1) at the same instant
+      """WITH d AS (
+        |  SELECT event_type, ts AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 1 HOUR, -1 FROM events
+        |), r AS (
+        |  SELECT event_type, sum(delta) OVER (
+        |    PARTITION BY event_type ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM d)
+        |SELECT event_type, CAST(max(conc) AS BIGINT) AS peak
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_attribution" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER w AS click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER w AS click_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS purchase_id, click_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |    - CAST(floor(epoch(click_ts)) AS BIGINT) AS latency_s
+        |FROM marked
+        |WHERE event_type = 'purchase' AND click_id IS NOT NULL
+        |ORDER BY purchase_id""".stripMargin,
+    "q_trend" ->
+      // OLS over exact integer sums; doubles only at the two divisions
+      """WITH pts AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(floor(value * 100) AS BIGINT) AS y
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM pts GROUP BY 1
+        |), sl AS (
+        |  SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope
+        |  FROM s)
+        |SELECT event_type, n,
+        |  round(slope, 6) AS slope_cents_per_day,
+        |  round(CAST(sy - slope * sx AS DOUBLE) / n, 4) AS intercept_cents
+        |FROM sl ORDER BY event_type""".stripMargin,
     "q_skyline" ->
       // textbook quadratic NOT-EXISTS dominance — deliberately a
       // DIFFERENT algorithm than the engine's sorted running-max window,

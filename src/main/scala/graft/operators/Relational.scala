@@ -1006,6 +1006,92 @@ object Relational {
           * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
   }
 
+  /** Event-transition matrix (first-order Markov): counts and row-
+    * normalized probabilities of consecutive event-type pairs per user —
+    * the "what happens after X" verb behind next-action prediction and
+    * journey maps. One user-partitioned window (lead) over the fact scan
+    * is the only wide stage; the transition frame is |types|² (tiny), so
+    * totals broadcast back. Probabilities divide exact counts. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("src").agg(sum("n").as("tot"))
+    pairs.join(broadcast(totals), "src")
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / col("tot"), 4).as("p"))
+      .orderBy("src", "dst")
+  }
+
+  /** Peak concurrency by sweep-line: each event opens a 1-hour interval;
+    * +1/−1 boundary deltas, a running sum per type, max = the most
+    * intervals ever open at once — the interval-overlap verb behind
+    * "how many sessions were live at peak". End boundaries sort before
+    * starts at the same instant (delta ascending), making intervals
+    * end-exclusive. The running sum is a per-type ROWS window; rows with
+    * identical (t, delta) permute only equal deltas, so the prefix-sum
+    * MULTISET — and hence the max — is deterministic even though
+    * individual row values aren't. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("ts"))
+    val deltas = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"))
+      .unionByName(ev.select(col("event_type"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy("event_type").orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("conc", sum("delta").over(w))
+      .groupBy("event_type").agg(max("conc").as("peak"))
+      .orderBy("event_type")
+  }
+
+  /** Last-touch attribution: each purchase credited to the user's most
+    * recent PRECEDING click, with the click→purchase latency — the
+    * carry-forward-within-sequence verb (LOCF's cross-event-type
+    * sibling) marketing attribution runs on. One user-partitioned sort
+    * serves both carried columns; no self-join of the fact table against
+    * itself per purchase. Seconds via floor(epoch) on both engines. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("click_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("click_ts"))).as("latency_s"))
+      .orderBy("purchase_id")
+  }
+
+  /** Per-type linear trend (simple OLS of value on day): slope and
+    * intercept from the five classic sums — and every sum is an exact
+    * BIGINT (days since a fixed epoch × centi-unit values), so the only
+    * doubles are the two final divisions and both engines agree
+    * bit-for-bit. The sums partial-aggregate (one narrow scan + one
+    * |types|-row agg); nothing about the shape changes at 100 TB. */
+  def linearTrend(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"),
+        floor(col("value") * 100).cast("long").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    agg.select(col("event_type"), col("n"),
+        round(slope, 6).as("slope_cents_per_day"),
+        round((col("sy") - slope * col("sx")).cast("double") / col("n"), 4)
+          .as("intercept_cents"))
+      .orderBy("event_type")
+  }
+
   /** E-WIN SCD2: slowly-changing-dimension history from a change log —
     * each run of consecutive equal values per user becomes one validity
     * interval [valid_from, valid_to), the current row open-ended (-1).

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Sequence/flow analytics: transition-matrix stochasticity, sweep-line
+  * peak bounds, attribution causality, and the OLS identity — properties
+  * the row-hash oracle can't express. */
+class EventFlowSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("transition probabilities are row-stochastic and counts conserve") {
+    val rows = Relational.transitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      // rounded 4-dp probabilities: sum within rounding slack of 1
+      assert(math.abs(pSum - 1.0) < 5e-4 * rs.length, s"$src: p sums to $pSum")
+    }
+    // total transitions = total events - one tail event per active user
+    val nPairs = rows.map(_.getLong(2)).sum
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(nPairs == expected)
+  }
+
+  test("peak concurrency is positive and bounded by the type's event count") {
+    val counts = Tables.events(spark, sfDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Relational.peakConcurrency(spark, sfDir).collect()
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val (tpe, peak) = (r.getString(0), r.getLong(1))
+      assert(peak >= 1 && peak <= counts(tpe), s"$tpe: peak $peak")
+    }
+  }
+
+  test("attribution: credited click precedes its purchase, same user") {
+    val attr = Relational.attribution(spark, sfDir)
+    val rows = attr.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) >= 0, s"negative latency: $r"))
+    // every credited click_id is a real click event of the same user
+    val bad = attr.join(
+        Tables.events(spark, sfDir).select(col("event_id").as("click_id"),
+          col("user_id").as("cu"), col("event_type").as("ct")),
+        "click_id")
+      .filter(col("ct") =!= "click" || col("cu") =!= col("user_id"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("trend slope/intercept match a local OLS over the same points") {
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"),
+        floor(col("value") * 100).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val local = pts.groupBy(_._1).map { case (t, ps) =>
+      val n = ps.length.toLong
+      val (sx, sy) = (ps.map(_._2).sum, ps.map(_._3).sum)
+      val (sxy, sxx) = (ps.map(p => p._2 * p._3).sum, ps.map(p => p._2 * p._2).sum)
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+      t -> slope
+    }
+    Relational.linearTrend(spark, sfDir).collect().foreach { r =>
+      val expect = BigDecimal(local(r.getString(0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - expect) < 1e-9,
+        s"${r.getString(0)}: ${r.getDouble(2)} vs $expect")
+    }
+  }
+}
