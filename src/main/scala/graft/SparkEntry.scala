@@ -73,6 +73,8 @@ object SparkEntry {
     "q_concurrency" -> (Relational.peakConcurrency _),
     "q_attribution" -> (Relational.attribution _),
     "q_trend" -> (Relational.linearTrend _),
+    "q_multi_distinct" -> (Relational.multiDistinct _),
+    "q_dpp" -> (Scale.dppQuery _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -1412,6 +1414,20 @@ object SparkEntry {
         |  round(slope, 6) AS slope_cents_per_day,
         |  round(CAST(sy - slope * sx AS DOUBLE) / n, 4) AS intercept_cents
         |FROM sl ORDER BY event_type""".stripMargin,
+    "q_multi_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_dpp" ->
+      // Sunday filter: DuckDB dayofweek is 0 = Sunday (Spark: 1)
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE dayofweek(CAST(ts AS DATE)) = 0
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q_skyline" ->
       // textbook quadratic NOT-EXISTS dominance — deliberately a
       // DIFFERENT algorithm than the engine's sorted running-max window,

@@ -1006,6 +1006,21 @@ object Relational {
           * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
   }
 
+  /** Multiple DISTINCT aggregates in one pass — `count(DISTINCT user)`,
+    * `count(DISTINCT day)`, and a plain count share a single GROUP BY.
+    * Catalyst rewrites this with Expand (one row replica per distinct
+    * set), which is THE multi-distinct plan shape at scale: each replica
+    * partial-aggregates map-side, so the exchange carries one row per
+    * (group, distinct-value), never the raw fact stream twice. */
+  def multiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** Event-transition matrix (first-order Markov): counts and row-
     * normalized probabilities of consecutive event-type pairs per user —
     * the "what happens after X" verb behind next-action prediction and

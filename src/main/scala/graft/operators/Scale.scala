@@ -154,4 +154,29 @@ object Scale {
   def readAggState(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(statePath)
       .select(col("*"), round(col("s") / col("n"), 2).cast("double").as("mean"))
+
+  /** Dynamic partition pruning: Sunday traffic summary against the
+    * date-partitioned events layout. The weekday dim derives from the
+    * UNPARTITIONED fixture file (a genuine second source), carries the
+    * selective `dayofweek = Sunday` predicate, and joins on the fact's
+    * PARTITION column — the shape where Spark injects a
+    * dynamicpruningexpression into the fact scan's PartitionFilters and
+    * opens only matching directories (4 of 30 here). At 100 TB this is
+    * the difference between scanning a month and scanning its Sundays;
+    * the static twin is q_date_pruned (literal predicate), this is the
+    * runtime-valued one (dim rows known only after the dim scan). */
+  def dppQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.eventsByDate(spark, dir)
+    // Spark dayofweek: 1 = Sunday (oracle twin: DuckDB dayofweek = 0)
+    val sundays = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date")).distinct()
+      .filter(dayofweek(col("event_date")) === 1)
+    fact.join(sundays, "event_date")
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("value_dec"))
+      .select(col("day"), col("n_events"),
+        round(col("value_dec"), 2).cast("double").as("total_value"))
+      .orderBy("day")
+  }
 }

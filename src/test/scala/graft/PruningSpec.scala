@@ -48,4 +48,43 @@ class PruningSpec extends SparkSpec {
       .collect().toSeq
     assert(pruned == plain)
   }
+
+  test("dynamic partition pruning: runtime dim values reach the fact scan's PartitionFilters") {
+    // static pruning (above) resolves literals at plan time; q_dpp's
+    // Sunday set only exists after the dim scan runs, so the fact scan
+    // must carry a dynamicpruningexpression instead of a literal IN.
+    // (AQE leaf-stage wrapping hides FileSourceScanExec from collect —
+    // same workaround as the static test above.)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val pf = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val scans = operators.Scale.dppQuery(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec
+            if s.metadata.get("Location").exists(_.contains("graft_events_by_date")) => s
+        }
+      assert(scans.nonEmpty, "no partitioned-events scan in the plan")
+      scans.head.metadata.getOrElse("PartitionFilters", "")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert(pf.contains("dynamicpruning"),
+      s"fact scan lacks a dynamic pruning filter: $pf")
+    val df = operators.Scale.dppQuery(spark, sf)
+    // and the result matches the unpartitioned recomputation
+    val viaDpp = df.collect().toSeq
+    val plain = Tables.events(spark, sf)
+      .filter(dayofweek(to_date(col("ts"))) === 1)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
+      .orderBy("day").collect().toSeq
+    assert(viaDpp.nonEmpty && viaDpp == plain)
+  }
+
+  test("multi-distinct aggregates via one Expand, not repeated fact scans") {
+    val df = Relational.multiDistinct(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"multi-distinct should plan an Expand:\n${plan.take(1200)}")
+    val factScans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(factScans == 1, s"expected a single events scan, got $factScans")
+  }
 }
