@@ -75,6 +75,9 @@ object SparkEntry {
     "q_trend" -> (Relational.linearTrend _),
     "q_multi_distinct" -> (Relational.multiDistinct _),
     "q_dpp" -> (Scale.dppQuery _),
+    "q_rfm" -> (Relational.rfm _),
+    "q_signature" -> (Relational.behaviorSignatures _),
+    "q_benford" -> (Relational.benfordDigits _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -1428,6 +1431,47 @@ object SparkEntry {
         |FROM events
         |WHERE dayofweek(CAST(ts AS DATE)) = 0
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_rfm" ->
+      // quintiles over the per-user frame; user_id tiebreak makes ntile
+      // assignment a total order on both engines
+      """WITH maxd AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events
+        |), per AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |    count(*) AS frequency,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS monetary_dec
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), sc AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', last_day, mx) AS BIGINT) AS recency,
+        |    frequency,
+        |    CAST(round(monetary_dec, 2) AS DOUBLE) AS monetary,
+        |    6 - ntile(5) OVER (ORDER BY datediff('day', last_day, mx), user_id) AS r_score,
+        |    6 - ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+        |    6 - ntile(5) OVER (ORDER BY monetary_dec DESC, user_id) AS m_score
+        |  FROM per CROSS JOIN maxd)
+        |SELECT user_id, recency, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |       WHEN f_score <= 2 AND r_score >= 4 THEN 'new'
+        |       ELSE 'regular' END AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
+    "q_signature" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    array_to_string(list_sort(list(DISTINCT event_type)), '>') AS signature
+        |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-03' GROUP BY 1)
+        |SELECT signature, count(*) AS n_users
+        |FROM u GROUP BY 1 ORDER BY n_users DESC, signature""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS digit, count(*) AS n
+        |  FROM events GROUP BY 1
+        |), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / total, 4) AS share
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
     "q_skyline" ->
       // textbook quadratic NOT-EXISTS dominance — deliberately a
       // DIFFERENT algorithm than the engine's sorted running-max window,

@@ -1006,6 +1006,78 @@ object Relational {
           * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
   }
 
+  /** RFM customer segmentation: recency / frequency / monetary quintile
+    * scores per purchasing user, plus a rule-based segment label — the
+    * warehouse verb behind lifecycle marketing. All three ntile windows
+    * rank the AGGREGATED per-user frame (users ≪ events), so the global
+    * sorts each cover a dim-sized input; ties are totally ordered by
+    * user_id so quintile assignment is deterministic on both engines. At
+    * 100 TB the ntile boundaries would come from a quantile sketch
+    * broadcast (the q_histogram_eq pattern) rather than a ranked sort —
+    * same scores wherever no tie straddles a boundary. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val maxDay = Tables.events(spark, dir)
+      .select(max(to_date(col("ts"))).as("mx"))
+    val per = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,2)")).as("monetary_dec"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("mx"), col("last_day")).cast("long").as("recency"),
+        col("frequency"),
+        col("monetary_dec"))
+    val r = Window.orderBy(col("recency"), col("user_id"))
+    val f = Window.orderBy(col("frequency").desc, col("user_id"))
+    val m = Window.orderBy(col("monetary_dec").desc, col("user_id"))
+    per.select(col("user_id"), col("recency"), col("frequency"),
+        round(col("monetary_dec"), 2).cast("double").as("monetary"),
+        (lit(6) - ntile(5).over(r)).cast("long").as("r_score"),
+        (lit(6) - ntile(5).over(f)).cast("long").as("f_score"),
+        (lit(6) - ntile(5).over(m)).cast("long").as("m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, lit("champion"))
+          .when(col("r_score") <= 2 && col("f_score") >= 4, lit("at_risk"))
+          .when(col("f_score") <= 2 && col("r_score") >= 4, lit("new"))
+          .otherwise(lit("regular")))
+      .orderBy("user_id")
+  }
+
+  /** Behavioral signatures: each user's sorted distinct event-type set
+    * collapsed to one string, then the histogram of signatures — the
+    * listagg/string_agg verb plus a "which behavior profiles exist"
+    * rollup. Set collection is per-user (bounded by |event types|), the
+    * signature histogram is |signatures| ≤ 2^|types| rows. */
+  def behaviorSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      // first-3-days onboarding window: over the whole fixture every user
+      // reaches all five types and the histogram collapses to one row
+      .filter(to_date(col("ts")) <= lit("2024-01-03").cast("date"))
+      .groupBy("user_id")
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ">").as("signature"))
+      .groupBy("signature")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("signature"))
+
+  /** Benford first-digit screen: distribution of the leading digit of
+    * the centi-unit value — the classic fabricated-numbers smoke test, a
+    * data-quality sibling of q_dq_checks. Digits come from exact integer
+    * string heads; shares divide exact counts. One narrow projection +
+    * a 9-row agg. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.events(spark, dir)
+      .select(substring(floor(col("value") * 100).cast("long").cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.select(sum("n").as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 4).as("share"))
+      .orderBy("digit")
+  }
+
   /** Multiple DISTINCT aggregates in one pass — `count(DISTINCT user)`,
     * `count(DISTINCT day)`, and a plain count share a single GROUP BY.
     * Catalyst rewrites this with Expand (one row replica per distinct

@@ -52,6 +52,48 @@ class EventFlowSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("rfm: quintile scores balanced, segment rules hold") {
+    val rows = Relational.rfm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    Seq(4, 5, 6).foreach { i => // r/f/m score columns
+      val sizes = rows.groupBy(_.getLong(i)).view.mapValues(_.length)
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+      // ntile splits |bucket| into floor/ceil of n/5
+      sizes.values.foreach(s => assert(s == n / 5 || s == n / 5 + 1))
+    }
+    rows.foreach { r =>
+      val (rs, fs, seg) = (r.getLong(4), r.getLong(5), r.getString(7))
+      val expect =
+        if (rs >= 4 && fs >= 4) "champion"
+        else if (rs <= 2 && fs >= 4) "at_risk"
+        else if (fs <= 2 && rs >= 4) "new"
+        else "regular"
+      assert(seg == expect, s"user ${r.getLong(0)}: $seg vs $expect")
+    }
+  }
+
+  test("signatures: sorted parts, user counts conserve") {
+    val rows = Relational.behaviorSignatures(spark, sfDir).collect()
+    assert(rows.length > 1)
+    rows.foreach { r =>
+      val parts = r.getString(0).split(">").toSeq
+      assert(parts == parts.sorted && parts.distinct == parts)
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val users = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) <= lit("2024-01-03").cast("date"))
+      .select("user_id").distinct().count()
+    assert(total == users)
+  }
+
+  test("benford: digits 1-9, shares sum to ~1") {
+    val rows = Relational.benfordDigits(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(('1' to '9').map(_.toString).toSet))
+    val sum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(sum - 1.0) < 5e-4 * rows.length)
+  }
+
   test("trend slope/intercept match a local OLS over the same points") {
     val pts = Tables.events(spark, sfDir)
       .select(col("event_type"),
