@@ -78,6 +78,8 @@ object SparkEntry {
     "q_rfm" -> (Relational.rfm _),
     "q_signature" -> (Relational.behaviorSignatures _),
     "q_benford" -> (Relational.benfordDigits _),
+    "q_join_outer" -> (Relational.joinFullOuter _),
+    "q_abandon" -> (Relational.cartAbandonment _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -1463,6 +1465,41 @@ object SparkEntry {
         |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-03' GROUP BY 1)
         |SELECT signature, count(*) AS n_users
         |FROM u GROUP BY 1 ORDER BY n_users DESC, signature""".stripMargin,
+    "q_join_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_errors
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+        |  coalesce(n_clicks, 0) AS n_clicks,
+        |  coalesce(n_errors, 0) AS n_errors,
+        |  CASE WHEN coalesce(n_clicks, 0) > 0 AND coalesce(n_errors, 0) > 0 THEN 'both'
+        |       WHEN coalesce(n_clicks, 0) > 0 THEN 'clicks_only'
+        |       ELSE 'errors_only' END AS status
+        |FROM c FULL JOIN e USING (user_id, d)
+        |ORDER BY user_id, day""".stripMargin,
+    "q_abandon" ->
+      // textbook correlated NOT EXISTS — an INDEPENDENT algorithm from
+      // the engine's forward-carry window (q_skyline pattern); the lex
+      // (ts, event_id) tiebreak makes both define "after" identically
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        |), flagged AS (
+        |  SELECT CAST(c.ts AS DATE) AS d,
+        |    CASE WHEN NOT EXISTS (
+        |      SELECT 1 FROM events p
+        |      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |        AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+        |        AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        |      THEN 1 ELSE 0 END AS abandoned
+        |  FROM clicks c)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  count(*) AS n_clicks,
+        |  CAST(sum(abandoned) AS BIGINT) AS n_abandoned,
+        |  round(CAST(sum(abandoned) AS DOUBLE) / count(*), 4) AS abandon_rate
+        |FROM flagged GROUP BY 1 ORDER BY day""".stripMargin,
     "q_benford" ->
       """WITH d AS (
         |  SELECT substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 1)

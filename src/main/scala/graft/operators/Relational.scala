@@ -1006,6 +1006,59 @@ object Relational {
           * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
   }
 
+  /** E-JOIN full outer: user-day click activity against user-day error
+    * activity — rows surviving from EITHER side with absent-side counts
+    * coalesced to zero, the reconciliation verb behind "who clicked but
+    * never errored and vice versa". Both inputs are PRE-AGGREGATED onto
+    * the join key before the outer join, so the wide join runs over two
+    * user-day frames (≪ fact) that hash-partition identically — the
+    * outer-join-after-reduce discipline that keeps full outer viable at
+    * 100 TB. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+    def daily(tpe: String, out: String) =
+      ev.filter(col("event_type") === tpe)
+        .groupBy("user_id", "d").agg(count(lit(1)).as(out))
+    daily("click", "n_clicks")
+      .join(daily("error", "n_errors"), Seq("user_id", "d"), "full_outer")
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+      .withColumn("status",
+        when(col("n_clicks") > 0 && col("n_errors") > 0, lit("both"))
+          .when(col("n_clicks") > 0, lit("clicks_only"))
+          .otherwise(lit("errors_only")))
+      .orderBy("user_id", "day")
+  }
+
+  /** Cart abandonment: clicks with NO purchase by the same user within
+    * the following hour — the time-bounded NOT EXISTS verb. Computed
+    * WITHOUT a per-click subquery: one user-ordered window carries each
+    * row's next purchase timestamp (first ignore-nulls over the
+    * following frame), and the abandonment test is a scalar comparison.
+    * The oracle deliberately runs the textbook correlated NOT EXISTS —
+    * an independent algorithm checking the window algebra (the q_skyline
+    * pattern). One fact-sized sort per user is the whole cost. */
+  def cartAbandonment(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("next_buy",
+        first(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(to_date(col("ts")).as("d"),
+        when(col("next_buy").isNull
+          || col("next_buy") > col("ts") + expr("INTERVAL 1 HOUR"), 1L)
+          .otherwise(0L).as("abandoned"))
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_clicks"), sum("abandoned").as("n_abandoned"))
+      .withColumn("abandon_rate",
+        round(col("n_abandoned").cast("double") / col("n_clicks"), 4))
+      .orderBy("day")
+  }
+
   /** RFM customer segmentation: recency / frequency / monetary quintile
     * scores per purchasing user, plus a rule-based segment label — the
     * warehouse verb behind lifecycle marketing. All three ntile windows

@@ -94,6 +94,47 @@ class EventFlowSpec extends SparkSpec {
     assert(math.abs(sum - 1.0) < 5e-4 * rows.length)
   }
 
+  test("full outer join keeps either-side rows; statuses match the counts") {
+    val rows = Relational.joinFullOuter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var clicksOnly = 0; var errorsOnly = 0
+    rows.foreach { r =>
+      val (c, e, s) = (r.getLong(2), r.getLong(3), r.getString(4))
+      assert(c > 0 || e > 0, "a (0,0) row survived the outer join")
+      val expect = if (c > 0 && e > 0) "both"
+                   else if (c > 0) "clicks_only" else "errors_only"
+      assert(s == expect)
+      if (s == "clicks_only") clicksOnly += 1
+      if (s == "errors_only") errorsOnly += 1
+    }
+    // genuinely outer: both unmatched directions occur in the fixture
+    assert(clicksOnly > 0 && errorsOnly > 0)
+  }
+
+  test("abandonment agrees with a brute-force check of the raw events") {
+    val byUser = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime))
+      .groupBy(_._1)
+    val expected = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val dayFmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    dayFmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    for ((_, evs) <- byUser; (_, eid, tpe, t) <- evs if tpe == "click") {
+      val converted = evs.exists { case (_, pid, ptpe, pt) =>
+        ptpe == "purchase" && (pt > t || (pt == t && pid > eid)) &&
+          pt <= t + 3600 * 1000L
+      }
+      val day = dayFmt.format(new java.util.Date(t))
+      val (n, a) = expected.getOrElse(day, (0L, 0L))
+      expected(day) = (n + 1, if (converted) a else a + 1)
+    }
+    Relational.cartAbandonment(spark, sfDir).collect().foreach { r =>
+      assert(expected(r.getString(0)) == ((r.getLong(1), r.getLong(2))),
+        s"day ${r.getString(0)}")
+    }
+  }
+
   test("trend slope/intercept match a local OLS over the same points") {
     val pts = Tables.events(spark, sfDir)
       .select(col("event_type"),
