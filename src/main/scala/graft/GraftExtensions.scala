@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.GreedyNmsStrategy)
+    // 100 TB guardrail: reject unconditioned fact×fact cartesian joins at
+    // analysis time (plans/CartesianGuard.scala). Extensions path only —
+    // check rules cannot be late-registered on a live session, so
+    // register(spark) below does NOT install it.
+    e.injectCheckRule(spark => graft.plans.CartesianGuard(spark))
   }
 }
 

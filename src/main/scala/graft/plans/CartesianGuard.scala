@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint}
+
+/** 100 TB guardrail (SURVEY §4): an analysis-time check that REJECTS
+  * unconditioned cartesian joins where both sides exceed broadcast size.
+  *
+  * The deadliest query shape at scale is the accidental cross join — a
+  * missing join condition or an always-true predicate silently plans a
+  * CartesianProduct whose output is |L|×|R|; on fact-sized inputs that is
+  * a cluster-killer that no amount of tuning recovers. The engine's own
+  * operators never build one (every deliberate crossJoin in this codebase
+  * carries a broadcast()-hinted scalar or dim frame), so a surviving
+  * fact×fact cartesian is always a bug.
+  *
+  * Policy, checked on the ANALYZED plan (before optimizer join
+  * reordering):
+  *   - Join with no condition and type Inner/Cross where BOTH sides'
+  *     size estimate exceeds `spark.sql.autoBroadcastJoinThreshold` and
+  *     NEITHER side carries a broadcast hint → rejected.
+  *   - `spark.graft.allowCartesian=true` opts a session back in
+  *     (mirroring how spark.sql.crossJoin.enabled once worked — explicit
+  *     intent, not an accident).
+  *
+  * Registered via `SparkSessionExtensions.injectCheckRule` (extensions
+  * path only: check rules cannot be late-registered on a live session,
+  * unlike functions/strategies — see GraftExtensions.register's note).
+  */
+case class CartesianGuard(spark: SparkSession) extends (LogicalPlan => Unit) {
+
+  private def broadcastThreshold: Long =
+    spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .stripSuffix("b").stripSuffix("B") match {
+      case s if s.endsWith("k") || s.endsWith("K") => s.dropRight(1).toLong << 10
+      case s if s.endsWith("m") || s.endsWith("M") => s.dropRight(1).toLong << 20
+      case s if s.endsWith("g") || s.endsWith("G") => s.dropRight(1).toLong << 30
+      case s => s.toLong
+    }
+
+  /** At analysis time a broadcast() marker is still a ResolvedHint node
+    * in the side's subtree (EliminateResolvedHint folds it into the
+    * Join's JoinHint only during optimization), so intent is checked in
+    * both representations. */
+  private def hinted(side: LogicalPlan): Boolean =
+    side.exists { case r: ResolvedHint => r.hints.strategy.isDefined; case _ => false }
+
+  override def apply(plan: LogicalPlan): Unit = {
+    if (spark.conf.get("spark.graft.allowCartesian", "false").toBoolean) return
+    val threshold = broadcastThreshold
+    if (threshold <= 0) return // auto-broadcast disabled -> guard undefined
+    plan.foreach {
+      case j @ Join(left, right, Inner | Cross, None, hint)
+          if !hint.leftHint.exists(_.strategy.isDefined)
+            && !hint.rightHint.exists(_.strategy.isDefined)
+            && !hinted(left) && !hinted(right) =>
+        val (ls, rs) = (left.stats.sizeInBytes, right.stats.sizeInBytes)
+        if (ls > threshold && rs > threshold) {
+          throw new SparkException(
+            s"graft cartesian guard: unconditioned ${j.joinType} join of two " +
+              s"non-broadcastable inputs (left ≈ $ls B, right ≈ $rs B, " +
+              s"threshold $threshold B). Add a join condition, broadcast() a " +
+              s"dim-sized side, or set spark.graft.allowCartesian=true.")
+        }
+      case _ => ()
+    }
+  }
+}
