@@ -80,6 +80,9 @@ object SparkEntry {
     "q_benford" -> (Relational.benfordDigits _),
     "q_join_outer" -> (Relational.joinFullOuter _),
     "q_abandon" -> (Relational.cartAbandonment _),
+    "q_containment" -> (TextOps.containment _),
+    "q_lm_score" -> (TextOps.lmScore _),
+    "q_winnow" -> (TextOps.winnow _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -1003,6 +1006,72 @@ object SparkEntry {
       s"""WITH $minhashPairCtes
         |SELECT d1, d2 FROM pairs
         |ORDER BY d1, d2""".stripMargin,
+    "q_containment" ->
+      // subset test over shingle-CODE sets (distinct codes, mirroring the
+      // engine's array_intersect over coded shingles) on the LSH pairs
+      s"""WITH $minhashPairCtes,
+        |dsz AS (
+        |  SELECT t.doc_id, count(DISTINCT c.code) AS sz
+        |  FROM toks t JOIN codes c ON c.tok = t.tok GROUP BY 1
+        |), inter AS (
+        |  SELECT p.d1, p.d2, count(DISTINCT ca.code) AS i
+        |  FROM pairs p
+        |  JOIN toks a ON a.doc_id = p.d1
+        |  JOIN codes ca ON ca.tok = a.tok
+        |  JOIN toks b ON b.doc_id = p.d2
+        |  JOIN codes cb ON cb.tok = b.tok AND cb.code = ca.code
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  CAST(sa.sz AS BIGINT) AS sz1, CAST(sb.sz AS BIGINT) AS sz2,
+        |  CAST(i AS BIGINT) AS inter,
+        |  CASE WHEN sa.sz = sb.sz THEN 'equal'
+        |       WHEN i = sa.sz THEN 'd1_in_d2'
+        |       ELSE 'd2_in_d1' END AS relation
+        |FROM inter
+        |JOIN dsz sa ON sa.doc_id = d1
+        |JOIN dsz sb ON sb.doc_id = d2
+        |WHERE i = sa.sz OR i = sb.sz
+        |ORDER BY d1, d2""".stripMargin,
+    "q_lm_score" ->
+      // q_entropy's determinism discipline: per-doc fold over a
+      // token-sorted list, every ln input an exact integer ratio
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM occ GROUP BY 1, 2
+        |), cf AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+        |), nv AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cf
+        |), per AS (
+        |  SELECT doc_id,
+        |    list_sort(list(struct_pack(tok := tok, tf := tf, c := c))) AS l,
+        |    CAST(sum(tf) AS BIGINT) AS n_tokens
+        |  FROM tf JOIN cf USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(list_sum(list_transform(l,
+        |    s -> -s.tf * ln((s.c + 1) / CAST(n + v AS DOUBLE)))) / n_tokens, 4)
+        |    AS lm_score
+        |FROM per CROSS JOIN nv ORDER BY doc_id""".stripMargin,
+    "q_winnow" ->
+      // token-code sequence -> 3-gram rolling hash -> min of each 4-window
+      """WITH seqs AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> list_sum(list_transform(range(1, length(t) + 1),
+        |           j -> ascii(substr(t, j, 1)) * j))) AS c
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_transform(range(1, len(c) - 1),
+        |    j -> c[j] + c[j + 1] * 3 + c[j + 2] * 9) AS h
+        |  FROM seqs
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(h) - 2),
+        |      i -> list_min(h[i:i + 3]))) AS fp
+        |    FROM grams WHERE len(h) >= 4) raw)
+        |SELECT fp AS fingerprint, count(*) AS df, min(doc_id) AS min_doc
+        |FROM fps GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY df DESC, fingerprint LIMIT 50""".stripMargin,
     "q_pagerank" ->
       // same pair graph; 5 unrolled integer-arithmetic power iterations
       s"""WITH $minhashPairCtes,

@@ -783,6 +783,97 @@ object TextOps {
       .orderBy("source", "doc_id")
   }
 
+  /** Containment detection on the LSH candidate set: a pair where one
+    * doc's shingle SET is a subset of the other's — the "sub-document /
+    * quoted-inside" relation near-dup Jaccard misses (a small doc fully
+    * inside a big one has low Jaccard but total containment). Candidates
+    * come from [[minhashPairs]] (band equi-join, sub-quadratic); the
+    * subset test is |A∩B| = |A| over the per-doc shingle-code arrays
+    * (vocabulary-bounded, array_intersect in one narrow pass). */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val codes = Tables.documents(spark, dir)
+      // distinct over the CODES, not just the strings shingleCodes
+      // dedups: two distinct shingles can collide to one code, and the
+      // subset test compares against array_intersect's deduped output
+      .select(col("doc_id"), array_distinct(shingleCodes(col("text"))).as("cs"))
+      .filter(size(col("cs")) > 0)
+    minhashPairs(spark, dir)
+      .join(codes.select(col("doc_id").as("d1"), col("cs").as("cs1")), "d1")
+      .join(codes.select(col("doc_id").as("d2"), col("cs").as("cs2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(col("cs1")).cast("long").as("sz1"),
+        size(col("cs2")).cast("long").as("sz2"),
+        size(array_intersect(col("cs1"), col("cs2"))).cast("long").as("inter"))
+      .filter(col("inter") === col("sz1") || col("inter") === col("sz2"))
+      .withColumn("relation",
+        when(col("sz1") === col("sz2"), lit("equal"))
+          .when(col("inter") === col("sz1"), lit("d1_in_d2"))
+          .otherwise(lit("d2_in_d1")))
+      .orderBy("d1", "d2")
+  }
+
+  /** Unigram language-model quality score: per-doc mean negative log
+    * probability under the corpus unigram distribution with add-1
+    * smoothing — the perplexity-proxy scorer corpus filters rank on
+    * (mandate: quality scoring). Determinism discipline is q_entropy's:
+    * per-doc contributions are folded over an array SORTED by token
+    * (unique within a doc), so the double summation order is fixed on
+    * both engines; all inputs to every ln are exact integers. Corpus
+    * totals ride in as a broadcast 1-row aggregate. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("tok").agg(sum("tf").as("c"))
+    val nv = cf.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    tf.join(cf, "tok")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("tok"), col("tf"), col("c")))).as("l"),
+        sum("tf").as("n_tokens"))
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"), col("n_tokens"),
+        round(
+          aggregate(col("l"), lit(0.0), (acc, s) =>
+            acc - s.getField("tf") *
+              log((s.getField("c") + 1) / (col("n") + col("v")).cast("double")))
+            / col("n_tokens"), 4).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprints (the MOSS local-match scheme, Schleimer et
+    * al. 2003): 3-gram rolling hashes of the token-code SEQUENCE, then
+    * the min of every 4-hash window — guarantees any shared run of ≥ 6
+    * tokens produces a shared fingerprint, localizing matches the way
+    * whole-doc hashing can't. Both stages are chained zip_with /
+    * bounded-slice transforms over materialized arrays (narrow, linear —
+    * the per-element slice is the w=4 window, not the doc). Output: the
+    * most widely shared fingerprints with their document frequency. */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), tokenCode _).as("c"))
+    val m2 = greatest(size(col("c")) - 2, lit(0))
+    val grams = toks.select(col("doc_id"),
+      zip_with(slice(col("c"), lit(1), m2), slice(col("c"), lit(2), m2),
+        (a, b) => a + b * 3).as("t1"),
+      slice(col("c"), lit(3), m2).as("c3"))
+      .select(col("doc_id"),
+        zip_with(col("t1"), col("c3"), (t, cc) => t + cc * 9).as("h"))
+    grams
+      // sequence(1, n) DESCENDS for n < 1 — docs too short for one
+      // window are dropped, not fed a reversed range
+      .filter(size(col("h")) >= 4)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("h")) - 3),
+          i => array_min(slice(col("h"), i, lit(4)))))).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(countDistinct(col("doc_id")).as("df"), min("doc_id").as("min_doc"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("fingerprint"))
+      .limit(50)
+  }
+
   /** Multimodal plumbing (mandate): opaque binary column + typed metadata.
     * The "decode" here is byte-level (length + digest) — the model-decode
     * stage proper is the mapPartitions stub in graft.multimodal. */

