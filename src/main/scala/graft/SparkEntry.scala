@@ -83,6 +83,7 @@ object SparkEntry {
     "q_containment" -> (TextOps.containment _),
     "q_lm_score" -> (TextOps.lmScore _),
     "q_winnow" -> (TextOps.winnow _),
+    "q_islands" -> (Relational.activityIslands _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -1053,6 +1054,31 @@ object SparkEntry {
         |    s -> -s.tf * ln((s.c + 1) / CAST(n + v AS DOUBLE)))) / n_tokens, 4)
         |    AS lm_score
         |FROM per CROSS JOIN nv ORDER BY doc_id""".stripMargin,
+    "q_islands" ->
+      // classic gaps-and-islands: lag-gap flag -> running-sum island id;
+      // floor-epoch seconds keep every comparison integer-exact
+      """WITH pts AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, s,
+        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM pts
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+        |), ids AS (
+        |  SELECT user_id, s,
+        |    sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        |  FROM flagged
+        |), isl AS (
+        |  SELECT user_id, island_id, min(s) AS start_s, max(s) + 1800 AS end_s
+        |  FROM ids GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(end_s - start_s) AS BIGINT) AS covered_s,
+        |  CAST(max(end_s - start_s) AS BIGINT) AS longest_s
+        |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q_winnow" ->
       // token-code sequence -> 3-gram rolling hash -> min of each 4-window
       """WITH seqs AS (

@@ -1006,6 +1006,32 @@ object Relational {
           * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
   }
 
+  /** Gaps-and-islands: each user's event stream merged into activity
+    * islands (a new island opens when the gap from the previous event
+    * exceeds 30 min), reporting island count, covered seconds, and the
+    * longest stretch — the interval-merge verb behind uptime, coverage,
+    * and session-coalescing questions. The classic two-window build
+    * (lag-gap flag → running-sum island id) shares ONE user-partitioned
+    * sort; timestamps are floor-epoch seconds so every comparison is
+    * exact integer arithmetic on both engines. */
+  def activityIslands(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("s"))
+      .withColumn("new_island",
+        when(lag("s", 1).over(w).isNull || col("s") - lag("s", 1).over(w) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("island_id", sum("new_island").over(run))
+      .groupBy("user_id", "island_id")
+      .agg(min("s").as("start_s"), (max("s") + 1800).as("end_s"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("end_s") - col("start_s")).as("covered_s"),
+        max(col("end_s") - col("start_s")).as("longest_s"))
+      .orderBy("user_id")
+  }
+
   /** E-JOIN full outer: user-day click activity against user-day error
     * activity — rows surviving from EITHER side with absent-side counts
     * coalesced to zero, the reconciliation verb behind "who clicked but

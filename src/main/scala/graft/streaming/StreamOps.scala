@@ -19,6 +19,13 @@ case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
   * (Long.MaxValue = not reached). Three longs — bounded by construction. */
 case class FunnelProgress(view: Long, click: Long, buy: Long)
 
+/** attributionStream rows/state/output (batch twin: Relational.attribution). */
+case class AttrEvent(user_id: Long, event_id: Long, event_type: String,
+                     ts: java.sql.Timestamp)
+case class LastClick(click_id: Long, click_ms: Long)
+case class Attribution(user_id: Long, purchase_id: Long, click_id: Long,
+                       latency_s: Long)
+
 /** E-STREAM-WIN / E-WATERMARK / E-DEDUP(stream) — the streaming
   * transformations, written as `DataFrame => DataFrame` so the SAME logical
   * pipeline runs in batch (oracle-checked: q_crowd_alert, q_session) and
@@ -282,6 +289,53 @@ object StreamOps {
             state.setTimeoutTimestamp(next.end + gapMillis)
             Iterator.empty
           }
+      }
+  }
+
+  /** Streaming last-touch attribution — the live twin of
+    * `Relational.attribution`: per-user state carries the most recent
+    * click (id + millis); each purchase emits one credited row the
+    * moment it arrives, instead of waiting for a batch window scan. The
+    * state is ONE fixed-size record per user (the carry-forward column
+    * of the batch window, made explicit), so memory is user-cardinality
+    * regardless of stream length. Rows inside a micro-batch replay in
+    * lex (ts, event_id) order — the same total order the batch window
+    * sorts by — so a single-batch replay reproduces the batch result
+    * row-for-row; across batches the funnelStages caveat applies (a
+    * click arriving AFTER a purchase already processed does not
+    * retro-credit it — the bounded-state tradeoff). */
+  def attributionStream(events: DataFrame): Dataset[Attribution] = {
+    val sess = events.sparkSession
+    import sess.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("ts"))
+      .as[AttrEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, Attribution](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[AttrEvent],
+         state: org.apache.spark.sql.streaming.GroupState[LastClick]) =>
+          var last = state.getOption.getOrElse(LastClick(-1L, Long.MinValue))
+          val out = Seq.newBuilder[Attribution]
+          for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))) {
+            val t = r.ts.getTime
+            r.event_type match {
+              case "click"
+                  if t > last.click_ms
+                    || (t == last.click_ms && r.event_id > last.click_id) =>
+                last = LastClick(r.event_id, t)
+              case "purchase" if last.click_id >= 0 =>
+                // floor-second latency, matching the batch twin's
+                // unix_timestamp difference
+                out += Attribution(uid, r.event_id, last.click_id,
+                  t / 1000L - last.click_ms / 1000L)
+              case _ => ()
+            }
+          }
+          state.update(last)
+          out.result().iterator
       }
   }
 

@@ -479,4 +479,44 @@ class StreamOpsSpec extends SparkSpec {
       Seq((3L, 12L, 1.0)).toDF("event_id", "user_id", "value"), 1L, url, "stream_out")
     assert(Tables.usersJdbc(spark, url, "stream_out").count() == 3L)
   }
+
+  test("streaming attribution: single-batch replay equals the batch window twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts")
+      .as[graft.streaming.AttrEvent].collect().toSeq
+    val input = MemoryStream[graft.streaming.AttrEvent]
+    val q = StreamOps.attributionStream(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    try { input.addData(fixture); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("attr_out")
+      .select("user_id", "purchase_id", "click_id", "latency_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Relational.attribution(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("streaming attribution: state carries the last click across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ae(id: Long, min: Long, user: Long, typ: String) =
+      graft.streaming.AttrEvent(user, id, typ, ts(min))
+    val input = MemoryStream[graft.streaming.AttrEvent]
+    val q = StreamOps.attributionStream(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("attr_xb").start()
+    try {
+      input.addData(Seq(ae(1, 0, 7, "click"), ae(2, 5, 7, "click")))
+      q.processAllAvailable()
+      input.addData(Seq(ae(3, 20, 7, "purchase"), ae(4, 30, 8, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attr_xb")
+      .select("user_id", "purchase_id", "click_id", "latency_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the purchase in batch 2 is credited to the LATEST click held in
+    // state from batch 1; user 8 never clicked, so no row
+    assert(rows == Set((7L, 3L, 2L, 15L * 60L)))
+  }
 }
