@@ -84,6 +84,7 @@ object SparkEntry {
     "q_lm_score" -> (TextOps.lmScore _),
     "q_winnow" -> (TextOps.winnow _),
     "q_islands" -> (Relational.activityIslands _),
+    "q_bitmap_distinct" -> (Scale.bitmapDistinctQuery _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -1054,6 +1055,10 @@ object SparkEntry {
         |    s -> -s.tf * ln((s.c + 1) / CAST(n + v AS DOUBLE)))) / n_tokens, 4)
         |    AS lm_score
         |FROM per CROSS JOIN nv ORDER BY doc_id""".stripMargin,
+    "q_bitmap_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_islands" ->
       // classic gaps-and-islands: lag-gap flag -> running-sum island id;
       // floor-epoch seconds keep every comparison integer-exact

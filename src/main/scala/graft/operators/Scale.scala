@@ -155,6 +155,21 @@ object Scale {
     spark.read.parquet(statePath)
       .select(col("*"), round(col("s") / col("n"), 2).cast("double").as("mean"))
 
+  /** Exact distinct users per event type through the fixed-width bitmap
+    * aggregator (graft.functions.BitmapDistinct) — the dense-domain
+    * exact twin of q_approx_distinct's HLL: constant 8 KB state per
+    * group, OR-merge partials, popcount finish. The oracle is the plain
+    * count(DISTINCT); at scale the win is the exchange carrying one blob
+    * per group instead of every (group, user) pair. */
+  def bitmapDistinctQuery(spark: SparkSession, dir: String): DataFrame = {
+    val bd = udaf(graft.functions.BitmapDistinct(1 << 16),
+      org.apache.spark.sql.Encoders.scalaLong)
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(bd(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   /** Dynamic partition pruning: Sunday traffic summary against the
     * date-partitioned events layout. The weekday dim derives from the
     * UNPARTITIONED fixture file (a genuine second source), carries the

@@ -183,4 +183,27 @@ class ExpressionsSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("cosine_sim"))
   }
+
+  test("BitmapDistinct === count(DISTINCT) on the fixture; out-of-domain ids fail fast") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.01"
+    val bd = udaf(graft.functions.BitmapDistinct(1 << 16),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val viaBitmap = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(bd(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDistinct = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaBitmap == viaDistinct && viaBitmap.nonEmpty)
+    // a silent mask would undercount — the aggregator must throw instead
+    import spark.implicits._
+    val small = udaf(graft.functions.BitmapDistinct(7),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val err = intercept[Exception] {
+      Seq(1L, 99L).toDF("id").agg(small(col("id"))).collect()
+    }
+    assert(err.getMessage.contains("outside bitmap domain")
+      || Option(err.getCause).exists(_.getMessage.contains("outside bitmap domain")))
+  }
 }
