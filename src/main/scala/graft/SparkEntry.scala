@@ -85,6 +85,8 @@ object SparkEntry {
     "q_winnow" -> (TextOps.winnow _),
     "q_islands" -> (Relational.activityIslands _),
     "q_bitmap_distinct" -> (Scale.bitmapDistinctQuery _),
+    "q_share" -> (Relational.shareOfDay _),
+    "q_top_other" -> (Relational.topNOther _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -1059,6 +1061,30 @@ object SparkEntry {
       """SELECT event_type,
         |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_share" ->
+      """WITH per AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type,
+        |  CAST(round(v, 2) AS DOUBLE) AS total_value,
+        |  round(CAST(v AS DOUBLE) /
+        |    CAST(sum(v) OVER (PARTITION BY day) AS DOUBLE), 4) AS share
+        |FROM per ORDER BY day, event_type""".stripMargin,
+    "q_top_other" ->
+      """WITH per AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT day, user_id, n,
+        |    row_number() OVER (PARTITION BY day ORDER BY n DESC, user_id) AS rk
+        |  FROM per)
+        |SELECT day,
+        |  CASE WHEN rk <= 3 THEN 'user_' || CAST(user_id AS VARCHAR)
+        |       ELSE 'other' END AS who,
+        |  CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_users
+        |FROM ranked GROUP BY 1, 2 ORDER BY day, who""".stripMargin,
     "q_islands" ->
       // classic gaps-and-islands: lag-gap flag -> running-sum island id;
       // floor-epoch seconds keep every comparison integer-exact

@@ -1006,6 +1006,50 @@ object Relational {
           * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
   }
 
+  /** Ratio-to-report: each event type's share of its day's total value —
+    * the percent-of-total window verb every BI layer ships. The share
+    * divides two exact DECIMAL sums (per-type and per-day), both built
+    * from ONE (day, type) aggregate: the day total is a window sum over
+    * the aggregated frame (|days|×|types| rows), never a second fact
+    * scan. */
+  def shareOfDay(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(spark, dir)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val wDay = Window.partitionBy("day")
+    perType
+      .withColumn("day_total", sum("v").over(wDay))
+      .select(col("day"), col("event_type"),
+        round(col("v"), 2).cast("double").as("total_value"),
+        // divide as doubles: decimal/decimal quotient scale differs
+        // between engines, double division of exact decimals doesn't
+        round(col("v").cast("double") / col("day_total").cast("double"), 4)
+          .as("share"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Top-N-plus-other: per day, the top-3 users by event count keep
+    * their identity and everyone else collapses into an 'other' bucket —
+    * the presentation pattern behind every leaderboard with a long tail.
+    * Rank runs over the AGGREGATED (day, user) frame; ties break on
+    * user_id so the cut is a total order. */
+  def topNOther(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("day").orderBy(col("n").desc, col("user_id"))
+    perUser
+      .withColumn("rk", row_number().over(w))
+      .withColumn("who",
+        when(col("rk") <= 3, concat(lit("user_"), col("user_id")))
+          .otherwise(lit("other")))
+      .groupBy("day", "who")
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_users"))
+      .orderBy("day", "who")
+  }
+
   /** Gaps-and-islands: each user's event stream merged into activity
     * islands (a new island opens when the gap from the previous event
     * exceeds 30 min), reporting island count, covered seconds, and the

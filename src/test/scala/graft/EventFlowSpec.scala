@@ -135,6 +135,26 @@ class EventFlowSpec extends SparkSpec {
     }
   }
 
+  test("shares sum to ~1 per day; top-other conserves users and events") {
+    val shares = Relational.shareOfDay(spark, sfDir).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(3)).sum)
+    assert(shares.nonEmpty)
+    shares.foreach { case (day, s) => assert(math.abs(s - 1.0) < 5e-4 * 5, s"$day: $s") }
+
+    val rows = Relational.topNOther(spark, sfDir).collect()
+    val byDay = rows.groupBy(_.getString(0))
+    val totalUsers = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .groupBy("d").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    byDay.foreach { case (day, rs) =>
+      val named = rs.filter(_.getString(1) != "other")
+      assert(named.length <= 3)
+      named.foreach(r => assert(r.getLong(3) == 1L, "a named bucket holds one user"))
+      assert(rs.map(_.getLong(3)).sum == totalUsers(day), s"$day user conservation")
+    }
+  }
+
   test("trend slope/intercept match a local OLS over the same points") {
     val pts = Tables.events(spark, sfDir)
       .select(col("event_type"),
