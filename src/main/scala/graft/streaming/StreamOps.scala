@@ -143,6 +143,29 @@ object StreamOps {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** LEFT OUTER stream-stream join: every purchase emits — matched rows
+    * as they pair, UNMATCHED purchases as null-extended rows once the
+    * watermark proves no in-window click can still arrive. The outer
+    * side is exactly where streaming semantics bite: an inner join can
+    * emit eagerly, but "no match" is only decidable when the click
+    * watermark passes purchase_ts (state-expiry-driven emission), so
+    * unmatched results trail the data by the watermark delay. Same
+    * conditions as [[clickPurchaseJoin]] — watermarks on BOTH sides +
+    * the time-range predicate keep join state bounded. */
+  def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame,
+                             watermarkDelay: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermarkDelay)
+    p.join(c, expr(
+      "c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+      "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming windowed top-k: highest-value events per (window, type).
     * The window-function `row_number() <= k` form is NOT streamable
     * (ranking needs the closed window); the typed TopKAggregator is —

@@ -480,6 +480,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(Tables.usersJdbc(spark, url, "stream_out").count() == 3L)
   }
 
+  test("left outer stream-stream join: unmatched purchases emit null-extended after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps.clickPurchaseJoinOuter(clicks.toDF(), purchases.toDF(), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("ssj_outer").start()
+    try {
+      clicks.addData(Seq(ev(10, 30, 1, "click")))
+      purchases.addData(Seq(
+        ev(20, 40, 1, "purchase"),   // matched: click@30 within its prior hour
+        ev(21, 45, 2, "purchase")))  // user 2 never clicks -> unmatched
+      q.processAllAvailable()
+      // advance BOTH watermarks far past purchase@45 + delay so "no
+      // match can still arrive" becomes provable and the null row emits
+      clicks.addData(Seq(ev(90, 10000, 9, "click")))
+      purchases.addData(Seq(ev(91, 10000, 9, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_outer")
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows.contains((1L, 20L, 10L)), s"matched row missing: $rows")
+    assert(rows.contains((2L, 21L, -1L)),
+      s"unmatched purchase should null-extend after watermark: $rows")
+  }
+
   test("streaming attribution: single-batch replay equals the batch window twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
