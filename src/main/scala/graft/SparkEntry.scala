@@ -87,6 +87,8 @@ object SparkEntry {
     "q_bitmap_distinct" -> (Scale.bitmapDistinctQuery _),
     "q_share" -> (Relational.shareOfDay _),
     "q_top_other" -> (Relational.topNOther _),
+    "q_not_in" -> (Relational.notInJoin _),
+    "q_set_all" -> (Relational.setOpsAll _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -847,6 +849,18 @@ object SparkEntry {
     // so the decorrelated Catalyst plan is checked against DuckDB's own
     // execution of the identical correlated spec
     "q_corr_subq" -> operators.Relational.CorrSubqSql,
+    "q_not_in" -> operators.Relational.NotInSql,
+    "q_set_all" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |ia AS (SELECT user_id FROM c INTERSECT ALL SELECT user_id FROM p),
+        |ea AS (SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM p)
+        |SELECT 'common_min' AS tag, user_id, count(*) AS n
+        |FROM ia GROUP BY 2
+        |UNION ALL
+        |SELECT 'click_surplus' AS tag, user_id, count(*) AS n
+        |FROM ea GROUP BY 2
+        |ORDER BY tag, user_id""".stripMargin,
     "q_decay" ->
       // half-life decay folded over each user's SORTED timestamp list
       // (sequential list_sum ≡ Spark aggregate — the q_entropy trick)

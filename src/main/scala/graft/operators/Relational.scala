@@ -815,6 +815,50 @@ object Relational {
     spark.sql(CorrSubqSql)
   }
 
+  /** E-JOIN NOT IN — the three-valued-logic anti join. `NOT IN
+    * (subquery)` is NOT q_join_anti's plain anti join by spec: one NULL
+    * in the subquery annuls every row, so Catalyst rewrites it with
+    * null-aware handling and only simplifies down to the plain
+    * BroadcastHashJoin LeftAnti this plan shows after PROVING the
+    * nullability can't bite (the PLANS.md entry walks the rewrite).
+    * Oracle = the identical statement (the q_corr_subq discipline):
+    * both engines implement the same three-valued spec, and the hash
+    * match pins that the simplified plan computes it. */
+  val NotInSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS o_totalprice
+      |FROM orders
+      |WHERE o_custkey NOT IN
+      |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def notInJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    spark.sql(NotInSql)
+  }
+
+  /** E-SET multiset variants: INTERSECT ALL / EXCEPT ALL over the BAG of
+    * per-event user ids — multiplicity-aware set algebra (min / truncated
+    * difference of occurrence counts), a different physical operator from
+    * q_set_ops' distinct INTERSECT/EXCEPT (Spark plans a replicate-by-
+    * min-count Generate over a counting aggregate, not a semi/anti
+    * join). Results aggregate to (tag, user_id, n) so the bag's contents
+    * are deterministic row output. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click").select("user_id")
+    val purchases = ev.filter(col("event_type") === "purchase").select("user_id")
+    val common = clicks.intersectAll(purchases)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("common_min"))
+    val surplus = clicks.exceptAll(purchases)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("click_surplus"))
+    common.unionByName(surplus)
+      .select("tag", "user_id", "n")
+      .orderBy("tag", "user_id")
+  }
+
   /** Time-decayed engagement score: per user, Σ 2^((t−t_ref)/halflife)
     * over their events at the corpus horizon t_ref — recency-weighted
     * activity (the freshness signal ranking and sampling pipelines decay
