@@ -88,6 +88,16 @@ class PlansSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("AQE coalesces tiny shuffle partitions in the final adaptive plan") {
+    // the runtime re-plan lever the 100 TB mandate leans on: partition
+    // counts sized by data, not by the static shuffle.partitions conf
+    val df = operators.Relational.aggPricingSummary(spark, sf)
+    df.collect() // adaptive plan finalizes only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead"), s"no AQE shuffle read:\n${plan.take(1200)}")
+    assert(plan.contains("coalesced"), s"partitions not coalesced:\n${plan.take(1200)}")
+  }
+
   test("q_contamination plan: test grams broadcast; no per-doc window shuffle") {
     val plan = operators.Curation.contamination(spark, sf)
       .queryExecution.executedPlan.toString

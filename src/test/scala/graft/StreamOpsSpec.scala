@@ -526,6 +526,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming attribution: last-click state survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ae(id: Long, min: Long, user: Long, typ: String) =
+      graft.streaming.AttrEvent(user, id, typ, ts(min))
+    val ckpt = java.nio.file.Files.createTempDirectory("attr_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("attr_out").toString
+    val input = MemoryStream[graft.streaming.AttrEvent]
+    def start() = StreamOps.attributionStream(input.toDF())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.Attribution], _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .start()
+    // run 1 holds only the click, then dies
+    val q1 = start()
+    try { input.addData(Seq(ae(1, 0, 7, "click"))); q1.processAllAvailable() }
+    finally q1.stop()
+    // run 2's purchase can only be credited from RESTORED state
+    val q2 = start()
+    try { input.addData(Seq(ae(2, 20, 7, "purchase"))); q2.processAllAvailable() }
+    finally q2.stop()
+    val rows = spark.read.parquet(out)
+      .select("user_id", "purchase_id", "click_id", "latency_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows == Set((7L, 2L, 1L, 20L * 60L)),
+      s"restored state must credit the pre-restart click, got $rows")
+  }
+
   test("streaming attribution: state carries the last click across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
