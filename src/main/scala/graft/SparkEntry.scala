@@ -89,6 +89,7 @@ object SparkEntry {
     "q_top_other" -> (Relational.topNOther _),
     "q_not_in" -> (Relational.notInJoin _),
     "q_set_all" -> (Relational.setOpsAll _),
+    "q_checksum" -> (Relational.tableChecksum _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -850,6 +851,23 @@ object SparkEntry {
     // execution of the identical correlated spec
     "q_corr_subq" -> operators.Relational.CorrSubqSql,
     "q_not_in" -> operators.Relational.NotInSql,
+    "q_checksum" ->
+      // same canonical string, same md5-hex ascii fold on both engines
+      """WITH rows_h AS (
+        |  SELECT event_type,
+        |    list_sum(list_transform(
+        |      range(1, length(md5(concat_ws('|',
+        |        event_id, user_id, event_type,
+        |        CAST(floor(epoch(ts)) AS BIGINT),
+        |        CAST(floor(value * 100) AS BIGINT)))) + 1),
+        |      j -> ascii(substr(md5(concat_ws('|',
+        |        event_id, user_id, event_type,
+        |        CAST(floor(epoch(ts)) AS BIGINT),
+        |        CAST(floor(value * 100) AS BIGINT))), j, 1)) * j)) AS h
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(h) AS BIGINT) AS checksum
+        |FROM rows_h GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_set_all" ->
       """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),

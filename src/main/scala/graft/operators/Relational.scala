@@ -1050,6 +1050,26 @@ object Relational {
           * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
   }
 
+  /** Table checksum for cross-system reconciliation: an order-independent
+    * per-group digest (sum of engine-neutral row hashes) plus row count —
+    * the "did the migration copy everything" verb. Row hash = md5 of a
+    * canonical field concatenation, folded to an integer by the same
+    * ascii-weighted sum TokenCode uses, so BOTH engines compute the
+    * identical value with no reliance on engine-specific hash(). Sum is
+    * commutative → partial-aggregable, exchange carries one (group,
+    * count, checksum) triple. */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val canonical = concat_ws("|",
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")), floor(col("value") * 100))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.functions.TokenCode.tokenCode(md5(encode(canonical, "UTF-8"))).as("h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
+      .orderBy("event_type")
+  }
+
   /** Ratio-to-report: each event type's share of its day's total value —
     * the percent-of-total window verb every BI layer ships. The share
     * divides two exact DECIMAL sums (per-type and per-day), both built
