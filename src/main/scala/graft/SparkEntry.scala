@@ -103,6 +103,7 @@ object SparkEntry {
     "q_ann_multiband" -> (VectorOps.annTopKMultiband _),
     "q_embed_neardup" -> (VectorOps.embedNearDup _),
     "q_kmeans_assign" -> (VectorOps.kmeansAssign _),
+    "q_outlier_embed" -> (VectorOps.semanticOutliers _),
     "q_str" -> (TextOps.strFunctions _),
     "q_text_quality" -> (TextOps.textQuality _),
     "q_langid" -> (TextOps.langId _),
@@ -1288,6 +1289,28 @@ object SparkEntry {
         |  FROM d)
         |SELECT vec_id, c_id AS cluster, round(dist2, 4) AS dist2
         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    "q_outlier_embed" ->
+      // anchor = min-vec_id member per label (deterministic pick, no
+      // float-mean); sequential dimension fold as in q_kmeans_assign
+      """WITH a AS (
+        |  SELECT e.label, e.embedding AS a_emb
+        |  FROM embeddings e
+        |  JOIN (SELECT label, min(vec_id) AS a_id FROM embeddings GROUP BY 1) m
+        |    ON e.vec_id = m.a_id
+        |), d AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(a.a_emb[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(a.a_emb[i] AS DOUBLE)))) AS dist2
+        |  FROM embeddings e JOIN a ON e.label = a.label
+        |), r AS (
+        |  SELECT vec_id, label, dist2,
+        |    row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rk
+        |  FROM d)
+        |SELECT CAST(r.label AS BIGINT) AS label, rk, r.vec_id,
+        |  doc.lang, doc.source, round(r.dist2, 4) AS dist2
+        |FROM r JOIN documents doc ON r.vec_id = doc.doc_id
+        |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
     "q_bm25" ->
       // Robertson BM25, Lucene idf variant; every fractional literal is
       // CAST to DOUBLE (bare 0.5/1.2 parse as DECIMAL in DuckDB and the

@@ -113,6 +113,39 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Cross-modal semantic outliers: per label, the 3 vectors furthest
+    * (squared L2) from the label's ANCHOR vector, joined back to the
+    * document metadata they embed — the "which docs don't belong to
+    * their cluster" audit a curation pipeline runs after clustering.
+    * The anchor is the label's min-vec_id member (a deterministic pick —
+    * a float mean would sum in nondeterministic order and drift between
+    * engines; the kmeansAssign seed-centroid trick). Distances fold
+    * sequentially (q_entropy precedent) → bit-identical doubles; the
+    * anchor frame is |labels| rows → broadcast; the doc join keys on the
+    * 3·|labels| outlier rows. */
+  def semanticOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val anchors = e.as("x").join(
+        e.groupBy("label").agg(min("vec_id").as("a_id")).select("a_id"),
+        col("x.vec_id") === col("a_id"))
+      .select(col("x.label").as("label"), col("x.embedding").as("a_emb"))
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("a_emb"),
+        (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("label").orderBy(col("dist2").desc, col("vec_id"))
+    e.join(broadcast(anchors), "label")
+      .withColumn("dist2", d2)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .join(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("label").cast("long").as("label"), col("rk"), col("vec_id"),
+        col("lang"), col("source"), round(col("dist2"), 4).as("dist2"))
+      .orderBy("label", "rk")
+  }
+
   /** Legacy 4-bit hyperplane LSH bucket id per vector (same-bucket
     * candidates only) — one WalshBandKeys pass over LegacyPlanes;
     * bit-identical to the original per-bit Hadamard HOF formulation
