@@ -90,6 +90,8 @@ object SparkEntry {
     "q_not_in" -> (Relational.notInJoin _),
     "q_set_all" -> (Relational.setOpsAll _),
     "q_checksum" -> (Relational.tableChecksum _),
+    "q_wmedian" -> (Relational.weightedMedian _),
+    "q_chi2" -> (Relational.chiSquare _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -852,6 +854,49 @@ object SparkEntry {
     // execution of the identical correlated spec
     "q_corr_subq" -> operators.Relational.CorrSubqSql,
     "q_not_in" -> operators.Relational.NotInSql,
+    "q_wmedian" ->
+      // least price whose cumulative quantity reaches half the total;
+      // tie rows share the price so the min-qualifying pick is stable
+      """WITH pts AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(floor(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem
+        |), runs AS (
+        |  SELECT l_returnflag, price_c, qty,
+        |    sum(qty) OVER (PARTITION BY l_returnflag ORDER BY price_c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(qty) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM pts)
+        |SELECT l_returnflag,
+        |  CAST(min(price_c) AS BIGINT) AS wmedian_price_c,
+        |  CAST(min(tot) AS BIGINT) AS total_qty
+        |FROM runs WHERE cum * 2 >= tot
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_chi2" ->
+      // the statistic folds a SORTED 10-cell list (q_entropy discipline)
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS wkend,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_tot FROM cells GROUP BY 1
+        |), ct AS (SELECT wkend, CAST(sum(o) AS BIGINT) AS col_tot FROM cells GROUP BY 1
+        |), nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+        |), packed AS (
+        |  SELECT list_sort(list(struct_pack(
+        |    event_type := c.event_type, wkend := c.wkend, o := CAST(c.o AS BIGINT),
+        |    row_tot := rt.row_tot, col_tot := ct.col_tot, n := nn.n))) AS cs
+        |  FROM cells c
+        |  JOIN rt USING (event_type)
+        |  JOIN ct USING (wkend)
+        |  CROSS JOIN nn)
+        |SELECT round(list_sum(list_transform(cs, c ->
+        |    (c.o - CAST(c.row_tot * c.col_tot AS DOUBLE) / c.n)
+        |  * (c.o - CAST(c.row_tot * c.col_tot AS DOUBLE) / c.n)
+        |  / (CAST(c.row_tot * c.col_tot AS DOUBLE) / c.n))), 4) AS chi2,
+        |  CAST(4 AS BIGINT) AS dof
+        |FROM packed""".stripMargin,
     "q_checksum" ->
       // same canonical string, same md5-hex ascii fold on both engines
       """WITH rows_h AS (

@@ -1050,6 +1050,60 @@ object Relational {
           * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
   }
 
+  /** Weighted median: per return flag, the quantity-weighted median unit
+    * price — "half the VOLUME sold at or below this price", the
+    * volume-weighted sibling of q_quantiles' row-median. One
+    * flag-partitioned sort carries the running weight; the median is the
+    * least price whose cumulative weight reaches half the total. Ties
+    * share a price, so whichever tie row crosses the threshold the
+    * reported MIN qualifying price is deterministic; prices and weights
+    * are exact centi/integer units. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("price_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      .withColumn("cum", sum("qty").over(w))
+      .withColumn("tot", sum("qty").over(wAll))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min("price_c").as("wmedian_price_c"), min("tot").as("total_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Chi-square independence test: is event type independent of
+    * weekend/weekday? Observed counts are exact integers; expected cells
+    * and the statistic derive from them, folded over a SORTED cell list
+    * (q_entropy's determinism trick — a plain SUM would add the 10 cell
+    * terms in nondeterministic order). One (type, weekend) aggregate is
+    * the only fact-sized work; the contingency table is 10 rows. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        when(dayofweek(to_date(col("ts"))).isin(1, 7), 1L).otherwise(0L).as("wkend"))
+      .groupBy("event_type", "wkend").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("event_type").agg(sum("o").as("row_tot"))
+    val cols = cells.groupBy("wkend").agg(sum("o").as("col_tot"))
+    val n = cells.agg(sum("o").as("n"))
+    cells
+      .join(broadcast(rows), "event_type")
+      .join(broadcast(cols), "wkend")
+      .crossJoin(broadcast(n))
+      .select(struct(col("event_type"), col("wkend"), col("o"),
+        col("row_tot"), col("col_tot"), col("n")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cs"))
+      .select(
+        round(aggregate(col("cs"), lit(0.0), (acc, c) => {
+          val e = (c.getField("row_tot") * c.getField("col_tot")).cast("double") /
+            c.getField("n")
+          acc + (c.getField("o") - e) * (c.getField("o") - e) / e
+        }), 4).as("chi2"),
+        lit(4L).as("dof"))
+  }
+
   /** Table checksum for cross-system reconciliation: an order-independent
     * per-group digest (sum of engine-neutral row hashes) plus row count —
     * the "did the migration copy everything" verb. Row hash = md5 of a
