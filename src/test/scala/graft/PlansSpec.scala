@@ -88,6 +88,24 @@ class PlansSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("join strategy hints steer the planner: SHUFFLE_HASH and MERGE override the default") {
+    import org.apache.spark.sql.functions.col
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    def planOf(hint: String): String =
+      l.join(o.hint(hint), col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"),
+      "SHUFFLE_HASH hint should plan a shuffled hash join")
+    assert(planOf("merge").contains("SortMergeJoin"),
+      "MERGE hint should plan a sort-merge join")
+    // and the unhinted fact-fact join is the planner's own choice (either
+    // shuffle strategy, never a broadcast of the fact side at scale caps)
+    val free = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(free.contains("Join"), free.take(300))
+  }
+
   test("AQE coalesces tiny shuffle partitions in the final adaptive plan") {
     // the runtime re-plan lever the 100 TB mandate leans on: partition
     // counts sized by data, not by the static shuffle.partitions conf
