@@ -92,6 +92,8 @@ object SparkEntry {
     "q_checksum" -> (Relational.tableChecksum _),
     "q_wmedian" -> (Relational.weightedMedian _),
     "q_chi2" -> (Relational.chiSquare _),
+    "q_path3" -> (Relational.pathTrigrams _),
+    "q_wow" -> (Relational.weekOverWeek _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -854,6 +856,30 @@ object SparkEntry {
     // execution of the identical correlated spec
     "q_corr_subq" -> operators.Relational.CorrSubqSql,
     "q_not_in" -> operators.Relational.NotInSql,
+    "q_path3" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "q_wow" ->
+      """WITH weekly AS (
+        |  SELECT CAST(weekofyear(CAST(ts AS DATE)) AS BIGINT) AS week,
+        |    event_type, sum(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT week, event_type,
+        |  CAST(round(v, 2) AS DOUBLE) AS total_value,
+        |  round(CAST(coalesce(lag(v) OVER w, 0) AS DOUBLE), 2) AS prev_value,
+        |  CASE WHEN lag(v) OVER w IS NULL THEN 0.0
+        |       ELSE round(CAST(v - lag(v) OVER w AS DOUBLE)
+        |              / CAST(lag(v) OVER w AS DOUBLE), 4) END AS wow_delta
+        |FROM weekly
+        |WINDOW w AS (PARTITION BY event_type ORDER BY week)
+        |ORDER BY week, event_type""".stripMargin,
     "q_wmedian" ->
       // least price whose cumulative quantity reaches half the total;
       // tie rows share the price so the min-qualifying pick is stable

@@ -1050,6 +1050,45 @@ object Relational {
           * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
   }
 
+  /** Path trigrams: the most common consecutive event-type TRIPLES in
+    * user journeys — the order-3 sequence-mining sibling of
+    * [[transitions]] (order-2). Same single user-partitioned window, two
+    * leads instead of one; the pattern frame is ≤ |types|³ rows. */
+  def pathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  /** Week-over-week change: weekly revenue per event type with the
+    * previous week's total and the percent delta — the lag-on-aggregate
+    * reporting verb behind every trend arrow. The lag runs over the
+    * |weeks|×|types| frame; deltas divide exact decimal totals as
+    * doubles. */
+  def weekOverWeek(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(spark, dir)
+      .groupBy(weekofyear(to_date(col("ts"))).cast("long").as("week"),
+        col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly
+      .withColumn("prev", lag("v", 1).over(w))
+      .select(col("week"), col("event_type"),
+        round(col("v"), 2).cast("double").as("total_value"),
+        round(coalesce(col("prev"), lit(0)).cast("double"), 2).as("prev_value"),
+        when(col("prev").isNull, lit(0.0))
+          .otherwise(round((col("v") - col("prev")).cast("double")
+            / col("prev").cast("double"), 4)).as("wow_delta"))
+      .orderBy("week", "event_type")
+  }
+
   /** Weighted median: per return flag, the quantity-weighted median unit
     * price — "half the VOLUME sold at or below this price", the
     * volume-weighted sibling of q_quantiles' row-median. One
