@@ -94,6 +94,7 @@ object SparkEntry {
     "q_chi2" -> (Relational.chiSquare _),
     "q_path3" -> (Relational.pathTrigrams _),
     "q_wow" -> (Relational.weekOverWeek _),
+    "q_tte" -> (Relational.timeToEvent _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -856,6 +857,37 @@ object SparkEntry {
     // execution of the identical correlated spec
     "q_corr_subq" -> operators.Relational.CorrSubqSql,
     "q_not_in" -> operators.Relational.NotInSql,
+    "q_tte" ->
+      // quantile_cont ≡ Spark's exact interpolated percentile (the
+      // q_quantiles precedent); anchors are per-user min timestamps
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t1
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+        |  GROUP BY 1
+        |), lat AS (
+        |  SELECT CAST(weekofyear(CAST(s.t0 AS DATE)) AS BIGINT) AS week,
+        |    CAST(floor(epoch(c.t1)) AS BIGINT)
+        |      - CAST(floor(epoch(s.t0)) AS BIGINT) AS lat_s
+        |  FROM s JOIN c USING (user_id)
+        |), coh AS (
+        |  SELECT CAST(weekofyear(CAST(t0 AS DATE)) AS BIGINT) AS week,
+        |    count(*) AS n_signups
+        |  FROM s GROUP BY 1
+        |), agg AS (
+        |  SELECT week, count(*) AS n_converted,
+        |    round(quantile_cont(lat_s, 0.5), 2) AS median_s,
+        |    round(quantile_cont(lat_s, 0.9), 2) AS p90_s
+        |  FROM lat GROUP BY 1)
+        |SELECT coh.week, coh.n_signups,
+        |  CAST(coalesce(agg.n_converted, 0) AS BIGINT) AS n_converted,
+        |  coalesce(agg.median_s, -1.0) AS median_s,
+        |  coalesce(agg.p90_s, -1.0) AS p90_s
+        |FROM coh LEFT JOIN agg USING (week)
+        |ORDER BY week""".stripMargin,
     "q_path3" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -1050,6 +1050,43 @@ object Relational {
           * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
   }
 
+  /** Time-to-event: per signup-week cohort, how many users converted
+    * (first purchase strictly after their first signup) and the
+    * median / p90 conversion latency — survival-analysis-lite, the
+    * "how long until activation" verb. Both anchor times are per-user
+    * min aggregates (one user-keyed shuffle each, co-partitioned);
+    * latencies are exact floor-epoch seconds; the exact interpolated
+    * percentile runs per cohort (dim-sized groups — the sketch twin is
+    * the 100 TB swap-in, as with q_impute). */
+  def timeToEvent(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("ts") > col("t0"))
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val latency = signup.join(conv, "user_id")
+      .select(col("user_id"),
+        weekofyear(to_date(col("t0"))).cast("long").as("week"),
+        (unix_timestamp(col("t1")) - unix_timestamp(col("t0"))).as("lat_s"))
+    val cohorts = signup
+      .groupBy(weekofyear(to_date(col("t0"))).cast("long").as("week"))
+      .agg(count(lit(1)).as("n_signups"))
+    cohorts.join(
+        latency.groupBy("week").agg(
+          count(lit(1)).as("n_converted"),
+          round(expr("percentile(lat_s, 0.5)"), 2).as("median_s"),
+          round(expr("percentile(lat_s, 0.9)"), 2).as("p90_s")),
+        Seq("week"), "left")
+      .select(col("week"), col("n_signups"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        coalesce(col("median_s"), lit(-1.0)).as("median_s"),
+        coalesce(col("p90_s"), lit(-1.0)).as("p90_s"))
+      .orderBy("week")
+  }
+
   /** Path trigrams: the most common consecutive event-type TRIPLES in
     * user journeys — the order-3 sequence-mining sibling of
     * [[transitions]] (order-2). Same single user-partitioned window, two
