@@ -18,23 +18,30 @@ import org.apache.spark.sql.SparkSession
   * extra interleaved passes, up to `watchRepeats` samples, so their
   * medians rest on 5 observations instead of 3.
   *
-  * Output contract (round-5 lesson: the single line with inline samples
-  * outgrew the driver's stdout tail capture and BENCH_r05 parsed as null):
-  * the LAST stdout line is a COMPACT JSON object — total + per-query
-  * medians only. The full per-repeat samples and error strings go to a
-  * separate file (`bench_samples.json`, override SPARK_GRAFT_SAMPLES_OUT)
-  * for human audit. All floats are formatted with Locale.ROOT so the JSON
-  * stays valid on comma-decimal locales.
+  * Output contract (rounds 5 AND 6 both lost the driver parse to an
+  * overlong line — r5 inlined samples, r6 still inlined 135 per-query
+  * medians): the LAST stdout line is now a SHORT summary only —
+  * {"metric","value","unit","n_queries","failed","flaky","worst_ratio",
+  * "worst_query","sf"} — a few hundred bytes regardless of query count.
+  * Per-query medians go to `bench_medians.json` (override
+  * SPARK_GRAFT_MEDIANS_OUT); full per-repeat samples and error strings
+  * to `bench_samples.json` (override SPARK_GRAFT_SAMPLES_OUT).
+  * worst_ratio = max over queries of median / BASELINE.md recorded time
+  * (-1.0 when BASELINE.md is absent or has no row for any benched
+  * query). All floats are formatted with Locale.ROOT so the JSON stays
+  * valid on comma-decimal locales.
   *
   * Failures are tracked, not folded into the median: a failed repeat
   * records a -1 sample, every failure (even one that other repeats
   * survived — a flaky query is a bug, not a fast median) lands in the
   * samples file's "errors", and the process exits nonzero. */
 object Bench {
-  /** Queries the round-5 verdict read >1.3× baseline: medians for these
-    * rest on `watchRepeats` samples, not the default `repeats`. */
+  /** Queries the round-6 verdict read >1.3× baseline (q_basket 1.93×,
+    * q_funnel 1.79×, q_contamination 1.66×, q_jaccard_pairs 1.42× — all
+    * warm-up/noise- or reshape-explained): medians for these rest on
+    * `watchRepeats` samples, not the default `repeats`. */
   private val watchlist: Set[String] =
-    Set("q_json", "q_join_shuffle", "q_join_semi", "q_langid", "q_map_funcs")
+    Set("q_basket", "q_funnel", "q_contamination", "q_jaccard_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,6 +49,8 @@ object Bench {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val watchRepeats = sys.env.getOrElse("SPARK_GRAFT_WATCH_REPEATS", "5").toInt max repeats
     val samplesOut = sys.env.getOrElse("SPARK_GRAFT_SAMPLES_OUT", "bench_samples.json")
+    val mediansOut = sys.env.getOrElse("SPARK_GRAFT_MEDIANS_OUT", "bench_medians.json")
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -121,16 +130,39 @@ object Bench {
     val nFailed = results.count(_._2.isEmpty)          // every repeat failed
     val nFlaky = results.count(r => r._2.nonEmpty && r._3.nonEmpty) // some repeats failed
 
+    // Baseline per-query rows from BASELINE.md ("| q_x | 0.1 | 1.21 | date |");
+    // first matching row wins (first-correct-run record policy). Parsed
+    // leniently — a missing or reshaped file degrades worst_ratio to -1,
+    // it never fails the bench.
+    val baseline: Map[String, Double] = try {
+      val row = """\|\s*(q_\w+)\s*\|\s*[\d.]+\s*\|\s*([\d.]+)\s*\|""".r
+      scala.io.Source.fromFile(baselinePath)("UTF-8").getLines()
+        .flatMap { l => row.findFirstMatchIn(l).map(m => m.group(1) -> m.group(2).toDouble) }
+        .foldLeft(Map.empty[String, Double]) { (acc, kv) =>
+          if (acc.contains(kv._1)) acc else acc + kv }
+    } catch { case _: Throwable => Map.empty }
+    val ratios = results.flatMap { case (name, med, _, _) =>
+      for (m <- med; b <- baseline.get(name) if b > 0) yield (name, m / b) }
+    val (worstQuery, worstRatio) =
+      if (ratios.isEmpty) ("", -1.0) else ratios.maxBy(_._2)
+
     // Full audit record → file (this is what overflowed stdout in round 5).
     val audit =
       s"""{"samples":$raw,"errors":$errs,"repeats":$repeats,"watch_repeats":$watchRepeats,"watchlist":${watchlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(samplesOut),
       audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable => System.err.println(s"samples file write failed: $t") }
+    // Per-query medians → their own file (inlining them on the stdout line
+    // is what overflowed the round-6 capture).
+    val medians = s"""{"total":${num(total)},"queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(mediansOut),
+      medians.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable => System.err.println(s"medians file write failed: $t") }
 
     spark.stop()
-    // Compact machine-readable line LAST on stdout — nothing may print after.
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"flaky":$nFlaky,"sf":"$sfDir"}""")
+    // Short machine-readable line LAST on stdout — nothing may print after,
+    // and nothing per-query may ride on it.
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${names.size},"failed":$nFailed,"flaky":$nFlaky,"worst_ratio":${num(worstRatio)},"worst_query":"$worstQuery","sf":"$sfDir"}""")
     if (nFailed > 0 || nFlaky > 0) sys.exit(1)
   }
 }

@@ -906,7 +906,7 @@ object SparkEntry {
         |SELECT week, event_type,
         |  CAST(round(v, 2) AS DOUBLE) AS total_value,
         |  round(CAST(coalesce(lag(v) OVER w, 0) AS DOUBLE), 2) AS prev_value,
-        |  CASE WHEN lag(v) OVER w IS NULL THEN 0.0
+        |  CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w = 0 THEN 0.0
         |       ELSE round(CAST(v - lag(v) OVER w AS DOUBLE)
         |              / CAST(lag(v) OVER w AS DOUBLE), 4) END AS wow_delta
         |FROM weekly
@@ -1204,8 +1204,10 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)
         |SELECT day, event_type,
         |  CAST(round(v, 2) AS DOUBLE) AS total_value,
-        |  round(CAST(v AS DOUBLE) /
-        |    CAST(sum(v) OVER (PARTITION BY day) AS DOUBLE), 4) AS share
+        |  CASE WHEN sum(v) OVER (PARTITION BY day) = 0 THEN 0.0
+        |       ELSE round(CAST(v AS DOUBLE) /
+        |         CAST(sum(v) OVER (PARTITION BY day) AS DOUBLE), 4)
+        |  END AS share
         |FROM per ORDER BY day, event_type""".stripMargin,
     "q_top_other" ->
       """WITH per AS (
@@ -1247,7 +1249,12 @@ object SparkEntry {
         |  CAST(max(end_s - start_s) AS BIGINT) AS longest_s
         |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q_winnow" ->
-      // token-code sequence -> 3-gram rolling hash -> min of each 4-window
+      // token-code sequence -> 3-gram rolling hash -> min of each 4-window.
+      // CAST fp AS BIGINT: DuckDB's list_sum over BIGINTs yields HUGEINT
+      // (int128), which pandas materializes as float64 — the driver then
+      // hashes 11027.0 against Spark's 11027 and flags every cell (the
+      // r6 red row). Values were always identical; only the carrier
+      // type differed.
       """WITH seqs AS (
         |  SELECT doc_id, list_transform(string_split(text, ' '),
         |    t -> list_sum(list_transform(range(1, length(t) + 1),
@@ -1262,7 +1269,8 @@ object SparkEntry {
         |    SELECT doc_id, unnest(list_transform(range(1, len(h) - 2),
         |      i -> list_min(h[i:i + 3]))) AS fp
         |    FROM grams WHERE len(h) >= 4) raw)
-        |SELECT fp AS fingerprint, count(*) AS df, min(doc_id) AS min_doc
+        |SELECT CAST(fp AS BIGINT) AS fingerprint, count(*) AS df,
+        |  min(doc_id) AS min_doc
         |FROM fps GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY df DESC, fingerprint LIMIT 50""".stripMargin,
     "q_pagerank" ->

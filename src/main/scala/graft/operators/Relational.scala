@@ -1120,7 +1120,10 @@ object Relational {
       .select(col("week"), col("event_type"),
         round(col("v"), 2).cast("double").as("total_value"),
         round(coalesce(col("prev"), lit(0)).cast("double"), 2).as("prev_value"),
-        when(col("prev").isNull, lit(0.0))
+        // prev = 0 folds into the no-delta branch: Spark's non-ANSI
+        // x/0 is NULL while the oracle's IEEE double division is ±inf —
+        // neither is a useful trend arrow, both engines must emit 0.0
+        when(col("prev").isNull || col("prev") === 0, lit(0.0))
           .otherwise(round((col("v") - col("prev")).cast("double")
             / col("prev").cast("double"), 4)).as("wow_delta"))
       .orderBy("week", "event_type")
@@ -1217,9 +1220,12 @@ object Relational {
       .select(col("day"), col("event_type"),
         round(col("v"), 2).cast("double").as("total_value"),
         // divide as doubles: decimal/decimal quotient scale differs
-        // between engines, double division of exact decimals doesn't
-        round(col("v").cast("double") / col("day_total").cast("double"), 4)
-          .as("share"))
+        // between engines, double division of exact decimals doesn't.
+        // A zero day total (possible when values sum to exactly 0)
+        // yields 0.0 on both engines instead of NULL-vs-±inf divergence
+        when(col("day_total") === 0, lit(0.0))
+          .otherwise(round(col("v").cast("double")
+            / col("day_total").cast("double"), 4)).as("share"))
       .orderBy("day", "event_type")
   }
 

@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.SparkException
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
 
 /** 100 TB guardrail (SURVEY §4): an analysis-time check that REJECTS
   * unconditioned cartesian joins where both sides exceed broadcast size.
@@ -18,9 +19,13 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedH
   *
   * Policy, checked on the ANALYZED plan (before optimizer join
   * reordering):
-  *   - Join with no condition and type Inner/Cross where BOTH sides'
-  *     size estimate exceeds `spark.sql.autoBroadcastJoinThreshold` and
-  *     NEITHER side carries a broadcast hint → rejected.
+  *   - Join with no condition — or a literal-true condition, the
+  *     `.join(df, lit(true))` accident — and type Inner/Cross where BOTH
+  *     sides' size estimate exceeds
+  *     `spark.sql.autoBroadcastJoinThreshold` and NEITHER side carries a
+  *     broadcast hint AT ITS ROOT (looking through projections/aliases
+  *     only — a hinted sub-join buried deeper in a side expresses intent
+  *     about THAT join, not this one) → rejected.
   *   - `spark.graft.allowCartesian=true` opts a session back in
   *     (mirroring how spark.sql.crossJoin.enabled once worked — explicit
   *     intent, not an accident).
@@ -43,23 +48,43 @@ case class CartesianGuard(spark: SparkSession) extends (LogicalPlan => Unit) {
   /** At analysis time a broadcast() marker is still a ResolvedHint node
     * in the side's subtree (EliminateResolvedHint folds it into the
     * Join's JoinHint only during optimization), so intent is checked in
-    * both representations. */
-  private def hinted(side: LogicalPlan): Boolean =
-    side.exists { case r: ResolvedHint => r.hints.strategy.isDefined; case _ => false }
+    * both representations. ROOT-ONLY (through projections and aliases,
+    * which EliminateResolvedHint also looks through): a hint deeper in
+    * the side — say on a dim inside an unrelated sub-join — expresses
+    * broadcast intent about that sub-join and must not vouch for an
+    * unconditioned join above it. */
+  @scala.annotation.tailrec
+  private def hinted(side: LogicalPlan): Boolean = side match {
+    case r: ResolvedHint     => r.hints.strategy.isDefined
+    case p: Project          => hinted(p.child)
+    case a: SubqueryAlias    => hinted(a.child)
+    case _                   => false
+  }
+
+  /** `.join(df, lit(true))` plans the identical cartesian as a missing
+    * condition — the guard treats them alike. Only a bare literal is
+    * matched; a condition that merely FOLDS to true is the optimizer's
+    * business and stays out of an analysis-time check. */
+  private def literallyTrue(cond: Expression): Boolean = cond match {
+    case Literal(true, _) => true
+    case _                => false
+  }
 
   override def apply(plan: LogicalPlan): Unit = {
     if (spark.conf.get("spark.graft.allowCartesian", "false").toBoolean) return
     val threshold = broadcastThreshold
     if (threshold <= 0) return // auto-broadcast disabled -> guard undefined
     plan.foreach {
-      case j @ Join(left, right, Inner | Cross, None, hint)
-          if !hint.leftHint.exists(_.strategy.isDefined)
+      case j @ Join(left, right, Inner | Cross, cond, hint)
+          if cond.forall(literallyTrue)
+            && !hint.leftHint.exists(_.strategy.isDefined)
             && !hint.rightHint.exists(_.strategy.isDefined)
             && !hinted(left) && !hinted(right) =>
         val (ls, rs) = (left.stats.sizeInBytes, right.stats.sizeInBytes)
         if (ls > threshold && rs > threshold) {
+          val how = if (j.condition.isEmpty) "unconditioned" else "literal-true"
           throw new SparkException(
-            s"graft cartesian guard: unconditioned ${j.joinType} join of two " +
+            s"graft cartesian guard: $how ${j.joinType} join of two " +
               s"non-broadcastable inputs (left ≈ $ls B, right ≈ $rs B, " +
               s"threshold $threshold B). Add a join condition, broadcast() a " +
               s"dim-sized side, or set spark.graft.allowCartesian=true.")

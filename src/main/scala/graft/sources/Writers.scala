@@ -258,9 +258,12 @@ object Writers {
 
   /** The swap step of `compact`, separated so the failure paths are
     * unit-testable: replace live dir `dst` with `tmp` via `old` as the
-    * parking spot. On any failure the live table is still readable at
-    * `dst` and the replacement is still on disk at `tmp` — the exception
-    * names it. */
+    * parking spot. NOT atomic — two renames, so there is a window with
+    * no directory at `dst`, and a failure between them is recovered by
+    * renaming the original back (best-effort: if THAT rename also fails,
+    * the original survives at `old` rather than `dst`). In every outcome
+    * both copies still exist on disk — nothing is deleted until the
+    * replacement is live — and the exception names the kept paths. */
   private[graft] def swapIn(dst: java.io.File, tmp: java.io.File, old: java.io.File): Unit = {
     if (!dst.renameTo(old))
       throw new java.io.IOException(

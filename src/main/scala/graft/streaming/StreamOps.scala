@@ -326,7 +326,12 @@ object StreamOps {
     * sorts by — so a single-batch replay reproduces the batch result
     * row-for-row; across batches the funnelStages caveat applies (a
     * click arriving AFTER a purchase already processed does not
-    * retro-credit it — the bounded-state tradeoff). */
+    * retro-credit it — the bounded-state tradeoff). The mirror-image
+    * cross-batch case — a LATE purchase arriving after state already
+    * holds an event-time-later click — is guarded explicitly: a purchase
+    * only credits a click at or before it in (ts, event_id) order, the
+    * same strictly-preceding frame the batch window uses, so negative
+    * latencies cannot be emitted. */
   def attributionStream(events: DataFrame): Dataset[Attribution] = {
     val sess = events.sparkSession
     import sess.implicits._
@@ -349,9 +354,14 @@ object StreamOps {
                   if t > last.click_ms
                     || (t == last.click_ms && r.event_id > last.click_id) =>
                 last = LastClick(r.event_id, t)
-              case "purchase" if last.click_id >= 0 =>
+              case "purchase"
+                  if last.click_id >= 0
+                    && (last.click_ms < t
+                      || (last.click_ms == t && last.click_id < r.event_id)) =>
                 // floor-second latency, matching the batch twin's
-                // unix_timestamp difference
+                // unix_timestamp difference; the (ts, event_id) guard
+                // keeps a late purchase from crediting a click whose
+                // event time is after it (cross-batch arrival order)
                 out += Attribution(uid, r.event_id, last.click_id,
                   t / 1000L - last.click_ms / 1000L)
               case _ => ()

@@ -50,6 +50,32 @@ class CartesianGuardSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.allowCartesian")
   }
 
+  test("literal-true condition is rejected like a missing one") {
+    val ev = Tables.events(spark, sfDir)
+    val e = intercept[SparkException] {
+      withThreshold(1024)(guard(ev.as("a").join(ev.as("b"), lit(true))
+        .queryExecution.analyzed))
+    }
+    assert(e.getMessage.contains("literal-true"))
+  }
+
+  test("a hint buried in a side's sub-join does not vouch for the outer cartesian") {
+    // events ⋈ broadcast(dim) is a legitimate hinted sub-join; crossing
+    // ITS result with another fact must still trip the guard (the r6
+    // advice hole: any-subtree hint detection waved this through)
+    val ev = Tables.events(spark, sfDir)
+    val dim = Tables.events(spark, sfDir).select("event_id").distinct()
+    val side = ev.join(broadcast(dim), "event_id")
+    val e = intercept[SparkException] {
+      withThreshold(1024)(guard(side.crossJoin(ev).queryExecution.analyzed))
+    }
+    assert(e.getMessage.contains("cartesian guard"))
+    // while a root hint (through a projection) still passes
+    withThreshold(1024) {
+      guard(ev.crossJoin(broadcast(dim).select("event_id")).queryExecution.analyzed)
+    }
+  }
+
   test("injectCheckRule wiring: an extensions-built session enforces the guard") {
     val orig = spark // force shared-session init before we swap defaults
     SparkSession.clearDefaultSession()

@@ -227,4 +227,40 @@ class CorpusOpsSpec extends SparkSpec {
     // fingerprint in the fixture reaches df >= 2 through that pair alone
     assert(dfs.max >= 2)
   }
+
+  test("winnow: values match an independent local recompute (r6 red row pin)") {
+    // The round-6 oracle mismatch was NOT a Spark wrong answer: DuckDB's
+    // list_sum yields HUGEINT, which the driver's pandas bridge carried
+    // as float64 (11027.0 vs 11027). This pins the Spark values against
+    // a from-scratch Scala recompute so any future real divergence is
+    // caught locally without the oracle in the loop.
+    val sfDir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    def code(t: String): Long = {
+      var acc = 0L; var j = 0; var pos = 0
+      while (j < t.length) {
+        val cp = t.codePointAt(j); pos += 1
+        acc += cp.toLong * pos; j += Character.charCount(cp)
+      }
+      acc
+    }
+    val perFp = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    docs.foreach { case (id, toks) =>
+      val c = toks.map(code)
+      val h = (0 until math.max(c.length - 2, 0))
+        .map(i => c(i) + c(i + 1) * 3 + c(i + 2) * 9)
+      if (h.length >= 4)
+        (0 to h.length - 4).map(i => h.slice(i, i + 4).min).distinct
+          .foreach(fp => perFp.getOrElseUpdate(fp, scala.collection.mutable.Set.empty) += id)
+    }
+    val expect = perFp.toSeq
+      .collect { case (fp, ids) if ids.size >= 2 => (fp, ids.size.toLong, ids.min) }
+      .sortBy { case (fp, df, _) => (-df, fp) }
+      .take(50)
+    val got = TextOps.winnow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
 }

@@ -451,6 +451,52 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.count(_._1 == 1L) == 1, "u1 emitted exactly once")
   }
 
+  test("session finalizer under RocksDB state store: identical sessions, state still evicted") {
+    // The 100 TB streaming story needs state that spills past the JVM
+    // heap: RocksDBStateStoreProvider keeps per-key state off-heap and
+    // on local disk, which is the provider a production deployment of
+    // the high-cardinality stateful ops (sessions, attribution) would
+    // run. Same scenario as the HDFS-backed idle-timeout case above —
+    // results must be provider-invariant.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def sec(s: Long): Timestamp = new Timestamp(s * 1000L)
+      def e(id: Long, s: Long, user: Long): Ev = Ev(id, sec(s), user, "view", 1.0, "{}")
+      val input = MemoryStream[Ev]
+      val query = StreamOps.sessionFinalize(input.toDF(), "30 minutes", "10 minutes")
+        .writeStream.outputMode("append").format("memory").queryName("sess_rocks").start()
+      try {
+        Seq(
+          Seq(e(1, 100, 1), e(2, 200, 1), e(3, 150, 2)),
+          Seq(e(4, 3000, 3)),
+          Seq(e(5, 3100, 3)),
+          Seq(e(6, 6000, 2)),
+          Seq(e(7, 9000, 9)),
+          Seq(e(8, 99999, 9)),
+          Seq(e(9, 100000, 9))
+        ).foreach { b => input.addData(b); query.processAllAvailable() }
+      } finally query.stop()
+      val out = spark.table("sess_rocks")
+        .select(col("user_id"), unix_timestamp(col("sess_start")).as("s"),
+          unix_timestamp(col("sess_end")).as("e"), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(out.contains((1L, 100L, 200L, 2L)), s"u1 session missing in $out")
+      assert(out.contains((2L, 150L, 150L, 1L)), "u2 first session")
+      assert(out.contains((2L, 6000L, 6000L, 1L)),
+        "u2 second session proves eviction holds under RocksDB too")
+      assert(out.contains((3L, 3000L, 3100L, 2L)), "u3 two-event session")
+      assert(out.count(_._1 == 1L) == 1, "u1 emitted exactly once")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming JDBC sink: micro-batches land in the relational store, batch-stamped (views.py:49-52)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
