@@ -348,7 +348,13 @@ object TextOps {
     * (d1, d2) → (doc_id, cluster_id = component min). The propagation loop
     * behind nearDupClusters, separated so graph shapes the fixture can't
     * produce deterministically (multi-hop chains) are unit-testable. */
-  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(nodes, pairs)._1
+
+  /** [[connectedComponents]] plus the number of fixpoint rounds taken —
+    * the convergence-rate observable the long-chain spec pins. */
+  private[graft] def connectedComponentsWithRounds(
+      nodes: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     // seed with min(self, direct neighbors) — round 1 folded into the
@@ -356,11 +362,20 @@ object TextOps {
     // clusters) converge after a single fixpoint-check round
     val seed = edges.groupBy(col("src")).agg(min("dst").as("nbr0"))
       .select(col("src").as("seed_id"), col("nbr0"))
+    // localCheckpoint (eager) rather than persist: each round references
+    // the previous labels frame MORE THAN ONCE (neighbor-min + the
+    // shortcut's parent lookup), so without lineage truncation the
+    // analyzed plan doubles per round — by round ~10 the plan STRING
+    // (built for the execution listener even with the UI off) is
+    // gigabytes. Checkpointing replaces the plan with a LogicalRDD leaf
+    // each round: plan size is constant in rounds, blocks are freed by
+    // the context cleaner once the next round's checkpoint supersedes
+    // them.
     var labels = nodes
       .join(seed, col("doc_id") === col("seed_id"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("nbr0"), col("doc_id"))).as("cluster_id"))
-      .persist()
+      .localCheckpoint(true)
     // coalesce to 0: sum() over zero rows is null, and a null labelSum
     // would never satisfy the fixpoint comparison — an empty nodes frame
     // must terminate (first round: 0 == 0), not loop forever
@@ -369,26 +384,40 @@ object TextOps {
         lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prev: java.math.BigDecimal = null
     var cur = labelSum(labels)
+    var rounds = 0
     while (prev == null || cur.compareTo(prev) != 0) {
+      rounds += 1
       // rename away from labels' own column names before re-joining: nbrMin
       // carries labels in its lineage, and bare doc_id would be ambiguous
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min("cluster_id").as("nbr_min"))
         .select(col("src").as("nbr_id"), col("nbr_min"))
-      val next = labels.join(nbrMin, col("doc_id") === col("nbr_id"), "left")
+      val prop = labels.join(nbrMin, col("doc_id") === col("nbr_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .persist()
+      // Shortcut (pointer-doubling) step — the star-contraction idea of
+      // Kiveris et al., "Connected Components in MapReduce and Beyond"
+      // (SoCC'14), in label-pointer form: a label is always some node's
+      // doc_id, so treating cluster_id as a parent pointer and folding in
+      // the PARENT'S label halves every remaining chain per round. With
+      // neighbor propagation alone a diameter-d path needs ~d rounds
+      // (each round costs a full edges⋈labels shuffle — the 100 TB cost
+      // is rounds × fact-exchange); with the shortcut the loop closes in
+      // O(log d). One extra |nodes|-sized self-join per round buys it.
+      val parent = prop.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
+      val next = prop.join(parent, col("cluster_id") === col("p_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("p_lab"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true) // materializes + truncates lineage (see init note)
       prev = cur
-      cur = labelSum(next) // materializes next's cache before dropping the parent
-      labels.unpersist()
+      cur = labelSum(next)
       labels = next
     }
-    // `labels` stays cached: it IS the result, and the caller's single
-    // materialization (Verify write / bench noop sink) reads it once; the
-    // bench harness clearCache()es between queries.
-    labels
+    // `labels` stays checkpoint-cached: it IS the result, and the
+    // caller's single materialization (Verify write / bench noop sink)
+    // reads the cached blocks; superseded rounds are GC'd by the cleaner.
+    (labels, rounds)
   }
 
   /** E-TEXT: TF-IDF top-3 terms per document — tf = in-doc term count,

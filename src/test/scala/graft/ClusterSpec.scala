@@ -37,6 +37,24 @@ class ClusterSpec extends SparkSpec {
     assert(got == Map(5L -> 5L, 6L -> 6L, 7L -> 7L))
   }
 
+  test("long chain converges in O(log d) rounds via the shortcut step") {
+    import spark.implicits._
+    // path graph 0-1-2-...-63: diameter 63. Neighbor propagation alone
+    // needs ~63 rounds (each a full edge-join shuffle — the scale cost is
+    // rounds x fact-exchange); the pointer-doubling shortcut closes it in
+    // O(log d). The bound below (log2(64)=6, +4 slack for the seeded
+    // first hop and the fixpoint-confirmation round) fails loudly if the
+    // shortcut regresses to linear rounds.
+    val n = 64
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) = TextOps.connectedComponentsWithRounds(nodes, chain)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      s"all $n chain nodes must collapse to component min 0")
+    assert(rounds <= 10, s"expected O(log d) convergence, took $rounds rounds")
+  }
+
   test("q_neardup_clusters on the fixture: labels cover all docs, respect the LSH pairs") {
     import spark.implicits._
     val labels = TextOps.nearDupClusters(spark, sf)
