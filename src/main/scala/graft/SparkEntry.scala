@@ -95,6 +95,13 @@ object SparkEntry {
     "q_path3" -> (Relational.pathTrigrams _),
     "q_wow" -> (Relational.weekOverWeek _),
     "q_tte" -> (Relational.timeToEvent _),
+    "q_gini" -> (Analytics.gini _),
+    "q_hhi" -> (Analytics.hhi _),
+    "q_autocorr" -> (Analytics.autocorr _),
+    "q_pareto" -> (Analytics.pareto _),
+    "q_seasonality" -> (Analytics.seasonality _),
+    "q_ttr" -> (TextOps.typeTokenRatio _),
+    "q_hapax" -> (TextOps.hapaxRate _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -1593,6 +1600,127 @@ object SparkEntry {
         |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
         |      * (1.0 / n0 + 1.0 / n1)), 4) AS z
         |FROM c""".stripMargin,
+    "q_gini" ->
+      // ascending-rank Gini over per-customer cents; rank ties break on
+      // custkey so Σ(i·x) is a total order on both engines
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), geo AS (
+        |  SELECT c_custkey, r_name
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |), ranked AS (
+        |  SELECT r_name, cents,
+        |    row_number() OVER (PARTITION BY r_name ORDER BY cents, o_custkey) AS i
+        |  FROM spend JOIN geo ON o_custkey = c_custkey
+        |), agg AS (
+        |  SELECT r_name AS region, count(*) AS n_customers,
+        |    sum(CAST(cents AS HUGEINT)) AS s,
+        |    sum(CAST(i AS HUGEINT) * cents) AS w
+        |  FROM ranked GROUP BY 1)
+        |SELECT region, n_customers,
+        |  CASE WHEN s = 0 THEN 0.0
+        |       ELSE round(CAST(2 * w - (n_customers + 1) * s AS DOUBLE)
+        |              / CAST(n_customers * s AS DOUBLE), 6) END AS gini
+        |FROM agg ORDER BY region""".stripMargin,
+    "q_hhi" ->
+      // concentration from exact cents sums: Σv² / (Σv)², no double share
+      // ever summed
+      """WITH per AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT day, count(*) AS n_types,
+        |    sum(CAST(v AS HUGEINT)) AS tot,
+        |    sum(CAST(v AS HUGEINT) * v) AS sq
+        |  FROM per GROUP BY 1)
+        |SELECT day, n_types,
+        |  CASE WHEN tot = 0 THEN 0.0
+        |       ELSE round(CAST(sq AS DOUBLE) / CAST(tot * tot AS DOUBLE), 6)
+        |  END AS hhi
+        |FROM agg ORDER BY day""".stripMargin,
+    "q_autocorr" ->
+      // Pearson r of (yesterday, today) daily cents from six exact sums;
+      // doubles only at the closing ratio (sqrt/divide are IEEE-exact)
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT event_type,
+        |    lag(v) OVER (PARTITION BY event_type ORDER BY day) AS x, v AS y
+        |  FROM daily
+        |), s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM pairs WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n AS n_pairs,
+        |  CASE WHEN n < 2 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |       THEN 0.0
+        |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS lag1_autocorr
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q_pareto" ->
+      // 80% coverage test as the exact integer comparison 5·cum ≥ 4·tot
+      """WITH per AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v DESC, user_id) AS rn,
+        |    sum(CAST(v AS HUGEINT)) OVER (PARTITION BY event_type ORDER BY v DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(CAST(v AS HUGEINT)) OVER (PARTITION BY event_type) AS tot,
+        |    count(*) OVER (PARTITION BY event_type) AS n_users
+        |  FROM per)
+        |SELECT event_type, max(n_users) AS n_users,
+        |  CAST(min(rn) AS BIGINT) AS users_to_80,
+        |  round(CAST(min(rn) AS DOUBLE) / max(n_users), 4) AS user_share
+        |FROM ranked WHERE cum * 5 >= tot * 4
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_seasonality" ->
+      // 0 = Sunday on both engines (DuckDB dayofweek ≡ Spark dayofweek−1)
+      """WITH per AS (
+        |  SELECT CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1
+        |), tot AS (SELECT sum(CAST(cents AS HUGEINT)) AS tot FROM per)
+        |SELECT dow, n_events, cents,
+        |  CASE WHEN tot = 0 THEN 0.0
+        |       ELSE round(CAST(cents AS DOUBLE) / CAST(tot AS DOUBLE), 4)
+        |  END AS rev_share,
+        |  CASE WHEN tot = 0 THEN 0.0
+        |       ELSE round(CAST(cents AS DOUBLE) * 7 / CAST(tot AS DOUBLE), 4)
+        |  END AS rev_index
+        |FROM per, tot ORDER BY dow""".stripMargin,
+    "q_ttr" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_hapax" ->
+      """WITH tf AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT source, tok, count(*) AS f FROM tf GROUP BY 1, 2)
+        |SELECT source, count(*) AS vocab,
+        |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS hapax_rate
+        |FROM freq GROUP BY 1 ORDER BY source""".stripMargin,
     "q_split" ->
       s"""WITH s AS (
         |  SELECT $splitCaseSql AS split, lang,

@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-shape and concentration analytics — the reporting verbs a
+  * surveillance/ops dashboard derives from the same event and order
+  * streams the reference aggregates per-frame (`main.py:226-233` counts;
+  * `auth_user` relational side): inequality (Gini), market concentration
+  * (HHI), persistence (autocorrelation), coverage (Pareto), and weekly
+  * seasonality.
+  *
+  * Determinism discipline (the Relational.scala rule): every aggregate
+  * sums EXACT integers (cents) or exact decimals; doubles appear only in
+  * the final scalar arithmetic (division / sqrt — both IEEE
+  * correctly-rounded, so bit-identical across engines given identical
+  * exact inputs). No double is ever SUMMED, so parallel reduction order
+  * cannot flip a rounded digit.
+  *
+  * Scale notes: per-key partials are BIGINT cents; anything multiplied
+  * by a rank or by itself is cast to DECIMAL(38,0) BEFORE the sum (a
+  * rank×cents product at 1e9 rows × 1e7 cents overflows BIGINT; DuckDB
+  * silently widens to HUGEINT, Spark must be told). Windows partition by
+  * the report key, never globally except where the output itself is
+  * dow/day-sized.
+  */
+object Analytics {
+
+  /** q_gini: Gini coefficient of per-customer order spend, per region —
+    * "how unequal is customer value" as one number per region. Formula
+    * over ascending spend with 1-based rank i:
+    * G = (2·Σ(i·x_i) − (n+1)·Σx_i) / (n·Σx_i).
+    * Plan: orders reduce to per-customer cents (shuffle on custkey),
+    * customer join is co-partitioned on the same key, nation⋈region
+    * rides in broadcast; the rank window partitions by region. Ties
+    * break on custkey so the rank — and therefore the sum — is a total
+    * order on both engines. */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val geo = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val ranked = spend
+      .join(geo, col("o_custkey") === col("c_custkey"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("r_name").orderBy(col("cents"), col("o_custkey"))))
+    ranked
+      .groupBy(col("r_name").as("region"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents").cast("decimal(38,0)")).as("s"),
+        sum((col("i") * col("cents")).cast("decimal(38,0)")).as("w"))
+      .select(col("region"), col("n_customers"),
+        when(col("s") === 0, lit(0.0))
+          .otherwise(round(
+            (lit(2) * col("w") - (col("n_customers") + 1) * col("s")).cast("double")
+              / (col("n_customers") * col("s")).cast("double"), 6)).as("gini"))
+      .orderBy("region")
+  }
+
+  /** q_hhi: Herfindahl–Hirschman concentration of event value across
+    * event types, per day — "is one event type dominating the day".
+    * HHI = Σ share_t² = Σv_t² / (Σv_t)², computed from the exact cents
+    * sums so no per-type double share is ever summed. 1.0 = one type
+    * carries everything; 1/n_types = perfectly even. */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(spark, dir)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    perType
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("v").cast("decimal(38,0)")).as("tot"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("sq"))
+      .select(col("day"), col("n_types"),
+        when(col("tot") === 0, lit(0.0))
+          .otherwise(round(col("sq").cast("double")
+            / (col("tot") * col("tot")).cast("double"), 6)).as("hhi"))
+      .orderBy("day")
+  }
+
+  /** q_autocorr: lag-1 autocorrelation of the daily revenue series, per
+    * event type — "does a strong day predict the next". Pearson r over
+    * (yesterday, today) pairs of OBSERVED days (a gap pairs across it —
+    * documented, matches the oracle), from the six exact sums; doubles
+    * only in the closing ratio. Degenerate series (either side constant,
+    * or <2 pairs) report 0.0 on both engines rather than NULL/NaN. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pairs = daily
+      .withColumn("x", lag("v", 1).over(w))
+      .filter(col("x").isNotNull)
+      .withColumnRenamed("v", "y")
+    val s = pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    s.select(col("event_type"), col("n").as("n_pairs"),
+        when(col("n") < 2 || varx === 0.0 || vary === 0.0, lit(0.0))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt(varx) * sqrt(vary)), 6)).as("lag1_autocorr"))
+      .orderBy("event_type")
+  }
+
+  /** q_pareto: how concentrated is revenue — per event type, the fewest
+    * users whose combined value reaches 80% of the type's total, and the
+    * share of the user base they are. The 80% test is the INTEGER
+    * comparison 5·cum ≥ 4·total (decimal-exact on both engines), so no
+    * cumulative double share is ever compared against a threshold. */
+  def pareto(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("v").desc, col("user_id"))
+    val wAll = Window.partitionBy("event_type")
+    val ranked = perUser
+      // long, not int: DuckDB's row_number is BIGINT and the driver's
+      // frame compare is dtype-sensitive (the q_winnow lesson)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("v").cast("decimal(38,0)")).over(w))
+      .withColumn("tot", sum(col("v").cast("decimal(38,0)")).over(wAll))
+      .withColumn("n_users", count(lit(1)).over(wAll))
+    ranked
+      .filter(col("cum") * 5 >= col("tot") * 4)
+      .groupBy("event_type")
+      .agg(max("n_users").as("n_users"),
+        min("rn").as("users_to_80"))
+      .select(col("event_type"), col("n_users"), col("users_to_80"),
+        round(col("users_to_80").cast("double") / col("n_users"), 4)
+          .as("user_share"))
+      .orderBy("event_type")
+  }
+
+  /** q_seasonality: day-of-week revenue profile — each weekday's share
+    * of total value and its index against a uniform week (share·7; 1.0 =
+    * flat). Output is 7 rows; the "window" is the one-row total riding
+    * in as a broadcast cross join, not a global sort. Day numbering is
+    * 0 = Sunday (Spark dayofweek()−1 ≡ DuckDB dayofweek()). */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val perDow = Tables.events(spark, dir)
+      .groupBy((dayofweek(to_date(col("ts"))) - 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val tot = perDow.agg(sum(col("cents").cast("decimal(38,0)")).as("tot"))
+    perDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_events"), col("cents"),
+        when(col("tot") === 0, lit(0.0))
+          .otherwise(round(col("cents").cast("double") / col("tot").cast("double"), 4))
+          .as("rev_share"),
+        when(col("tot") === 0, lit(0.0))
+          .otherwise(round(col("cents").cast("double") * 7
+            / col("tot").cast("double"), 4)).as("rev_index"))
+      .orderBy("dow")
+  }
+}

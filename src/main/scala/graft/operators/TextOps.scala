@@ -903,6 +903,38 @@ object TextOps {
       .limit(50)
   }
 
+  /** q_ttr: per-document type-token ratio — distinct tokens over total
+    * tokens, the lexical-diversity screen a curation pipeline reads next
+    * to the repetition gate (low TTR = template/boilerplate text). Both
+    * counts are exact integers from one narrow projection (no explode,
+    * no shuffle before the trailing verify sort); the ratio is the only
+    * double. */
+  def typeTokenRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"))
+      .orderBy("doc_id")
+
+  /** q_hapax: per-source hapax legomena rate — the share of a source's
+    * vocabulary that occurs exactly once in that source. A high hapax
+    * rate signals noisy/OCR-damaged text; near-zero signals template
+    * spam. One explode → (source, token) count → one integer-only
+    * re-aggregate; vocabulary-cardinality intermediate, never
+    * doc×vocab. */
+  def hapaxRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab"), 4).as("hapax_rate"))
+      .orderBy("source")
+
   /** Multimodal plumbing (mandate): opaque binary column + typed metadata.
     * The "decode" here is byte-level (length + digest) — the model-decode
     * stage proper is the mapPartitions stub in graft.multimodal. */

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+/** Distribution-shape analytics: each query is pinned by an independent
+  * local recompute (the winnow-pin pattern — no oracle in the loop) or a
+  * closed-form invariant of the statistic itself. */
+class AnalyticsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("gini matches a from-scratch local recompute and stays in [0, 1)") {
+    import spark.implicits._
+    val got = Analytics.gini(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+      .map { case (r, n, g) => r -> (n, g) }.toMap
+
+    // local recompute: per-customer cents -> region -> ascending rank sum
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .as[(Long, Long)].collect().toMap
+    val geo = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+      .as[(Long, String)].collect()
+    val byRegion = geo.flatMap { case (ck, r) => spend.get(ck).map(c => (r, ck, c)) }
+      .groupBy(_._1)
+    val expect = byRegion.map { case (r, rows) =>
+      val xs = rows.sortBy(t => (t._3, t._2)).map(_._3.toDouble)
+      val n = xs.length
+      val s = xs.sum
+      val w = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      r -> (n.toLong,
+        BigDecimal((2 * w - (n + 1) * s) / (n * s))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (r, (n, g)) =>
+      assert(got(r)._1 == n, s"region $r customer count")
+      assert(math.abs(got(r)._2 - g) < 1e-9, s"region $r: got ${got(r)._2}, expect $g")
+      assert(g >= 0.0 && g < 1.0, s"gini out of range for $r: $g")
+    }
+  }
+
+  test("hhi is bounded by [1/n_types, 1] and the even/concentrated extremes behave") {
+    import spark.implicits._
+    val rows = Analytics.hhi(spark, sfDir).as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, n, h) =>
+      assert(h >= 1.0 / n - 1e-9 && h <= 1.0 + 1e-9, s"$day: hhi $h outside [1/$n, 1]")
+    }
+  }
+
+  test("pareto: the reported user count is the MINIMAL 80% cover") {
+    import spark.implicits._
+    val got = Analytics.pareto(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (t, n, k, s) => t -> (n, k, s) }.toMap
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    perUser.foreach { case (t, rows) =>
+      val vs = rows.sortBy(r => (-r._3, r._2)).map(_._3)
+      val tot = vs.map(BigInt(_)).sum
+      val (n, k, share) = got(t)
+      assert(n == vs.length)
+      val cumK = vs.take(k.toInt).map(BigInt(_)).sum
+      assert(cumK * 5 >= tot * 4, s"$t: top-$k covers < 80%")
+      if (k > 1) {
+        val cumK1 = vs.take(k.toInt - 1).map(BigInt(_)).sum
+        assert(cumK1 * 5 < tot * 4, s"$t: top-${k - 1} already covers 80% — $k not minimal")
+      }
+      assert(math.abs(share - k.toDouble / n) < 1e-4)
+    }
+  }
+
+  test("autocorr values are correlations (|r| <= 1) with enough pairs") {
+    import spark.implicits._
+    val rows = Analytics.autocorr(spark, sfDir).as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, r) =>
+      assert(n >= 2, s"$t: too few day pairs ($n)")
+      assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"$t: r=$r out of range")
+    }
+  }
+
+  test("seasonality: 7 rows, shares sum to ~1, index averages ~1") {
+    import spark.implicits._
+    val rows = Analytics.seasonality(spark, sfDir)
+      .select("dow", "rev_share", "rev_index")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == (0L to 6L))
+    val shareSum = rows.map(_._2).sum
+    assert(math.abs(shareSum - 1.0) < 0.01, s"shares sum to $shareSum")
+    rows.foreach { case (d, s, i) =>
+      assert(math.abs(i - 7 * s) < 0.005, s"dow $d: index $i vs 7*share ${7 * s}")
+    }
+  }
+}
