@@ -95,6 +95,9 @@ object SparkEntry {
     "q_path3" -> (Relational.pathTrigrams _),
     "q_wow" -> (Relational.weekOverWeek _),
     "q_tte" -> (Relational.timeToEvent _),
+    "q_repeated_grams" -> (TextOps.repeatedGrams _),
+    "q_xcorr" -> (Analytics.xcorr _),
+    "q_gap_stats" -> (Analytics.gapStats _),
     "q_gini" -> (Analytics.gini _),
     "q_hhi" -> (Analytics.hhi _),
     "q_autocorr" -> (Analytics.autocorr _),
@@ -1600,6 +1603,58 @@ object SparkEntry {
         |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
         |      * (1.0 / n0 + 1.0 / n1)), 4) AS z
         |FROM c""".stripMargin,
+    "q_repeated_grams" ->
+      // literal repeated 6-token spans across documents (exact-substring
+      // dedup audit): distinct-doc frequency + total occurrences
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 4),
+        |    j -> t[j] || '_' || t[j+1] || '_' || t[j+2] || '_' ||
+        |         t[j+3] || '_' || t[j+4] || '_' || t[j+5])) AS gram
+        |  FROM toks WHERE len(t) >= 6)
+        |SELECT gram, count(DISTINCT doc_id) AS df,
+        |  count(*) AS n_occurrences, min(doc_id) AS min_doc
+        |FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY df DESC, gram LIMIT 50""".stripMargin,
+    "q_xcorr" ->
+      // Pearson r from six exact sums (never the engine's double-summing
+      // corr aggregate); doubles only in the closing ratio
+      """WITH pts AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM pts GROUP BY 1)
+        |SELECT l_returnflag, n AS n_items,
+        |  CASE WHEN n < 2 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |       THEN 0.0
+        |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS qty_price_corr
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q_gap_stats" ->
+      // seconds since the same user's previous event, quantiled per type
+      // of the LATER event; quantile_cont ≡ Spark percentile on integers
+      """WITH gaps AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+        |  round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+        |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        |FROM gaps WHERE gap_s IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_gini" ->
       // ascending-rank Gini over per-customer cents; rank ties break on
       // custkey so Σ(i·x) is a total order on both engines

@@ -148,6 +148,56 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q_xcorr: Pearson correlation between line quantity and extended
+    * price, per return flag — "do bigger orders carry proportionally
+    * bigger value". Same exact-sums construction as [[autocorr]]: both
+    * measures go to integer hundredths, the six sums are DECIMAL(38,0),
+    * doubles only in the closing ratio. The built-in `corr` aggregate is
+    * deliberately NOT used: it sums doubles in reduction order. */
+  def xcorr(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") * 100).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100).cast("long").as("y"))
+    val s = pts.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    s.select(col("l_returnflag"), col("n").as("n_items"),
+        when(col("n") < 2 || varx === 0.0 || vary === 0.0, lit(0.0))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt(varx) * sqrt(vary)), 6)).as("qty_price_corr"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q_gap_stats: inter-event cadence — for each event type, the
+    * distribution of seconds since the SAME USER's previous event (any
+    * type): pair count, median, p90, max. The engagement-rhythm verb
+    * behind "how often do users come back". One (user)-partitioned sort
+    * produces every gap; the quantiles run per type over exact BIGINT
+    * seconds (`percentile` ≡ DuckDB `quantile_cont` on integers — the
+    * q_quantiles equivalence). */
+  def gapStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_s, 0.5)"), 4).as("p50_gap_s"),
+        round(expr("percentile(gap_s, 0.9)"), 4).as("p90_gap_s"),
+        max("gap_s").as("max_gap_s"))
+      .orderBy("event_type")
+  }
+
   /** q_seasonality: day-of-week revenue profile — each weekday's share
     * of total value and its index against a uniform week (share·7; 1.0 =
     * flat). Output is 7 rows; the "window" is the one-row total riding

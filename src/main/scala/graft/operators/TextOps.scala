@@ -935,6 +935,45 @@ object TextOps {
         round(col("hapax").cast("double") / col("vocab"), 4).as("hapax_rate"))
       .orderBy("source")
 
+  /** q_repeated_grams: the substring-level dedup audit (the signal
+    * behind exact-substring training-data dedup, Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * the most widely repeated word 6-grams across the corpus, with how
+    * many distinct documents and total occurrences carry each. Where
+    * winnow fingerprints LOCALIZE shared runs probabilistically, this
+    * reports the literal repeated spans themselves — the rows a curator
+    * reads to decide what boilerplate to strip. 6-grams are built by
+    * chaining the same materialized zip_with stages as the
+    * decontamination 4-grams (each stage's array bound to an attribute
+    * first — the quadratic-recompute trap, see shingleCodes); the wide
+    * part is one explode → hash agg on the gram key. */
+  def repeatedGrams(spark: SparkSession, dir: String): DataFrame = {
+    val withToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val g2 = withToks.select(col("doc_id"),
+      zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => concat(a, lit("_"), b)).as("g2"))
+    val g4 = g2.select(col("doc_id"), col("g2"),
+      zip_with(
+        slice(col("g2"), lit(1), greatest(size(col("g2")) - 2, lit(0))),
+        slice(col("g2"), lit(3), greatest(size(col("g2")) - 2, lit(0))),
+        (a, b) => concat(a, lit("_"), b)).as("g4"))
+    val g6 = g4.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("g4"), lit(1), greatest(size(col("g4")) - 2, lit(0))),
+        slice(col("g2"), lit(5), greatest(size(col("g4")) - 2, lit(0))),
+        (a, b) => concat(a, lit("_"), b))).as("gram"))
+    g6.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n_occurrences"),
+        min("doc_id").as("min_doc"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("gram"))
+      .limit(50)
+  }
+
   /** Multimodal plumbing (mandate): opaque binary column + typed metadata.
     * The "decode" here is byte-level (length + digest) — the model-decode
     * stage proper is the mapPartitions stub in graft.multimodal. */

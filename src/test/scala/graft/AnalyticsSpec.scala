@@ -89,6 +89,43 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("xcorr matches a from-scratch local recompute") {
+    import spark.implicits._
+    val got = Analytics.xcorr(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+      .map { case (f, n, r) => f -> (n, r) }.toMap
+    val pts = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") * 100).cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    pts.foreach { case (flag, rows) =>
+      val xs = rows.map(r => BigInt(r._2)); val ys = rows.map(r => BigInt(r._3))
+      val n = BigInt(rows.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val syy = ys.map(a => a * a).sum
+      val num = (n * sxy - sx * sy).toDouble
+      val den = math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble)
+      val expect = BigDecimal(num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(flag)._1 == rows.length)
+      assert(math.abs(got(flag)._2 - expect) < 1e-9, s"$flag: ${got(flag)._2} vs $expect")
+    }
+  }
+
+  test("gap_stats: quantiles are ordered and bounded by the max") {
+    import spark.implicits._
+    val rows = Analytics.gapStats(spark, sfDir)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, p50, p90, mx) =>
+      assert(n > 0 && p50 >= 0 && p50 <= p90 && p90 <= mx,
+        s"$t: n=$n p50=$p50 p90=$p90 max=$mx out of order")
+    }
+  }
+
   test("seasonality: 7 rows, shares sum to ~1, index averages ~1") {
     import spark.implicits._
     val rows = Analytics.seasonality(spark, sfDir)

@@ -228,6 +228,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dfs.max >= 2)
   }
 
+  test("repeated grams: values match an independent local recompute") {
+    val sfDir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val occ = scala.collection.mutable.Map.empty[String, (Set[Long], Long)]
+      .withDefaultValue((Set.empty, 0L))
+    docs.foreach { case (id, toks) =>
+      toks.sliding(6).filter(_.size == 6).foreach { g =>
+        val k = g.mkString("_")
+        val (ids, n) = occ(k)
+        occ(k) = (ids + id, n + 1)
+      }
+    }
+    val expect = occ.toSeq
+      .collect { case (g, (ids, n)) if ids.size >= 2 => (g, ids.size.toLong, n, ids.min) }
+      .sortBy { case (g, df, _, _) => (-df, g) }
+      .take(50)
+    val got = TextOps.repeatedGrams(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
   test("winnow: values match an independent local recompute (r6 red row pin)") {
     // The round-6 oracle mismatch was NOT a Spark wrong answer: DuckDB's
     // list_sum yields HUGEINT, which the driver's pandas bridge carried
