@@ -95,6 +95,8 @@ object SparkEntry {
     "q_path3" -> (Relational.pathTrigrams _),
     "q_wow" -> (Relational.weekOverWeek _),
     "q_tte" -> (Relational.timeToEvent _),
+    "q_reachable" -> (TextOps.reachable _),
+    "q_dedup_decisions" -> (TextOps.dedupDecisions _),
     "q_repeated_grams" -> (TextOps.repeatedGrams _),
     "q_xcorr" -> (Analytics.xcorr _),
     "q_gap_stats" -> (Analytics.gapStats _),
@@ -1603,6 +1605,44 @@ object SparkEntry {
         |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
         |      * (1.0 / n0 + 1.0 / n1)), 4) AS z
         |FROM c""".stripMargin,
+    "q_reachable" ->
+      // IDENTICAL recursive statement to the Spark side (which runs it
+      // through spark.sql over the same pair graph) — bounded-depth
+      // UNION ALL recursion, min(hop) collapses path multiplicity
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |reach(seed_id, doc_id, hop) AS (
+        |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT r.seed_id, e.dst, r.hop + 1
+        |  FROM reach r
+        |  JOIN (SELECT d1 AS src, d2 AS dst FROM pairs
+        |        UNION ALL
+        |        SELECT d2 AS src, d1 AS dst FROM pairs) e
+        |    ON r.doc_id = e.src
+        |  WHERE r.hop < 3)
+        |SELECT seed_id, doc_id, CAST(min(hop) AS BIGINT) AS min_hop
+        |FROM reach GROUP BY 1, 2 ORDER BY seed_id, doc_id""".stripMargin,
+    "q_dedup_decisions" ->
+      // cluster via recursive reachability (q_neardup_clusters), then
+      // representative = longest doc (ties to lowest id), rest dropped
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT d2 AS src, d1 AS dst FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), clusters AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        |), dec AS (
+        |  SELECT c.doc_id, c.cluster_id,
+        |    first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+        |      ORDER BY d.n_chars DESC, c.doc_id) AS rep_id
+        |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id, rep_id, doc_id = rep_id AS keep
+        |FROM dec ORDER BY doc_id""".stripMargin,
     "q_repeated_grams" ->
       // literal repeated 6-token spans across documents (exact-substring
       // dedup audit): distinct-doc frequency + total occurrences

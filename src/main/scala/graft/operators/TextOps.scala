@@ -935,6 +935,56 @@ object TextOps {
         round(col("hapax").cast("double") / col("vocab"), 4).as("hapax_rate"))
       .orderBy("source")
 
+  /** q_reachable: bounded-depth BFS over the near-dup pair graph via
+    * Spark 4's recursive CTE (`WITH RECURSIVE`, SPARK-24497) — for each
+    * seed doc (doc_id < 50), every doc within 3 hops and its minimum hop
+    * distance. The SQL-surface twin of the DataFrame-loop reachability
+    * inside connectedComponents: a user migrating recursive warehouse
+    * SQL runs the IDENTICAL statement on both engines (the oracle
+    * differs only in how `pairs` is sourced). UNION ALL recursion with
+    * an explicit hop bound, so cycles in the (undirected) graph
+    * terminate by depth, not by dedup; the outer min(hop) collapses the
+    * path multiplicity. At scale each recursion step is one equi-join of
+    * the frontier against the edge list — bounded depth = bounded
+    * stages. */
+  def reachable(spark: SparkSession, dir: String): DataFrame = {
+    minhashPairs(spark, dir).createOrReplaceTempView("graft_dup_pairs")
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .createOrReplaceTempView("graft_doc_ids")
+    spark.sql(
+      """WITH RECURSIVE reach(seed_id, doc_id, hop) AS (
+        |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM graft_doc_ids WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT r.seed_id, e.dst, r.hop + 1
+        |  FROM reach r
+        |  JOIN (SELECT d1 AS src, d2 AS dst FROM graft_dup_pairs
+        |        UNION ALL
+        |        SELECT d2 AS src, d1 AS dst FROM graft_dup_pairs) e
+        |    ON r.doc_id = e.src
+        |  WHERE r.hop < 3)
+        |SELECT seed_id, doc_id, min(hop) AS min_hop
+        |FROM reach GROUP BY 1, 2 ORDER BY seed_id, doc_id""".stripMargin)
+  }
+
+  /** q_dedup_decisions: the DECIDE stage that closes the dedup story
+    * (detect pairs → cluster → choose survivors): per near-dup cluster,
+    * the representative is the longest document (ties to the lowest id),
+    * every other member is marked for drop with its representative
+    * recorded — the actionable keep/drop list a curation pipeline
+    * actually executes. One dim-ish join onto the cluster labels + one
+    * cluster-partitioned window. */
+  def dedupDecisions(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = nearDupClusters(spark, dir)
+    val meta = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    clusters.join(meta, "doc_id")
+      .withColumn("rep_id", first("doc_id").over(w))
+      .select(col("doc_id"), col("cluster_id"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q_repeated_grams: the substring-level dedup audit (the signal
     * behind exact-substring training-data dedup, Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"):

@@ -55,6 +55,42 @@ class ClusterSpec extends SparkSpec {
     assert(rounds <= 10, s"expected O(log d) convergence, took $rounds rounds")
   }
 
+  test("dedup decisions: exactly one keeper per cluster, and it is the longest member") {
+    import spark.implicits._
+    val dec = TextOps.dedupDecisions(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val chars = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    dec.groupBy(_._2).foreach { case (cluster, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cluster has ${keepers.length} keepers")
+      val rep = keepers.head._1
+      assert(members.forall(_._3 == rep), s"cluster $cluster members disagree on rep")
+      val best = members.map(m => (chars(m._1), m._1)).sortBy(t => (-t._1, t._2)).head._2
+      assert(rep == best, s"cluster $cluster rep $rep is not the longest member $best")
+    }
+  }
+
+  test("recursive reachability agrees with a local BFS over the same pairs") {
+    import spark.implicits._
+    val pairs = TextOps.minhashLsh(spark, sf).as[(Long, Long)].collect()
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = Tables.documents(spark, sf).select("doc_id").as[Long].collect()
+      .filter(_ < 50).toSet
+    val expect = seeds.toSeq.flatMap { s =>
+      var frontier = Set(s); var seen = Map(s -> 0L)
+      for (hop <- 1L to 3L) {
+        frontier = frontier.flatMap(d => adj.getOrElse(d, Set.empty)) -- seen.keySet
+        seen ++= frontier.map(_ -> hop)
+      }
+      seen.map { case (d, h) => (s, d, h) }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextOps.reachable(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
   test("q_neardup_clusters on the fixture: labels cover all docs, respect the LSH pairs") {
     import spark.implicits._
     val labels = TextOps.nearDupClusters(spark, sf)
