@@ -95,6 +95,9 @@ object SparkEntry {
     "q_path3" -> (Relational.pathTrigrams _),
     "q_wow" -> (Relational.weekOverWeek _),
     "q_tte" -> (Relational.timeToEvent _),
+    "q_ema" -> (Analytics.ema _),
+    "q_key_skew" -> (Analytics.keySkew _),
+    "q_lateral" -> (Relational.lateralTopOrders _),
     "q_reachable" -> (TextOps.reachable _),
     "q_dedup_decisions" -> (TextOps.dedupDecisions _),
     "q_repeated_grams" -> (TextOps.repeatedGrams _),
@@ -1605,6 +1608,49 @@ object SparkEntry {
         |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
         |      * (1.0 / n0 + 1.0 / n1)), 4) AS z
         |FROM c""".stripMargin,
+    "q_ema" ->
+      // the same α=0.3 recurrence the Spark side folds over a sorted
+      // array, here as a recursive CTE on the row-numbered day series;
+      // both evaluate 0.3·x + 0.7·prev in one fixed order → identical
+      // doubles
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2
+        |), idx AS (
+        |  SELECT event_type, day, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |), ema(event_type, day, rn, ema) AS (
+        |  SELECT event_type, day, rn, CAST(cents AS DOUBLE)
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.day, d.rn, 0.3 * d.cents + 0.7 * e.ema
+        |  FROM idx d JOIN ema e
+        |    ON d.event_type = e.event_type AND d.rn = e.rn + 1)
+        |SELECT event_type, day, round(ema, 6) AS ema_cents
+        |FROM ema ORDER BY event_type, day""".stripMargin,
+    "q_key_skew" ->
+      """WITH per AS (
+        |  SELECT l_orderkey, count(*) AS rows_per_key
+        |  FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_keys,
+        |  CAST(sum(rows_per_key) AS BIGINT) AS n_rows,
+        |  round(quantile_cont(rows_per_key, 0.5), 4) AS p50_rows,
+        |  round(quantile_cont(rows_per_key, 0.99), 4) AS p99_rows,
+        |  CAST(max(rows_per_key) AS BIGINT) AS max_rows,
+        |  round(CAST(max(rows_per_key) * count(*) AS DOUBLE)
+        |    / sum(rows_per_key), 4) AS skew_ratio
+        |FROM per""".stripMargin,
+    "q_lateral" ->
+      // identical LATERAL statement to the Spark side (table names aside)
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey <= 100
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "q_reachable" ->
       // IDENTICAL recursive statement to the Spark side (which runs it
       // through spark.sql over the same pair graph) — bounded-depth

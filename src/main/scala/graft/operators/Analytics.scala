@@ -198,6 +198,57 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q_ema: exponentially-weighted moving average (α = 0.3) of each
+    * event type's daily revenue — the standard smoothed trend line. EMA
+    * is inherently sequential (ema_t = α·x_t + (1−α)·ema_{t−1}), which
+    * SQL window frames can't express exactly; here each type's daily
+    * series is collected into ONE sorted array (|days| elements — a
+    * bounded, dim-sized state, NOT fact-sized) and folded left-to-right
+    * with `aggregate`, appending each step's value. The fold's float ops
+    * run in one fixed order, so the doubles are bit-identical to the
+    * oracle's recursive-CTE evaluation of the same recurrence — the
+    * q_entropy sequential-fold trick, applied to a recurrence instead of
+    * a sum. Exploded back out, one row per (type, day). */
+  def ema(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("cents")))).as("s"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(s,
+          |  cast(array() as array<struct<day:string, ema:double>>),
+          |  (acc, x) -> array_append(acc, named_struct('day', x.day,
+          |    'ema', if(size(acc) = 0, cast(x.cents as double),
+          |       0.3d * x.cents + 0.7d * element_at(acc, size(acc)).ema))))
+          |""".stripMargin)).as("e"))
+      .select(col("event_type"), col("e.day").as("day"),
+        round(col("e.ema"), 6).as("ema_cents"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q_key_skew: the shuffle-skew audit a scale engineer reads before
+    * picking a partitioning — the distribution of rows per join key
+    * (lineitem's orderkey): key count, mean/median/p99/max rows per key,
+    * and max/mean as the headline skew ratio. All counts exact; the two
+    * ratios are the only doubles. One narrow agg per key then one
+    * key-cardinality agg — never a fact-sized window. */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("rows_per_key"))
+    perKey.agg(
+        count(lit(1)).as("n_keys"),
+        sum("rows_per_key").as("n_rows"),
+        round(expr("percentile(rows_per_key, 0.5)"), 4).as("p50_rows"),
+        round(expr("percentile(rows_per_key, 0.99)"), 4).as("p99_rows"),
+        max("rows_per_key").as("max_rows"))
+      .select(col("n_keys"), col("n_rows"), col("p50_rows"), col("p99_rows"),
+        col("max_rows"),
+        round(col("max_rows") * col("n_keys")
+          / col("n_rows").cast("double"), 4).as("skew_ratio"))
+  }
+
   /** q_seasonality: day-of-week revenue profile — each weekday's share
     * of total value and its index against a uniform week (share·7; 1.0 =
     * flat). Output is 7 rows; the "window" is the one-row total riding

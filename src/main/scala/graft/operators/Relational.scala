@@ -1104,6 +1104,26 @@ object Relational {
       .limit(10)
   }
 
+  /** q_lateral: correlated LATERAL subquery — each customer joined to
+    * their top-2 orders by price, expressed in the LATERAL syntax a
+    * warehouse user migrates verbatim (the oracle runs the identical
+    * statement). Catalyst decorrelates the per-row LIMIT into a
+    * rank-filter join, so the plan is the q_win_topk shape, not one
+    * subquery execution per customer row — proven by the identical
+    * result and a plans note. */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_lat_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_lat_orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM graft_lat_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey <= 100
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
   /** Week-over-week change: weekly revenue per event type with the
     * previous week's total and the percent delta — the lag-on-aggregate
     * reporting verb behind every trend arrow. The lag runs over the

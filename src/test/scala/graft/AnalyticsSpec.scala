@@ -126,6 +126,55 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ema matches the recurrence computed locally, in order") {
+    import spark.implicits._
+    val got = Analytics.ema(spark, sfDir)
+      .as[(String, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got.keySet == daily.keySet)
+    daily.foreach { case (t, xs) =>
+      var e = xs.head.toDouble
+      val expect = xs.zipWithIndex.map { case (x, i) =>
+        if (i > 0) e = 0.3d * x + 0.7d * e
+        BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(got(t) == expect, s"$t ema series mismatch")
+    }
+  }
+
+  test("key_skew: counts are consistent and the ratio is max/mean") {
+    import spark.implicits._
+    val r = Analytics.keySkew(spark, sfDir)
+      .as[(Long, Long, Double, Double, Long, Double)].head()
+    val (nKeys, nRows, p50, p99, mx, ratio) = r
+    assert(nKeys > 0 && nRows >= nKeys && p50 <= p99 && p99 <= mx)
+    val expect = BigDecimal(mx.toDouble * nKeys / nRows)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(ratio - expect) < 1e-9)
+  }
+
+  test("lateral top-2 equals the window-rank formulation") {
+    import spark.implicits._
+    val lat = graft.operators.Relational.lateralTopOrders(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val win = Tables.orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2 && col("o_custkey") <= 100)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(lat == win)
+  }
+
   test("seasonality: 7 rows, shares sum to ~1, index averages ~1") {
     import spark.implicits._
     val rows = Analytics.seasonality(spark, sfDir)
