@@ -95,6 +95,8 @@ object SparkEntry {
     "q_path3" -> (Relational.pathTrigrams _),
     "q_wow" -> (Relational.weekOverWeek _),
     "q_tte" -> (Relational.timeToEvent _),
+    "q_moments" -> (Analytics.moments _),
+    "q_calendar" -> (Analytics.calendar _),
     "q_ema" -> (Analytics.ema _),
     "q_key_skew" -> (Analytics.keySkew _),
     "q_lateral" -> (Relational.lateralTopOrders _),
@@ -1608,6 +1610,53 @@ object SparkEntry {
         |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
         |      * (1.0 / n0 + 1.0 / n1)), 4) AS z
         |FROM c""".stripMargin,
+    "q_moments" ->
+      // power sums exact in HUGEINT; the closing double expression
+      // mirrors the Spark tree token-for-token (sqrt(m2)*m2, never
+      // pow(m2,1.5) — libm pow is not correctly rounded)
+      """WITH pts AS (
+        |  SELECT l_returnflag, CAST(floor(l_quantity * 100) AS BIGINT) AS x
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS s1,
+        |    sum(CAST(x AS HUGEINT) * x) AS s2,
+        |    sum(CAST(x AS HUGEINT) * x * x) AS s3,
+        |    sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |  FROM pts GROUP BY 1
+        |), d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+        |    CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+        |    CAST(s4 AS DOUBLE) AS s4d
+        |  FROM s
+        |), m AS (
+        |  SELECT l_returnflag, n,
+        |    (nd * s2d - s1d * s1d) / (nd * nd) AS m2,
+        |    (nd * nd * s3d - 3.0 * nd * s1d * s2d + 2.0 * s1d * s1d * s1d)
+        |      / (nd * nd * nd) AS m3,
+        |    (nd * nd * nd * s4d - 4.0 * nd * nd * s1d * s3d
+        |      + 6.0 * nd * s1d * s1d * s2d - 3.0 * s1d * s1d * s1d * s1d)
+        |      / (nd * nd * nd * nd) AS m4
+        |  FROM d)
+        |SELECT l_returnflag, n AS n_items,
+        |  CASE WHEN n < 2 OR m2 = 0.0 THEN 0.0
+        |       ELSE round(m3 / (sqrt(m2) * m2), 6) END AS skewness,
+        |  CASE WHEN n < 2 OR m2 = 0.0 THEN 0.0
+        |       ELSE round(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_calendar" ->
+      // generated date spine, zero source tables; 0 = Sunday numbering
+      """WITH days AS (
+        |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-06-30',
+        |    INTERVAL 1 DAY))::DATE AS day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(dayofweek(day) AS BIGINT) AS dow,
+        |  CAST(weekofyear(day) AS BIGINT) AS iso_week,
+        |  CAST(month(day) AS BIGINT) AS month,
+        |  CAST(quarter(day) AS BIGINT) AS quarter,
+        |  dayofweek(day) IN (0, 6) AS is_weekend
+        |FROM days ORDER BY day""".stripMargin,
     "q_ema" ->
       // the same α=0.3 recurrence the Spark side folds over a sorted
       // array, here as a recursive CTE on the row-numbered day series;

@@ -249,6 +249,65 @@ object Analytics {
           / col("n_rows").cast("double"), 4).as("skew_ratio"))
   }
 
+  /** q_moments: higher central moments — per return flag, the skewness
+    * and excess kurtosis of line quantity (in exact hundredths). The
+    * four power sums Σx..Σx⁴ are DECIMAL(38,0)-exact; central moments
+    * come from the algebraic identities
+    *   n²·m3 = (n²Σx³ − 3nΣxΣx² + 2(Σx)³) / n  (times 1/n³ overall)
+    *   m2    = (nΣx² − (Σx)²) / n²
+    * and the closing arithmetic is double-only. `pow(x, 1.5)` is
+    * deliberately avoided — libm pow is not correctly rounded and JVM vs
+    * C could differ in the last ulp; `sqrt` and multiplication ARE
+    * IEEE-correctly-rounded, so m2^(3/2) is built as sqrt(m2)·m2.
+    * Headroom note: x⁴ sums need ~4·log10(x)+log10(n) digits; hundredths
+    * of a bounded measure (quantity ≤ 500·100) fit DECIMAL(38,0) up to
+    * ~1e13 rows per group — at larger scales drop to whole units. */
+  def moments(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") * 100).cast("long").as("x"))
+    val s = pts.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("s1"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"),
+        sum((col("x").cast("decimal(38,0)") * col("x") * col("x"))).as("s3"),
+        sum((col("x").cast("decimal(38,0)") * col("x") * col("x") * col("x"))).as("s4"))
+    // doubles from here down — one fixed expression tree on both engines
+    val n = col("n").cast("double")
+    val (s1, s2) = (col("s1").cast("double"), col("s2").cast("double"))
+    val (s3, s4) = (col("s3").cast("double"), col("s4").cast("double"))
+    val m2 = (n * s2 - s1 * s1) / (n * n)
+    val m3 = (n * n * s3 - lit(3.0) * n * s1 * s2 + lit(2.0) * s1 * s1 * s1) / (n * n * n)
+    val m4 = (n * n * n * s4 - lit(4.0) * n * n * s1 * s3
+      + lit(6.0) * n * s1 * s1 * s2 - lit(3.0) * s1 * s1 * s1 * s1) / (n * n * n * n)
+    s.select(col("l_returnflag"), col("n").as("n_items"),
+        when(col("n") < 2 || m2 === 0.0, lit(0.0))
+          .otherwise(round(m3 / (sqrt(m2) * m2), 6)).as("skewness"),
+        when(col("n") < 2 || m2 === 0.0, lit(0.0))
+          .otherwise(round(m4 / (m2 * m2) - 3.0, 6)).as("excess_kurtosis"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q_calendar: a generated date dimension — no source table at all:
+    * `sequence(start, stop)` + explode builds the spine, the attributes
+    * (dow, week, month, quarter, is_weekend) are derived per row. The
+    * dimension every warehouse joins to, shown as a pure generator
+    * (constant-folded scan; the only data movement is the final
+    * verify sort). */
+  def calendar(spark: SparkSession, dir: String): DataFrame =
+    spark.range(1)
+      .select(explode(sequence(
+        lit(java.sql.Date.valueOf("2024-01-01")),
+        lit(java.sql.Date.valueOf("2024-06-30")))).as("day"))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (dayofweek(col("day")) - 1).cast("long").as("dow"),
+        weekofyear(col("day")).cast("long").as("iso_week"),
+        month(col("day")).cast("long").as("month"),
+        quarter(col("day")).cast("long").as("quarter"),
+        dayofweek(col("day")).isin(1, 7).as("is_weekend"))
+      .orderBy("day")
+
   /** q_seasonality: day-of-week revenue profile — each weekday's share
     * of total value and its index against a uniform week (share·7; 1.0 =
     * flat). Output is 7 rows; the "window" is the one-row total riding

@@ -175,6 +175,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(lat == win)
   }
 
+  test("moments match a local recompute over exact power sums") {
+    import spark.implicits._
+    val got = Analytics.moments(spark, sfDir)
+      .as[(String, Long, Double, Double)].collect()
+      .map { case (f, n, sk, ku) => f -> (n, sk, ku) }.toMap
+    val pts = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), floor(col("l_quantity") * 100).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    pts.foreach { case (flag, rows) =>
+      val xs = rows.map(r => BigInt(r._2))
+      val nd = xs.length.toDouble
+      val s1 = xs.sum.toDouble
+      val s2 = xs.map(x => x * x).sum.toDouble
+      val s3 = xs.map(x => x * x * x).sum.toDouble
+      val s4 = xs.map(x => x * x * x * x).sum.toDouble
+      val m2 = (nd * s2 - s1 * s1) / (nd * nd)
+      val m3 = (nd * nd * s3 - 3.0 * nd * s1 * s2 + 2.0 * s1 * s1 * s1) / (nd * nd * nd)
+      val m4 = (nd * nd * nd * s4 - 4.0 * nd * nd * s1 * s3 +
+        6.0 * nd * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1) / (nd * nd * nd * nd)
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (n, sk, ku) = got(flag)
+      assert(n == xs.length)
+      assert(math.abs(sk - r6(m3 / (math.sqrt(m2) * m2))) < 1e-9, s"$flag skewness")
+      assert(math.abs(ku - r6(m4 / (m2 * m2) - 3.0)) < 1e-9, s"$flag kurtosis")
+    }
+  }
+
+  test("calendar: contiguous spine with consistent attributes") {
+    import spark.implicits._
+    val rows = Analytics.calendar(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length == 182) // Jan 1 .. Jun 30, 2024 (leap year)
+    assert(rows.head._1 == "2024-01-01" && rows.last._1 == "2024-06-30")
+    rows.foreach { case (d, dow, _, m, q, we) =>
+      val ld = java.time.LocalDate.parse(d)
+      assert(dow == ld.getDayOfWeek.getValue % 7, s"$d dow")
+      assert(m == ld.getMonthValue && q == (ld.getMonthValue + 2) / 3)
+      assert(we == (dow == 0 || dow == 6), s"$d weekend flag")
+    }
+  }
+
   test("seasonality: 7 rows, shares sum to ~1, index averages ~1") {
     import spark.implicits._
     val rows = Analytics.seasonality(spark, sfDir)
