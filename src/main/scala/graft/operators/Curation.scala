@@ -71,15 +71,21 @@ object Curation {
     * the task closure, false positives cleared by the exact equi-join
     * behind it, false negatives impossible), and the join itself is left
     * unhinted for AQE to pick shuffle-vs-broadcast from runtime sizes.
-    * Cost: two extra passes over the 5% split (count + bloom agg);
-    * payoff: the 95% train side sheds non-candidate grams pre-shuffle. */
+    * Cost: ONE extra pass over the 5% split (the bloom agg); the sketch
+    * is sized from the parquet row count (metadata-only) times a
+    * tokens-per-doc bound rather than an exact distinct-gram count — an
+    * overestimate only makes the filter a little larger, never less
+    * correct. Payoff: the 95% train side sheds non-candidate grams
+    * pre-shuffle. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val grams = gram4(Tables.documents(spark, dir))
     val testGrams = grams.filter(splitOf(col("doc_id")) === "test")
       .select("gram").distinct()
     val hashed = testGrams.select(xxhash64(col("gram")).as("gk"))
-    val bf = hashed.stat.bloomFilter("gk",
-      expectedNumItems = math.max(1000L, hashed.count()), fpp = 0.01)
+    // test split ≈ 5% of docs, ≤ ~200 grams each; 1% fpp at this size is
+    // a few hundred KB — overshooting the estimate is harmless
+    val estGrams = math.max(1000L, Tables.documents(spark, dir).count() * 10L)
+    val bf = hashed.stat.bloomFilter("gk", expectedNumItems = estGrams, fpp = 0.01)
     grams.filter(splitOf(col("doc_id")) === "train")
       .filter(graft.functions.MightContainLong.mightContainLong(
         xxhash64(col("gram")), bf))
