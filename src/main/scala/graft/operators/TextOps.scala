@@ -323,17 +323,28 @@ object TextOps {
   private[graft] def pageRankOnGraph(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .persist() // probed 5×; ContextCleaner drops the cache with the frame
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "deg_src")
+    // Degree is loop-invariant: join it into the edge list ONCE, pin
+    // hash(src) partitioning, and eagerly checkpoint. Three effects at
+    // once: (1) the per-iteration deg join disappears (was 5 joins);
+    // (2) the checkpointed LogicalRDD keeps its outputPartitioning, so
+    // each iteration's src-keyed join reshuffles only the node-sized
+    // ranks frame, never the edge list; (3) the (large) MinHash
+    // signature subtree is cut out of the unrolled 5-iteration plan
+    // instead of appearing in it five times.
+    val linked = edges
+      .join(deg, col("src") === col("deg_src"))
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
     val n = nodes.count() // dim-sized scalar (same license as the CC fixpoint)
     val scale = 1000000000000L
     val teleport = (scale / n) * 15 / 100
     var ranks = nodes.select(col("doc_id"), lit(scale / n).as("pr"))
     for (_ <- 1 to 5) {
-      val contrib = edges
-        .join(ranks, edges("src") === ranks("doc_id"))
-        .join(deg, col("src") === col("deg_src"))
+      val contrib = linked
+        .join(ranks, col("src") === ranks("doc_id"))
         .select(col("dst"), expr("pr div deg").as("q"))
         .groupBy("dst").agg(sum(col("q")).as("c"))
         .withColumnRenamed("dst", "doc_id")
