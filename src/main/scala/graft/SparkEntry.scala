@@ -112,6 +112,7 @@ object SparkEntry {
     "q_seasonality" -> (Analytics.seasonality _),
     "q_ttr" -> (TextOps.typeTokenRatio _),
     "q_hapax" -> (TextOps.hapaxRate _),
+    "q_overlap_frac" -> (Curation.overlapFraction _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
@@ -1950,6 +1951,36 @@ object SparkEntry {
         |JOIN test_grams t USING (gram)
         |WHERE s.split = 'train'
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_overlap_frac" ->
+      // pairwise (test, train) 4-gram overlap fraction; 30% gate as the
+      // exact integer comparison 10·shared ≥ 3·total
+      s"""WITH grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, len(string_split(text, ' ')) - 2),
+        |      j -> string_split(text, ' ')[j] || '_' ||
+        |           string_split(text, ' ')[j + 1] || '_' ||
+        |           string_split(text, ' ')[j + 2] || '_' ||
+        |           string_split(text, ' ')[j + 3])) AS gram
+        |    FROM documents) raw
+        |), splits AS (SELECT doc_id, $splitCaseSql AS split FROM documents
+        |), test_g AS (
+        |  SELECT g.doc_id AS test_doc, g.gram FROM grams g
+        |  JOIN splits s USING (doc_id) WHERE s.split = 'test'
+        |), train_g AS (
+        |  SELECT g.doc_id AS train_doc, g.gram FROM grams g
+        |  JOIN splits s USING (doc_id) WHERE s.split = 'train'
+        |), totals AS (
+        |  SELECT test_doc, count(*) AS n_test_grams FROM test_g GROUP BY 1
+        |), pairs AS (
+        |  SELECT t.test_doc, r.train_doc, count(*) AS n_shared
+        |  FROM test_g t JOIN train_g r USING (gram)
+        |  GROUP BY 1, 2)
+        |SELECT p.test_doc, p.train_doc, p.n_shared, tt.n_test_grams,
+        |  round(CAST(p.n_shared AS DOUBLE) / tt.n_test_grams, 4) AS overlap_frac
+        |FROM pairs p JOIN totals tt USING (test_doc)
+        |WHERE p.n_shared * 10 >= tt.n_test_grams * 3
+        |ORDER BY test_doc, train_doc""".stripMargin,
     "q_repetition" ->
       // duplicate-bigram mass; ratios divide exact BIGINT sums
       """WITH g AS (

@@ -96,6 +96,36 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q_overlap_frac: pairwise contamination verdicts — for each
+    * (test doc, train doc) pair sharing ≥ 1 word 4-gram, the FRACTION of
+    * the test doc's distinct grams the train doc contains; pairs at
+    * ≥ 30% are the actionable rows. This is the per-pair criterion real
+    * decontamination applies (contamination counts shared grams per
+    * train doc; this answers "shared with WHOM, and how much of the eval
+    * item leaked"). Fan-out is the gram-postings join — same bounded
+    * shape as the contamination join, grouped to pair cardinality before
+    * anything wide; the test side's gram totals are a dim-sized
+    * aggregate joined back on doc id. */
+  def overlapFraction(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gram4(Tables.documents(spark, dir))
+    val test = grams.filter(splitOf(col("doc_id")) === "test")
+      .select(col("doc_id").as("test_doc"), col("gram"))
+    val train = grams.filter(splitOf(col("doc_id")) === "train")
+      .select(col("doc_id").as("train_doc"), col("gram"))
+    val totals = test.groupBy("test_doc")
+      .agg(count(lit(1)).as("n_test_grams")) // grams are distinct per doc
+    test.join(train, "gram")
+      .groupBy("test_doc", "train_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals, "test_doc")
+      .filter(col("n_shared") * 10 >= col("n_test_grams") * 3) // exact 30% test
+      .select(col("test_doc"), col("train_doc"), col("n_shared"),
+        col("n_test_grams"),
+        round(col("n_shared").cast("double") / col("n_test_grams"), 4)
+          .as("overlap_frac"))
+      .orderBy("test_doc", "train_doc")
+  }
+
   /** Distinct (doc_id, gram) word 4-grams. g2[i] = tok_i‖tok_{i+1};
     * zip_with(g2[i], g2[i+2]) = tok_i..tok_{i+3}. Both stages narrow. */
   private def gram4(docs: DataFrame): DataFrame = {

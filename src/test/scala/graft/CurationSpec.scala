@@ -50,6 +50,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("overlap fractions respect the split sides, the 30% gate, and (0,1] bounds") {
+    val rows = Curation.overlapFraction(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the fixture's planted dups must produce at least one pair")
+    rows.foreach { r =>
+      val (testDoc, trainDoc) = (r.getLong(0), r.getLong(1))
+      val (shared, total, frac) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert((testDoc * 2654435761L) % 1000L >= 950, s"$testDoc not in test split")
+      assert((trainDoc * 2654435761L) % 1000L < 900, s"$trainDoc not in train split")
+      assert(shared > 0 && shared <= total)
+      assert(shared * 10 >= total * 3, "row below the 30% gate leaked through")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+  }
+
   test("repetition ratios stay in [0,1] and flagged <= docs") {
     val rows = Curation.repetitionScreen(spark, sfDir).collect()
     assert(rows.nonEmpty)
