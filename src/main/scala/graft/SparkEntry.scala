@@ -112,6 +112,9 @@ object SparkEntry {
     "q_seasonality" -> (Analytics.seasonality _),
     "q_ttr" -> (TextOps.typeTokenRatio _),
     "q_hapax" -> (TextOps.hapaxRate _),
+    "q_asof_snapshot" -> (Relational.asofSnapshot _),
+    "q_freq_buckets" -> (TextOps.freqBuckets _),
+    "q_dedup_stats" -> (TextOps.dedupStats _),
     "q_overlap_frac" -> (Curation.overlapFraction _),
     "q_split" -> (Curation.splitAssign _),
     "q_leakage" -> (Curation.splitLeakage _),
@@ -439,6 +442,66 @@ object SparkEntry {
         |  CAST(floor(epoch(vf)) AS BIGINT) AS valid_from,
         |  coalesce(CAST(floor(epoch(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id))) AS BIGINT), -1) AS valid_to
         |FROM h ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin,
+    "q_asof_snapshot" ->
+      // the q_scd2 history filtered to intervals containing T=2024-01-15
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), r AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM s
+        |), h AS (
+        |  SELECT user_id, run_id, min(event_type) AS event_type, min(ts) AS vf
+        |  FROM r GROUP BY user_id, run_id
+        |), iv AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(vf)) AS BIGINT) AS valid_from,
+        |    coalesce(CAST(floor(epoch(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id))) AS BIGINT), -1) AS valid_to
+        |  FROM h)
+        |SELECT user_id, event_type AS state_at_t, valid_from AS since
+        |FROM iv
+        |WHERE valid_from <= 1705276800 AND (valid_to = -1 OR valid_to > 1705276800)
+        |ORDER BY user_id""".stripMargin,
+    "q_freq_buckets" ->
+      """WITH freq AS (
+        |  SELECT tok, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY 1)
+        |SELECT CASE WHEN f = 1 THEN '1_hapax' WHEN f = 2 THEN '2_dis'
+        |            WHEN f <= 10 THEN '3_to_10' WHEN f <= 100 THEN '11_to_100'
+        |            ELSE '101_plus' END AS bucket,
+        |  count(*) AS n_types, CAST(sum(f) AS BIGINT) AS n_occurrences
+        |FROM freq GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_dedup_stats" ->
+      // one-row dedup funnel: exact-dup mass, LSH pair count, min-label
+      // cluster drops — same recursive clusters CTE as q_neardup_clusters
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT d2 AS src, d1 AS dst FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), clusters AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        |), base AS (
+        |  SELECT count(*) AS n_docs,
+        |    count(DISTINCT md5(text)) AS n_distinct_texts
+        |  FROM documents
+        |), np AS (SELECT count(*) AS n_near_pairs FROM pairs
+        |), dr AS (
+        |  SELECT CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped
+        |  FROM clusters)
+        |SELECT n_docs, n_docs - n_distinct_texts AS n_exact_dups,
+        |  n_near_pairs, n_dropped,
+        |  round(CAST(n_docs - n_dropped AS DOUBLE) / n_docs, 4) AS pct_kept
+        |FROM base, np, dr""".stripMargin,
     "q_funnel" ->
       """WITH fv AS (
         |  SELECT user_id, min(ts) AS t_view FROM events

@@ -1560,6 +1560,23 @@ object Relational {
       coalesce(unix_timestamp(lead("vf", 1).over(byRun)), lit(-1L)).as("valid_to"))
   }
 
+  /** q_asof_snapshot: point-in-time state from the SCD2 history — "what
+    * was every user doing at time T" as one interval-containment filter
+    * over the validity table ([[scd2]]'s output), T = 2024-01-15 UTC.
+    * The dimension-side complement of the as-of JOIN: q_asof answers
+    * "state at each fact's time", this answers "all states at ONE time"
+    * (the warehouse time-travel read). One row per user active at T;
+    * open intervals (valid_to = -1) are current state. */
+  def asofSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val t = lit(1705276800L) // 2024-01-15 00:00:00 UTC
+    scd2Unsorted(spark, dir)
+      .filter(col("valid_from") <= t
+        && (col("valid_to") === -1L || col("valid_to") > t))
+      .select(col("user_id"), col("event_type").as("state_at_t"),
+        col("valid_from").as("since"))
+      .orderBy("user_id")
+  }
+
   /** Data-quality constraint report (the validation pass a training
     * pipeline runs before ingest; generalizes the reference's field
     * validators, `verify.py:40-50`, from per-row dispatch to table-level

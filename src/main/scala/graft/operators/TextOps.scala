@@ -1035,6 +1035,50 @@ object TextOps {
       .limit(50)
   }
 
+  /** q_freq_buckets: frequency-of-frequencies — how many distinct
+    * tokens occur once, twice, 3-10, 11-100, 101+ times in the corpus,
+    * with each bucket's occurrence mass. The Good-Turing smoothing
+    * input, and the vocabulary-shape report read before choosing a
+    * tokenizer cutoff. Two integer-only aggregations: fact → (token,
+    * freq), then vocabulary-cardinality → 5 buckets. */
+  def freqBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    freq
+      .select(when(col("f") === 1, "1_hapax")
+        .when(col("f") === 2, "2_dis")
+        .when(col("f") <= 10, "3_to_10")
+        .when(col("f") <= 100, "11_to_100")
+        .otherwise("101_plus").as("bucket"), col("f"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_types"), sum("f").as("n_occurrences"))
+      .orderBy("bucket")
+  }
+
+  /** q_dedup_stats: the one-row corpus dedup report — how much of the
+    * corpus survives each stage (exact text dedup, then near-dup
+    * clustering under the min-label representative convention). The
+    * summary a curation run logs per snapshot. Three dim-or-scalar
+    * aggregates combined by broadcast cross join; the heavy lifting
+    * (signatures, clustering) is the same machinery as
+    * q_neardup_clusters. */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      countDistinct(md5(encode(col("text"), "UTF-8"))).as("n_distinct_texts"))
+    val pairs = minhashPairs(spark, dir).agg(count(lit(1)).as("n_near_pairs"))
+    val clusters = nearDupClusters(spark, dir)
+      .agg(sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+        .as("n_dropped"))
+    base.crossJoin(broadcast(pairs)).crossJoin(broadcast(clusters))
+      .select(col("n_docs"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
+        col("n_near_pairs"), col("n_dropped"),
+        round((col("n_docs") - col("n_dropped")).cast("double") / col("n_docs"), 4)
+          .as("pct_kept"))
+  }
+
   /** Multimodal plumbing (mandate): opaque binary column + typed metadata.
     * The "decode" here is byte-level (length + digest) — the model-decode
     * stage proper is the mapPartitions stub in graft.multimodal. */
