@@ -112,6 +112,7 @@ object SparkEntry {
     "q_seasonality" -> (Analytics.seasonality _),
     "q_ttr" -> (TextOps.typeTokenRatio _),
     "q_hapax" -> (TextOps.hapaxRate _),
+    "q_minhash_est" -> (TextOps.minhashEstimate _),
     "q_asof_snapshot" -> (Relational.asofSnapshot _),
     "q_freq_buckets" -> (TextOps.freqBuckets _),
     "q_dedup_stats" -> (TextOps.dedupStats _),
@@ -442,6 +443,43 @@ object SparkEntry {
         |  CAST(floor(epoch(vf)) AS BIGINT) AS valid_from,
         |  coalesce(CAST(floor(epoch(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id))) AS BIGINT), -1) AS valid_to
         |FROM h ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin,
+    "q_minhash_est" ->
+      // estimate from matching signature coords vs exact shingle-code
+      // Jaccard, per candidate pair; LEFT join on the intersection so a
+      // band collision without shared codes still reports
+      s"""WITH $minhashPairCtes,
+        |doc_codes AS (
+        |  SELECT DISTINCT t.doc_id, c.code FROM toks t JOIN codes c USING (tok)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM doc_codes GROUP BY 1
+        |), inter AS (
+        |  SELECT p.d1, p.d2, count(*) AS n_inter
+        |  FROM pairs p
+        |  JOIN doc_codes a ON a.doc_id = p.d1
+        |  JOIN doc_codes b ON b.doc_id = p.d2 AND b.code = a.code
+        |  GROUP BY 1, 2
+        |), est AS (
+        |  SELECT p.d1, p.d2,
+        |    sum(CASE WHEN s1.minh = s2.minh THEN 1 ELSE 0 END) AS n_match
+        |  FROM pairs p
+        |  JOIN sigs s1 ON s1.doc_id = p.d1
+        |  JOIN sigs s2 ON s2.doc_id = p.d2 AND s2.i = s1.i
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT e.d1, e.d2,
+        |    CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+        |    CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |      / (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jac_d,
+        |    CAST(e.n_match AS DOUBLE) / 16 AS est_d
+        |  FROM est e
+        |  LEFT JOIN inter i ON i.d1 = e.d1 AND i.d2 = e.d2
+        |  JOIN sz sa ON sa.doc_id = e.d1
+        |  JOIN sz sb ON sb.doc_id = e.d2)
+        |SELECT d1, d2, n_inter,
+        |  round(jac_d, 4) AS jaccard,
+        |  round(est_d, 4) AS minhash_est,
+        |  round(abs(jac_d - est_d), 4) AS abs_err
+        |FROM j ORDER BY d1, d2""".stripMargin,
     "q_asof_snapshot" ->
       // the q_scd2 history filtered to intervals containing T=2024-01-15
       """WITH s AS (

@@ -1035,6 +1035,53 @@ object TextOps {
       .limit(50)
   }
 
+  /** q_minhash_est: sketch calibration audit — for every LSH candidate
+    * pair, the MinHash Jaccard ESTIMATE (matching signature coordinates
+    * / 16) against the EXACT shingle-code Jaccard, with the absolute
+    * error. The report that justifies trusting the probabilistic dedup
+    * path: E[est] = true Jaccard, and a drifting error column means the
+    * permutation family or band layout is wrong. Exact side joins the
+    * distinct (doc, code) sets of only the CANDIDATE pairs (pair-bounded
+    * fan-out, never all-pairs); estimate side zips the two 16-long
+    * signatures. LEFT join on the intersection so a band collision
+    * without shared codes still reports (est > 0, jaccard 0). */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = docs
+      .select(col("doc_id"), shingleCodes(col("text")).as("codes"))
+      .filter(size(col("codes")) > 0)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("codes"), MinhashParams, MinhashPrime).as("mins"))
+    val docCodes = docs
+      .select(col("doc_id"), explode(array_distinct(shingleCodes(col("text")))).as("code"))
+    val sz = docCodes.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = minhashPairs(spark, dir)
+    val inter = pairs
+      .join(docCodes.select(col("doc_id").as("ia"), col("code")), col("d1") === col("ia"))
+      .join(docCodes.select(col("doc_id").as("ib"), col("code").as("code_b")),
+        col("d2") === col("ib") && col("code") === col("code_b"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
+    val matches = pairs
+      .join(sig.select(col("doc_id").as("sa"), col("mins").as("m1")), col("d1") === col("sa"))
+      .join(sig.select(col("doc_id").as("sb"), col("mins").as("m2")), col("d2") === col("sb"))
+      .select(col("d1"), col("d2"),
+        size(filter(zip_with(col("m1"), col("m2"), (a, b) => a === b),
+          (x: Column) => x)).cast("long").as("n_match"))
+    val jacD = col("n_inter").cast("double") /
+      (col("na") + col("nb") - col("n_inter")).cast("double")
+    val estD = col("n_match").cast("double") / 16.0
+    matches
+      .join(inter, Seq("d1", "d2"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sz.select(col("doc_id").as("za"), col("n").as("na")), col("d1") === col("za"))
+      .join(sz.select(col("doc_id").as("zb"), col("n").as("nb")), col("d2") === col("zb"))
+      .select(col("d1"), col("d2"), col("n_inter"),
+        round(jacD, 4).as("jaccard"),
+        round(estD, 4).as("minhash_est"),
+        round(abs(jacD - estD), 4).as("abs_err"))
+      .orderBy("d1", "d2")
+  }
+
   /** q_freq_buckets: frequency-of-frequencies — how many distinct
     * tokens occur once, twice, 3-10, 11-100, 101+ times in the corpus,
     * with each bucket's occurrence mass. The Good-Turing smoothing

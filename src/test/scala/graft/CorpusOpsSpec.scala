@@ -228,6 +228,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dfs.max >= 2)
   }
 
+  test("minhash estimates are calibrated: bounded, and close to exact Jaccard on average") {
+    val sfDir = "/root/testdata/sf0.01"
+    val rows = TextOps.minhashEstimate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (jac, est, err) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(jac >= 0.0 && jac <= 1.0 && est >= 0.0 && est <= 1.0)
+      assert(math.abs(err - math.abs(jac - est)) < 2e-4, "abs_err inconsistent")
+    }
+    // 16 permutations: sd of the estimator ≈ sqrt(j(1-j)/16) ≤ 0.125;
+    // the MEAN error across ≥20 pairs should sit well inside one sd
+    val meanErr = rows.map(_.getDouble(5)).sum / rows.length
+    assert(meanErr < 0.125, f"mean |est-jac| $meanErr%.4f too high — sketch mis-calibrated")
+  }
+
   test("repeated grams: values match an independent local recompute") {
     val sfDir = "/root/testdata/sf0.01"
     val docs = Tables.documents(spark, sfDir)
