@@ -112,6 +112,9 @@ object SparkEntry {
     "q_seasonality" -> (Analytics.seasonality _),
     "q_ttr" -> (TextOps.typeTokenRatio _),
     "q_hapax" -> (TextOps.hapaxRate _),
+    "q_anomaly_days" -> (Analytics.anomalyDays _),
+    "q_degree_dist" -> (TextOps.degreeDistribution _),
+    "q_bigram_lm" -> (TextOps.bigramLm _),
     "q_minhash_est" -> (TextOps.minhashEstimate _),
     "q_asof_snapshot" -> (Relational.asofSnapshot _),
     "q_freq_buckets" -> (TextOps.freqBuckets _),
@@ -443,6 +446,68 @@ object SparkEntry {
         |  CAST(floor(epoch(vf)) AS BIGINT) AS valid_from,
         |  coalesce(CAST(floor(epoch(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id))) AS BIGINT), -1) AS valid_to
         |FROM h ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin,
+    "q_anomaly_days" ->
+      // trailing-7-observed-days z-score; variance from exact sums in
+      // the same ROWS frame; flag compares the UNROUNDED z on both sides
+      """WITH daily AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1
+        |), sc AS (
+        |  SELECT day, v,
+        |    count(*) OVER w AS n,
+        |    sum(CAST(v AS HUGEINT)) OVER w AS s1,
+        |    sum(CAST(v AS HUGEINT) * v) OVER w AS s2
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT day, v, n,
+        |    (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+        |      / (CAST(n AS DOUBLE) * n) AS var_d,
+        |    (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / n) AS dev_n
+        |  FROM sc)
+        |SELECT day, v AS cents,
+        |  CASE WHEN n < 7 OR var_d <= 0.0 THEN 0.0
+        |       ELSE round(dev_n / sqrt(var_d), 4) END AS z,
+        |  CASE WHEN n < 7 OR var_d <= 0.0 THEN false
+        |       ELSE abs(dev_n / sqrt(var_d)) >= 2.0 END AS is_anomaly
+        |FROM z ORDER BY day""".stripMargin,
+    "q_degree_dist" ->
+      // dup-graph degree histogram; zero-degree docs kept via left join
+      s"""WITH $minhashPairCtes,
+        |deg AS (
+        |  SELECT doc_id, count(*) AS degree FROM (
+        |    SELECT d1 AS doc_id FROM pairs
+        |    UNION ALL
+        |    SELECT d2 AS doc_id FROM pairs) e
+        |  GROUP BY 1)
+        |SELECT coalesce(deg.degree, 0) AS degree, count(*) AS n_docs
+        |FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+        |GROUP BY 1 ORDER BY degree""".stripMargin,
+    "q_bigram_lm" ->
+      // top-3 successors of the 5 most frequent context words; exact
+      // integer counts, probability is the only double
+      """WITH big AS (
+        |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+        |  FROM (
+        |    SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      j -> string_split(text, ' ')[j] || ' ' ||
+        |           string_split(text, ' ')[j + 1])) AS g
+        |    FROM documents) raw
+        |), pc AS (
+        |  SELECT w1, w2, count(*) AS n12 FROM big GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT w1, count(*) AS n1 FROM big GROUP BY 1
+        |), top_ctx AS (
+        |  SELECT w1, n1 FROM cc ORDER BY n1 DESC, w1 LIMIT 5
+        |), ranked AS (
+        |  SELECT p.w1, p.w2, p.n12, t.n1,
+        |    row_number() OVER (PARTITION BY p.w1 ORDER BY p.n12 DESC, p.w2) AS rk
+        |  FROM pc p JOIN top_ctx t USING (w1))
+        |SELECT w1 AS context, w2 AS next_tok, n12, n1,
+        |  round(CAST(n12 AS DOUBLE) / n1, 4) AS p_next
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY context, n12 DESC, next_tok""".stripMargin,
     "q_minhash_est" ->
       // estimate from matching signature coords vs exact shingle-code
       // Jaccard, per candidate pair; LEFT join on the intersection so a

@@ -308,6 +308,37 @@ object Analytics {
         dayofweek(col("day")).isin(1, 7).as("is_weekend"))
       .orderBy("day")
 
+  /** q_anomaly_days: trailing-window anomaly screen — each day's total
+    * revenue z-scored against the mean/sd of the PRECEDING 7 observed
+    * days (never including itself — no self-dampening), flagging
+    * |z| ≥ 2. The operational "did something break yesterday" monitor.
+    * Trailing mean/sd come from exact cents sums and sums-of-squares in
+    * a ROWS frame (sd via the same nΣx²−(Σx)² identity as the moment
+    * queries); doubles only at the closing z. Days with fewer than 7
+    * predecessors or a zero-variance window report z = 0 (warm-up). */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    val w = Window.orderBy("day").rowsBetween(-7, -1)
+    val scored = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("v").cast("decimal(38,0)")).over(w))
+      .withColumn("s2", sum((col("v") * col("v")).cast("decimal(38,0)")).over(w))
+    val n = col("n").cast("double")
+    val (s1, s2) = (col("s1").cast("double"), col("s2").cast("double"))
+    val mean = s1 / n
+    val variance = (n * s2 - s1 * s1) / (n * n)
+    val z = (col("v").cast("double") - mean) / sqrt(variance)
+    scored
+      .select(col("day"), col("v").as("cents"),
+        when(col("n") < 7 || variance <= 0.0, lit(0.0))
+          .otherwise(round(z, 4)).as("z"),
+        when(col("n") < 7 || variance <= 0.0, lit(false))
+          .otherwise(abs(z) >= 2.0).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** q_seasonality: day-of-week revenue profile — each weekday's share
     * of total value and its index against a uniform week (share·7; 1.0 =
     * flat). Output is 7 rows; the "window" is the one-row total riding

@@ -1082,6 +1082,54 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
+  /** q_degree_dist: degree distribution of the near-dup pair graph —
+    * how many docs have 0, 1, 2, … dup neighbors. The graph-shape
+    * report read before choosing a clustering strategy (a heavy tail
+    * here predicts long CC chains and big clusters). Zero-degree docs
+    * are counted via a left join against the node set, not dropped. */
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val deg = pairs.select(col("d1").as("doc_id"))
+      .unionByName(pairs.select(col("d2").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  /** q_bigram_lm: conditional next-token probabilities — for each of
+    * the 5 most frequent context words, the top-3 successors by
+    * P(next | context) = count(context, next) / count(context as
+    * context). A unigram-context language model in relational form (the
+    * `lmScore` sibling: that scores documents, this inspects the
+    * model). Exact integer counts; the probability is the only double;
+    * ranking ties break lexicographically on the successor. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("t"))
+    val m1 = greatest(size(col("t")) - 1, lit(0))
+    val big = toks.select(explode(zip_with(
+        slice(col("t"), lit(1), m1), slice(col("t"), lit(2), m1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val pairCounts = big.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val ctxCounts = big.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val topCtx = ctxCounts
+      .orderBy(col("n1").desc, col("w1")).limit(5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w1").orderBy(col("n12").desc, col("w2"))
+    pairCounts
+      .join(topCtx, "w1")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("w1").as("context"), col("w2").as("next_tok"),
+        col("n12"), col("n1"),
+        round(col("n12").cast("double") / col("n1"), 4).as("p_next"))
+      .orderBy(col("context"), col("n12").desc, col("next_tok"))
+  }
+
   /** q_freq_buckets: frequency-of-frequencies — how many distinct
     * tokens occur once, twice, 3-10, 11-100, 101+ times in the corpus,
     * with each bucket's occurrence mass. The Good-Turing smoothing
