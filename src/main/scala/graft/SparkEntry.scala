@@ -112,6 +112,8 @@ object SparkEntry {
     "q_seasonality" -> (Analytics.seasonality _),
     "q_ttr" -> (TextOps.typeTokenRatio _),
     "q_hapax" -> (TextOps.hapaxRate _),
+    "q_drift" -> (Analytics.drift _),
+    "q_bpe_merges" -> (TextOps.bpeMerges _),
     "q_anomaly_days" -> (Analytics.anomalyDays _),
     "q_degree_dist" -> (TextOps.degreeDistribution _),
     "q_bigram_lm" -> (TextOps.bigramLm _),
@@ -446,6 +448,42 @@ object SparkEntry {
         |  CAST(floor(epoch(vf)) AS BIGINT) AS valid_from,
         |  coalesce(CAST(floor(epoch(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id))) AS BIGINT), -1) AS valid_to
         |FROM h ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin,
+    "q_drift" ->
+      // PSI over 5 fixed value buckets, add-one smoothed; the 5-term
+      // double sum folds over a bucket-sorted list on both engines
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CASE WHEN value < 10 THEN 0 WHEN value < 50 THEN 1
+        |         WHEN value < 100 THEN 2 WHEN value < 250 THEN 3
+        |         ELSE 4 END AS b,
+        |    sum(CASE WHEN dayofmonth(CAST(ts AS DATE)) <= 14 THEN 1 ELSE 0 END) AS r,
+        |    sum(CASE WHEN dayofmonth(CAST(ts AS DATE)) <= 14 THEN 0 ELSE 1 END) AS c
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |    CAST(sum(r) AS BIGINT) AS n_ref, CAST(sum(c) AS BIGINT) AS n_cur,
+        |    list(struct_pack(b := b, r := r, c := c) ORDER BY b) AS bs
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_ref, n_cur,
+        |  round(list_sum(list_transform(bs, x ->
+        |    ((x.r + 1) / CAST(n_ref + 5 AS DOUBLE)
+        |     - (x.c + 1) / CAST(n_cur + 5 AS DOUBLE))
+        |    * ln(((x.r + 1) / CAST(n_ref + 5 AS DOUBLE))
+        |        / ((x.c + 1) / CAST(n_cur + 5 AS DOUBLE))))), 6) AS psi
+        |FROM g ORDER BY event_type""".stripMargin,
+    "q_bpe_merges" ->
+      // vocabulary-side char-pair counts weighted by word frequency
+      """WITH freq AS (
+        |  SELECT tok, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY 1
+        |), pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(tok)),
+        |    j -> substr(tok, j, 2))) AS pair, f
+        |  FROM freq)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n_occurrences
+        |FROM pairs GROUP BY 1
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
     "q_anomaly_days" ->
       // trailing-7-observed-days z-score; variance from exact sums in
       // the same ROWS frame; flag compares the UNROUNDED z on both sides

@@ -339,6 +339,39 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** q_drift: population-stability-index drift monitor — per event
+    * type, the PSI of the value distribution between the month's first
+    * half (reference) and second half (current): Σ (p−q)·ln(p/q) over 5
+    * fixed value buckets, add-one smoothed so an empty bucket never
+    * takes ln(0). The ML-ops report that decides "retrain or not". All
+    * bucket counts are exact; the PSI fold runs over ONE per-type array
+    * sorted by bucket id (the q_entropy sequential-fold discipline), so
+    * the 5-term double sum has one fixed order on both engines. */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = when(col("value") < 10, 0L).when(col("value") < 50, 1L)
+      .when(col("value") < 100, 2L).when(col("value") < 250, 3L).otherwise(4L)
+    val period = when(dayofmonth(to_date(col("ts"))) <= 14, lit("ref"))
+      .otherwise(lit("cur"))
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"), bucket.as("b"), period.as("p"))
+      .groupBy("event_type", "b")
+      .agg(sum(when(col("p") === "ref", 1L).otherwise(0L)).as("r"),
+        sum(when(col("p") === "cur", 1L).otherwise(0L)).as("c"))
+    counts
+      .groupBy("event_type")
+      .agg(sum("r").as("n_ref"), sum("c").as("n_cur"),
+        array_sort(collect_list(struct(col("b"), col("r"), col("c")))).as("bs"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(expr(
+          """aggregate(bs, 0.0d, (acc, x) ->
+            |  acc + ((x.r + 1) / cast(n_ref + 5 as double)
+            |         - (x.c + 1) / cast(n_cur + 5 as double))
+            |      * ln(((x.r + 1) / cast(n_ref + 5 as double))
+            |          / ((x.c + 1) / cast(n_cur + 5 as double))))
+            |""".stripMargin), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
   /** q_seasonality: day-of-week revenue profile — each weekday's share
     * of total value and its index against a uniform week (share·7; 1.0 =
     * flat). Output is 7 rows; the "window" is the one-row total riding

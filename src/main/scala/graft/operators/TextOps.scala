@@ -1130,6 +1130,27 @@ object TextOps {
       .orderBy(col("context"), col("n12").desc, col("next_tok"))
   }
 
+  /** q_bpe_merges: the first step of BPE vocabulary induction — the
+    * top-20 adjacent CHARACTER pairs by corpus occurrence count (each
+    * distinct word's pairs weighted by the word's corpus frequency, so
+    * the fact table is scanned once and the pair explosion runs over
+    * the VOCABULARY, not the corpus). What a tokenizer trainer would
+    * merge first; all counts exact integers. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val chars = split(col("tok"), "")
+    val m1 = greatest(size(chars) - 1, lit(0))
+    freq
+      .select(col("f"), explode(zip_with(
+        slice(chars, lit(1), m1), slice(chars, lit(2), m1),
+        (a, b) => concat(a, b))).as("pair"))
+      .groupBy("pair").agg(sum("f").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(20)
+  }
+
   /** q_freq_buckets: frequency-of-frequencies — how many distinct
     * tokens occur once, twice, 3-10, 11-100, 101+ times in the corpus,
     * with each bucket's occurrence mass. The Good-Turing smoothing
