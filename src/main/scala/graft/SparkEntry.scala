@@ -112,6 +112,7 @@ object SparkEntry {
     "q_seasonality" -> (Analytics.seasonality _),
     "q_ttr" -> (TextOps.typeTokenRatio _),
     "q_hapax" -> (TextOps.hapaxRate _),
+    "q_vocab_growth" -> (TextOps.vocabGrowth _),
     "q_drift" -> (Analytics.drift _),
     "q_bpe_merges" -> (TextOps.bpeMerges _),
     "q_anomaly_days" -> (Analytics.anomalyDays _),
@@ -448,6 +449,21 @@ object SparkEntry {
         |  CAST(floor(epoch(vf)) AS BIGINT) AS valid_from,
         |  coalesce(CAST(floor(epoch(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id))) AS BIGINT), -1) AS valid_to
         |FROM h ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin,
+    "q_vocab_growth" ->
+      // Heaps curve via first-occurrence bucketing — no per-prefix scan
+      """WITH fs AS (
+        |  SELECT tok, min(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t
+        |  GROUP BY 1
+        |), pb AS (
+        |  SELECT CAST(floor(first_doc / 50) * 50 + 50 AS BIGINT) AS docs_seen,
+        |    count(*) AS new_types
+        |  FROM fs GROUP BY 1)
+        |SELECT docs_seen, new_types,
+        |  CAST(sum(new_types) OVER (ORDER BY docs_seen
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+        |FROM pb ORDER BY docs_seen""".stripMargin,
     "q_drift" ->
       // PSI over 5 fixed value buckets, add-one smoothed; the 5-term
       // double sum folds over a bucket-sorted list on both engines

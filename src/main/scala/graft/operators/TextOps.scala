@@ -1151,6 +1151,28 @@ object TextOps {
       .limit(20)
   }
 
+  /** q_vocab_growth: Heaps-law curve — corpus vocabulary size after
+    * each 50-document prefix (in doc_id order). Computed exactly without
+    * any per-prefix rescan: each token contributes at its FIRST
+    * occurrence (min doc_id), so the curve is one vocabulary-cardinality
+    * aggregate + a running sum over the ≤|docs|/50 bucket frame. The
+    * report that sizes a tokenizer vocabulary and spots corpus
+    * saturation. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+    val perBucket = firstSeen
+      .groupBy((floor(col("first_doc") / 50) * 50 + 50).as("docs_seen"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("docs_seen")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perBucket
+      .withColumn("vocab", sum("new_types").over(w))
+      .orderBy("docs_seen")
+  }
+
   /** q_freq_buckets: frequency-of-frequencies — how many distinct
     * tokens occur once, twice, 3-10, 11-100, 101+ times in the corpus,
     * with each bucket's occurrence mass. The Good-Turing smoothing
