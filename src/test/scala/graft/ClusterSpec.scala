@@ -91,6 +91,42 @@ class ClusterSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("randomized graphs: CC labels match a local union-find (seeded, 5 shapes)") {
+    // Deterministic seeded generator — five graph shapes the fixture
+    // cannot produce: sparse random, two dense blobs, a long chain with
+    // chords, a star forest, and a near-clique. Ground truth is a plain
+    // union-find run locally.
+    val rnd = new scala.util.Random(42)
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val shapes: Seq[(Int, Seq[(Long, Long)])] = Seq(
+      (40, Seq.fill(25)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)),
+      (30, (0 until 60).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter(p => p._1 != p._2)
+        ++ (0 until 60).map(_ => (15L + rnd.nextInt(15), 15L + rnd.nextInt(15)))
+        .filter(p => p._1 != p._2)),
+      (50, (0L until 49L).map(i => (i, i + 1)) ++ Seq((0L, 25L), (10L, 40L))),
+      (36, (0 until 6).flatMap(h => (1 to 5).map(s => (h * 6L, h * 6L + s)))),
+      (12, (for (i <- 0 until 12; j <- i + 1 until 12 if rnd.nextDouble() < 0.6)
+        yield (i.toLong, j.toLong)).toSeq))
+    import spark.implicits._
+    shapes.zipWithIndex.foreach { case ((n, edges), i) =>
+      val got = TextOps.connectedComponents(
+          (0L until n.toLong).toDF("doc_id"), edges.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(n, edges), s"shape $i diverged from union-find")
+    }
+  }
+
   test("q_neardup_clusters on the fixture: labels cover all docs, respect the LSH pairs") {
     import spark.implicits._
     val labels = TextOps.nearDupClusters(spark, sf)
