@@ -1880,9 +1880,12 @@ object SparkEntry {
         |FROM days ORDER BY day""".stripMargin,
     "q_ema" ->
       // the same α=0.3 recurrence the Spark side folds over a sorted
-      // array, here as a recursive CTE on the row-numbered day series;
-      // both evaluate 0.3·x + 0.7·prev in one fixed order → identical
-      // doubles
+      // array, here as a recursive CTE on the row-numbered day series.
+      // The constants are cast ::DOUBLE so DuckDB multiplies the SAME
+      // rounded double 0.3/0.7 that Spark does — an uncast 0.3 would be
+      // DECIMAL(2,1)×BIGINT, exact until the addition, which differs from
+      // double(0.3)·x by 1 ulp for some inputs and lets the recurrence
+      // drift across the round(…, 6) boundary
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -1895,7 +1898,8 @@ object SparkEntry {
         |  SELECT event_type, day, rn, CAST(cents AS DOUBLE)
         |  FROM idx WHERE rn = 1
         |  UNION ALL
-        |  SELECT d.event_type, d.day, d.rn, 0.3 * d.cents + 0.7 * e.ema
+        |  SELECT d.event_type, d.day, d.rn,
+        |    0.3::DOUBLE * d.cents + 0.7::DOUBLE * e.ema
         |  FROM idx d JOIN ema e
         |    ON d.event_type = e.event_type AND d.rn = e.rn + 1)
         |SELECT event_type, day, round(ema, 6) AS ema_cents

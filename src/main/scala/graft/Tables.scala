@@ -161,6 +161,30 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", Schemas.documents)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", Schemas.embeddings)
 
+  /** Exact table row count from parquet FOOTER metadata — a driver-side
+    * file-listing + footer read, NO Spark job and no data pages touched.
+    * Parquet stores the row count per row group in the footer, so summing
+    * footers over the table's files is exact and costs milliseconds even
+    * when the table is 100 TB (footers are KB-sized). Used to size
+    * sketches (e.g. the contamination Bloom filter) where an exact
+    * `count()` would add a full scan to every invocation. */
+  def parquetRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(hconf)
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      else Seq(root)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
+
   /** S4: relational-store source — the reference keeps its users in an
     * RDBMS (SQLite via the Django ORM: `crowd_surveillance/crowd_surveillance/
     * settings.py:78-83`, point lookups in `app/views.py:27`). Spark's JDBC

@@ -83,8 +83,11 @@ object Curation {
       .select("gram").distinct()
     val hashed = testGrams.select(xxhash64(col("gram")).as("gk"))
     // test split ≈ 5% of docs, ≤ ~200 grams each; 1% fpp at this size is
-    // a few hundred KB — overshooting the estimate is harmless
-    val estGrams = math.max(1000L, Tables.documents(spark, dir).count() * 10L)
+    // a few hundred KB — overshooting the estimate is harmless. The doc
+    // count comes from the parquet FOOTERS (driver-side metadata read, no
+    // Spark job) so sizing the sketch never adds a scan to the query.
+    val estGrams =
+      math.max(1000L, Tables.parquetRowCount(spark, dir, "documents") * 10L)
     val bf = hashed.stat.bloomFilter("gk", expectedNumItems = estGrams, fpp = 0.01)
     grams.filter(splitOf(col("doc_id")) === "train")
       .filter(graft.functions.MightContainLong.mightContainLong(

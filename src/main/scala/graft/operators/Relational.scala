@@ -1151,22 +1151,55 @@ object Relational {
 
   /** Weighted median: per return flag, the quantity-weighted median unit
     * price — "half the VOLUME sold at or below this price", the
-    * volume-weighted sibling of q_quantiles' row-median. One
-    * flag-partitioned sort carries the running weight; the median is the
-    * least price whose cumulative weight reaches half the total. Ties
-    * share a price, so whichever tie row crosses the threshold the
-    * reported MIN qualifying price is deterministic; prices and weights
-    * are exact centi/integer units. */
+    * volume-weighted sibling of q_quantiles' row-median. The median is
+    * the least price whose cumulative weight reaches half the total;
+    * ties share a price, so the reported MIN qualifying price is
+    * deterministic; prices and weights are exact centi/integer units.
+    *
+    * Round-8 reshape (r7 verdict task #3): the old form ran ONE
+    * flag-partitioned running-sum window over the full fact — with 3
+    * distinct flags, three reducers each sort a third of lineitem at
+    * 100 TB. Replaced by the two-pass BOUNDARY-BUCKET pick:
+    *
+    *  1. Collapse the fact to a (flag, price_c) weight histogram — a
+    *     partial-aggregable groupBy whose output is bounded by the PRICE
+    *     DOMAIN (≤ ~1e7 distinct cents), not the fact.
+    *  2. Coarse $1000 buckets (1e5 cents): a per-flag running sum over
+    *     ≤ ~110 bucket rows finds the single bucket where cumulative
+    *     weight crosses half the total, plus the exact cumulative weight
+    *     BEFORE that bucket.
+    *  3. The exact pick re-sorts ONLY the boundary bucket's histogram
+    *     rows (≤ 1e5 per flag, domain-bounded) against the carried-in
+    *     offset — never the fact, never the whole histogram.
+    *
+    * Every window in the plan now runs over a domain-bounded frame;
+    * the only fact-sized operation is the stage-1 partial agg. */
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag").orderBy("price_c")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("l_returnflag")
-    Tables.lineitem(spark, dir)
+    val bw = 100000L // $1000 coarse buckets over the cents domain
+    val hist = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"),
         floor(col("l_extendedprice") * 100).cast("long").as("price_c"),
         floor(col("l_quantity")).cast("long").as("qty"))
-      .withColumn("cum", sum("qty").over(w))
-      .withColumn("tot", sum("qty").over(wAll))
+      .groupBy("l_returnflag", "price_c")
+      .agg(sum("qty").as("q"))
+    val wb = Window.partitionBy("bf").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = hist
+      .groupBy(col("l_returnflag").as("bf"),
+        floor(col("price_c") / bw).cast("long").as("b"))
+      .agg(sum("q").as("bq"))
+      .withColumn("cum", sum("bq").over(wb))
+      .withColumn("tot", sum("bq").over(Window.partitionBy("bf")))
+      .filter(col("cum") * 2 >= col("tot")
+        && (col("cum") - col("bq")) * 2 < col("tot"))
+      .select(col("bf"), col("b"),
+        (col("cum") - col("bq")).as("cum_before"), col("tot"))
+    val wInner = Window.partitionBy("l_returnflag").orderBy("price_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.join(broadcast(boundary),
+        col("l_returnflag") === col("bf")
+          && floor(col("price_c") / bw).cast("long") === col("b"))
+      .withColumn("cum", col("cum_before") + sum("q").over(wInner))
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy("l_returnflag")
       .agg(min("price_c").as("wmedian_price_c"), min("tot").as("total_qty"))
@@ -1351,13 +1384,37 @@ object Relational {
 
   /** RFM customer segmentation: recency / frequency / monetary quintile
     * scores per purchasing user, plus a rule-based segment label — the
-    * warehouse verb behind lifecycle marketing. All three ntile windows
-    * rank the AGGREGATED per-user frame (users ≪ events), so the global
-    * sorts each cover a dim-sized input; ties are totally ordered by
-    * user_id so quintile assignment is deterministic on both engines. At
-    * 100 TB the ntile boundaries would come from a quantile sketch
-    * broadcast (the q_histogram_eq pattern) rather than a ranked sort —
-    * same scores wherever no tie straddles a boundary. */
+    * warehouse verb behind lifecycle marketing.
+    *
+    * Round-8 reshape (r7 verdict task #2): the three unpartitioned
+    * `Window.orderBy` ntiles — a single-partition sort of every user,
+    * three times, at 100 TB user cardinality — are replaced by
+    * SKETCH-BOUNDARY scoring (the q_histogram_eq pattern, generalized to
+    * reproduce ntile's rank semantics exactly):
+    *
+    *  1. `n` and the four ntile bucket-boundary RANKS b_i follow from
+    *     ntile(5)'s size rule (first n mod 5 buckets get ⌈n/5⌉ rows).
+    *  2. The VALUE at each boundary rank comes from one
+    *     `percentile_approx(v, b_i/n, 1e6)` aggregate per metric —
+    *     Spark's GK summary targets rank ⌈p·n⌉ with rank error
+    *     < n/accuracy, so for n ≤ 1e6 the cut is the exact order
+    *     statistic; beyond that a boundary may shift by < n·1e-6 ranks
+    *     (immaterial for segmentation, and the documented sketch
+    *     tradeoff).
+    *  3. One conditional-sum aggregate counts rows strictly below each
+    *     cut (`less_i`). A row's bucket is then decided by value
+    *     comparison against the broadcast cuts; ONLY rows whose value
+    *     EQUALS a cut need rank resolution, and their exact global rank
+    *     is `less_i` + row_number within the value tie group — a window
+    *     partitioned BY THE VALUE (hash-distributed across groups), never
+    *     an unpartitioned sort. rank > b_i ⇔ the row falls past boundary
+    *     i, which reproduces ntile's tie-splitting (user_id order) bit
+    *     for bit, including tie groups that span multiple boundaries.
+    *
+    * Descending metrics (frequency, monetary) reuse the ascending
+    * machinery on the negated exact value (cents for monetary), which is
+    * the same total order ntile saw. Per-user frame is persisted: it
+    * feeds the count, two boundary aggregates, and the final projection. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     val maxDay = Tables.events(spark, dir)
       .select(max(to_date(col("ts"))).as("mx"))
@@ -1372,14 +1429,46 @@ object Relational {
         datediff(col("mx"), col("last_day")).cast("long").as("recency"),
         col("frequency"),
         col("monetary_dec"))
-    val r = Window.orderBy(col("recency"), col("user_id"))
-    val f = Window.orderBy(col("frequency").desc, col("user_id"))
-    val m = Window.orderBy(col("monetary_dec").desc, col("user_id"))
+      // ascending ntile sort keys, all exact longs: recency as-is;
+      // frequency/monetary negated (DESC order); monetary in exact cents
+      .withColumn("rv", col("recency"))
+      .withColumn("fv", -col("frequency"))
+      .withColumn("mv", -(col("monetary_dec") * 100).cast("long"))
+      .persist()
+    val n = per.count() // per-user scalar (same license as the CC fixpoint)
+    val (q5, r5) = (n / 5L, n % 5L)
+    // cumulative bucket-end ranks: b_i = i·q + min(i, r)
+    val bounds = (1 to 4).map(i => i * q5 + math.min(i.toLong, r5))
+    val ps = bounds.map(b => b.toDouble / n)
+    val metrics = Seq("rv", "fv", "mv")
+    val cutsRow = per.agg(
+      expr(s"percentile_approx(rv, array(${ps.mkString(",")}), 1000000)").as("rv"),
+      expr(s"percentile_approx(fv, array(${ps.mkString(",")}), 1000000)").as("fv"),
+      expr(s"percentile_approx(mv, array(${ps.mkString(",")}), 1000000)").as("mv"))
+      .head()
+    val cuts: Map[String, Seq[Long]] =
+      metrics.map(mc => mc -> cutsRow.getAs[Seq[Long]](mc)).toMap
+    val lessAggs = for { mc <- metrics; i <- 0 to 3 } yield
+      sum(when(col(mc) < cuts(mc)(i), 1L).otherwise(0L)).as(s"${mc}_$i")
+    val lessRow = per.agg(lessAggs.head, lessAggs.tail: _*).head()
+    val less: Map[String, Seq[Long]] =
+      metrics.map(mc => mc -> (0 to 3).map(i =>
+        Option(lessRow.getAs[Long](s"${mc}_$i")).getOrElse(0L))).toMap
+    // score = 6 - bucket; bucket = 1 + #{i : row is past boundary i}
+    def score(mc: String): Column = {
+      val rw = row_number().over(Window.partitionBy(mc).orderBy("user_id"))
+      val above = (0 to 3).map { i =>
+        when(col(mc) > cuts(mc)(i)
+          || (col(mc) === cuts(mc)(i) && lit(less(mc)(i)) + rw > bounds(i)),
+          1).otherwise(0)
+      }
+      (lit(6) - (above.reduce(_ + _) + lit(1))).cast("long")
+    }
     per.select(col("user_id"), col("recency"), col("frequency"),
         round(col("monetary_dec"), 2).cast("double").as("monetary"),
-        (lit(6) - ntile(5).over(r)).cast("long").as("r_score"),
-        (lit(6) - ntile(5).over(f)).cast("long").as("f_score"),
-        (lit(6) - ntile(5).over(m)).cast("long").as("m_score"))
+        score("rv").as("r_score"),
+        score("fv").as("f_score"),
+        score("mv").as("m_score"))
       .withColumn("segment",
         when(col("r_score") >= 4 && col("f_score") >= 4, lit("champion"))
           .when(col("r_score") <= 2 && col("f_score") >= 4, lit("at_risk"))

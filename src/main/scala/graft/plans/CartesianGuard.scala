@@ -4,7 +4,7 @@ import org.apache.spark.SparkException
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, RepartitionOperation, ResolvedHint, Sort, SubqueryAlias}
 
 /** 100 TB guardrail (SURVEY §4): an analysis-time check that REJECTS
   * unconditioned cartesian joins where both sides exceed broadcast size.
@@ -48,17 +48,24 @@ case class CartesianGuard(spark: SparkSession) extends (LogicalPlan => Unit) {
   /** At analysis time a broadcast() marker is still a ResolvedHint node
     * in the side's subtree (EliminateResolvedHint folds it into the
     * Join's JoinHint only during optimization), so intent is checked in
-    * both representations. ROOT-ONLY (through projections and aliases,
-    * which EliminateResolvedHint also looks through): a hint deeper in
-    * the side — say on a dim inside an unrelated sub-join — expresses
-    * broadcast intent about that sub-join and must not vouch for an
-    * unconditioned join above it. */
+    * both representations. The look-through set mirrors the unary nodes
+    * EliminateResolvedHint.extractHintsFromPlan recurses through —
+    * Project, Filter, Limit, Sort, Repartition, aliases — so a side like
+    * `broadcast(dim).filter(...)` that Spark WOULD broadcast is accepted
+    * here too. Still root-path-only: a hint on a dim inside an unrelated
+    * sub-join expresses broadcast intent about that sub-join and must not
+    * vouch for an unconditioned join above it. */
   @scala.annotation.tailrec
   private def hinted(side: LogicalPlan): Boolean = side match {
-    case r: ResolvedHint     => r.hints.strategy.isDefined
-    case p: Project          => hinted(p.child)
-    case a: SubqueryAlias    => hinted(a.child)
-    case _                   => false
+    case r: ResolvedHint          => r.hints.strategy.isDefined
+    case p: Project               => hinted(p.child)
+    case a: SubqueryAlias         => hinted(a.child)
+    case f: Filter                => hinted(f.child)
+    case l: LocalLimit            => hinted(l.child)
+    case g: GlobalLimit           => hinted(g.child)
+    case s: Sort                  => hinted(s.child)
+    case r: RepartitionOperation  => hinted(r.child)
+    case _                        => false
   }
 
   /** `.join(df, lit(true))` plans the identical cartesian as a missing
