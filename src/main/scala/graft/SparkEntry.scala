@@ -127,6 +127,11 @@ object SparkEntry {
     "q_leakage" -> (Curation.splitLeakage _),
     "q_contamination" -> (Curation.contamination _),
     "q_repetition" -> (Curation.repetitionScreen _),
+    "q_class_balance" -> (Curation.classBalance _),
+    "q_novelty" -> (Curation.gramNovelty _),
+    "q_zipf" -> (TextOps.zipfFit _),
+    "q_simpson" -> (TextOps.simpson _),
+    "q_alloc" -> (Relational.allocation _),
     "q_arr" -> (VectorOps.arrayOps _),
     "q_range_count" -> (VectorOps.rangeCount _),
     "q_vec_norm" -> (VectorOps.vectorNorms _),
@@ -2222,6 +2227,110 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams > 0.1
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q_class_balance" ->
+      // identical integer threshold + Knuth-hash bucket on both engines
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS n_total FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT event_type, CAST(n_total AS BIGINT) AS n_total,
+        |    CAST(least(10000, (10000 * 2000) // n_total) AS BIGINT) AS threshold
+        |  FROM c)
+        |SELECT e.event_type, t.n_total, t.threshold,
+        |  CAST(sum(CASE WHEN (e.event_id * 2654435761) % 10000 < t.threshold
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN (e.event_id * 2654435761) % 10000 < t.threshold
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / t.n_total, 4) AS kept_rate
+        |FROM events e JOIN t USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
+    "q_novelty" ->
+      // first-seen gram owner = min(doc_id); same gram CTE as
+      // q_contamination
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, len(string_split(text, ' ')) - 2),
+        |      j -> string_split(text, ' ')[j] || '_' ||
+        |           string_split(text, ' ')[j + 1] || '_' ||
+        |           string_split(text, ' ')[j + 2] || '_' ||
+        |           string_split(text, ' ')[j + 3])) AS gram
+        |    FROM documents) raw
+        |), fs AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 4) AS novelty
+        |FROM grams g JOIN fs f USING (gram)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_zipf" ->
+      // the identical left-associated fold order as the Spark aggregate()
+      // sweep, via a recursive CTE in rank order (the q_ema pattern);
+      // slope/intercept repeat the same closed form textually
+      """WITH RECURSIVE cf AS (
+        |  SELECT tok, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+        |  GROUP BY 1
+        |), idx AS (
+        |  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM cf
+        |), acc(r, sx, sy, sxy, sxx) AS (
+        |  SELECT CAST(1 AS BIGINT), ln(CAST(1 AS DOUBLE)), ln(CAST(f AS DOUBLE)),
+        |    ln(CAST(1 AS DOUBLE)) * ln(CAST(f AS DOUBLE)),
+        |    ln(CAST(1 AS DOUBLE)) * ln(CAST(1 AS DOUBLE))
+        |  FROM idx WHERE r = 1
+        |  UNION ALL
+        |  SELECT i.r, a.sx + ln(CAST(i.r AS DOUBLE)), a.sy + ln(CAST(i.f AS DOUBLE)),
+        |    a.sxy + ln(CAST(i.r AS DOUBLE)) * ln(CAST(i.f AS DOUBLE)),
+        |    a.sxx + ln(CAST(i.r AS DOUBLE)) * ln(CAST(i.r AS DOUBLE))
+        |  FROM idx i JOIN acc a ON i.r = a.r + 1
+        |), fin AS (SELECT * FROM acc ORDER BY r DESC LIMIT 1)
+        |SELECT r AS n_terms,
+        |  round((r * sxy - sx * sy) / (r * sxx - sx * sx), 4) AS slope,
+        |  round((sy - (r * sxy - sx * sy) / (r * sxx - sx * sx) * sx) / r, 4)
+        |    AS intercept
+        |FROM fin""".stripMargin,
+    "q_simpson" ->
+      // collision probability from exact integer sums; only the final
+      // ratio is a double
+      """WITH tfx AS (
+        |  SELECT source, tok, count(*) AS tf FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) u
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_types,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf * (tf - 1)) AS BIGINT) AS n_pairs_same,
+        |  round(CAST(sum(tf * (tf - 1)) AS DOUBLE)
+        |    / (CAST(sum(tf) AS BIGINT) * (CAST(sum(tf) AS BIGINT) - 1)), 6)
+        |    AS simpson
+        |FROM tfx GROUP BY 1 ORDER BY source""".stripMargin,
+    "q_alloc" ->
+      // largest-remainder rounding in exact integer cents; ties among
+      // bit-identical fixture rows leave the output MULTISET invariant
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(floor(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem
+        |), o AS (
+        |  SELECT o_orderkey AS l_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS t_c
+        |  FROM orders
+        |), w AS (
+        |  SELECT li.*, o.t_c,
+        |    sum(qty) OVER (PARTITION BY li.l_orderkey) AS q_tot
+        |  FROM li JOIN o USING (l_orderkey)
+        |), b AS (
+        |  SELECT *, (t_c * qty) // q_tot AS base, (t_c * qty) % q_tot AS rem
+        |  FROM w
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC, l_linenumber, qty) AS rk,
+        |    sum(base) OVER (PARTITION BY l_orderkey) AS sb
+        |  FROM b)
+        |SELECT l_orderkey, l_linenumber, qty,
+        |  CAST(base + CASE WHEN rk <= t_c - sb THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_c
+        |FROM r ORDER BY l_orderkey, l_linenumber, qty, alloc_c""".stripMargin,
     "q_transitions" ->
       // consecutive-pair lead per user; probabilities divide exact counts
       """WITH seq AS (

@@ -129,6 +129,58 @@ object Curation {
       .orderBy("test_doc", "train_doc")
   }
 
+  /** Class-balanced deterministic downsample accounting (q_class_balance):
+    * per event_type, a hash-bucket keep-threshold computed from a
+    * per-class row target, so rare classes keep everything and common
+    * classes downsample toward the target — the class-rebalancing verb a
+    * training pipeline runs before fitting on skewed label distributions.
+    *
+    * Selection is the [[splitOf]] discipline: keep a row iff
+    * `(event_id·K) mod 10000 < threshold`, threshold =
+    * `min(10000, (10000·target) div n_class)` — pure integer arithmetic
+    * both engines compute identically, stateless (recomputable anywhere
+    * from the id, no sample-table join), and exact (thresholds derive
+    * from integer division, never float rates). Two passes by necessity:
+    * class counts first (5-row broadcast), then the keep-count under
+    * each class's threshold. At 100 TB both passes are partial-aggregable
+    * scans; the selection itself never shuffles. */
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    val target = 2000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        pmod(col("event_id") * lit(SplitMult), lit(10000L)).as("bkt"))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n_total"))
+      .withColumn("threshold",
+        least(lit(10000L), expr(s"(10000 * $target) div n_total")))
+    ev.join(broadcast(counts), "event_type")
+      .groupBy("event_type")
+      .agg(min("n_total").as("n_total"), min("threshold").as("threshold"),
+        sum(when(col("bkt") < col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_rate",
+        round(col("n_kept").cast("double") / col("n_total"), 4))
+      .orderBy("event_type")
+  }
+
+  /** N-gram novelty per document (q_novelty): the fraction of a doc's
+    * distinct word 4-grams seen in NO earlier document (doc_id order) —
+    * the "marginal contribution" audit behind dataset-growth decisions:
+    * a crawl increment whose docs score near 0 adds volume, not
+    * information. first-seen owner = min(doc_id) per gram — one partial-
+    * aggregable gram aggregate joined back onto the (doc, gram) postings
+    * (the contamination join shape); docs with no 4-grams (< 4 tokens)
+    * have no rows, matching the oracle CTE. */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gram4(Tables.documents(spark, dir))
+    val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Distinct (doc_id, gram) word 4-grams. g2[i] = tok_i‖tok_{i+1};
     * zip_with(g2[i], g2[i+2]) = tok_i..tok_{i+3}. Both stages narrow. */
   private def gram4(docs: DataFrame): DataFrame = {

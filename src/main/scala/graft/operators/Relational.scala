@@ -1206,6 +1206,44 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Largest-remainder allocation (q_alloc): spread each order's total
+    * (exact cents) across its lineitems proportionally to quantity so
+    * that the per-order allocations SUM EXACTLY to the total — the
+    * finance/attribution verb naive `round(T·q/Q)` gets wrong (rounded
+    * shares drift off the total by ± a few cents). Pure integer
+    * arithmetic: base = (T·q) div Q, and the T − Σbase leftover cents go
+    * to the rows with the largest remainders (T·q mod Q), ties by line
+    * number then quantity. Every window partitions by l_orderkey (≤ 7
+    * rows per group at any scale) — no global or fact-wide sort; the one
+    * fact-sized operation is the orders join, left to AQE.
+    *
+    * (l_orderkey, l_linenumber) is not unique in the synthetic fixture;
+    * ties among bit-identical rows may rank either way, but the
+    * MULTISET of output rows is invariant (the +1s land on
+    * indistinguishable rows), so the sorted oracle compare is
+    * deterministic. */
+  def allocation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("t_c"))
+    val wq = Window.partitionBy("l_orderkey")
+    val wr = Window.partitionBy("l_orderkey")
+      .orderBy(col("rem").desc, col("l_linenumber"), col("qty"))
+    li.join(o, "l_orderkey")
+      .withColumn("q_tot", sum("qty").over(wq))
+      .withColumn("base", expr("(t_c * qty) div q_tot"))
+      .withColumn("rem", expr("(t_c * qty) % q_tot"))
+      .withColumn("n_extra", col("t_c") - sum("base").over(wq))
+      .withColumn("rk", row_number().over(wr))
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+        (col("base") + when(col("rk") <= col("n_extra"), 1L).otherwise(0L))
+          .as("alloc_c"))
+      .orderBy("l_orderkey", "l_linenumber", "qty", "alloc_c")
+  }
+
   /** Chi-square independence test: is event type independent of
     * weekend/weekday? Observed counts are exact integers; expected cells
     * and the statistic derive from them, folded over a SORTED cell list

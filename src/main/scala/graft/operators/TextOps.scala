@@ -221,25 +221,40 @@ object TextOps {
     transform(array_distinct(shingles), tokenCode _)
   }
 
+  /** Per-doc DISTINCT shingle-code arrays (doc_id, cs) — the shared scan
+    * under [[minhashPairs]] (signatures) and [[containment]] (exact
+    * subset test). Distinct over the CODES, not just the strings
+    * shingleCodes dedups: two distinct shingles can collide to one code;
+    * the subset test compares against array_intersect's deduped output,
+    * and a minhash min is unaffected by duplicates — so one frame serves
+    * both consumers (r7 verdict task #4). */
+  private[graft] def shingleCodeFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(shingleCodes(col("text"))).as("cs"))
+      .filter(size(col("cs")) > 0) // 1-token docs have no shingles → no signature
+
   /** MinHash-LSH candidate pairs (d1 < d2), unordered — the shared edge
     * set for `minhashLsh` (the oracle-checked pair listing) and
     * `nearDupClusters` (the dedup decision built on it). */
-  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOver(shingleCodeFrame(spark, dir))
+
+  /** LSH band join over a (doc_id, cs) shingle-code frame. Split out so
+    * [[containment]] can feed its PERSISTED code frame through and share
+    * the one documents scan between the signature and verify stages. */
+  private[graft] def minhashPairsOver(codeFrame: DataFrame): DataFrame = {
     // One vectorized pass per doc: shingle codes once (codegen'd
     // TokenCode), then ALL 16 minhash permutations in a single codegen'd
     // sweep over the code array (MinHashSig — the HOF array_min-per-
     // permutation twin interpreted 32 lambdas/row). No shingle explode, no
     // 16× cross join, zero shuffle before the band-key self-join. At
     // 100 TB the signature stage is a pure narrow projection.
-    val codes = shingleCodes(col("text"))
     def bandKey(band: Int): Column =
       concat_ws(",", (0 until 8)
         .map(i => element_at(col("mins"), band * 8 + i + 1).cast("string")): _*)
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), codes.as("codes"))
-      .filter(size(col("codes")) > 0) // 1-token docs have no shingles → no signature
+    val sigs = codeFrame
       .select(col("doc_id"),
-        graft.functions.MinHashSig.minhashSig(col("codes"), MinhashParams, MinhashPrime).as("mins"))
+        graft.functions.MinHashSig.minhashSig(col("cs"), MinhashParams, MinhashPrime).as("mins"))
       .select(col("doc_id"),
         posexplode(array(bandKey(0), bandKey(1))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
@@ -829,15 +844,17 @@ object TextOps {
     * inside a big one has low Jaccard but total containment). Candidates
     * come from [[minhashPairs]] (band equi-join, sub-quadratic); the
     * subset test is |A∩B| = |A| over the per-doc shingle-code arrays
-    * (vocabulary-bounded, array_intersect in one narrow pass). */
+    * (vocabulary-bounded, array_intersect in one narrow pass).
+    *
+    * Round-8 reshape (r7 verdict task #4): the shingle-code scan is
+    * computed ONCE and persisted, then threaded through BOTH the LSH
+    * candidate stage ([[minhashPairsOver]]) and the verify joins — the
+    * old form re-ran the whole tokenize→shingle→code pipeline a second
+    * time for the subset test, doubling the heaviest scan of the
+    * engine's tightest-baselined dedup query. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
-    val codes = Tables.documents(spark, dir)
-      // distinct over the CODES, not just the strings shingleCodes
-      // dedups: two distinct shingles can collide to one code, and the
-      // subset test compares against array_intersect's deduped output
-      .select(col("doc_id"), array_distinct(shingleCodes(col("text"))).as("cs"))
-      .filter(size(col("cs")) > 0)
-    minhashPairs(spark, dir)
+    val codes = shingleCodeFrame(spark, dir).persist()
+    minhashPairsOver(codes)
       .join(codes.select(col("doc_id").as("d1"), col("cs").as("cs1")), "d1")
       .join(codes.select(col("doc_id").as("d2"), col("cs").as("cs2")), "d2")
       .select(col("d1"), col("d2"),
@@ -1216,6 +1233,67 @@ object TextOps {
         round((col("n_docs") - col("n_dropped")).cast("double") / col("n_docs"), 4)
           .as("pct_kept"))
   }
+
+  /** Zipf law fit (q_zipf): least-squares slope/intercept of
+    * ln(frequency) against ln(rank) over the frequency-ranked vocabulary
+    * — the standard "is this corpus natural text" screen (natural
+    * language sits near slope −1; templated/generated text departs).
+    *
+    * Determinism discipline is q_entropy's, extended to a REGRESSION:
+    * the vocabulary collapses to ONE sorted array (freq desc, token asc —
+    * struct sort on (−f, tok)), and all five OLS sums accumulate in a
+    * single `aggregate` fold over that array, so the double summation
+    * order is fixed; the DuckDB twin folds the identical order through a
+    * recursive CTE (the q_ema pattern). Slope and intercept repeat the
+    * same closed-form expression textually on both sides. The collected
+    * array is VOCABULARY-sized (Heaps-sublinear; same boundedness class
+    * as the q_vocab_growth bucket frame — see the PLANS.md window
+    * inventory), never corpus-sized. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val cf = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    cf.agg(array_sort(collect_list(struct((-col("f")).as("nf"), col("tok").as("t"))))
+        .as("l"))
+      .select(expr(
+        """aggregate(l,
+          |  named_struct('i', 0L, 'sx', 0D, 'sy', 0D, 'sxy', 0D, 'sxx', 0D),
+          |  (a, e) -> named_struct(
+          |    'i',   a.i + 1L,
+          |    'sx',  a.sx + ln(cast(a.i + 1 as double)),
+          |    'sy',  a.sy + ln(cast(-e.nf as double)),
+          |    'sxy', a.sxy + ln(cast(a.i + 1 as double)) * ln(cast(-e.nf as double)),
+          |    'sxx', a.sxx + ln(cast(a.i + 1 as double)) * ln(cast(a.i + 1 as double))))
+          |""".stripMargin.trim).as("s"))
+      .select(col("s.i").as("n_terms"),
+        round((col("s.i") * col("s.sxy") - col("s.sx") * col("s.sy"))
+          / (col("s.i") * col("s.sxx") - col("s.sx") * col("s.sx")), 4).as("slope"),
+        round((col("s.sy")
+          - (col("s.i") * col("s.sxy") - col("s.sx") * col("s.sy"))
+            / (col("s.i") * col("s.sxx") - col("s.sx") * col("s.sx"))
+            * col("s.sx")) / col("s.i"), 4).as("intercept"))
+  }
+
+  /** Simpson concentration index per source (q_simpson): the probability
+    * two tokens drawn without replacement from a source's text are the
+    * same type — Σ tf·(tf−1) / (n·(n−1)). The collision-probability
+    * sibling of q_entropy/q_ttr (it is exp(−Rényi-2 entropy)): high
+    * values flag templated or repetitive sources before training. All
+    * sums are exact integers aggregated partial-aggregably; only the
+    * final ratio is a double, so no summation-order hazard exists at
+    * all. */
+  def simpson(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum("tf").as("n_tokens"),
+        sum(col("tf") * (col("tf") - 1)).as("n_pairs_same"))
+      .withColumn("simpson",
+        round(col("n_pairs_same").cast("double")
+          / (col("n_tokens") * (col("n_tokens") - 1)), 6))
+      .orderBy("source")
 
   /** Multimodal plumbing (mandate): opaque binary column + typed metadata.
     * The "decode" here is byte-level (length + digest) — the model-decode
