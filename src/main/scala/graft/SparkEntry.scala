@@ -132,6 +132,9 @@ object SparkEntry {
     "q_zipf" -> (TextOps.zipfFit _),
     "q_simpson" -> (TextOps.simpson _),
     "q_alloc" -> (Relational.allocation _),
+    "q_ltv" -> (Relational.ltvCurve _),
+    "q_cond_entropy" -> (TextOps.condEntropy _),
+    "q_coverage" -> (TextOps.coverage _),
     "q_arr" -> (VectorOps.arrayOps _),
     "q_range_count" -> (VectorOps.rangeCount _),
     "q_vec_norm" -> (VectorOps.vectorNorms _),
@@ -2331,6 +2334,78 @@ object SparkEntry {
         |  CAST(base + CASE WHEN rk <= t_c - sb THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc_c
         |FROM r ORDER BY l_orderkey, l_linenumber, qty, alloc_c""".stripMargin,
+    "q_ltv" ->
+      // cumulative DECIMAL revenue per cohort age; doubles only at display
+      """WITH act AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value
+        |  FROM events
+        |), fst AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1
+        |), sizes AS (
+        |  SELECT cohort_day, count(*) AS cohort_users FROM fst GROUP BY 1
+        |), rev AS (
+        |  SELECT f.cohort_day,
+        |    CAST(datediff('day', f.cohort_day, a.day) AS BIGINT) AS age,
+        |    sum(CAST(a.value AS DECIMAL(18,2))) AS rev_dec
+        |  FROM act a JOIN fst f USING (user_id)
+        |  WHERE a.event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT cohort_day, age, rev_dec,
+        |    sum(rev_dec) OVER (PARTITION BY cohort_day ORDER BY age) AS cum_dec
+        |  FROM rev)
+        |SELECT c.cohort_day, c.age,
+        |  CAST(round(c.rev_dec, 2) AS DOUBLE) AS rev,
+        |  CAST(round(c.cum_dec, 2) AS DOUBLE) AS cum_rev,
+        |  CAST(s.cohort_users AS BIGINT) AS cohort_users,
+        |  ((CAST(c.cum_dec * 100 AS BIGINT) * 100) // s.cohort_users) / 10000.0
+        |    AS ltv
+        |FROM cum c JOIN sizes s USING (cohort_day)
+        |ORDER BY cohort_day, age""".stripMargin,
+    "q_cond_entropy" ->
+      // identical (u,v)-sorted fold; list_reduce's first-element seed
+      // equals Spark's 0.0-seeded fold because 0.0 + t1 is IEEE-exact
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |), pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    j -> struct_pack(u := t[j], v := t[j + 1]))) AS p
+        |  FROM toks
+        |), cuv AS (
+        |  SELECT p.u AS u, p.v AS v, count(*) AS c FROM pairs GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT u, CAST(sum(c) AS BIGINT) AS cu FROM cuv GROUP BY 1
+        |), j AS (
+        |  SELECT cuv.u, cuv.v, CAST(cuv.c AS BIGINT) AS c, cu.cu
+        |  FROM cuv JOIN cu USING (u)
+        |), agg AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_bigram_types,
+        |    list_sort(list(struct_pack(u := u, v := v, c := c, cu := cu))) AS l
+        |  FROM j)
+        |SELECT n AS n_bigrams, n_bigram_types,
+        |  round(list_reduce(
+        |    list_transform(l, e ->
+        |      -(CAST(e.c AS DOUBLE) / n) * ln(CAST(e.c AS DOUBLE) / e.cu)),
+        |    (a, b) -> a + b), 4) AS cond_entropy
+        |FROM agg""".stripMargin,
+    "q_coverage" ->
+      // exact integer covered-mass per K; the only double is the share
+      """WITH cf AS (
+        |  SELECT tok, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+        |  GROUP BY 1
+        |), ranked AS (
+        |  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM cf
+        |), tot AS (
+        |  SELECT CAST(sum(f) AS BIGINT) AS n, count(*) AS v FROM cf
+        |), ks AS (SELECT CAST(unnest([1, 2, 5, 10, 20, 50]) AS BIGINT) AS k)
+        |SELECT ks.k, least(ks.k, t.v) AS n_terms,
+        |  CAST(sum(CASE WHEN r.r <= ks.k THEN r.f ELSE 0 END) AS BIGINT)
+        |    AS covered,
+        |  round(CAST(sum(CASE WHEN r.r <= ks.k THEN r.f ELSE 0 END) AS DOUBLE)
+        |    / t.n, 4) AS coverage
+        |FROM ks CROSS JOIN ranked r CROSS JOIN tot t
+        |GROUP BY ks.k, t.v, t.n ORDER BY k""".stripMargin,
     "q_transitions" ->
       // consecutive-pair lead per user; probabilities divide exact counts
       """WITH seq AS (

@@ -980,6 +980,45 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** LTV curve (q_ltv): cumulative revenue per acquisition cohort at
+    * each age-in-days, absolute and per cohort user — the
+    * lifetime-value read behind "how fast does a cohort pay back".
+    * Cohort day is the user's FIRST activity day (any event type);
+    * revenue is purchase value in exact DECIMAL cents. The cumulative
+    * window runs over the |cohorts|×|ages| aggregate (calendar-bounded
+    * on both axes — a dim frame at any corpus size); cohort sizes are a
+    * dim aggregate broadcast back. Only the display columns convert to
+    * double, after rounding the exact decimal. The per-user ltv column
+    * TRUNCATES in integer arithmetic (cents·100 div users, one IEEE
+    * division by 10⁴ at the end) — a `round(double/users, 4)` sat
+    * exactly on a .00005 boundary on the fixture and the two engines'
+    * round() broke the tie differently; truncation of exact integers
+    * cannot tie-break at all. */
+  def ltvCurve(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("value"))
+    val first = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = first.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_users"))
+    val rev = act.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("age"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev_dec"))
+    val w = Window.partitionBy("cohort_day").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_dec", sum("rev_dec").over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("age"),
+        round(col("rev_dec"), 2).cast("double").as("rev"),
+        round(col("cum_dec"), 2).cast("double").as("cum_rev"),
+        col("cohort_users"),
+        expr("((CAST(cum_dec * 100 AS BIGINT) * 100) div cohort_users) / 10000.0D")
+          .as("ltv"))
+      .orderBy("cohort_day", "age")
+  }
+
   /** Market-basket co-occurrence: top part pairs bought together, with
     * lift (observed co-orders ÷ independence expectation) — the
     * association-rule verb behind "frequently bought together". The

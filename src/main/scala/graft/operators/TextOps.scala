@@ -1234,6 +1234,66 @@ object TextOps {
           .as("pct_kept"))
   }
 
+  /** Conditional bigram entropy (q_cond_entropy): H(next | prev) =
+    * −Σ (c_uv/N)·ln(c_uv/c_u) over all bigram types — the
+    * entropy-RATE estimate that tells a corpus curator how predictable
+    * the text is given one token of context (vs q_entropy's
+    * context-free H(unigram); the gap between them is the information
+    * carried by local structure — near zero for shuffled/templated
+    * text). All counts are exact integers; the double sum folds over ONE
+    * (u,v)-sorted array of bigram-type rows (the q_entropy determinism
+    * discipline — the DuckDB twin folds the identical sequence via
+    * list_reduce, and adding each term to a 0.0 seed is IEEE-exact, so
+    * seeded and seedless folds agree bit-for-bit). The collected array
+    * is BIGRAM-TYPE-sized — vocabulary², not corpus, bounded. */
+  def condEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val m1 = greatest(size(t) - 1, lit(0))
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(zip_with(slice(t, lit(1), m1), slice(t, lit(2), m1),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val cuv = pairs.groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+    val cu = cuv.groupBy("u").agg(sum("cuv").as("cu"))
+    cuv.join(cu, "u")
+      .agg(sum("cuv").as("n"), count(lit(1)).as("n_bigram_types"),
+        array_sort(collect_list(struct(col("u"), col("v"),
+          col("cuv").as("c"), col("cu")))).as("l"))
+      .select(col("n").as("n_bigrams"), col("n_bigram_types"),
+        round(aggregate(col("l"), lit(0.0), (acc, e) =>
+          acc - (e.getField("c").cast("double") / col("n"))
+            * log(e.getField("c").cast("double") / e.getField("cu"))), 4)
+          .as("cond_entropy"))
+  }
+
+  /** Vocabulary coverage curve (q_coverage): for fixed vocabulary sizes
+    * K, the share of all token OCCURRENCES covered by the K most
+    * frequent types — the tokenizer-design table ("a 10k vocab leaves
+    * x% OOV"). Selection is top-K of the (−freq, token)-sorted
+    * vocabulary array, identical to rank ≤ K under (freq DESC, token);
+    * covered mass is an EXACT integer sum over the slice, so there is
+    * no floating-point order hazard at all — only the final share
+    * divides. The collected array is vocabulary-sized (the q_entropy
+    * boundedness class). */
+  def coverage(spark: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(1, 2, 5, 10, 20, 50)
+    val cf = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    cf.agg(sum("f").as("n"),
+        array_sort(collect_list(struct((-col("f")).as("nf"), col("tok").as("t"))))
+          .as("l"))
+      .select(col("n"), col("l"),
+        explode(array(ks.map(k => lit(k).cast("long")): _*)).as("k"))
+      .select(col("k"), col("n"),
+        least(col("k"), size(col("l")).cast("long")).as("n_terms"),
+        aggregate(slice(col("l"), lit(1), col("k").cast("int")), lit(0L),
+          (acc, e) => acc - e.getField("nf")).as("covered"))
+      .select(col("k"), col("n_terms"), col("covered"),
+        round(col("covered").cast("double") / col("n"), 4).as("coverage"))
+      .orderBy("k")
+  }
+
   /** Zipf law fit (q_zipf): least-squares slope/intercept of
     * ln(frequency) against ln(rank) over the frequency-ranked vocabulary
     * — the standard "is this corpus natural text" screen (natural
