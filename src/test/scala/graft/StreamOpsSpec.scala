@@ -623,4 +623,79 @@ class StreamOpsSpec extends SparkSpec {
     // state from batch 1; user 8 never clicked, so no row
     assert(rows == Set((7L, 3L, 2L, 15L * 60L)))
   }
+
+  test("transformWithState attribution (V2) matches flatMapGroupsWithState on a cross-batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ae(id: Long, min: Long, user: Long, typ: String) =
+      graft.streaming.AttrEvent(user, id, typ, ts(min))
+    val b1 = Seq(ae(1, 0, 7, "click"), ae(2, 5, 7, "click"), ae(5, 6, 9, "click"))
+    val b2 = Seq(ae(3, 20, 7, "purchase"), ae(4, 30, 8, "purchase"),
+      ae(6, 31, 9, "purchase"))
+    // transformWithState needs the RocksDB provider (multiple column
+    // families); the default HDFS-backed store refuses
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // under ProcessingTime mode TransformWithStateExec always reports
+    // "run another (no-data) batch", so processAllAvailable never sees an
+    // idle stream and spins; TTL expiry is checked on state ACCESS, not in
+    // idle batches, so the eviction semantics don't need them
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val input = MemoryStream[graft.streaming.AttrEvent]
+    val q = graft.streaming.AttributionV2(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("attr_v2").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+    val v2 = spark.table("attr_v2")
+      .select("user_id", "purchase_id", "click_id", "latency_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // identical fold: latest batch-1 click credits the batch-2 purchase
+    assert(v2 == Set((7L, 3L, 2L, 15L * 60L), (9L, 6L, 5L, 25L * 60L)))
+  }
+
+  test("V2 attribution TTL: an idle user's last-click state expires and a late purchase goes uncredited") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ae(id: Long, min: Long, user: Long, typ: String) =
+      graft.streaming.AttrEvent(user, id, typ, ts(min))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // see the V2 replay test: no-data batches would make
+    // processAllAvailable spin forever under TimeMode.ProcessingTime
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    def run(name: String, ttlMillis: Long, idleMillis: Long): Set[(Long, Long, Long, Long)] = {
+      val input = MemoryStream[graft.streaming.AttrEvent]
+      val q = graft.streaming.AttributionV2(input.toDF(), ttlMillis)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        input.addData(Seq(ae(1, 0, 7, "click"))); q.processAllAvailable()
+        Thread.sleep(idleMillis)
+        input.addData(Seq(ae(2, 20, 7, "purchase"))); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+        .select("user_id", "purchase_id", "click_id", "latency_s")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    try {
+      // control: generous TTL, same idle gap -> state survives, credited
+      val kept = run("attr_ttl_keep", 120000L, 100L)
+      assert(kept == Set((7L, 2L, 1L, 20L * 60L)),
+        s"control run should credit the click: $kept")
+      // 1s TTL, 4s idle -> LastClick evicted, purchase uncredited: the
+      // attribution-window policy IS the state bound (PLANS: active
+      // users, not all users ever seen)
+      val evicted = run("attr_ttl_evict", 1000L, 4000L)
+      assert(evicted.isEmpty,
+        s"expired state must not credit the purchase: $evicted")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
 }
