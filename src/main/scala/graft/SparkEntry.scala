@@ -135,6 +135,7 @@ object SparkEntry {
     "q_ltv" -> (Relational.ltvCurve _),
     "q_cond_entropy" -> (TextOps.condEntropy _),
     "q_coverage" -> (TextOps.coverage _),
+    "q_kanon" -> (Curation.kAnonymity _),
     "q_arr" -> (VectorOps.arrayOps _),
     "q_range_count" -> (VectorOps.rangeCount _),
     "q_vec_norm" -> (VectorOps.vectorNorms _),
@@ -2406,6 +2407,32 @@ object SparkEntry {
         |    / t.n, 4) AS coverage
         |FROM ks CROSS JOIN ranked r CROSS JOIN tot t
         |GROUP BY ks.k, t.v, t.n ORDER BY k""".stripMargin,
+    "q_kanon" ->
+      // generalization ladder as a UNION of three grouping keys; all
+      // counts exact BIGINT, the only double is risk_rate (rounded once)
+      """WITH lv AS (
+        |  SELECT 'L0_band500' AS level, CAST(c_nationkey AS BIGINT) AS nation,
+        |    floor(c_acctbal / 500) AS band, c_mktsegment AS sens FROM customer
+        |  UNION ALL
+        |  SELECT 'L1_band2000', CAST(c_nationkey AS BIGINT),
+        |    floor(c_acctbal / 2000), c_mktsegment FROM customer
+        |  UNION ALL
+        |  SELECT 'L2_nation', CAST(c_nationkey AS BIGINT), NULL,
+        |    c_mktsegment FROM customer
+        |), g AS (
+        |  SELECT level, nation, band, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(count(DISTINCT sens) AS BIGINT) AS l
+        |  FROM lv GROUP BY 1, 2, 3)
+        |SELECT level,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  min(k) AS min_k,
+        |  CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+        |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS risk_rows,
+        |  round(CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+        |    / sum(k), 4) AS risk_rate,
+        |  min(l) AS min_l,
+        |  CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_homog_groups
+        |FROM g GROUP BY level ORDER BY level""".stripMargin,
     "q_transitions" ->
       // consecutive-pair lead per user; probabilities divide exact counts
       """WITH seq AS (

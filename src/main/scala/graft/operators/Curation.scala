@@ -223,4 +223,50 @@ object Curation {
         sum(when(col("rep") > 0.1, 1L).otherwise(0L)).as("n_flagged"))
       .orderBy("source")
   }
+
+  /** Privacy-release audit (q_kanon): k-anonymity + l-diversity across a
+    * three-step generalization ladder, the report a data-release review
+    * reads before publishing a table keyed on quasi-identifiers. QI =
+    * (c_nationkey, acctbal band); the band widens per level (500 → 2000 →
+    * dropped entirely), trading utility for anonymity; sensitive
+    * attribute = c_mktsegment. Per level: group count, min k, groups with
+    * k < 5, re-identification risk mass (rows living in k<5 groups,
+    * exact BIGINT ratio rounded once), min l (distinct sensitive values
+    * in a group) and the homogeneous-group count (l = 1 ⇒ the sensitive
+    * value leaks even when k is large — Machanavajjhala et al. 2007).
+    *
+    * Scale shape: each level is scan → narrow project → hash-agg on the
+    * QI key (partial-aggregable; group cardinality ≪ rows) → a
+    * group-count-sized second agg. The three levels union AFTER full
+    * aggregation, so the tall input is read once per level with no join,
+    * window, or driver data; at 100 TB each pass is a plain shuffled
+    * count. Reference analog: the user table released to views.py:41
+    * (login_detail exposes name/phone rows verbatim — the engine adds
+    * the audit the reference never runs). */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    def level(name: String, qi: Seq[(String, Column)]): DataFrame =
+      cust.select(col("c_mktsegment").as("sens") +: qi.map { case (n, c) => c.as(n) }: _*)
+        .groupBy(qi.map { case (n, _) => col(n) }: _*)
+        .agg(count(lit(1)).as("k"), countDistinct(col("sens")).as("l"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          min("k").as("min_k"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).as("n_risky_groups"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).as("risk_rows"),
+          round(sum(when(col("k") < 5, col("k")).otherwise(0L)).cast("double")
+            / sum("k"), 4).as("risk_rate"),
+          min("l").as("min_l"),
+          sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_homog_groups"))
+        .select(lit(name).as("level"), col("n_groups"), col("min_k"),
+          col("n_risky_groups"), col("risk_rows"), col("risk_rate"),
+          col("min_l"), col("n_homog_groups"))
+    val nation = col("c_nationkey").cast("long")
+    level("L0_band500", Seq("nation" -> nation,
+        "band" -> floor(col("c_acctbal") / 500)))
+      .unionAll(level("L1_band2000", Seq("nation" -> nation,
+        "band" -> floor(col("c_acctbal") / 2000))))
+      .unionAll(level("L2_nation", Seq("nation" -> nation)))
+      .orderBy("level")
+  }
 }

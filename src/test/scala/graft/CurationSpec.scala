@@ -96,4 +96,24 @@ class CurationSpec extends SparkSpec {
     val zRounded = BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(r.getDouble(6) - zRounded) < 1e-9)
   }
+
+  test("kanon: generalization ladder is monotone (merging only helps anonymity)") {
+    val rows = Curation.kAnonymity(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("L0_band500", "L1_band2000", "L2_nation"))
+    val byLevel = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(6))).toMap
+    val Seq((g0, k0, r0, l0), (g1, k1, r1, l1), (g2, k2, r2, l2)) =
+      Seq("L0_band500", "L1_band2000", "L2_nation").map(byLevel)
+    // L1 bands are unions of L0 bands (2000 = 4 x 500) and L2 drops the
+    // band: each coarser level merges groups of the finer one, so group
+    // count shrinks, min k grows, the at-risk row mass never grows, and
+    // sensitive-value diversity per group never shrinks
+    assert(g0 >= g1 && g1 >= g2)
+    assert(k0 <= k1 && k1 <= k2)
+    assert(r0 >= r1 && r1 >= r2)
+    assert(l0 <= l1 && l1 <= l2)
+    // fully generalized level: 25 nations, everyone in a nation-sized crowd
+    assert(g2 <= 25)
+  }
 }
