@@ -180,6 +180,11 @@ object SparkEntry {
     "q_nms_exec" -> (Nms.greedyExecQuery _),
     "q_nms_dominance" -> (Nms.dominanceQuery _),
     "q_quantiles" -> (Relational.quantiles _),
+    "q_stratified" -> (Curation.stratifiedExact _),
+    "q_ks" -> (Analytics.ksTest _),
+    "q_cusum" -> (Analytics.cusum _),
+    "q_mad" -> (Analytics.madOutliers _),
+    "q_winsorize" -> (Analytics.winsorize _),
     "q_impute" -> (Relational.imputeQuery _),
     "q_histogram" -> (Relational.histogram _),
     "q_histogram_eq" -> (Relational.histogramEquiDepth _),
@@ -799,6 +804,112 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
         |  count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q_stratified: md5 hex strings sort identically (lowercase hex, UTF8
+    // byte order); the keep test 10·rn ≤ n+9 ⇔ rn ≤ ⌈n/10⌉ is pure integer
+    "q_stratified" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_stratum
+        |  FROM documents)
+        |SELECT source, rn, doc_id, n_stratum
+        |FROM r WHERE rn * 10 <= n_stratum + 9
+        |ORDER BY source, rn""".stripMargin,
+    // q_ks: the max runs over exact integer cross-products; the one double
+    // division happens after the max on both engines
+    "q_ks" ->
+      """WITH f AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |), pv AS (
+        |  SELECT cents,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        |  FROM f GROUP BY 1
+        |), cum AS (
+        |  SELECT cents,
+        |    sum(c1) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum2
+        |  FROM pv
+        |), tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pv)
+        |SELECT n1, n2,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+        |       ELSE round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+        |                  / CAST(n1 * n2 AS DOUBLE), 6) END AS ks_stat
+        |FROM cum CROSS JOIN tot GROUP BY n1, n2""".stripMargin,
+    // q_cusum: dev = |n·cum_i − i·total| stays integer (DuckDB widens to
+    // HUGEINT automatically where Spark casts to decimal(38,0))
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, day,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    sum(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(v) OVER (PARTITION BY event_type) AS tot
+        |  FROM daily
+        |), d AS (
+        |  SELECT event_type, day, n, abs(n * cum - i * tot) AS dev,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * cum - i * tot) DESC, day) AS rn
+        |  FROM c)
+        |SELECT event_type, n AS n_days, strftime(day, '%Y-%m-%d') AS cp_day,
+        |  round(CAST(dev AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS max_dev
+        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    // q_mad: medians over exact cents / exact dyadic midpoints —
+    // quantile_cont ≡ Spark percentile (q_quantiles precedent); the 2.5·MAD
+    // threshold compare is exact-double on both engines
+    "q_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2
+        |), med AS (
+        |  SELECT event_type, quantile_cont(v, 0.5) AS med FROM daily GROUP BY 1
+        |), dev AS (
+        |  SELECT d.event_type, d.day, d.v, m.med, abs(d.v - m.med) AS adev
+        |  FROM daily d JOIN med m ON d.event_type = m.event_type
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+        |)
+        |SELECT dev.event_type, strftime(dev.day, '%Y-%m-%d') AS day,
+        |  dev.v AS cents,
+        |  round(0.6745 * (dev.v - dev.med) / mad.mad, 6) AS robust_z
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |WHERE mad.mad > 0 AND dev.adev > 2.5 * mad.mad
+        |ORDER BY dev.event_type, dev.day""".stripMargin,
+    // q_winsorize: sketch-boundary reassembly — Σmid is an exact integer
+    // sum; the two boundary products and the division are scalar doubles
+    // evaluated in identical textual order on both engines
+    "q_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), cuts AS (
+        |  SELECT event_type, quantile_cont(cents, 0.1) AS lo,
+        |    quantile_cont(cents, 0.9) AS hi
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |  sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS n_lo,
+        |  sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS n_hi,
+        |  round(lo / 100.0, 4) AS cut_lo,
+        |  round(hi / 100.0, 4) AS cut_hi,
+        |  round((CAST(sum(CASE WHEN cents >= lo AND cents <= hi
+        |                       THEN cents ELSE 0 END) AS DOUBLE)
+        |         + CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS DOUBLE) * lo
+        |         + CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS DOUBLE) * hi)
+        |        / CAST(count(*) AS DOUBLE) / 100.0, 6) AS wmean
+        |FROM e JOIN cuts ON e.event_type = cuts.event_type
+        |GROUP BY e.event_type, lo, hi
+        |ORDER BY e.event_type""".stripMargin,
     // q_impute: per-group median fill — quantile_cont ≡ Spark percentile on
     // integer inputs; was_missing cast to BIGINT (scalar-only outputs)
     "q_impute" ->

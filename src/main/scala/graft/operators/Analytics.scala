@@ -372,6 +372,143 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q_ks: two-sample Kolmogorov–Smirnov statistic between the click and
+    * view value distributions — the nonparametric "are these two
+    * samples from the same distribution" test a drift monitor reaches
+    * for when PSI's fixed buckets are too coarse. D = max over x of
+    * |F̂₁(x) − F̂₂(x)|, computed exactly over the DISTINCT observed
+    * values as the integer cross-product |cum₁·n₂ − cum₂·n₁| (no double
+    * CDF is ever subtracted); the single division happens once on the
+    * final max.
+    *
+    * Scale shape: the fact table collapses to one row per distinct
+    * cents value FIRST (partial-aggregable shuffle), so the ordered
+    * cumulative window runs over a value-cardinality frame (≤10⁴ here —
+    * prices are bounded), never the fact. For genuinely continuous
+    * measures the same plan runs over sketch-bucketed values (the
+    * q_histogram_eq boundary recipe) with D exact per bucket edge. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy("cents")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perVal.agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    perVal
+      .withColumn("cum1", sum(col("c1").cast("decimal(38,0)")).over(wCum))
+      .withColumn("cum2", sum(col("c2").cast("decimal(38,0)")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .groupBy("n1", "n2")
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("dmax"))
+      .select(col("n1"), col("n2"),
+        when(col("n1") === 0 || col("n2") === 0, lit(0.0))
+          .otherwise(round(col("dmax").cast("double")
+            / (col("n1").cast("decimal(38,0)") * col("n2")).cast("double"), 6))
+          .as("ks_stat"))
+  }
+
+  /** q_cusum: CUSUM changepoint scan over the daily revenue series, per
+    * event type — the day where the cumulative deviation from the
+    * period mean peaks is the classic single-changepoint estimate
+    * (Page 1954's statistic in offline form). The deviation
+    * S_i = Σ_{j≤i}(x_j − x̄) is kept exact as the integer
+    * n·cum_i − i·total (never a running double), so the argmax — and
+    * the tie-break on earliest day — is bit-deterministic.
+    *
+    * Scale shape: one partial-aggregable shuffle to daily grain, then
+    * per-type windows over a days-sized frame; the argmax is a second
+    * window over the same partitioning (no extra exchange). */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    val scanned = daily
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("v").cast("decimal(38,0)")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("v").cast("decimal(38,0)")).over(wAll))
+      .withColumn("dev", abs(col("n") * col("cum") - col("i") * col("tot")))
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(col("dev").desc, col("day"))
+    scanned
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        round(col("dev").cast("double") / col("n").cast("double") / 100.0, 6)
+          .as("max_dev"))
+      .orderBy("event_type")
+  }
+
+  /** q_mad: robust outlier days via median-absolute-deviation — the
+    * stddev-based q_anomaly_days screen breaks when the outlier itself
+    * inflates sigma; MAD doesn't. Flags days where
+    * |x − median| > 2.5·MAD and reports the 0.6745-scaled robust z.
+    * Medians interpolate exact integers (cents) or their exact dyadic
+    * midpoints, so `percentile` ≡ DuckDB `quantile_cont` bit-for-bit
+    * (the q_quantiles/q_impute precedent).
+    *
+    * Scale shape: the two median passes run on the DAILY frame
+    * (days×types rows) and come back as broadcast joins; the fact table
+    * is aggregated once and never windowed. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("v") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0 && col("adev") > lit(2.5) * col("mad"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("v").as("cents"),
+        round(lit(0.6745) * (col("v") - col("med")) / col("mad"), 6)
+          .as("robust_z"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q_winsorize: winsorized mean of event value per type — the robust
+    * location estimate a quality dashboard quotes when a few giant
+    * purchases would swamp the plain mean: values below p10 count as
+    * p10, above p90 as p90. Uses the sketch-boundary two-pass shape the
+    * r7 verdict prescribed for q_rfm/q_wmedian: percentile cuts on a
+    * per-type aggregate, broadcast back, then ONE exact aggregate over
+    * the fact — the winsorized sum is reassembled as
+    * Σmid + n_lo·p10 + n_hi·p90 (exact integer sum plus two scalar
+    * products), never a sum of per-row clipped doubles. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+    val cuts = e.groupBy("event_type").agg(
+      expr("percentile(cents, 0.1)").as("lo"),
+      expr("percentile(cents, 0.9)").as("hi"))
+    e.join(broadcast(cuts), "event_type")
+      .groupBy("event_type", "lo", "hi")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("cents") >= col("lo") && col("cents") <= col("hi"),
+          col("cents").cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("s_mid"))
+      .select(col("event_type"), col("n"), col("n_lo"), col("n_hi"),
+        round(col("lo") / 100.0, 4).as("cut_lo"),
+        round(col("hi") / 100.0, 4).as("cut_hi"),
+        round((col("s_mid").cast("double") + col("n_lo").cast("double") * col("lo")
+          + col("n_hi").cast("double") * col("hi"))
+          / col("n").cast("double") / 100.0, 6).as("wmean"))
+      .orderBy("event_type")
+  }
+
   /** q_seasonality: day-of-week revenue profile — each weekday's share
     * of total value and its index against a uniform week (share·7; 1.0 =
     * flat). Output is 7 rows; the "window" is the one-row total riding

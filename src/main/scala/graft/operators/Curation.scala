@@ -269,4 +269,33 @@ object Curation {
       .unionAll(level("L2_nation", Seq("nation" -> nation)))
       .orderBy("level")
   }
+
+  /** q_stratified: deterministic stratified sample — exactly ⌈n/10⌉
+    * documents per source, chosen by md5(doc_id) rank so the draw is
+    * reproducible across engines, reruns, and partitionings (no RNG
+    * state, no seed plumbing). The keep test is the integer form
+    * 10·rn ≤ n+9 ⇔ rn ≤ ⌈n/10⌉ — no double fraction is ever compared.
+    * This is the per-stratum-exact companion to Curation.splitAssign's
+    * stateless hash split: split gives expected rates, this gives exact
+    * counts (what an eval-set builder needs).
+    *
+    * Scale shape: one window per stratum (partitioned on source), a
+    * stratum-sized sort on the 32-hex md5 key. At 100 TB strata a
+    * two-pass variant replaces the rank: broadcast per-stratum counts,
+    * then keep rows whose hash falls below the per-stratum threshold
+    * quantile of the hash space — O(1) per row, approximately exact,
+    * same deterministic draw. The rank form here IS the spec for it. */
+  def stratifiedExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(wAll))
+      .filter(col("rn") * 10 <= col("n_stratum") + 9)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_stratum"))
+      .orderBy("source", "rn")
+  }
 }

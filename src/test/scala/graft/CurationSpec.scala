@@ -116,4 +116,26 @@ class CurationSpec extends SparkSpec {
     // fully generalized level: 25 nations, everyone in a nation-sized crowd
     assert(g2 <= 25)
   }
+
+  test("stratifiedExact: exactly ceil(n/10) per stratum, deterministic draw") {
+    val picked = Curation.stratifiedExact(spark, sfDir).collect()
+    val perSource = picked.groupBy(_.getString(0))
+    val stratumSizes = graft.Tables.documents(spark, sfDir)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum is represented with exactly ceil(n/10) picks
+    assert(perSource.keySet == stratumSizes.keySet)
+    perSource.foreach { case (src, rows) =>
+      val n = stratumSizes(src)
+      assert(rows.length == ((n + 9) / 10).toInt,
+        s"$src: ${rows.length} picks from stratum of $n")
+      // ranks are 1..k and n_stratum echoes the true stratum size
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length.toLong))
+      assert(rows.forall(_.getLong(3) == n))
+    }
+    // the draw is a pure function of doc_id — a rerun picks the same docs
+    val again = Curation.stratifiedExact(spark, sfDir).collect()
+    assert(picked.map(r => (r.getString(0), r.getLong(2))).toSet ==
+      again.map(r => (r.getString(0), r.getLong(2))).toSet)
+  }
 }
