@@ -964,15 +964,21 @@ object Relational {
 
   /** Cohort retention: users grouped by FIRST-activity day, re-activity
     * counted at day offsets 0/1/7/14 — "of the users who arrived on day
-    * X, how many came back a day/week/fortnight later". First-day is one
-    * keyed min; the retention join keys on user_id (both sides partition
-    * there at scale); offsets filter to the fixed probe set so the
-    * output is |cohorts|×4. */
+    * X, how many came back a day/week/fortnight later".
+    *
+    * Shape (r8 reshape): cohort day rides in as min(day) OVER the
+    * user-partitioned window on the raw narrow projection — ONE exchange
+    * on user_id replaces the old aggregate + user-keyed self-join (two
+    * exchanges of the same frame), and the (user, day) dedup is deferred
+    * into countDistinct AFTER the offset filter has dropped everything
+    * outside the four probe offsets. Per-user window groups are
+    * events-per-user sized, so the sort inside each is trivial at any
+    * scale; output stays |cohorts|×4. */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val activity = Tables.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val first = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
-    activity.join(first, "user_id")
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
       .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
       .filter(col("day_offset").isin(0L, 1L, 7L, 14L))
       .groupBy("cohort_day", "day_offset")
