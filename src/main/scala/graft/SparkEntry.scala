@@ -185,6 +185,9 @@ object SparkEntry {
     "q_cusum" -> (Analytics.cusum _),
     "q_mad" -> (Analytics.madOutliers _),
     "q_winsorize" -> (Analytics.winsorize _),
+    "q_runs" -> (Analytics.runsTest _),
+    "q_kendall" -> (Analytics.mannKendall _),
+    "q_emd" -> (Analytics.emdDistance _),
     "q_impute" -> (Relational.imputeQuery _),
     "q_histogram" -> (Relational.histogram _),
     "q_histogram_eq" -> (Relational.histogramEquiDepth _),
@@ -834,7 +837,8 @@ object SparkEntry {
         |    sum(c2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
         |      AND CURRENT ROW) AS cum2
         |  FROM pv
-        |), tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pv)
+        |), tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |                  CAST(sum(c2) AS BIGINT) AS n2 FROM pv)
         |SELECT n1, n2,
         |  CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
         |       ELSE round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
@@ -880,7 +884,7 @@ object SparkEntry {
         |  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
         |)
         |SELECT dev.event_type, strftime(dev.day, '%Y-%m-%d') AS day,
-        |  dev.v AS cents,
+        |  CAST(dev.v AS BIGINT) AS cents,
         |  round(0.6745 * (dev.v - dev.med) / mad.mad, 6) AS robust_z
         |FROM dev JOIN mad ON dev.event_type = mad.event_type
         |WHERE mad.mad > 0 AND dev.adev > 2.5 * mad.mad
@@ -898,8 +902,8 @@ object SparkEntry {
         |  FROM e GROUP BY 1
         |)
         |SELECT e.event_type, count(*) AS n,
-        |  sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS n_lo,
-        |  sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS n_hi,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
         |  round(lo / 100.0, 4) AS cut_lo,
         |  round(hi / 100.0, 4) AS cut_hi,
         |  round((CAST(sum(CASE WHEN cents >= lo AND cents <= hi
@@ -910,6 +914,110 @@ object SparkEntry {
         |FROM e JOIN cuts ON e.event_type = cuts.event_type
         |GROUP BY e.event_type, lo, hi
         |ORDER BY e.event_type""".stripMargin,
+    // q_runs: a/b/R exact integers; E[R] and Var[R] evaluated as scalar
+    // doubles in the same textual order as the Spark side
+    "q_runs" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2
+        |), med AS (
+        |  SELECT event_type, quantile_cont(v, 0.5) AS med FROM daily GROUP BY 1
+        |), signed AS (
+        |  SELECT d.event_type, d.day,
+        |    CASE WHEN d.v > m.med THEN 1 ELSE 0 END AS s
+        |  FROM daily d JOIN med m ON d.event_type = m.event_type
+        |  WHERE d.v <> m.med
+        |), runs AS (
+        |  SELECT event_type, s,
+        |    CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day)
+        |           IS DISTINCT FROM s THEN 1 ELSE 0 END AS chg
+        |  FROM signed
+        |), agg AS (
+        |  SELECT event_type, CAST(sum(s) AS BIGINT) AS n_above,
+        |    CAST(sum(1 - s) AS BIGINT) AS n_below,
+        |    CAST(sum(chg) AS BIGINT) AS runs
+        |  FROM runs GROUP BY 1)
+        |SELECT event_type, n_above, n_below, runs,
+        |  CASE WHEN n_above = 0 OR n_below = 0 OR n_above + n_below <= 1
+        |       THEN 0.0
+        |       ELSE round(
+        |         (CAST(runs AS DOUBLE)
+        |          - (CAST(2 * n_above * n_below AS DOUBLE)
+        |             / CAST(n_above + n_below AS DOUBLE) + 1.0))
+        |         / sqrt(CAST(2 * n_above * n_below AS DOUBLE)
+        |             * (CAST(2 * n_above * n_below AS DOUBLE)
+        |                - CAST(n_above + n_below AS DOUBLE))
+        |             / (CAST(n_above + n_below AS DOUBLE)
+        |                * CAST(n_above + n_below AS DOUBLE)
+        |                * (CAST(n_above + n_below AS DOUBLE) - 1.0))), 6)
+        |  END AS z
+        |FROM agg ORDER BY event_type""".stripMargin,
+    // q_kendall: S and the tie term exact integers over the bounded daily
+    // pair join; z's continuity correction and variance mirror textually
+    "q_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.v > a.v THEN 1
+        |             WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1
+        |), n AS (
+        |  SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1
+        |), ties AS (
+        |  SELECT event_type,
+        |    sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+        |  FROM (SELECT event_type, v, count(*) AS t FROM daily GROUP BY 1, 2) g
+        |  GROUP BY 1)
+        |SELECT s.event_type, n.n_days, s.s_stat,
+        |  CASE WHEN s.s_stat = 0 OR
+        |            (CAST(n.n_days AS DOUBLE) * (CAST(n.n_days AS DOUBLE) - 1.0)
+        |             * (2.0 * CAST(n.n_days AS DOUBLE) + 5.0)
+        |             - CAST(ties.tie_term AS DOUBLE)) / 18.0 <= 0.0
+        |       THEN 0.0
+        |       ELSE round(
+        |         (CAST(s.s_stat AS DOUBLE)
+        |          - CASE WHEN s.s_stat > 0 THEN 1.0 ELSE -1.0 END)
+        |         / sqrt((CAST(n.n_days AS DOUBLE)
+        |                 * (CAST(n.n_days AS DOUBLE) - 1.0)
+        |                 * (2.0 * CAST(n.n_days AS DOUBLE) + 5.0)
+        |                 - CAST(ties.tie_term AS DOUBLE)) / 18.0), 6)
+        |  END AS z
+        |FROM s JOIN n ON s.event_type = n.event_type
+        |JOIN ties ON s.event_type = ties.event_type
+        |ORDER BY s.event_type""".stripMargin,
+    // q_emd: every term |cum1*n2 - cum2*n1|*gap is an exact integer; one
+    // division by n1*n2*100 at the end (DuckDB widens to HUGEINT)
+    "q_emd" ->
+      """WITH f AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |), pv AS (
+        |  SELECT cents,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        |  FROM f GROUP BY 1
+        |), cum AS (
+        |  SELECT cents,
+        |    sum(c1) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum2,
+        |    lead(cents) OVER (ORDER BY cents) - cents AS gap
+        |  FROM pv
+        |), tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |                  CAST(sum(c2) AS BIGINT) AS n2 FROM pv)
+        |SELECT n1, n2,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+        |       ELSE round(CAST(sum(abs(cum1 * n2 - cum2 * n1) * gap) AS DOUBLE)
+        |                  / CAST(n1 * n2 AS DOUBLE) / 100.0, 6) END AS emd
+        |FROM cum CROSS JOIN tot
+        |WHERE gap IS NOT NULL GROUP BY n1, n2""".stripMargin,
     // q_impute: per-group median fill — quantile_cont ≡ Spark percentile on
     // integer inputs; was_missing cast to BIGINT (scalar-only outputs)
     "q_impute" ->

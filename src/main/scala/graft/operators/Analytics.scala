@@ -509,6 +509,124 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q_runs: Wald–Wolfowitz runs test on the daily revenue series, per
+    * event type — "is the above/below-median pattern random, or does
+    * the series streak". Days equal to the (interpolated) median are
+    * dropped per standard practice; R counts maximal same-sign runs via
+    * one lag over the days frame. E[R] = 2ab/m + 1 and
+    * Var[R] = 2ab(2ab−m)/(m²(m−1)) are evaluated as scalar doubles in
+    * identical textual order on both engines; everything upstream (a,
+    * b, R) is an exact integer. Degenerate series (one sign absent, or
+    * m ≤ 1) report z = 0.
+    *
+    * Scale shape: the only fact-sized op is the daily aggregation; the
+    * median is a days-frame percentile broadcast back, and the run
+    * count is a lag window over the same days frame. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val signed = daily.join(broadcast(med), "event_type")
+      .filter(col("v") =!= col("med"))
+      .withColumn("s", when(col("v") > col("med"), 1L).otherwise(0L))
+    val counted = signed
+      .withColumn("prev", lag("s", 1).over(w))
+      .groupBy("event_type")
+      .agg(sum(col("s")).as("n_above"),
+        sum(lit(1L) - col("s")).as("n_below"),
+        sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L)).as("runs"))
+    val m = (col("n_above") + col("n_below")).cast("double")
+    val tab = (lit(2L) * col("n_above") * col("n_below")).cast("double")
+    counted.select(col("event_type"), col("n_above"), col("n_below"), col("runs"),
+        when(col("n_above") === 0 || col("n_below") === 0
+            || col("n_above") + col("n_below") <= 1, lit(0.0))
+          .otherwise(round(
+            (col("runs").cast("double") - (tab / m + lit(1.0)))
+              / sqrt(tab * (tab - m) / (m * m * (m - lit(1.0)))), 6)).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** q_kendall: Mann–Kendall monotone-trend test per event type —
+    * S = Σ_{i<j} sgn(x_j − x_i) over all ordered day pairs, with the
+    * tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18
+    * and the ±1 continuity correction in z. The robust cousin of
+    * q_trend's OLS slope (no linearity assumption, outlier-immune); S,
+    * n, and the tie term are exact integers, z is one scalar double.
+    *
+    * Scale shape: the pair join is a theta self-join of the DAILY frame
+    * (calendar-bounded: 30 days → 435 pairs per type) — never the fact.
+    * The broadcast hint makes the boundedness explicit in the plan. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    val s = daily.select(col("event_type"), col("day").as("d1"), col("v").as("x1"))
+      .join(broadcast(daily.select(col("event_type").as("et2"),
+        col("day").as("d2"), col("v").as("x2"))),
+        col("event_type") === col("et2") && col("d1") < col("d2"))
+      .groupBy("event_type")
+      .agg(sum(when(col("x2") > col("x1"), 1L)
+        .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s_stat"))
+    val n = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy("event_type", "v").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_term"))
+    val nd = col("n_days").cast("double")
+    val varS = (nd * (nd - 1.0) * (lit(2.0) * nd + 5.0)
+      - col("tie_term").cast("double")) / 18.0
+    s.join(n, "event_type").join(ties, "event_type")
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        when(col("s_stat") === 0 || varS <= 0.0, lit(0.0))
+          .otherwise(round(
+            (col("s_stat").cast("double")
+              - when(col("s_stat") > 0, 1.0).otherwise(-1.0)) / sqrt(varS), 6))
+          .as("z"))
+      .orderBy("event_type")
+  }
+
+  /** q_emd: Wasserstein-1 (earth mover's) distance between the click
+    * and view value distributions — the integral companion to q_ks's
+    * max: EMD = Σ over distinct values of |F̂₁−F̂₂|·gap. Each term is
+    * the exact integer |cum₁·n₂ − cum₂·n₁|·(next − cents), summed in
+    * decimal(38,0); the single division by n₁·n₂·100 closes it in
+    * currency units. Sensitive to WHERE the distributions differ, not
+    * just the largest pointwise gap — the drift magnitude q_ks's
+    * significance test doesn't give.
+    *
+    * Scale shape: identical to q_ks — one partial-aggregable collapse
+    * to the distinct-cents frame, cumulative + lead windows over that
+    * value-cardinality frame, never the fact. */
+  def emdDistance(spark: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy("cents")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.orderBy("cents")
+    val tot = perVal.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    perVal
+      .withColumn("cum1", sum(col("c1").cast("decimal(38,0)")).over(wCum))
+      .withColumn("cum2", sum(col("c2").cast("decimal(38,0)")).over(wCum))
+      .withColumn("gap", lead("cents", 1).over(wLead) - col("cents"))
+      .filter(col("gap").isNotNull)
+      .crossJoin(broadcast(tot))
+      .groupBy("n1", "n2")
+      .agg(sum(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
+        * col("gap")).as("w"))
+      .select(col("n1"), col("n2"),
+        when(col("n1") === 0 || col("n2") === 0, lit(0.0))
+          .otherwise(round(col("w").cast("double")
+            / (col("n1").cast("decimal(38,0)") * col("n2")).cast("double")
+            / 100.0, 6)).as("emd"))
+  }
+
   /** q_seasonality: day-of-week revenue profile — each weekday's share
     * of total value and its index against a uniform week (share·7; 1.0 =
     * flat). Output is 7 rows; the "window" is the one-row total riding
