@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BitmapAndCount, BitmapFromBits, CosineSimilarity, Iou, MinHashSig, SimHash16, TokenCode, WalshBandKeys}
+import graft.functions.{BitmapAndCount, BitmapFromBits, CosineSimilarity, Iou, JaroWinkler, MinHashSig, SimHash16, TokenCode, WalshBandKeys}
 import graft.operators.{TextOps, VectorOps}
 
 /** SQL-surface registration for the engine's custom Catalyst expressions
@@ -49,7 +49,8 @@ object GraftExtensions {
     "walsh_band_keys" -> (exprs =>
       WalshBandKeys(exprs(0), VectorOps.MultibandPlanes)),
     "bitmap_from_bits" -> (exprs => BitmapFromBits(exprs(0))),
-    "bitmap_and_count" -> (exprs => BitmapAndCount(exprs(0), exprs(1))))
+    "bitmap_and_count" -> (exprs => BitmapAndCount(exprs(0), exprs(1))),
+    "jaro_winkler" -> (exprs => JaroWinkler(exprs(0), exprs(1))))
 
   /** Late registration on an existing session: functions + the planner
     * strategy for graft's custom logical operators. */

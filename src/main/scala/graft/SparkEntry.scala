@@ -166,6 +166,7 @@ object SparkEntry {
     "q_bm25" -> (TextOps.bm25 _),
     "q_pmi" -> (TextOps.pmiCollocations _),
     "q_edit_sim" -> (TextOps.editSimilarity _),
+    "q_jw" -> (TextOps.jaroWinklerPairs _),
     "q_triangles" -> (TextOps.triangleCensus _),
     "q_mix" -> (TextOps.mixRates _),
     "q_wsample" -> (TextOps.weightedSample _),
@@ -1953,6 +1954,16 @@ object SparkEntry {
         |JOIN documents x ON x.doc_id = d1
         |JOIN documents y ON y.doc_id = d2
         |WHERE levenshtein(substr(x.text, 1, 80), substr(y.text, 1, 80)) <= 40
+        |ORDER BY d1, d2""".stripMargin,
+    "q_jw" ->
+      // LSH candidate pairs -> Jaro-Winkler over full texts; the custom
+      // expression's semantics are pinned to DuckDB's implementation
+      s"""WITH $minhashPairCtes
+        |SELECT d1, d2,
+        |  round(jaro_winkler_similarity(x.text, y.text), 6) AS jw_sim
+        |FROM pairs
+        |JOIN documents x ON x.doc_id = d1
+        |JOIN documents y ON y.doc_id = d2
         |ORDER BY d1, d2""".stripMargin,
     "q_triangles" ->
       // ordered-edge triangle join over the same pair graph (d1 < d2):

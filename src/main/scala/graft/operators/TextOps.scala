@@ -704,6 +704,27 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
+  /** q_jw: Jaro–Winkler similarity over the LSH candidate pairs — the
+    * record-linkage companion to [[editSimilarity]]'s Levenshtein: JW
+    * rewards shared prefixes and forgives transpositions, which is the
+    * right bias for near-dup TITLES/heads where token swaps are common.
+    * Runs the custom codegen expression [[graft.functions.JaroWinkler]]
+    * (DuckDB-pinned semantics — see its scaladoc) over the full texts of
+    * candidate pairs only; like every dedup audit here it is
+    * pair-bounded on the LSH candidate set, never all-pairs.
+    * Reference analog: the identity checks `verify.py:12-17` does with
+    * exact equality — the engine generalizes them to graded similarity. */
+  def jaroWinklerPairs(spark: SparkSession, dir: String): DataFrame = {
+    val texts = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    minhashPairs(spark, dir)
+      .join(texts.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(texts.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(graft.functions.JaroWinklerImpl.jaroWinkler(col("t1"), col("t2")), 6)
+          .as("jw_sim"))
+      .orderBy("d1", "d2")
+  }
+
   /** Graph shape of the duplication neighborhood: global triangle census
     * over the MinHash-LSH pair graph — edge count, wedge count (paths of
     * length 2), triangle count, and the global clustering coefficient

@@ -206,4 +206,57 @@ class ExpressionsSpec extends SparkSpec {
     assert(err.getMessage.contains("outside bitmap domain")
       || Option(err.getCause).exists(_.getMessage.contains("outside bitmap domain")))
   }
+
+  test("JaroWinkler matches DuckDB jaro_winkler_similarity on probed pairs") {
+    import graft.functions.JaroWinklerImpl
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // expected values captured from DuckDB 1.x jaro_winkler_similarity —
+    // these pin the exact semantics the q_jw oracle depends on: empty→0,
+    // 0.7 boost threshold (ax/abcdefgh has prefix 1 but stays unboosted),
+    // prefix cap 4, transposition halving
+    val pinned = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abc", "", 0.0),
+      ("", "", 0.0),
+      ("a", "a", 1.0),
+      ("abcdef", "fedcba", 0.38888888888888884),
+      ("crate", "trace", 0.7333333333333334),
+      ("sparky", "sparse", 0.8666666666666666),
+      ("ab", "ba", 0.0),
+      ("xyzw", "xqzw", 0.8500000000000001),
+      ("ax", "abcdefgh", 0.5416666666666666),
+      ("ab", "abcdefghijkl", 0.7777777777777779),
+      ("abcdx", "abcdyzzzzzzz", 0.8266666666666667),
+      ("aaaaaa", "aaxxxxxxxxxxxxxx", 0.4861111111111111),
+      ("prefixmatch", "prefixnomatchxxxxxxx", 0.91))
+    pinned.foreach { case (a, b, exp) =>
+      val got = JaroWinklerImpl.jw(u(a), u(b))
+      assert(got == exp, s"jw($a, $b): got $got expected $exp")
+      // symmetric
+      assert(JaroWinklerImpl.jw(u(b), u(a)) == exp)
+    }
+  }
+
+  test("jaro_winkler: SQL-callable and inside whole-stage codegen") {
+    GraftExtensions.register(spark)
+    val v = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS j")
+      .head().getDouble(0)
+    assert(v == 0.9611111111111111)
+    import graft.functions.JaroWinklerImpl.jaroWinkler
+    val df = Tables.documents(spark, sf).limit(50)
+      .select(jaroWinkler(col("text"), reverse(col("text"))).as("j"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"expected codegen in:\n${plan.take(800)}")
+    // codegen path (executed plan) agrees with interpreted eval
+    val rows = Tables.documents(spark, sf).limit(50)
+      .select(col("text"), reverse(col("text")).as("rev")).collect()
+    val expected = rows.map(r => graft.functions.JaroWinklerImpl.jw(
+      org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+      org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1))))
+    val got = df.collect().map(_.getDouble(0))
+    assert(got.sameElements(expected))
+  }
 }
