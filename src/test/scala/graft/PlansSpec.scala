@@ -152,4 +152,41 @@ class PlansSpec extends SparkSpec {
     // lead()-window (which would shuffle every token row per doc)
     assert(!plan.contains("Window"), "unexpected window in gram formation")
   }
+
+  test("q_winsorize / q_mad plans: percentile cuts come back as broadcast joins") {
+    // the sketch-boundary recipe's signature shape: the per-type
+    // percentile aggregate is dim-sized and must ride a BroadcastHashJoin
+    // back onto the fact / daily frame — a shuffled join here would mean
+    // the boundary frame got misplanned as fact-sized
+    Seq(operators.Analytics.winsorize(spark, sf),
+        operators.Analytics.madOutliers(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast cut-join:\n${plan.take(1500)}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"boundary frame should never sort-merge:\n${plan.take(1500)}")
+    }
+  }
+
+  test("q_ks / q_emd plans: cumulative windows run over the aggregated value frame") {
+    // the CDF windows must sit above the distinct-cents Aggregate — a
+    // Window whose subtree has no Aggregate would be scanning the fact
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    Seq(operators.Analytics.ksTest(spark, sf),
+        operators.Analytics.emdDistance(spark, sf)).foreach { df =>
+      val wins = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+      assert(wins.nonEmpty, "expected CDF windows")
+      wins.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"window over un-aggregated input:\n$w")
+      }
+    }
+  }
+
+  test("q_kendall plan: the day-pair theta join broadcasts the daily frame") {
+    val plan = operators.Analytics.mannKendall(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"daily self-join should broadcast:\n${plan.take(1500)}")
+  }
 }
