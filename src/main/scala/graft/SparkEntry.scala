@@ -204,6 +204,9 @@ object SparkEntry {
     // rows-only: int8 round/clamp arithmetic has no portable SQL twin at
     // hash precision; QuantizeSpec bounds reconstruction + recall
     "q_quantized_topk" -> (VectorOps.quantizedTopK _),
+    // rows-only: MLlib k-means codebooks have no SQL twin; PqSpec pins
+    // recall vs exact, the 4-bit code domain, and determinism
+    "q_pq_topk" -> (Pq.pqTopK _),
     // rows-only: the batched scorer's digest arithmetic + row-local NMS
     // have no SQL twin; CrowdPipelineSpec pins batch-shape invariance
     "q_pipeline" -> (graft.pipeline.CrowdPipeline.pipelineQuery _),
