@@ -189,6 +189,14 @@ object SparkEntry {
     "q_runs" -> (Analytics.runsTest _),
     "q_kendall" -> (Analytics.mannKendall _),
     "q_emd" -> (Analytics.emdDistance _),
+    "q_spearman" -> (Analytics.spearman _),
+    "q_theilsen" -> (Analytics.theilSen _),
+    "q_chunk_dedup" -> (TextOps.chunkDedup _),
+    "q_dsir" -> (Curation.dsirScore _),
+    "q_bootstrap" -> (Analytics.bootstrapCi _),
+    "q_km" -> (Analytics.kaplanMeier _),
+    "q_holt" -> (Analytics.holt _),
+    "q_kcore" -> (TextOps.kcore _),
     "q_impute" -> (Relational.imputeQuery _),
     "q_histogram" -> (Relational.histogram _),
     "q_histogram_eq" -> (Relational.histogramEquiDepth _),
@@ -1022,6 +1030,193 @@ object SparkEntry {
         |                  / CAST(n1 * n2 AS DOUBLE) / 100.0, 6) END AS emd
         |FROM cum CROSS JOIN tot
         |WHERE gap IS NOT NULL GROUP BY n1, n2""".stripMargin,
+    // q_spearman: Σd² is an exact integer (row_number ranks with day
+    // tie-break are a total order on both engines); one division closes it
+    "q_spearman" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+        |), ranked AS (
+        |  SELECT row_number() OVER (ORDER BY nv, day) AS rv,
+        |    row_number() OVER (ORDER BY nc, day) AS rc
+        |  FROM daily)
+        |SELECT count(*) AS n_days,
+        |  CAST(sum((rv - rc) * (rv - rc)) AS BIGINT) AS sum_d2,
+        |  CASE WHEN count(*) <= 1 THEN 0.0
+        |       ELSE round(1.0 - 6.0 * CAST(sum((rv - rc) * (rv - rc)) AS DOUBLE)
+        |         / (CAST(count(*) AS DOUBLE)
+        |            * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0)),
+        |         6)
+        |  END AS rho
+        |FROM ranked""".stripMargin,
+    // q_theilsen: every slope is ONE IEEE division of exact integers;
+    // quantile_cont ≡ Spark percentile (same linear interpolation)
+    "q_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |    sum(CAST(floor(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2
+        |), slopes AS (
+        |  SELECT a.event_type,
+        |    CAST(b.v - a.v AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.t < b.t
+        |), m AS (
+        |  SELECT event_type, count(*) AS n_pairs,
+        |    quantile_cont(slope, 0.5) AS slope_med
+        |  FROM slopes GROUP BY 1)
+        |SELECT d.event_type, m.n_pairs,
+        |  round(m.slope_med, 4) AS sen_slope,
+        |  round(quantile_cont(d.v - m.slope_med * d.t, 0.5), 2) AS sen_intercept
+        |FROM daily d JOIN m ON d.event_type = m.event_type
+        |GROUP BY d.event_type, m.n_pairs, m.slope_med
+        |ORDER BY d.event_type""".stripMargin,
+    // q_chunk_dedup: keep-first ≡ rk > 1 under the same (doc_id,
+    // chunk_idx) total order; list slicing l[a:b] is 1-based inclusive,
+    // matching Spark's slice(toks, a, 10)
+    "q_chunk_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l,
+        |    CAST(len(string_split(text, ' ')) // 10 AS BIGINT) AS n_chunks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 10
+        |), flat AS (
+        |  SELECT doc_id, n_chunks,
+        |    unnest(list_transform(range(0, n_chunks),
+        |      k -> struct_pack(ci := k,
+        |        ch := array_to_string(l[k * 10 + 1 : k * 10 + 10], ' ')))) AS s
+        |  FROM docs
+        |), ranked AS (
+        |  SELECT doc_id, n_chunks, s.ci AS chunk_idx, s.ch AS chunk,
+        |    row_number() OVER (PARTITION BY s.ch ORDER BY doc_id, s.ci) AS rk
+        |  FROM flat)
+        |SELECT doc_id, n_chunks,
+        |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(10 * (n_chunks - sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END))
+        |    AS BIGINT) AS n_tokens_kept,
+        |  round(CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(n_chunks AS DOUBLE), 4) AS drop_frac
+        |FROM ranked GROUP BY doc_id, n_chunks ORDER BY doc_id""".stripMargin,
+    // q_dsir: q_lm_score's fold discipline — token-sorted list, every ln
+    // input an exact integer ratio, one division + round(4) at the end
+    "q_dsir" ->
+      """WITH occ AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, lang, tok, count(*) AS tf FROM occ GROUP BY 1, 2, 3
+        |), corpus AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+        |), target AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS ct FROM tf
+        |  WHERE lang = 'en' GROUP BY 1
+        |), vocab AS (
+        |  SELECT corpus.tok, c, COALESCE(ct, 0) AS ct
+        |  FROM corpus LEFT JOIN target ON corpus.tok = target.tok
+        |), scalars AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(ct) AS BIGINT) AS nt,
+        |    count(*) AS v
+        |  FROM vocab
+        |), per AS (
+        |  SELECT doc_id, lang,
+        |    list_sort(list(struct_pack(tok := tok, tf := tf, ct := ct, c := c)))
+        |      AS l,
+        |    CAST(sum(tf) AS BIGINT) AS n_tokens
+        |  FROM tf JOIN vocab USING (tok) GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_tokens,
+        |  round(list_sum(list_transform(l, s ->
+        |    s.tf * (ln((s.ct + 1) / CAST(nt + v AS DOUBLE))
+        |          - ln((s.c + 1) / CAST(n + v AS DOUBLE))))) / n_tokens, 4)
+        |    AS avg_llr
+        |FROM per CROSS JOIN scalars ORDER BY doc_id""".stripMargin,
+    // q_bootstrap: the resampler is exact integer arithmetic (Knuth
+    // multiplicative hash over (b, i)); no double is ever summed — each
+    // resample mean is an exact cents sum divided once
+    "q_bootstrap" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1
+        |), idx AS (
+        |  SELECT row_number() OVER (ORDER BY day) - 1 AS i, x FROM daily
+        |), tot AS (SELECT count(*) AS n_days FROM idx
+        |), is_ AS (SELECT n_days, unnest(range(0, n_days)) AS i FROM tot
+        |), draws AS (
+        |  SELECT n_days, b,
+        |    (((b * 1000003 + i) * 2654435761) % 999983) % n_days AS idx
+        |  FROM (SELECT n_days, i, unnest(range(0, 200)) AS b FROM is_) g
+        |), res AS (
+        |  SELECT b, max(d.n_days) AS n_days, CAST(sum(x) AS BIGINT) AS sum_x
+        |  FROM draws d JOIN idx ON d.idx = idx.i GROUP BY b
+        |), rs AS (
+        |  SELECT b, n_days, sum_x, CAST(sum_x AS DOUBLE) / n_days AS mean_b
+        |  FROM res)
+        |SELECT max(n_days) AS n_days, count(*) AS n_boot,
+        |  round(CAST(sum(sum_x) AS DOUBLE) / CAST(count(*) * max(n_days) AS DOUBLE),
+        |    4) AS boot_mean_cents,
+        |  round(quantile_cont(mean_b, 0.025), 4) AS ci_lo_cents,
+        |  round(quantile_cont(mean_b, 0.975), 4) AS ci_hi_cents
+        |FROM rs""".stripMargin,
+    // q_km: every ln input is the exact integer ratio (n_risk−d)/n_risk;
+    // the cumulative sum runs in ORDER BY t frame order on both engines
+    // (the d=0 rows are filtered by WHERE before the window on both sides)
+    "q_km" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+        |      AS tp
+        |  FROM events GROUP BY 1
+        |), mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM events
+        |), dur AS (
+        |  SELECT CASE WHEN tp IS NOT NULL THEN CAST(tp - t0 AS BIGINT)
+        |              ELSE CAST(mxd - t0 AS BIGINT) END AS t,
+        |         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+        |  FROM pu CROSS JOIN mx
+        |), pert AS (
+        |  SELECT t, CAST(sum(observed) AS BIGINT) AS d, count(*) AS leaving
+        |  FROM dur GROUP BY 1
+        |), tot AS (SELECT count(*) AS n_users FROM dur
+        |), risk AS (
+        |  SELECT t, d,
+        |    n_users - COALESCE(sum(leaving) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM pert CROSS JOIN tot)
+        |SELECT t AS t_days, n_risk, d AS d_events,
+        |  CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER
+        |         (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         = 1 THEN 0.0
+        |  ELSE round(exp(sum(CASE WHEN d < n_risk THEN
+        |      ln((n_risk - d) / CAST(n_risk AS DOUBLE)) END) OVER
+        |    (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |  END AS survival
+        |FROM risk WHERE d > 0 ORDER BY t_days""".stripMargin,
+    // q_holt: q_ema's recursive CTE with the trend state; constants cast
+    // ::DOUBLE and the l_t expression repeated textually inside b_t so
+    // both engines run the SAME float ops in the same order
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2
+        |), idx AS (
+        |  SELECT event_type, day, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |), h(event_type, day, rn, l, b) AS (
+        |  SELECT event_type, day, rn, CAST(cents AS DOUBLE), 0.0::DOUBLE
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.day, d.rn,
+        |    0.3::DOUBLE * d.cents + 0.7::DOUBLE * (h.l + h.b),
+        |    0.1::DOUBLE * ((0.3::DOUBLE * d.cents + 0.7::DOUBLE * (h.l + h.b))
+        |      - h.l) + 0.9::DOUBLE * h.b
+        |  FROM idx d JOIN h ON d.event_type = h.event_type AND d.rn = h.rn + 1)
+        |SELECT event_type, day, round(l, 6) AS holt_level,
+        |  round(b, 6) AS holt_trend, round(l + b, 6) AS forecast_next
+        |FROM h ORDER BY event_type, day""".stripMargin,
     // q_impute: per-group median fill — quantile_cont ≡ Spark percentile on
     // integer inputs; was_missing cast to BIGINT (scalar-only outputs)
     "q_impute" ->
@@ -1616,6 +1811,27 @@ object SparkEntry {
       s"""WITH $minhashPairCtes
         |SELECT d1, d2 FROM pairs
         |ORDER BY d1, d2""".stripMargin,
+    // q_kcore: three explicit peel rounds (degree >= 2) over the
+    // undirected candidate edge set; UNION dedups like union().distinct()
+    "q_kcore" ->
+      s"""WITH $minhashPairCtes,
+        |e0 AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2 AS src, d1 AS dst FROM pairs
+        |), k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 2
+        |), e1 AS (
+        |  SELECT e.src, e.dst FROM e0 e
+        |  JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src
+        |), k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 2
+        |), e2 AS (
+        |  SELECT e.src, e.dst FROM e1 e
+        |  JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src
+        |), k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 2
+        |), e3 AS (
+        |  SELECT e.src, e.dst FROM e2 e
+        |  JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+        |SELECT src AS doc_id, count(*) AS core_deg
+        |FROM e3 GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_containment" ->
       // subset test over shingle-CODE sets (distinct codes, mirroring the
       // engine's array_intersect over coded shingles) on the LSH pairs

@@ -648,4 +648,221 @@ object Analytics {
             / col("tot").cast("double"), 4)).as("rev_index"))
       .orderBy("dow")
   }
+
+  /** q_spearman: Spearman rank correlation between the daily view and
+    * click volumes — "do busy view days co-move with busy click days"
+    * measured on ranks, so one outlier day cannot swamp the statistic
+    * the way it can q_trend's Pearson-style OLS. With ranks forced to a
+    * total order (ties broken by day), ρ has the closed form
+    * 1 − 6·Σd²/(n(n²−1)): Σd² is an exact integer, the single division
+    * is the only double. The rank windows are unpartitioned BUT
+    * calendar-bounded (≤ n_days rows — the day grid, never the fact),
+    * the same boundedness class as q_cusum's per-type day frames.
+    *
+    * Scale shape: one partial-aggregable collapse of events to the
+    * daily grain, then two windows + one aggregate over the day-grid
+    * frame. At 100 TB the day grid is still tiny (years ≈ thousands of
+    * rows); nothing fact-sized is sorted. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nc"))
+    val ranked = daily
+      .withColumn("rv", row_number().over(Window.orderBy(col("nv"), col("day"))))
+      .withColumn("rc", row_number().over(Window.orderBy(col("nc"), col("day"))))
+    val d = (col("rv") - col("rc")).cast("long")
+    val n = col("n_days").cast("double")
+    ranked
+      .agg(count(lit(1)).as("n_days"), sum(d * d).as("sum_d2"))
+      .select(col("n_days"), col("sum_d2"),
+        when(col("n_days") <= 1, lit(0.0))
+          .otherwise(round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double")
+            / (n * (n * n - lit(1.0))), 6)).as("rho"))
+  }
+
+  /** q_theilsen: Theil–Sen trend of daily click revenue, per event
+    * type — the slope estimate that is the MEDIAN of all pairwise
+    * slopes (y_j − y_i)/(t_j − t_i), robust to ~29% outlier days where
+    * q_trend's least-squares line is dragged by one bad day. The
+    * intercept is the companion median of residuals y_i − m·t_i. Each
+    * slope is one IEEE division of exact integers (cents over epoch-day
+    * gaps); `percentile` is the same linear-interpolation definition as
+    * DuckDB's quantile_cont, so the medians compare exactly.
+    *
+    * Scale shape: the pair frame is a theta self-join of the DAILY
+    * per-type series (calendar-bounded: 30 days → ≤435 pairs per type,
+    * broadcast-hinted to keep the boundedness visible in the plan),
+    * never the fact; the fact is touched once by the partial-aggregable
+    * daily collapse. Years of days at 100 TB ≈ 10⁵–10⁶ pairs per type —
+    * still a dimension frame. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("t"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    val slopes = daily.select(col("event_type"), col("t").as("t1"), col("v").as("v1"))
+      .join(broadcast(daily.select(col("event_type").as("et2"),
+        col("t").as("t2"), col("v").as("v2"))),
+        col("event_type") === col("et2") && col("t1") < col("t2"))
+      .select(col("event_type"),
+        ((col("v2") - col("v1")).cast("double")
+          / (col("t2") - col("t1")).cast("double")).as("slope"))
+    val m = slopes.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5)").as("slope_med"))
+    daily.join(m, "event_type")
+      .groupBy(col("event_type"), col("n_pairs"), col("slope_med"))
+      .agg(expr("percentile(v - slope_med * t, 0.5)").as("icept_med"))
+      .select(col("event_type"), col("n_pairs"),
+        round(col("slope_med"), 4).as("sen_slope"),
+        round(col("icept_med"), 2).as("sen_intercept"))
+      .orderBy("event_type")
+  }
+
+  /** q_bootstrap: bootstrap confidence interval for mean daily revenue,
+    * with a DETERMINISTIC hash resampler — draw i of resample b picks
+    * day (((b·1000003 + i)·2654435761) mod 999983) mod n (the Knuth
+    * constant Curation.splitOf already uses, routed through an
+    * intermediate prime so the draw is not an affine bijection), so
+    * the "random" draw is exact
+    * integer arithmetic both engines reproduce bit-for-bit: no RNG
+    * state, no seed plumbing, rerunnable anywhere. Each resample mean
+    * is an exact cents sum over n draws; the grand mean divides the
+    * exact Σ of those sums ONCE (no double is ever summed); the CI
+    * bounds are `percentile` (≡ quantile_cont) over the 200 resample
+    * means.
+    *
+    * Scale shape: the fact collapses once to the daily frame; the
+    * draw grid is B×n_days rows of pure integer arithmetic JOINED back
+    * to the broadcast-sized daily frame on the day index — at 100 TB
+    * (years of days, B=200) that is ~10⁵ grid rows, a dimension frame.
+    * Bootstrapping FACT-grain statistics at scale would instead use
+    * poissonized per-row multipliers; for a daily-mean CI this exact
+    * grid is the right (and cheaper) shape. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long") - 1)
+    val tot = daily.agg(count(lit(1)).as("n_days"))
+    val draws = tot
+      .select(col("n_days"), explode(sequence(lit(0L), lit(199L))).as("b"))
+      .select(col("n_days"), col("b"),
+        explode(sequence(lit(0L), col("n_days") - 1)).as("i"))
+      .select(col("n_days"), col("b"),
+        // the hash routes through an intermediate PRIME modulus before
+        // % n: a bare affine map ((C+i)·K mod n) over consecutive i is a
+        // BIJECTION of the day set — every "resample" would be a
+        // permutation of all days and the CI collapses to a point
+        pmod(pmod((col("b") * lit(1000003L) + col("i")) * lit(2654435761L),
+          lit(999983L)), col("n_days")).as("idx"))
+    val resamples = draws
+      .join(broadcast(daily.select(col("i").as("idx"), col("x"))), "idx")
+      .groupBy("b", "n_days").agg(sum(col("x")).as("sum_x"))
+      .withColumn("mean_b", col("sum_x").cast("double") / col("n_days"))
+    resamples
+      .groupBy("n_days")
+      .agg(count(lit(1)).as("n_boot"), sum(col("sum_x")).as("grand"),
+        expr("percentile(mean_b, 0.025)").as("lo"),
+        expr("percentile(mean_b, 0.975)").as("hi"))
+      .select(col("n_days"), col("n_boot"),
+        round(col("grand").cast("double")
+          / (col("n_boot") * col("n_days")).cast("double"), 4).as("boot_mean_cents"),
+        round(col("lo"), 4).as("ci_lo_cents"),
+        round(col("hi"), 4).as("ci_hi_cents"))
+  }
+
+  /** q_km: Kaplan–Meier survival curve for time-to-first-purchase —
+    * every user is anchored at their first event, observed at their
+    * first purchase or right-censored at the observation window's end
+    * (the standard incomplete-data estimator naive conversion rates get
+    * wrong: censored users are at-risk until they drop out, not
+    * failures). S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) evaluated as
+    * exp(Σ ln((n−d)/n)) over the ORDERED event-time frame — each ln
+    * input an exact integer ratio, the cumulative sum running in frame
+    * order on both engines, so the product is bit-deterministic without
+    * a product aggregate (which Spark lacks).
+    *
+    * Scale shape: one shuffle collapses events to per-user (first-event,
+    * first-purchase) — partial-aggregable min/max. Everything after
+    * lives on the duration-value frame (≤ days in the window): the
+    * at-risk counts are one cumulative window, the survival product a
+    * second over the same ordering. Nothing fact-sized is windowed. */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", to_date(col("ts")))).as("tp"))
+    val mx = ev.agg(max(to_date(col("ts"))).as("mxd"))
+    val dur = perUser.crossJoin(broadcast(mx))
+      .select(
+        when(col("tp").isNotNull, datediff(col("tp"), col("t0")))
+          .otherwise(datediff(col("mxd"), col("t0"))).cast("long").as("t"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("observed"))
+    val perT = dur.groupBy("t")
+      .agg(sum(col("observed")).as("d"), count(lit(1)).as("leaving"))
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = dur.agg(count(lit(1)).as("n_users"))
+    perT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("leaving")).over(wBefore), lit(0L)))
+      .filter(col("d") > 0)
+      // the terminal time can take every remaining at-risk user (n = d):
+      // its factor is an exact 0 and ln(0) is engine-divergent (DuckDB
+      // errors, Spark nulls) — so the zero is carried as a flag and the
+      // ln-sum runs over the safe rows only (sum skips the guarded null
+      // identically on both engines)
+      .withColumn("term", when(col("d") < col("n_risk"),
+        log((col("n_risk") - col("d")) / col("n_risk").cast("double"))))
+      .withColumn("zeroed",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wCum))
+      .withColumn("surv", when(col("zeroed") === 1, lit(0.0))
+        .otherwise(round(exp(sum(col("term")).over(wCum)), 6)))
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("d_events"),
+        col("surv").as("survival"))
+      .orderBy("t_days")
+  }
+
+  /** q_holt: Holt's linear (double-exponential) smoothing of each
+    * type's daily revenue — q_ema plus an explicit trend state, the
+    * next rung on the forecasting ladder (catches the drifting mean
+    * EMA lags behind): l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, α=0.3, β=0.1, initialized
+    * l₁=x₁, b₁=0. Two coupled recurrences — inexpressible as a window
+    * frame — run by q_ema's sorted-array left fold, so every float op
+    * happens in one fixed order and the doubles are bit-identical to
+    * the oracle's recursive CTE. The l_t expression is repeated
+    * textually inside b_t (both here and in the oracle) so both
+    * recurrences see the SAME rounded intermediate. */
+  def holt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("cents")))).as("s"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(s,
+          |  cast(array() as array<struct<day:string, l:double, b:double>>),
+          |  (acc, x) -> array_append(acc, if(size(acc) = 0,
+          |    named_struct('day', x.day, 'l', cast(x.cents as double), 'b', 0d),
+          |    named_struct('day', x.day,
+          |      'l', 0.3d * x.cents + 0.7d * (element_at(acc, size(acc)).l
+          |             + element_at(acc, size(acc)).b),
+          |      'b', 0.1d * ((0.3d * x.cents + 0.7d * (element_at(acc, size(acc)).l
+          |             + element_at(acc, size(acc)).b))
+          |             - element_at(acc, size(acc)).l)
+          |           + 0.9d * element_at(acc, size(acc)).b))))
+          |""".stripMargin)).as("e"))
+      .select(col("event_type"), col("e.day").as("day"),
+        round(col("e.l"), 6).as("holt_level"),
+        round(col("e.b"), 6).as("holt_trend"),
+        round(col("e.l") + col("e.b"), 6).as("forecast_next"))
+      .orderBy("event_type", "day")
+  }
 }

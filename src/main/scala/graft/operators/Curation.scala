@@ -298,4 +298,53 @@ object Curation {
       .select(col("source"), col("rn"), col("doc_id"), col("n_stratum"))
       .orderBy("source", "rn")
   }
+
+  /** q_dsir: data-selection importance weights (the DSIR recipe, Xie et
+    * al. 2023, with unigram features): every document is scored by the
+    * average per-token log-likelihood ratio between a TARGET corpus
+    * (here the English split — the "domain we want more of") and the
+    * full raw corpus, both as add-1-smoothed unigram models over the
+    * shared corpus vocabulary. High avg_llr ⇒ the doc looks like the
+    * target; a curation pipeline resamples raw data ∝ exp(score). This
+    * composes q_lm_score's per-token scoring with q_mix's
+    * domain-balance goal into the selection verb between them.
+    *
+    * Determinism (the q_entropy/q_lm_score fold discipline): each ln
+    * input is an exact integer ratio ((ct+1)/(Nt+V), (c+1)/(N+V)); the
+    * per-doc sum folds over the token-SORTED list so addition order is
+    * a total order on both engines; one division by n_tokens and one
+    * round(4) close it.
+    *
+    * Scale shape: both model frames are vocabulary-sized aggregates
+    * (partial-aggregable); the per-doc join is tf⋈vocab on the token
+    * key (hash-distributed); the three corpus scalars ride in via a
+    * broadcast one-row cross join. Nothing fact-sized is sorted or
+    * collected — the same shape q_lm_score already benches. */
+  def dsirScore(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
+    val corpus = tf.groupBy("tok").agg(sum("tf").as("c"))
+    val target = tf.filter(col("lang") === "en")
+      .groupBy("tok").agg(sum("tf").as("ct"))
+    val vocab = corpus.join(target, Seq("tok"), "left")
+      .select(col("tok"), col("c"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val scalars = vocab.agg(sum("c").as("n"), sum("ct").as("nt"),
+      count(lit(1)).as("v"))
+    tf.join(vocab, "tok")
+      .groupBy("doc_id", "lang")
+      .agg(array_sort(collect_list(
+          struct(col("tok"), col("tf"), col("ct"), col("c")))).as("l"),
+        sum("tf").as("n_tokens"))
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(
+          aggregate(col("l"), lit(0.0), (acc, s) =>
+            acc + s.getField("tf") *
+              (log((s.getField("ct") + 1) / (col("nt") + col("v")).cast("double"))
+                - log((s.getField("c") + 1) / (col("n") + col("v")).cast("double"))))
+            / col("n_tokens"), 4).as("avg_llr"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -1376,6 +1376,100 @@ object TextOps {
           / (col("n_tokens") * (col("n_tokens") - 1)), 6))
       .orderBy("source")
 
+  /** q_kcore: bounded-round k-core peel (k = 2, 3 rounds) of the
+    * MinHash-LSH candidate-pair graph — the graph-hygiene screen between
+    * q_degree_dist's raw degrees and q_neardup_clusters' components:
+    * nodes that survive repeated "drop degree-<2 nodes" rounds are the
+    * dense template/boilerplate families worth human review, while
+    * chains and pendants (one-off near-matches) peel away. Three rounds
+    * are chained explicitly (not a fixpoint loop): each round is one
+    * degree aggregate + two semi-joins, all exact integers, so the
+    * oracle is three chained CTEs — and at fixture scale round 3 is
+    * already stable. A 100 TB run peels to fixpoint with the
+    * connectedComponents loop discipline (localCheckpoint per round,
+    * driver sees only the convergence scalar); the round-bounded form
+    * here IS that loop's body, spec'd.
+    *
+    * Scale shape: edges live once (both directions, distinct); a round
+    * shuffles on node id for the degree agg and semi-joins edges on
+    * src/dst — partial-aggregable, never all-pairs, never a global
+    * sort. */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    // localCheckpoint per round (the connectedComponentsWithRounds
+    // discipline): each round references the edge frame THREE times
+    // (degree agg + two semi-joins), so without truncation round 3's
+    // plan re-evaluates the whole LSH pipeline ~3³ times — measured 10.3 s
+    // unchecked vs 1.9 s checkpointed at sf0.1
+    var edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select("src")
+      edges = edges
+        .join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint(true)
+    }
+    edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("core_deg"))
+      .orderBy("doc_id")
+  }
+
+  /** q_chunk_dedup: sub-document duplicate-span removal — the
+    * paragraph-dedup stage of the RefinedWeb/Gopher curation recipes
+    * (Penedo et al. 2023 §3.3 run through MassiveText's keep-first
+    * rule), at fixed 10-token chunk granularity because the fixture
+    * text has no paragraph delimiters. Every document is cut into
+    * consecutive 10-token chunks (the ragged tail is dropped — a
+    * boilerplate screen, not a reconstruction), each chunk is
+    * deduplicated CORPUS-WIDE keeping the first occurrence in
+    * (doc_id, chunk_idx) order, and the report is per-document
+    * retention: how much of each doc survives span-level dedup.
+    *
+    * Scale shape: chunking is one narrow transform→explode (no
+    * shuffle); the keep-first rule is a window PARTITIONED BY the chunk
+    * text — hash-distributed over chunk cardinality, the same shape as
+    * exact doc dedup (TextOps.dedupExact), never a global sort. A
+    * popular chunk ("lorem lorem…" boilerplate at 100 TB) skews its
+    * partition; that key's rows collapse to one winner via the
+    * min-struct aggregate which is partial-aggregable, so the skew is
+    * absorbed map-side. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // sequence(0, n-1) DESCENDS for n < 1 (the winnow lesson): docs
+      // shorter than one chunk are screened out, mirrored in the oracle
+      .filter(size(col("toks")) >= 10)
+      .select(col("doc_id"),
+        // Column `/` is true division (double) — floor+cast recovers the
+        // integer chunk count for both the report column and sequence()
+        floor(size(col("toks")) / 10).cast("long").as("n_chunks"),
+        posexplode(transform(
+          sequence(lit(0), floor(size(col("toks")) / 10).cast("int") - 1),
+          k => array_join(slice(col("toks"), k * 10 + 1, lit(10)), " "))))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    // keep-first: the corpus-wide earliest (doc_id, chunk_idx) owns the
+    // chunk text; computed as a partial-aggregable min-struct, not a
+    // row_number window, so a skewed boilerplate chunk combines map-side
+    val first = chunks.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    chunks.join(first, "chunk")
+      .groupBy("doc_id")
+      .agg(max(col("n_chunks")).as("n_chunks"),
+        sum(when(col("keeper") =!= struct(col("doc_id"), col("chunk_idx")), 1L)
+          .otherwise(0L)).as("n_dropped"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+        (lit(10L) * (col("n_chunks") - col("n_dropped"))).as("n_tokens_kept"),
+        when(col("n_chunks") === 0, lit(0.0))
+          .otherwise(round(col("n_dropped").cast("double")
+            / col("n_chunks").cast("double"), 4)).as("drop_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal plumbing (mandate): opaque binary column + typed metadata.
     * The "decode" here is byte-level (length + digest) — the model-decode
     * stage proper is the mapPartitions stub in graft.multimodal. */
