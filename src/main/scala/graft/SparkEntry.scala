@@ -237,6 +237,7 @@ object SparkEntry {
       // and the range-shuffle sort is not part of the production shape
       "q_scd2" -> (Relational.scd2Core _),
       "q_pagerank" -> (TextOps.pageRankCore _),
+      "q_alloc" -> (Relational.allocationCore _),
     )
 
   /** SQL twin of Curation.splitOf — Knuth multiplicative hash, 90/5/5. */

@@ -946,19 +946,28 @@ object Relational {
     * seen in the trailing week. Sliding-window DISTINCT cannot partial-
     * aggregate as a window function (distinct isn't subtractable), so
     * the standard shape: dedupe to (user, day) FIRST — the only
-    * fact-sized shuffle — then a small range join of the day grid
-    * (dim-sized, broadcast) against the deduped activity re-counts each
-    * trailing window. Activity is |users|×|days| at most, so the 7×
-    * re-count multiplies a dimension, not the fact table. */
+    * fact-sized shuffle — then re-count each trailing window over the
+    * |users|×|days|-bounded activity frame.
+    *
+    * Window expansion is a narrow interval EXPLODE (a user active on
+    * day x covers WAU(d) for d ∈ [x, x+6]), not the broadcast
+    * theta-join this used through r7: BroadcastNestedLoopJoin
+    * evaluates the range predicate against every grid day per activity
+    * row (|act|·|days| predicate evals for |act|·7 surviving rows) and
+    * keeps a nested-loop operator in the plan; sequence+explode emits
+    * exactly the 7 covered days per row, the (user, d) distinct is the
+    * same shuffle countDistinct ran internally anyway, and the only
+    * join left is a broadcast-hash clip to observed grid days. */
   def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
     val act = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     val days = act.select(col("day").as("d")).distinct()
-    act.join(broadcast(days),
-        col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+    act.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("d"))
+      .distinct()
+      .join(broadcast(days), "d")
       .groupBy(col("d").as("day"))
-      .agg(countDistinct(col("user_id")).as("wau"))
-      .select(col("day"), col("wau"))
+      .agg(count(lit(1)).as("wau"))
       .orderBy("day")
   }
 
@@ -1267,7 +1276,18 @@ object Relational {
     * MULTISET of output rows is invariant (the +1s land on
     * indistinguishable rows), so the sorted oracle compare is
     * deterministic. */
-  def allocation(spark: SparkSession, dir: String): DataFrame = {
+  /** Bench shape of [[allocation]]: the output is lineitem-sized, so the
+    * trailing global ORDER BY exists only for the oracle compare — the
+    * production form keeps per-partition order (the scd2Core pattern). */
+  def allocationCore(spark: SparkSession, dir: String): DataFrame =
+    allocationUnsorted(spark, dir)
+      .sortWithinPartitions("l_orderkey", "l_linenumber", "qty", "alloc_c")
+
+  def allocation(spark: SparkSession, dir: String): DataFrame =
+    allocationUnsorted(spark, dir)
+      .orderBy("l_orderkey", "l_linenumber", "qty", "alloc_c")
+
+  private def allocationUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
         floor(col("l_quantity")).cast("long").as("qty"))
@@ -1286,7 +1306,6 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
         (col("base") + when(col("rk") <= col("n_extra"), 1L).otherwise(0L))
           .as("alloc_c"))
-      .orderBy("l_orderkey", "l_linenumber", "qty", "alloc_c")
   }
 
   /** Chi-square independence test: is event type independent of

@@ -1,0 +1,175 @@
+package graft
+
+import graft.operators.{Analytics, Curation, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-8 statistics/curation batch: each query is pinned by a local
+  * from-scratch recompute (the winnow-pin pattern) or a closed-form
+  * invariant of the statistic — properties the value-hash oracle can't
+  * see, like monotonicity, determinism, and fixpoint equivalence. */
+class R8StatsSpec extends SparkSpec {
+
+  test("spearman matches a local rank recompute") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nc"))
+      .as[(java.sql.Date, Long, Long)].collect().sortBy(_._1.toString)
+    def ranks(key: ((java.sql.Date, Long, Long)) => (Long, String)): Map[String, Int] =
+      daily.sortBy(key).zipWithIndex.map { case (r, i) => r._1.toString -> (i + 1) }.toMap
+    val rv = ranks(r => (r._2, r._1.toString))
+    val rc = ranks(r => (r._3, r._1.toString))
+    val n = daily.length.toLong
+    val sumD2 = daily.map { r =>
+      val d = rv(r._1.toString).toLong - rc(r._1.toString); d * d
+    }.sum
+    val rho = BigDecimal(1.0 - 6.0 * sumD2 / (n.toDouble * (n.toDouble * n - 1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Analytics.spearman(spark, sf).as[(Long, Long, Double)].head()
+    assert(got._1 == n && got._2 == sumD2)
+    assert(math.abs(got._3 - rho) < 1e-9)
+    assert(got._3 >= -1.0 && got._3 <= 1.0)
+  }
+
+  test("theilSen slope matches the local median of pairwise slopes") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("t"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) / 2.0
+      val (lo, hi) = (s(math.floor(h).toInt), s(math.ceil(h).toInt))
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+    val got = Analytics.theilSen(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    daily.foreach { case (et, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1).toDouble
+      val m = median(slopes.toArray)
+      assert(got(et)._2 == slopes.length, s"$et pair count")
+      assert(math.abs(got(et)._3 - BigDecimal(m).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"$et slope")
+    }
+  }
+
+  test("kaplanMeier survival starts at 1 - d1/n1, stays in (0, 1], never increases") {
+    import spark.implicits._
+    val rows = Analytics.kaplanMeier(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val first = rows.head
+    val expectFirst = BigDecimal(
+      (first._2 - first._3).toDouble / first._2.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(first._4 - expectFirst) < 1e-9)
+    rows.foreach { r => assert(r._4 >= 0.0 && r._4 <= 1.0) }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._4 <= a._4 + 1e-12, s"survival increased at t=${b._1}")
+        assert(b._2 < a._2, s"at-risk should shrink at t=${b._1}")
+      case _ =>
+    }
+  }
+
+  test("bootstrapCi brackets its own mean, is deterministic, and spreads") {
+    import spark.implicits._
+    val run1 = Analytics.bootstrapCi(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].head()
+    val run2 = Analytics.bootstrapCi(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(run1 == run2, "hash resampler must be bit-deterministic")
+    val (_, nBoot, mean, lo, hi) = run1
+    assert(nBoot == 200L)
+    assert(lo <= mean && mean <= hi)
+    assert(hi > lo, "CI must not collapse to a point (affine-bijection trap)")
+  }
+
+  test("holt level/trend match a local fold of the daily series") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (et, rs) => et -> rs.sortBy(_._2) }
+    val got = Analytics.holt(spark, sf)
+      .as[(String, String, Double, Double, Double)].collect()
+      .groupBy(_._1).map { case (et, rs) => et -> rs.sortBy(_._2) }
+    daily.foreach { case (et, rs) =>
+      var l = rs.head._3.toDouble
+      var b = 0.0
+      rs.zipWithIndex.foreach { case ((_, day, cents), i) =>
+        if (i > 0) {
+          val lNew = 0.3 * cents + 0.7 * (l + b)
+          b = 0.1 * (lNew - l) + 0.9 * b
+          l = lNew
+        }
+        val g = got(et)(i)
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(g._2 == day && math.abs(g._3 - r6(l)) < 1e-9
+          && math.abs(g._4 - r6(b)) < 1e-9, s"$et $day")
+        assert(math.abs(g._5 - r6(l + b)) < 1e-9, s"$et $day forecast")
+      }
+    }
+  }
+
+  test("chunkDedup: retention arithmetic holds and kept chunks = distinct chunks") {
+    import spark.implicits._
+    val rows = TextOps.chunkDedup(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    rows.foreach { case (_, nChunks, nDropped, kept, frac) =>
+      assert(nDropped >= 0 && nDropped <= nChunks)
+      assert(kept == 10 * (nChunks - nDropped))
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // corpus-wide: every distinct chunk text is kept exactly once
+    val keptTotal = rows.map(r => r._2 - r._3).sum
+    val distinctChunks = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 10)
+      .select(explode(transform(
+        sequence(lit(0), floor(size(col("toks")) / 10).cast("int") - 1),
+        k => array_join(slice(col("toks"), k * 10 + 1, lit(10)), " "))).as("c"))
+      .distinct().count()
+    assert(keptTotal == distinctChunks)
+  }
+
+  test("kcore equals a local iterative peel and needs no round 4 at this scale") {
+    import spark.implicits._
+    val pairs = TextOps.minhashPairs(spark, sf).as[(Long, Long)].collect()
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    for (_ <- 1 to 3) {
+      val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+    }
+    val expect = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val got = TextOps.kcore(spark, sf).as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    // round 4 would not change the survivor set (bounded rounds suffice)
+    val deg4 = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    assert(deg4.values.forall(_ >= 2))
+  }
+
+  test("dsirScore: target-language docs score higher on average") {
+    import spark.implicits._
+    val rows = Curation.dsirScore(spark, sf)
+      .as[(Long, String, Long, Double)].collect()
+    val (en, rest) = rows.partition(_._2 == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val avg = (xs: Array[(Long, String, Long, Double)]) =>
+      xs.map(_._4).sum / xs.length
+    assert(avg(en) > avg(rest),
+      s"en avg ${avg(en)} should exceed non-en avg ${avg(rest)}")
+  }
+}
