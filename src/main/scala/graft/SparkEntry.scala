@@ -197,6 +197,8 @@ object SparkEntry {
     "q_km" -> (Analytics.kaplanMeier _),
     "q_holt" -> (Analytics.holt _),
     "q_kcore" -> (TextOps.kcore _),
+    "q_source_overlap" -> (TextOps.sourceOverlap _),
+    "q_dedup_curve" -> (TextOps.dedupCurve _),
     "q_impute" -> (Relational.imputeQuery _),
     "q_histogram" -> (Relational.histogram _),
     "q_histogram_eq" -> (Relational.histogramEquiDepth _),
@@ -1812,6 +1814,64 @@ object SparkEntry {
       s"""WITH $minhashPairCtes
         |SELECT d1, d2 FROM pairs
         |ORDER BY d1, d2""".stripMargin,
+    // q_source_overlap: exact integer vocab counts, one division per pair
+    "q_source_overlap" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) raw
+        |), sizes AS (
+        |  SELECT source, count(*) AS sz FROM vocab GROUP BY 1
+        |), inter AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+        |  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, CAST(inter AS BIGINT) AS inter,
+        |  CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+        |  round(CAST(inter AS DOUBLE)
+        |    / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = s1
+        |JOIN sizes sb ON sb.source = s2
+        |ORDER BY s1, s2""".stripMargin,
+    // q_dedup_curve: 10*inter >= tau10*union keeps the threshold compare
+    // in exact integers; zero-intersection LSH candidates are retained
+    // via the LEFT JOIN + COALESCE
+    "q_dedup_curve" ->
+      s"""WITH $minhashPairCtes,
+        |dcs AS (
+        |  SELECT t.doc_id, c.code FROM toks t JOIN codes c ON c.tok = t.tok
+        |  GROUP BY 1, 2
+        |), dsz AS (SELECT doc_id, count(*) AS sz FROM dcs GROUP BY 1
+        |), inter AS (
+        |  SELECT p.d1, p.d2, count(*) AS i
+        |  FROM pairs p
+        |  JOIN dcs a ON a.doc_id = p.d1
+        |  JOIN dcs b ON b.doc_id = p.d2 AND b.code = a.code
+        |  GROUP BY 1, 2
+        |), st AS (
+        |  SELECT p.d1, p.d2, COALESCE(i.i, 0) AS inter,
+        |    sa.sz + sb.sz - COALESCE(i.i, 0) AS uni
+        |  FROM pairs p
+        |  LEFT JOIN inter i ON i.d1 = p.d1 AND i.d2 = p.d2
+        |  JOIN dsz sa ON sa.doc_id = p.d1
+        |  JOIN dsz sb ON sb.doc_id = p.d2
+        |), taus(tau_x10) AS (VALUES (5), (6), (7), (8), (9)
+        |), pass AS (
+        |  SELECT tau_x10, d1, d2 FROM st CROSS JOIN taus
+        |  WHERE inter * 10 >= tau_x10 * uni
+        |), pp AS (SELECT tau_x10, count(*) AS np FROM pass GROUP BY 1
+        |), dd AS (
+        |  SELECT tau_x10, count(DISTINCT doc) AS nd FROM (
+        |    SELECT tau_x10, d1 AS doc FROM pass
+        |    UNION ALL SELECT tau_x10, d2 AS doc FROM pass) u
+        |  GROUP BY 1)
+        |SELECT CAST(t.tau_x10 AS BIGINT) AS tau_x10,
+        |  CAST(COALESCE(np, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(nd, 0) AS BIGINT) AS n_docs
+        |FROM taus t LEFT JOIN pp ON pp.tau_x10 = t.tau_x10
+        |LEFT JOIN dd ON dd.tau_x10 = t.tau_x10
+        |ORDER BY tau_x10""".stripMargin,
     // q_kcore: three explicit peel rounds (degree >= 2) over the
     // undirected candidate edge set; UNION dedups like union().distinct()
     "q_kcore" ->

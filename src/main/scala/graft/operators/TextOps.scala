@@ -1376,6 +1376,79 @@ object TextOps {
           / (col("n_tokens") * (col("n_tokens") - 1)), 6))
       .orderBy("source")
 
+  /** q_source_overlap: pairwise vocabulary Jaccard between sources —
+    * the corpus-diversity audit behind "is src7 just src12 re-crawled":
+    * two sources whose token vocabularies overlap near 1.0 are
+    * candidates for source-level dedup BEFORE any per-document pass
+    * runs (cheapest possible pruning lever at 100 TB). Counts are exact
+    * integers; one division per pair closes the Jaccard.
+    *
+    * Scale shape: the (source, token) frame is vocabulary×sources
+    * bounded (never fact-sized after the distinct); the self-join is
+    * token-keyed equi (each token meets only its own postings — the
+    * |sources|²-bounded fan-out per token is the point, 190 output
+    * rows); per-source sizes ride back in via broadcast. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = vocab.select(col("source").as("s1"), col("tok"))
+      .join(vocab.select(col("source").as("s2"), col("tok")), "tok")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("sz").as("sz1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("sz").as("sz2"))), "s2")
+      .select(col("s1"), col("s2"), col("inter"),
+        (col("sz1") + col("sz2") - col("inter")).as("uni"),
+        round(col("inter").cast("double")
+          / (col("sz1") + col("sz2") - col("inter")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
+  /** q_dedup_curve: threshold-sensitivity sweep for near-dup removal —
+    * for τ ∈ {0.5 … 0.9}, how many LSH candidate pairs pass exact
+    * shingle-code Jaccard ≥ τ and how many documents they touch. The
+    * tuning curve a curation run reads BEFORE committing to a
+    * threshold: the τ where n_docs stops falling steeply is the knee.
+    * The compare is the integer cross-multiplication 10·inter ≥
+    * τ₁₀·union — no double ever enters the decision, so the curve is
+    * bit-deterministic.
+    *
+    * Scale shape: containment's — exact intersections computed ONLY on
+    * the LSH candidate set over the shared persisted code frame (pair-
+    * bounded, never all-pairs); the 5-threshold grid rides in as a
+    * broadcast 5-row frame. */
+  def dedupCurve(spark: SparkSession, dir: String): DataFrame = {
+    val codes = shingleCodeFrame(spark, dir).persist()
+    val st = minhashPairsOver(codes)
+      .join(codes.select(col("doc_id").as("d1"), col("cs").as("cs1")), "d1")
+      .join(codes.select(col("doc_id").as("d2"), col("cs").as("cs2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("cs1"), col("cs2"))).cast("long").as("inter"),
+        (size(col("cs1")) + size(col("cs2"))).cast("long").as("szsum"))
+      .withColumn("uni", col("szsum") - col("inter"))
+    val taus = spark.range(1)
+      .select(explode(sequence(lit(5L), lit(9L))).as("tau_x10"))
+    val passing = st.crossJoin(broadcast(taus))
+      .filter(col("inter") * 10 >= col("tau_x10") * col("uni"))
+    val pairsPerTau = passing.groupBy("tau_x10")
+      .agg(count(lit(1)).as("np"))
+    val docsPerTau = passing
+      .select(col("tau_x10"), explode(array(col("d1"), col("d2"))).as("doc"))
+      .groupBy("tau_x10").agg(countDistinct(col("doc")).as("nd"))
+    taus
+      .join(pairsPerTau, Seq("tau_x10"), "left")
+      .join(docsPerTau, Seq("tau_x10"), "left")
+      .select(col("tau_x10"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_docs"))
+      .orderBy("tau_x10")
+  }
+
   /** q_kcore: bounded-round k-core peel (k = 2, 3 rounds) of the
     * MinHash-LSH candidate-pair graph — the graph-hygiene screen between
     * q_degree_dist's raw degrees and q_neardup_clusters' components:
