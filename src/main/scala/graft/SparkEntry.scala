@@ -199,6 +199,7 @@ object SparkEntry {
     "q_kcore" -> (TextOps.kcore _),
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     "q_dedup_curve" -> (TextOps.dedupCurve _),
+    "q_markov" -> (Relational.markovStationary _),
     "q_impute" -> (Relational.imputeQuery _),
     "q_histogram" -> (Relational.histogram _),
     "q_histogram_eq" -> (Relational.histogramEquiDepth _),
@@ -2956,6 +2957,51 @@ object SparkEntry {
         |SELECT src, dst, CAST(n AS BIGINT) AS n,
         |  round(CAST(n AS DOUBLE) / tot, 4) AS p
         |FROM pairs JOIN tot USING (src) ORDER BY src, dst""".stripMargin,
+    // q_markov: 5 chained power-iteration CTEs; each per-state sum folds
+    // the source-sorted term list, every term (pi*n)/tot with exact
+    // integer n, tot — iteration k bit-identical on both engines
+    "q_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events
+        |), pairs AS (
+        |  SELECT event_type AS src, dst, count(*) AS n
+        |  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+        |), tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM pairs GROUP BY 1
+        |), p AS (SELECT pairs.src, dst, CAST(n AS BIGINT) AS n, tot
+        |         FROM pairs JOIN tot USING (src)
+        |), s0 AS (
+        |  SELECT src AS state, 1.0::DOUBLE / (SELECT count(*) FROM tot) AS pi
+        |  FROM tot
+        |), s1 AS (
+        |  SELECT dst AS state, list_sum(list_transform(list_sort(
+        |    list(struct_pack(src := src, term := (pi * n) / tot))),
+        |    x -> x.term)) AS pi
+        |  FROM p JOIN s0 ON p.src = s0.state GROUP BY dst
+        |), s2 AS (
+        |  SELECT dst AS state, list_sum(list_transform(list_sort(
+        |    list(struct_pack(src := src, term := (pi * n) / tot))),
+        |    x -> x.term)) AS pi
+        |  FROM p JOIN s1 ON p.src = s1.state GROUP BY dst
+        |), s3 AS (
+        |  SELECT dst AS state, list_sum(list_transform(list_sort(
+        |    list(struct_pack(src := src, term := (pi * n) / tot))),
+        |    x -> x.term)) AS pi
+        |  FROM p JOIN s2 ON p.src = s2.state GROUP BY dst
+        |), s4 AS (
+        |  SELECT dst AS state, list_sum(list_transform(list_sort(
+        |    list(struct_pack(src := src, term := (pi * n) / tot))),
+        |    x -> x.term)) AS pi
+        |  FROM p JOIN s3 ON p.src = s3.state GROUP BY dst
+        |), s5 AS (
+        |  SELECT dst AS state, list_sum(list_transform(list_sort(
+        |    list(struct_pack(src := src, term := (pi * n) / tot))),
+        |    x -> x.term)) AS pi
+        |  FROM p JOIN s4 ON p.src = s4.state GROUP BY dst)
+        |SELECT state, tot AS n_out, round(pi, 6) AS pi
+        |FROM s5 JOIN tot ON tot.src = s5.state
+        |ORDER BY state""".stripMargin,
     "q_concurrency" ->
       // sweep-line: explicit ROWS frame (RANGE default would sum peers);
       // ends (-1) sort before starts (+1) at the same instant

@@ -1648,6 +1648,58 @@ object Relational {
       .orderBy("src", "dst")
   }
 
+  /** q_markov: steady-state distribution of the event-type Markov chain
+    * — five synchronous power-iteration steps π ← πP from the uniform
+    * start, over the transition matrix [[transitions]] estimates. Where
+    * q_transitions reports single-step behavior, the (near-)stationary π
+    * says where the process SPENDS its time — the load-mix forecast
+    * behind capacity planning. Each step's per-state sum folds over the
+    * source-SORTED term list (q_entropy's discipline: a 5-term double
+    * sum in fixed order on both engines); every term is (π·n)/tot with
+    * n, tot exact integers, so iteration k is bit-identical to the
+    * oracle's chained CTE k.
+    *
+    * Scale shape: the fact collapses once into the |types|² transition
+    * counts; all five iterations live on that dimension frame
+    * (broadcast joins, ≤|types| rows of state). The iteration count is
+    * fixed and tiny, so no checkpoint discipline is needed — the whole
+    * loop is one linear plan over 25-row frames. */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      // localCheckpoint the |types|²-row transition counts: totals, the
+      // uniform seed, every iteration's π, and the final join all derive
+      // from this frame, so without truncation the per-user lead window
+      // (the only fact-sized work) re-runs ~7× across the chain. The
+      // residual bench cost after truncation is per-iteration job-launch
+      // overhead on 25-row frames — constant in data size
+      .localCheckpoint(true)
+    val totals = pairs.groupBy("src").agg(sum("n").as("tot"))
+    val p = pairs.join(broadcast(totals), "src")
+    val k = totals.agg(count(lit(1)).as("k"))
+    var pi = totals.crossJoin(broadcast(k))
+      .select(col("src").as("state"), (lit(1.0) / col("k")).as("pi"))
+    for (_ <- 1 to 5) {
+      pi = p.join(broadcast(pi), col("src") === col("state"))
+        .select(col("dst"),
+          struct(col("src"), ((col("pi") * col("n")) / col("tot")).as("term"))
+            .as("c"))
+        .groupBy("dst")
+        .agg(array_sort(collect_list(col("c"))).as("l"))
+        .select(col("dst").as("state"),
+          aggregate(col("l"), lit(0.0), (acc, x) => acc + x.getField("term"))
+            .as("pi"))
+    }
+    pi.join(broadcast(totals.select(col("src").as("state"), col("tot"))), "state")
+      .select(col("state"), col("tot").as("n_out"), round(col("pi"), 6).as("pi"))
+      .orderBy("state")
+  }
+
   /** Peak concurrency by sweep-line: each event opens a 1-hour interval;
     * +1/−1 boundary deltas, a running sum per type, max = the most
     * intervals ever open at once — the interval-overlap verb behind

@@ -189,4 +189,39 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"daily self-join should broadcast:\n${plan.take(1500)}")
   }
+
+  test("q_wau plan: interval explode replaced the nested-loop range join") {
+    // r8 reshape: the trailing-week expansion must be a generator over
+    // sequence(), and the only join left is the broadcast-hash day clip —
+    // BroadcastNestedLoopJoin evaluated |act|·|days| range predicates
+    val plan = operators.Relational.rollingActiveUsers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"BNLJ back in q_wau:\n${plan.take(1500)}")
+    assert(plan.contains("Generate") && plan.contains("BroadcastHashJoin"),
+      s"expected explode + broadcast-hash clip:\n${plan.take(1500)}")
+  }
+
+  test("q_alloc bench shape carries no global sort; verify shape does") {
+    // output is lineitem-sized: the range-partitioned Exchange under a
+    // global Sort exists only in the oracle-compare form
+    def hasGlobalSort(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("rangepartitioning")
+    assert(!hasGlobalSort(operators.Relational.allocationCore(spark, sf)),
+      "allocationCore must keep per-partition order only")
+    assert(hasGlobalSort(operators.Relational.allocation(spark, sf)),
+      "verify form must stay globally sorted for the oracle")
+  }
+
+  test("q_dedup_curve plan: threshold grid broadcast; exact intersect pair-bounded") {
+    // the 5-row tau frame must ride in as a broadcast (no shuffle for the
+    // grid), and the code-set intersection must sit above the LSH pair
+    // join, never an all-pairs product
+    val plan = operators.TextOps.dedupCurve(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"all-pairs product in q_dedup_curve:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"tau grid should broadcast:\n${plan.take(1500)}")
+  }
 }
