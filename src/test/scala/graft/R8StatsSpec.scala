@@ -161,6 +161,71 @@ class R8StatsSpec extends SparkSpec {
     assert(deg4.values.forall(_ >= 2))
   }
 
+  test("markovStationary matches a local matrix power iteration") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    val tot = pairs.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val states = tot.keys.toSeq.sorted
+    var pi = states.map(_ -> 1.0 / states.length).toMap
+    for (_ <- 1 to 5) {
+      pi = states.map { j =>
+        val terms = pairs.filter(_._2 == j)
+          .map(p => (p._1, pi(p._1) * p._3 / tot(p._1))).sortBy(_._1)
+        j -> terms.map(_._2).sum
+      }.toMap
+    }
+    val got = operators.Relational.markovStationary(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == states)
+    got.foreach { case (s, nOut, p) =>
+      assert(nOut == tot(s))
+      val e = BigDecimal(pi(s)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(p - e) < 1e-9, s"$s: got $p expect $e")
+    }
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-6, "pi must stay a distribution")
+  }
+
+  test("sourceOverlap matches local vocabulary set arithmetic") {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, sf)
+      .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .distinct().as[(String, String)].collect()
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).toSet }
+    val got = operators.TextOps.sourceOverlap(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect()
+    got.foreach { case (s1, s2, inter, uni, j) =>
+      val (a, b) = (vocab(s1), vocab(s2))
+      assert(inter == (a & b).size.toLong && uni == (a | b).size.toLong)
+      val e = BigDecimal(inter.toDouble / uni)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(j - e) < 1e-9)
+    }
+    val expectPairs = vocab.keys.toSeq.combinations(2)
+      .map(_.sorted).filter(p => (vocab(p(0)) & vocab(p(1))).nonEmpty).size
+    assert(got.length == expectPairs)
+  }
+
+  test("dedupCurve is monotone non-increasing in tau") {
+    import spark.implicits._
+    val rows = operators.TextOps.dedupCurve(spark, sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(5L, 6L, 7L, 8L, 9L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 <= a._2, s"pairs rose from tau ${a._1} to ${b._1}")
+        assert(b._3 <= a._3, s"docs rose from tau ${a._1} to ${b._1}")
+      case _ =>
+    }
+  }
+
   test("dsirScore: target-language docs score higher on average") {
     import spark.implicits._
     val rows = Curation.dsirScore(spark, sf)
