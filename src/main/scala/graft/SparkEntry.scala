@@ -200,6 +200,8 @@ object SparkEntry {
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     "q_dedup_curve" -> (TextOps.dedupCurve _),
     "q_markov" -> (Relational.markovStationary _),
+    "q_eval_metrics" -> (TextOps.evalMetrics _),
+    "q_auc" -> (Curation.dsirAuc _),
     "q_impute" -> (Relational.imputeQuery _),
     "q_histogram" -> (Relational.histogram _),
     "q_histogram_eq" -> (Relational.histogramEquiDepth _),
@@ -1135,6 +1137,96 @@ object SparkEntry {
         |          - ln((s.c + 1) / CAST(n + v AS DOUBLE))))) / n_tokens, 4)
         |    AS avg_llr
         |FROM per CROSS JOIN scalars ORDER BY doc_id""".stripMargin,
+    // q_eval_metrics: F1 via the integer identity 2TP/(act+pred) — no
+    // harmonic mean of double ratios; classes come from the labeled side
+    "q_eval_metrics" ->
+      """WITH pred AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+        |         WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+        |         WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+        |         WHEN c_fr >= c_zh THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of'))) AS c_en,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das'))) AS c_de,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'los'))) AS c_es,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('le', 'les', 'une'))) AS c_fr,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('shi', 'bu', 'wo'))) AS c_zh
+        |    FROM documents) c
+        |), conf AS (
+        |  SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+        |), act AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS act_n
+        |           FROM conf GROUP BY 1
+        |), prd AS (SELECT pred_lang AS cls, CAST(sum(n) AS BIGINT) AS pred_n
+        |           FROM conf GROUP BY 1
+        |), tp AS (SELECT lang AS cls, CAST(n AS BIGINT) AS tp FROM conf
+        |          WHERE lang = pred_lang)
+        |SELECT act.cls, COALESCE(tp, 0) AS tp, act_n,
+        |  COALESCE(pred_n, 0) AS pred_n,
+        |  CASE WHEN COALESCE(pred_n, 0) = 0 THEN 0.0
+        |       ELSE round(CAST(COALESCE(tp, 0) AS DOUBLE)
+        |         / CAST(pred_n AS DOUBLE), 4) END AS precision,
+        |  round(CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(act_n AS DOUBLE), 4)
+        |    AS recall,
+        |  CASE WHEN act_n + COALESCE(pred_n, 0) = 0 THEN 0.0
+        |       ELSE round(CAST(2 * COALESCE(tp, 0) AS DOUBLE)
+        |         / CAST(act_n + COALESCE(pred_n, 0) AS DOUBLE), 4) END AS f1
+        |FROM act
+        |LEFT JOIN prd ON prd.cls = act.cls
+        |LEFT JOIN tp ON tp.cls = act.cls
+        |ORDER BY act.cls""".stripMargin,
+    // q_auc: tie-corrected rank-sum over the VALUE-GROUPED score frame;
+    // every sum exact integer, one division closes it
+    "q_auc" ->
+      """WITH occ AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, lang, tok, count(*) AS tf FROM occ GROUP BY 1, 2, 3
+        |), corpus AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+        |), target AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS ct FROM tf
+        |  WHERE lang = 'en' GROUP BY 1
+        |), vocab AS (
+        |  SELECT corpus.tok, c, COALESCE(ct, 0) AS ct
+        |  FROM corpus LEFT JOIN target ON corpus.tok = target.tok
+        |), scalars AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(ct) AS BIGINT) AS nt,
+        |    count(*) AS v
+        |  FROM vocab
+        |), per AS (
+        |  SELECT doc_id, lang,
+        |    list_sort(list(struct_pack(tok := tok, tf := tf, ct := ct, c := c)))
+        |      AS l,
+        |    CAST(sum(tf) AS BIGINT) AS n_tokens
+        |  FROM tf JOIN vocab USING (tok) GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT doc_id, lang,
+        |    round(list_sum(list_transform(l, s ->
+        |      s.tf * (ln((s.ct + 1) / CAST(nt + v AS DOUBLE))
+        |            - ln((s.c + 1) / CAST(n + v AS DOUBLE))))) / n_tokens, 4)
+        |      AS s
+        |  FROM per CROSS JOIN scalars
+        |), pv AS (
+        |  SELECT s, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+        |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS ng
+        |  FROM scored GROUP BY 1
+        |), cum AS (
+        |  SELECT s, p, ng, COALESCE(sum(ng) OVER
+        |    (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS nb
+        |  FROM pv
+        |), tot AS (
+        |  SELECT CAST(sum(p) AS BIGINT) AS np, CAST(sum(ng) AS BIGINT) AS nn
+        |  FROM pv)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  CASE WHEN np = 0 OR nn = 0 THEN 0.0
+        |       ELSE round(CAST(sum(2 * nb * p + p * ng) AS DOUBLE)
+        |         / (2.0 * np * nn), 6) END AS auc
+        |FROM cum CROSS JOIN tot GROUP BY np, nn""".stripMargin,
     // q_bootstrap: the resampler is exact integer arithmetic (Knuth
     // multiplicative hash over (b, i)); no double is ever summed — each
     // resample mean is an exact cents sum divided once

@@ -320,7 +320,10 @@ object Curation {
     * key (hash-distributed); the three corpus scalars ride in via a
     * broadcast one-row cross join. Nothing fact-sized is sorted or
     * collected — the same shape q_lm_score already benches. */
-  def dsirScore(spark: SparkSession, dir: String): DataFrame = {
+  def dsirScore(spark: SparkSession, dir: String): DataFrame =
+    dsirScoreUnsorted(spark, dir).orderBy("doc_id")
+
+  private def dsirScoreUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
@@ -344,7 +347,40 @@ object Curation {
               (log((s.getField("ct") + 1) / (col("nt") + col("v")).cast("double"))
                 - log((s.getField("c") + 1) / (col("n") + col("v")).cast("double"))))
             / col("n_tokens"), 4).as("avg_llr"))
-      .orderBy("doc_id")
   }
 
+  /** q_auc: ROC AUC of the [[dsirScore]] ranking against the en/non-en
+    * label — "does the importance weight actually separate the target
+    * domain", the one-number check before resampling by it. Computed as
+    * the tie-corrected rank-sum (Mann–Whitney) on the VALUE-GROUPED
+    * frame: group docs by (rounded) score, one cumulative window over
+    * the distinct-score frame, and
+    * AUC = Σ(2·negBefore·pos + pos·neg) / (2·P·N) — ties contribute the
+    * half-credit term exactly, and every sum is integer (decimal-widened
+    * against 1e9²-scale products) with ONE double division at the end.
+    *
+    * Scale shape: q_ks's — never a global rank over documents (the
+    * naive rank-sum AUC is a fact-sized unpartitioned sort); the
+    * window runs over score-value cardinality. */
+  def dsirAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perVal = dsirScoreUnsorted(spark, dir)
+      .select(col("avg_llr").as("s"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("s")
+      .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("ng"))
+    val wBefore = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val tot = perVal.agg(sum("p").as("np"), sum("ng").as("nn"))
+    perVal
+      .withColumn("nb", coalesce(sum(col("ng")).over(wBefore), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .groupBy("np", "nn")
+      .agg(sum(col("nb").cast("decimal(38,0)") * col("p") * 2
+        + col("p").cast("decimal(38,0)") * col("ng")).as("num2"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        when(col("np") === 0 || col("nn") === 0, lit(0.0))
+          .otherwise(round(col("num2").cast("double")
+            / (lit(2.0) * col("np") * col("nn")), 6)).as("auc"))
+  }
 }

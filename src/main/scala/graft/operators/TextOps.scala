@@ -56,7 +56,10 @@ object TextOps {
   /** Language-ID heuristic: marker-stopword hit counts per language,
     * argmax with deterministic preference order (mandate: n-gram-style
     * langid; markers stand in for the n-gram tables). */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, lang, pred_lang) — the marker-token heuristic shared by
+    * [[langId]] (the per-doc report) and [[evalMetrics]] (the
+    * per-class quality scorecard over the same predictions). */
+  private def langPredictions(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     def hits(markers: String*): Column =
       size(filter(toks, t => t.isin(markers: _*))).cast("long")
@@ -73,8 +76,48 @@ object TextOps {
           .when(col("c_es") >= greatest(col("c_fr"), col("c_zh")), lit("es"))
           .when(col("c_fr") >= col("c_zh"), lit("fr"))
           .otherwise(lit("zh")))
-      .select(col("doc_id"), col("pred_lang"), (col("pred_lang") === col("lang")).as("is_match"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"))
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langPredictions(spark, dir)
+      .select(col("doc_id"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).as("is_match"))
       .orderBy("doc_id")
+
+  /** q_eval_metrics: the per-class classifier scorecard — precision,
+    * recall, F1 of [[langPredictions]] against the labeled lang column,
+    * the evaluation verb between "model runs" (q_langid) and "ship it".
+    * F1 uses the integer identity 2·TP/(actual+predicted) — harmonic
+    * mean without ever forming the two double ratios, so the only
+    * doubles are the three final single divisions.
+    *
+    * Scale shape: one pass collapses predictions to the |classes|²
+    * confusion matrix; everything else lives on ≤|classes| rows. The
+    * class axis comes from the LABELED side, so a class the model never
+    * predicts still reports (recall 0, precision 0-guarded). */
+  def evalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val conf = langPredictions(spark, dir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val act = conf.groupBy(col("lang").as("cls")).agg(sum("n").as("act_n"))
+    val prd = conf.groupBy(col("pred_lang").as("cls")).agg(sum("n").as("pred_n"))
+    val tp = conf.filter(col("lang") === col("pred_lang"))
+      .select(col("lang").as("cls"), col("n").as("tp"))
+    act
+      .join(broadcast(prd), Seq("cls"), "left")
+      .join(broadcast(tp), Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
+        col("act_n"), coalesce(col("pred_n"), lit(0L)).as("pred_n"))
+      .select(col("cls"), col("tp"), col("act_n"), col("pred_n"),
+        when(col("pred_n") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double")
+            / col("pred_n").cast("double"), 4)).as("precision"),
+        round(col("tp").cast("double") / col("act_n").cast("double"), 4)
+          .as("recall"),
+        when(col("act_n") + col("pred_n") === 0, lit(0.0))
+          .otherwise(round((lit(2L) * col("tp")).cast("double")
+            / (col("act_n") + col("pred_n")).cast("double"), 4)).as("f1"))
+      .orderBy("cls")
   }
 
   /** Token counting: whitespace tokens, BPE-ish alpha-run count, and the
