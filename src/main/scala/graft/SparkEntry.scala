@@ -202,6 +202,8 @@ object SparkEntry {
     "q_markov" -> (Relational.markovStationary _),
     "q_eval_metrics" -> (TextOps.evalMetrics _),
     "q_auc" -> (Curation.dsirAuc _),
+    "q_kappa" -> (TextOps.cohenKappa _),
+    "q_stl" -> (Analytics.stlDecompose _),
     "q_impute" -> (Relational.imputeQuery _),
     "q_histogram" -> (Relational.histogram _),
     "q_histogram_eq" -> (Relational.histogramEquiDepth _),
@@ -1177,6 +1179,71 @@ object SparkEntry {
         |LEFT JOIN prd ON prd.cls = act.cls
         |LEFT JOIN tp ON tp.cls = act.cls
         |ORDER BY act.cls""".stripMargin,
+    // q_kappa: po, pe exact integer ratios; kappa = (agree*N - chance)/
+    // (N^2 - chance) in one closing division; N from the labeled side only
+    "q_kappa" ->
+      """WITH pred AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+        |         WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+        |         WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+        |         WHEN c_fr >= c_zh THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of'))) AS c_en,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das'))) AS c_de,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'los'))) AS c_es,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('le', 'les', 'une'))) AS c_fr,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('shi', 'bu', 'wo'))) AS c_zh
+        |    FROM documents) c
+        |), conf AS (
+        |  SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+        |), act AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS act_n
+        |           FROM conf GROUP BY 1
+        |), prd AS (SELECT pred_lang AS cls, CAST(sum(n) AS BIGINT) AS pred_n
+        |           FROM conf GROUP BY 1
+        |), agree AS (
+        |  SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_agree
+        |  FROM conf WHERE lang = pred_lang
+        |), totals AS (SELECT CAST(sum(act_n) AS BIGINT) AS n_total FROM act
+        |), chance AS (
+        |  SELECT COALESCE(sum(act_n * pred_n), 0) AS chance_mass
+        |  FROM act JOIN prd USING (cls))
+        |SELECT n_total, n_agree,
+        |  round(CAST(n_agree AS DOUBLE) / n_total, 4) AS po,
+        |  round(CAST(chance_mass AS DOUBLE)
+        |    / CAST(n_total * n_total AS DOUBLE), 4) AS pe,
+        |  round(CAST(n_agree * n_total - chance_mass AS DOUBLE)
+        |    / CAST(n_total * n_total - chance_mass AS DOUBLE), 4) AS kappa
+        |FROM agree CROSS JOIN chance CROSS JOIN totals""".stripMargin,
+    // q_stl: trend window sums integer cents; detrended kept as the
+    // scaled integer 7x - trend7 so the dow seasonal mean is an exact
+    // integer sum with one division; interior days only (n_win = 7)
+    "q_stl" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1
+        |), tr AS (
+        |  SELECT day, x,
+        |    count(*) OVER w AS n_win,
+        |    CAST(sum(x) OVER w AS BIGINT) AS trend7
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), det AS (
+        |  SELECT day, x, trend7, 7 * x - trend7 AS det7,
+        |    CAST(dayofweek(day) AS BIGINT) AS dow
+        |  FROM tr WHERE n_win = 7
+        |), seas AS (
+        |  SELECT dow, CAST(sum(det7) AS DOUBLE) / (7.0 * count(*))
+        |    AS seasonal_raw
+        |  FROM det GROUP BY 1)
+        |SELECT day, x AS cents,
+        |  round(trend7 / 7.0, 4) AS trend,
+        |  round(seasonal_raw, 4) AS seasonal,
+        |  round(det7 / 7.0 - seasonal_raw, 4) AS remainder
+        |FROM det JOIN seas USING (dow) ORDER BY day""".stripMargin,
     // q_auc: tie-corrected rank-sum over the VALUE-GROUPED score frame;
     // every sum exact integer, one division closes it
     "q_auc" ->

@@ -828,6 +828,45 @@ object Analytics {
       .orderBy("t_days")
   }
 
+  /** q_stl: additive seasonal decomposition of daily revenue —
+    * trend (centered 7-day moving average), day-of-week seasonal
+    * component (mean detrended value per dow), remainder; the
+    * classical-decomposition core of STL, the "is Monday really down
+    * or is the whole series down" separation q_seasonality's static
+    * profile can't give. Determinism: the 7-day trend window sums
+    * INTEGER cents; the detrended series is kept as the scaled integer
+    * 7·x − trend7 so the per-dow seasonal mean is an exact integer sum
+    * with one division — no double is ever summed (the Analytics
+    * header rule); remainder arithmetic is per-row fixed-order.
+    *
+    * Scale shape: one collapse to the daily frame; the MA window and
+    * the dow aggregate both run over calendar-bounded frames. Interior
+    * days only (the 3-day edges have no centered window), matching the
+    * oracle row-for-row. */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("n_win", count(lit(1)).over(w7))
+      .withColumn("trend7", sum(col("x")).over(w7))
+      .filter(col("n_win") === 7)
+      .withColumn("det7", lit(7L) * col("x") - col("trend7"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+    val seasonal = trended.groupBy("dow")
+      .agg(sum(col("det7")).as("det7_sum"), count(lit(1)).as("n_dow"))
+      .select(col("dow"),
+        (col("det7_sum").cast("double")
+          / (lit(7.0) * col("n_dow"))).as("seasonal_raw"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("x").as("cents"),
+        round(col("trend7") / lit(7.0), 4).as("trend"),
+        round(col("seasonal_raw"), 4).as("seasonal"),
+        round(col("det7") / lit(7.0) - col("seasonal_raw"), 4).as("remainder"))
+      .orderBy("day")
+  }
+
   /** q_holt: Holt's linear (double-exponential) smoothing of each
     * type's daily revenue — q_ema plus an explicit trend state, the
     * next rung on the forecasting ladder (catches the drifting mean

@@ -120,6 +120,43 @@ object TextOps {
       .orderBy("cls")
   }
 
+  /** q_kappa: Cohen's κ of [[langPredictions]] against the labels —
+    * chance-corrected agreement, the honest summary when classes are
+    * imbalanced (raw accuracy q_langid reports is inflated by the
+    * majority class). κ = (pₒ − pₑ)/(1 − pₑ) with pₒ = ΣTP/N and
+    * pₑ = Σ(actᶜ·predᶜ)/N² — both exact integer ratios, so κ is three
+    * integer aggregates and one closing double expression, computed in
+    * mirrored textual order on both engines.
+    *
+    * Scale shape: the |classes|² confusion collapse is the only
+    * fact-sized pass (shared shape with evalMetrics). */
+  def cohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    val conf = langPredictions(spark, dir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val act = conf.groupBy(col("lang").as("cls")).agg(sum("n").as("act_n"))
+    val prd = conf.groupBy(col("pred_lang").as("cls")).agg(sum("n").as("pred_n"))
+    val agree = conf.filter(col("lang") === col("pred_lang"))
+      .agg(coalesce(sum("n"), lit(0L)).as("n_agree"))
+    // rank-style products widened to decimal BEFORE the sum (the
+    // Analytics header rule: act·pred at 1e9 marginals overflows BIGINT);
+    // n_total comes from the labeled marginals ALONE — the act⋈prd inner
+    // join would silently drop a never-predicted class's mass from N
+    val totals = act.agg(sum(col("act_n")).as("n_total"))
+    val chance = act.join(prd, "cls")
+      .agg(coalesce(sum(col("act_n").cast("decimal(38,0)") * col("pred_n")),
+        lit(java.math.BigDecimal.ZERO)).as("chance_mass"))
+    agree.crossJoin(broadcast(chance)).crossJoin(broadcast(totals))
+      .select(col("n_total"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_total"), 4).as("po"),
+        round(col("chance_mass").cast("double")
+          / (col("n_total").cast("decimal(38,0)") * col("n_total"))
+            .cast("double"), 4).as("pe"),
+        round((col("n_agree").cast("decimal(38,0)") * col("n_total")
+            - col("chance_mass")).cast("double")
+          / (col("n_total").cast("decimal(38,0)") * col("n_total")
+            - col("chance_mass")).cast("double"), 4).as("kappa"))
+  }
+
   /** Token counting: whitespace tokens, BPE-ish alpha-run count, and the
     * chars/4 estimate (mandate: token counting). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
