@@ -226,6 +226,64 @@ class R8StatsSpec extends SparkSpec {
     }
   }
 
+  test("evalMetrics matches a local confusion recompute; kappa ≤ accuracy") {
+    import spark.implicits._
+    val preds = operators.TextOps.langId(spark, sf)
+      .as[(Long, String, Boolean)].collect()
+    val langs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toMap
+    val conf = preds.map(p => (langs(p._1), p._2))
+    val classes = conf.map(_._1).distinct.sorted
+    val got = operators.TextOps.evalMetrics(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == classes.toSet)
+    classes.foreach { c =>
+      val tp = conf.count(x => x._1 == c && x._2 == c).toLong
+      val act = conf.count(_._1 == c).toLong
+      val prd = conf.count(_._2 == c).toLong
+      val g = got(c)
+      assert((g._2, g._3, g._4) == ((tp, act, prd)), s"counts for $c")
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(g._7 == r4(2.0 * tp / (act + prd)), s"f1 for $c")
+    }
+    val kap = operators.TextOps.cohenKappa(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].head()
+    val po = kap._2.toDouble / kap._1
+    assert(kap._5 <= po + 1e-9, "kappa must not exceed raw accuracy")
+    assert(kap._1 == conf.length)
+  }
+
+  test("dsirAuc matches a local rank-sum AUC and lands in [0, 1]") {
+    import spark.implicits._
+    val scored = operators.Curation.dsirScore(spark, sf)
+      .as[(Long, String, Long, Double)].collect()
+    val pos = scored.filter(_._2 == "en").map(_._4)
+    val neg = scored.filter(_._2 != "en").map(_._4)
+    var num = 0.0
+    for (p <- pos; n <- neg)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val expect = BigDecimal(num / (pos.length.toLong * neg.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = operators.Curation.dsirAuc(spark, sf)
+      .as[(Long, Long, Double)].head()
+    assert(got._1 == pos.length && got._2 == neg.length)
+    assert(math.abs(got._3 - expect) < 1e-9, s"got ${got._3} expect $expect")
+    assert(got._3 >= 0.0 && got._3 <= 1.0)
+  }
+
+  test("stlDecompose reconstructs: trend + seasonal + remainder = cents") {
+    import spark.implicits._
+    val rows = operators.Analytics.stlDecompose(spark, sf)
+      .as[(java.sql.Date, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, cents, tr, se, re) =>
+      // components are each rounded to 4dp, so the identity holds to ~2e-4
+      assert(math.abs(tr + se + re - cents) < 5e-4, s"$d reconstruction")
+    }
+  }
+
   test("dsirScore: target-language docs score higher on average") {
     import spark.implicits._
     val rows = Curation.dsirScore(spark, sf)
