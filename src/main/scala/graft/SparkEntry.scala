@@ -204,6 +204,8 @@ object SparkEntry {
     "q_auc" -> (Curation.dsirAuc _),
     "q_kappa" -> (TextOps.cohenKappa _),
     "q_stl" -> (Analytics.stlDecompose _),
+    "q_ess" -> (Curation.effectiveSampleSize _),
+    "q_dpnoise" -> (Curation.dpNoisedCounts _),
     "q_impute" -> (Relational.imputeQuery _),
     "q_histogram" -> (Relational.histogram _),
     "q_histogram_eq" -> (Relational.histogramEquiDepth _),
@@ -1244,6 +1246,43 @@ object SparkEntry {
         |  round(seasonal_raw, 4) AS seasonal,
         |  round(det7 / 7.0 - seasonal_raw, 4) AS remainder
         |FROM det JOIN seas USING (dow) ORDER BY day""".stripMargin,
+    // q_ess: Kish effective sample size; squares widened before the sum
+    "q_ess" ->
+      """WITH base AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents
+        |), per AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS sw,
+        |    sum(w * w) AS sw2
+        |  FROM base GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', count(*), CAST(sum(w) AS BIGINT), sum(w * w)
+        |  FROM base)
+        |SELECT source, n_docs,
+        |  round(CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 4) AS ess,
+        |  round(CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE) / n_docs, 4)
+        |    AS ess_ratio
+        |FROM per ORDER BY source""".stripMargin,
+    // q_dpnoise: inverse-CDF Laplace draw on a hash-uniform; the ln input
+    // is the exact integer ratio (P - |2k+1-P|)/P
+    "q_dpnoise" ->
+      """WITH counts AS (
+        |  SELECT event_type, count(*) AS n_true FROM events GROUP BY 1
+        |), coded AS (
+        |  SELECT event_type, n_true,
+        |    list_sum(list_transform(range(1, length(event_type) + 1),
+        |      j -> ascii(substr(event_type, j, 1)) * j)) AS code
+        |  FROM counts
+        |), drawn AS (
+        |  SELECT event_type, n_true, (code * 2654435761) % 999983 AS k
+        |  FROM coded)
+        |SELECT event_type, CAST(n_true AS BIGINT) AS n_true,
+        |  round((CASE WHEN 2 * k + 1 < 999983 THEN -1.0 ELSE 1.0 END)
+        |    * -ln((999983 - abs(2 * k + 1 - 999983)) / 999983.0), 4) AS noise,
+        |  round(n_true + (CASE WHEN 2 * k + 1 < 999983 THEN -1.0 ELSE 1.0 END)
+        |    * -ln((999983 - abs(2 * k + 1 - 999983)) / 999983.0), 4)
+        |    AS n_released
+        |FROM drawn ORDER BY event_type""".stripMargin,
     // q_auc: tie-corrected rank-sum over the VALUE-GROUPED score frame;
     // every sum exact integer, one division closes it
     "q_auc" ->

@@ -349,6 +349,70 @@ object Curation {
             / col("n_tokens"), 4).as("avg_llr"))
   }
 
+  /** q_ess: effective sample size of length-weighted document sampling,
+    * per source and overall — Kish's (Σw)²/Σw² with w = token count:
+    * "if we sample ∝ length (the packSequences/weightedSample regime),
+    * how many EFFECTIVE documents does each source contribute". A
+    * source of one giant doc and 999 stubs has ESS ≈ 1 — the
+    * mix-design warning q_mix's raw doc counts hide. Both sums are
+    * exact integers (squares decimal-widened), one division each.
+    *
+    * Scale shape: one narrow projection, one partial-aggregable
+    * grouped agg plus its grand-total twin — nothing else. */
+  def effectiveSampleSize(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+    val per = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+        sum(col("w").cast("decimal(38,0)") * col("w")).as("sw2"))
+    val overall = base.groupBy(lit("ALL").as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+        sum(col("w").cast("decimal(38,0)") * col("w")).as("sw2"))
+    per.unionByName(overall)
+      .select(col("source"), col("n_docs"),
+        round((col("sw").cast("decimal(38,0)") * col("sw")).cast("double")
+          / col("sw2").cast("double"), 4).as("ess"),
+        round((col("sw").cast("decimal(38,0)") * col("sw")).cast("double")
+          / col("sw2").cast("double") / col("n_docs"), 4).as("ess_ratio"))
+      .orderBy("source")
+  }
+
+  /** q_dpnoise: differentially-private-style count release — per-type
+    * event counts with Laplace(1/ε) noise, ε = 1, drawn DETERMINISTICALLY
+    * by inverse-CDF over a hash-uniform: k = (code·2654435761) mod
+    * 999983, u = (k + 0.5)/999983, noise = −sgn(u−½)·ln(1 − 2|u−½|).
+    * The ln input is the exact integer ratio (P − |2k+1−P|)/P, so the
+    * release is reproducible across engines and reruns — the property
+    * an AUDITABLE privacy pipeline needs (the mechanism is standard;
+    * the deterministic draw is the engine contract, same stance as
+    * q_bootstrap's resampler). code is the position-weighted codepoint
+    * sum (the TokenCode formula), engine-neutral.
+    *
+    * Scale shape: one partial-aggregable count per type; the noise is
+    * a per-group scalar expression. */
+  def dpNoisedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val P = 999983L
+    val counts = Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+    val code = aggregate(
+      zip_with(split(col("event_type"), ""),
+        sequence(lit(1), length(col("event_type"))),
+        (ch, i) => ascii(ch) * i),
+      lit(0L), (acc, x) => acc + x)
+    val k = pmod(code * lit(2654435761L), lit(P))
+    val num = lit(P) - abs(lit(2L) * k + 1 - lit(P))
+    // u < ½ ⇔ 2k+1 < P: there the draw is the NEGATIVE tail ln(2u),
+    // i.e. −sgn(u−½)·ln(…) — the multiplier flips against the −ln
+    val noise = when(lit(2L) * k + 1 < lit(P), lit(-1.0)).otherwise(lit(1.0)) *
+      -log(num / lit(P.toDouble))
+    counts
+      .select(col("event_type"), col("n_true"),
+        round(noise, 4).as("noise"),
+        round(col("n_true") + noise, 4).as("n_released"))
+      .orderBy("event_type")
+  }
+
   /** q_auc: ROC AUC of the [[dsirScore]] ranking against the en/non-en
     * label — "does the importance weight actually separate the target
     * domain", the one-number check before resampling by it. Computed as
