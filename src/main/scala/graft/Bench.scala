@@ -70,6 +70,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // benchmarking a drifted fixture measures the wrong workload (the
+    // round-8 lesson) — same fail-fast gate as Verify
+    Preflight.check(spark, sfDir)
 
     def run(name: String): Unit = {
       SparkEntry.benchShapes(name)(spark, sfDir)

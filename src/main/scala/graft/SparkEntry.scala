@@ -1246,17 +1246,20 @@ object SparkEntry {
         |  round(seasonal_raw, 4) AS seasonal,
         |  round(det7 / 7.0 - seasonal_raw, 4) AS remainder
         |FROM det JOIN seas USING (dow) ORDER BY day""".stripMargin,
-    // q_ess: Kish effective sample size; squares widened before the sum
+    // q_ess: Kish effective sample size; sums kept in HUGEINT end to end
+    // (sum(w) is HUGEINT natively; the square is widened BEFORE the
+    // product) so sw·sw and Σw² stay exact at any scale factor, matching
+    // the Spark side's decimal(38,0) widening
     "q_ess" ->
       """WITH base AS (
         |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS w
         |  FROM documents
         |), per AS (
-        |  SELECT source, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS sw,
-        |    sum(w * w) AS sw2
+        |  SELECT source, count(*) AS n_docs, sum(w) AS sw,
+        |    sum(CAST(w AS HUGEINT) * w) AS sw2
         |  FROM base GROUP BY 1
         |  UNION ALL
-        |  SELECT 'ALL', count(*), CAST(sum(w) AS BIGINT), sum(w * w)
+        |  SELECT 'ALL', count(*), sum(w), sum(CAST(w AS HUGEINT) * w)
         |  FROM base)
         |SELECT source, n_docs,
         |  round(CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 4) AS ess,

@@ -100,19 +100,56 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part", Schemas.part)
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders", Schemas.orders)
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem", Schemas.lineitem)
-  /** events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark's
-    * vectorized reader won't map to TimestampType. Read it as a nanos long
-    * (legacy conf) and convert with integer division — ns epochs exceed
-    * 2^53, so a double-typed `/` would silently lose microseconds. */
+  /** events.ts has shipped as both parquet TIMESTAMP(MICROS) and
+    * TIMESTAMP(NANOS) across fixture generations, so the unit is SNIFFED
+    * from the parquet footer (a KB-sized driver-side read, no Spark job)
+    * rather than assumed. MICROS maps natively to Spark's TimestampType;
+    * NANOS is unsupported by the vectorized reader and is read as a nanos
+    * long (legacy conf) then converted with integer division — ns epochs
+    * exceed 2^53, so a double-typed `/` would silently lose microseconds.
+    * Round 8 burned entirely on assuming the wrong unit; never again. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Schemas.events.map {
-      case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
-      case f => f
-    })
-    spark.read.schema(raw).parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (eventsTsIsNanos(spark, dir)) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = StructType(Schemas.events.map {
+        case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
+        case f => f
+      })
+      spark.read.schema(raw).parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      read(spark, dir, "events", Schemas.events)
+    }
   }
+
+  /** True iff the fixture's `ts` column is annotated TIMESTAMP(NANOS) in
+    * the parquet footer. Cached per directory: the unit is a property of
+    * the fixture generation, not of any one query. */
+  private val tsUnitCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean =
+    tsUnitCache.computeIfAbsent(dir, { _ =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val hconf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = root.getFileSystem(hconf)
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath).minBy(_.getName)
+        else root
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hconf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val ts = schema.getType(schema.getFieldIndex("ts"))
+        ts.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }
+      } finally reader.close()
+    })
   /** events re-written once per sf dir as a date-partitioned table
     * (`event_date=YYYY-MM-DD/` directories) in scratch space, then read
     * back. Partition layout is THE 100 TB scan lever: a date-ranged query
@@ -121,14 +158,15 @@ object Tables {
     * a single file, so the partitioned twin is materialized here; a real
     * deployment would ingest straight into this layout. */
   def eventsByDate(spark: SparkSession, dir: String): DataFrame = {
-    // scratch key = layout version (v2; bump on layout change) + fixture
+    // scratch key = layout version (v3; bump on layout OR reader-logic
+    // change — v2 scratch was written by the stale nanos reader) + fixture
     // content signature (mtime+size of events.parquet), so a regenerated
     // fixture at the same path is never answered from stale scratch
     val src = new java.io.File(s"$dir/events.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
     val sig = s"${files.map(_.lastModified).max}_${files.map(_.length).sum}"
     val scratch = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_events_by_date/v2_" +
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_by_date/v3_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + sig)
     if (!new java.io.File(scratch, "_SUCCESS").exists()) {
       // write into a process-private temp dir, publish by atomic rename:

@@ -599,7 +599,13 @@ object Analytics {
     *
     * Scale shape: identical to q_ks — one partial-aggregable collapse
     * to the distinct-cents frame, cumulative + lead windows over that
-    * value-cardinality frame, never the fact. */
+    * value-cardinality frame, never the fact. BOUNDED-DOMAIN ASSUMPTION
+    * (shared with q_ks): the unpartitioned windows are safe because
+    * `value` is a price on a cents grid (≤10⁴ distinct values), a
+    * property of the DOMAIN, not of the data volume. For an unbounded
+    * continuous measure, bucket to a fixed grid first (the
+    * q_histogram_eq boundary recipe) or two-level the prefix sum (the
+    * q_auc reshape) before this plan runs at scale. */
   def emdDistance(spark: SparkSession, dir: String): DataFrame = {
     val perVal = Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "view"))

@@ -363,31 +363,46 @@ object Curation {
     val base = Tables.documents(spark, dir)
       .select(col("source"),
         size(split(col("text"), " ")).cast("long").as("w"))
+    // sums decimal-widened END TO END (not just the squares): a plain
+    // long sum(w) silently wraps past 2^63 while the claim is "exact
+    // integers"; decimal(38,0) keeps sw and sw·sw exact at any SF
     val per = base.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+      .agg(count(lit(1)).as("n_docs"), sum(col("w").cast("decimal(38,0)")).as("sw"),
         sum(col("w").cast("decimal(38,0)") * col("w")).as("sw2"))
-    val overall = base.groupBy(lit("ALL").as("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+    // the grand total is a GLOBAL agg, not groupBy(lit("ALL")): a grouped
+    // agg over an empty frame emits 0 rows where the oracle's ungrouped
+    // SELECT always emits 1 — the two must agree on empty input
+    val overall = base
+      .agg(count(lit(1)).as("n_docs"), sum(col("w").cast("decimal(38,0)")).as("sw"),
         sum(col("w").cast("decimal(38,0)") * col("w")).as("sw2"))
+      .select(lit("ALL").as("source"), col("n_docs"), col("sw"), col("sw2"))
     per.unionByName(overall)
       .select(col("source"), col("n_docs"),
-        round((col("sw").cast("decimal(38,0)") * col("sw")).cast("double")
+        round((col("sw") * col("sw")).cast("double")
           / col("sw2").cast("double"), 4).as("ess"),
-        round((col("sw").cast("decimal(38,0)") * col("sw")).cast("double")
+        round((col("sw") * col("sw")).cast("double")
           / col("sw2").cast("double") / col("n_docs"), 4).as("ess_ratio"))
       .orderBy("source")
   }
 
-  /** q_dpnoise: differentially-private-style count release — per-type
-    * event counts with Laplace(1/ε) noise, ε = 1, drawn DETERMINISTICALLY
-    * by inverse-CDF over a hash-uniform: k = (code·2654435761) mod
-    * 999983, u = (k + 0.5)/999983, noise = −sgn(u−½)·ln(1 − 2|u−½|).
-    * The ln input is the exact integer ratio (P − |2k+1−P|)/P, so the
-    * release is reproducible across engines and reruns — the property
-    * an AUDITABLE privacy pipeline needs (the mechanism is standard;
-    * the deterministic draw is the engine contract, same stance as
-    * q_bootstrap's resampler). code is the position-weighted codepoint
-    * sum (the TokenCode formula), engine-neutral.
+  /** q_dpnoise: Laplace-SHAPED noisy count release — per-type event
+    * counts plus Laplace(1/ε)-distributed offsets, ε = 1, drawn
+    * DETERMINISTICALLY by inverse-CDF over a hash-uniform:
+    * k = (code·2654435761) mod 999983, u = (k + 0.5)/999983,
+    * noise = −sgn(u−½)·ln(1 − 2|u−½|). The ln input is the exact
+    * integer ratio (P − |2k+1−P|)/P, so the release is reproducible
+    * across engines and reruns.
+    *
+    * NOT A PRIVACY MECHANISM — engine-parity fixture only. The noise is
+    * a deterministic function of the group NAME, so anyone who knows the
+    * mechanism subtracts it exactly, and a hash-uniform over ~25k code
+    * values is not statistically uniform: the release carries ZERO
+    * differential privacy. Real DP requires a fresh cryptographic random
+    * draw per release (and composition accounting); what this query
+    * exercises is the ENGINE side of such a pipeline — the per-group
+    * scalar noise expression, exact inverse-CDF arithmetic, and
+    * cross-engine reproducibility of the released frame. code is the
+    * position-weighted codepoint sum (TokenCode), engine-neutral.
     *
     * Scale shape: one partial-aggregable count per type; the noise is
     * a per-group scalar expression. */
@@ -395,11 +410,11 @@ object Curation {
     val P = 999983L
     val counts = Tables.events(spark, dir)
       .groupBy("event_type").agg(count(lit(1)).as("n_true"))
-    val code = aggregate(
-      zip_with(split(col("event_type"), ""),
-        sequence(lit(1), length(col("event_type"))),
-        (ch, i) => ascii(ch) * i),
-      lit(0L), (acc, x) => acc + x)
+    // codegen'd TokenCode, not the zip_with(split, sequence) HOF: the
+    // HOF pairing silently depends on Spark >= 3.4 empty-pattern split
+    // semantics (SPARK-40194) — one trailing empty element on older
+    // builds null-pads the whole release
+    val code = graft.functions.TokenCode.tokenCode(col("event_type"))
     val k = pmod(code * lit(2654435761L), lit(P))
     val num = lit(P) - abs(lit(2L) * k + 1 - lit(P))
     // u < ½ ⇔ 2k+1 < P: there the draw is the NEGATIVE tail ln(2u),
@@ -423,9 +438,17 @@ object Curation {
     * half-credit term exactly, and every sum is integer (decimal-widened
     * against 1e9²-scale products) with ONE double division at the end.
     *
-    * Scale shape: q_ks's — never a global rank over documents (the
-    * naive rank-sum AUC is a fact-sized unpartitioned sort); the
-    * window runs over score-value cardinality. */
+    * Scale shape (r8 verdict task #4): `avg_llr` is a per-doc double,
+    * so the distinct-score frame is ~|docs| — an unpartitioned window
+    * over it is a single-task sort of the corpus at 100 TB. Reshaped to
+    * the q_wmedian two-level prefix sum: (1) coarse score buckets
+    * (1/64-wide on the LLR axis) aggregate per-bucket negative counts;
+    * the bucket-offset window runs over the BUCKET frame, whose
+    * cardinality is bounded by the score RANGE (log-likelihood ratios,
+    * a few hundred buckets), not by |docs|; (2) the exact
+    * cumulative-before count is bucket offset + a within-bucket window
+    * PARTITIONED by bucket — distributed, never a global sort. The AUC
+    * is bit-identical to the one-window form. */
   def dsirAuc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perVal = dsirScoreUnsorted(spark, dir)
@@ -433,11 +456,19 @@ object Curation {
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       .groupBy("s")
       .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("ng"))
-    val wBefore = Window.orderBy("s")
+      .withColumn("b", floor(col("s") * 64).cast("long"))
+    val wBucket = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = perVal.groupBy("b").agg(sum("ng").as("bng"))
+      .withColumn("off", coalesce(sum(col("bng")).over(wBucket), lit(0L)))
+      .select("b", "off")
+    val wIn = Window.partitionBy("b").orderBy("s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val tot = perVal.agg(sum("p").as("np"), sum("ng").as("nn"))
     perVal
-      .withColumn("nb", coalesce(sum(col("ng")).over(wBefore), lit(0L)))
+      .withColumn("nb", coalesce(sum(col("ng")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), "b")
+      .withColumn("nb", col("nb") + col("off"))
       .crossJoin(broadcast(tot))
       .groupBy("np", "nn")
       .agg(sum(col("nb").cast("decimal(38,0)") * col("p") * 2

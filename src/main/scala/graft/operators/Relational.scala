@@ -1756,8 +1756,13 @@ object Relational {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-      (col("n") * col("sxx") - col("sx") * col("sx"))
+    // a degenerate group (all events on one day) zeroes the denominator;
+    // under ANSI mode an unguarded `/` ABORTS THE JOB, so degrade to NULL
+    // instead — which is also DuckDB's x/0 convention, keeping the oracle
+    // in agreement when a group IS degenerate
+    val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = when(denom === 0, lit(null).cast("double"))
+      .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / denom)
     agg.select(col("event_type"), col("n"),
         round(slope, 6).as("slope_cents_per_day"),
         round((col("sy") - slope * col("sx")).cast("double") / col("n"), 4)

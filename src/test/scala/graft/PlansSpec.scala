@@ -224,4 +224,26 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"tau grid should broadcast:\n${plan.take(1500)}")
   }
+
+  test("q_auc plan: no unpartitioned Window over a doc-cardinality frame") {
+    // r8 verdict task #4: avg_llr is a per-doc double, so the distinct-
+    // score frame scales with |documents| — any unpartitioned window over
+    // it is a single-task corpus sort at 100 TB. After the two-level
+    // reshape the only unpartitioned window is the bucket-offset scan,
+    // whose input aggregates scores down to the range-bounded bucket
+    // grain (an Aggregate GROUPING BY the bucket key alone sits in its
+    // subtree); the per-score window is partitioned by bucket.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    val df = operators.Curation.dsirAuc(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(wins.nonEmpty, "expected windows in q_auc")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val bucketAgg = w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.size == 1 => a
+      }
+      assert(bucketAgg.isDefined,
+        s"unpartitioned window not over the bucket-grain aggregate:\n$w")
+    }
+    assert(df.count() == 1)
+  }
 }

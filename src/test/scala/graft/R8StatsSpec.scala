@@ -295,4 +295,33 @@ class R8StatsSpec extends SparkSpec {
     assert(avg(en) > avg(rest),
       s"en avg ${avg(en)} should exceed non-en avg ${avg(rest)}")
   }
+
+  test("single-day events: the stats family degrades, never ANSI-aborts") {
+    import spark.implicits._
+    // all events on ONE day: every x is identical, so OLS/variance
+    // denominators are exactly 0 — the class of input that crashed
+    // q_trend in round 8 (DIVIDE_BY_ZERO job abort under ANSI)
+    val dir = java.nio.file.Files.createTempDirectory("graft_degenerate")
+      .toFile.getPath
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    Seq(
+      (1L, ts, 10L, "click", 1.25, """{"k":1}"""),
+      (2L, ts, 11L, "view", 2.50, """{"k":2}"""),
+      (3L, ts, 10L, "click", 0.75, """{"k":3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val trend = operators.Relational.linearTrend(spark, dir).collect()
+    assert(trend.length == 2)
+    assert(trend.forall(_.isNullAt(2)), "degenerate slope must be NULL")
+    // the rest of the family must complete (empty or guarded output is
+    // fine; a thrown SparkArithmeticException is not)
+    operators.Analytics.autocorr(spark, dir).collect()
+    operators.Analytics.runsTest(spark, dir).collect()
+    operators.Analytics.mannKendall(spark, dir).collect()
+    operators.Analytics.seasonality(spark, dir).collect()
+    operators.Analytics.spearman(spark, dir).collect()
+    operators.Analytics.theilSen(spark, dir).collect()
+    operators.Analytics.stlDecompose(spark, dir).collect()
+    operators.Analytics.holt(spark, dir).collect()
+  }
 }
