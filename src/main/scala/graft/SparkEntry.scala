@@ -227,6 +227,10 @@ object SparkEntry {
     // rows-only: the batched scorer's digest arithmetic + row-local NMS
     // have no SQL twin; CrowdPipelineSpec pins batch-shape invariance
     "q_pipeline" -> (graft.pipeline.CrowdPipeline.pipelineQuery _),
+    // rows-only: LR coefficients have no SQL twin; MlScoringSpec pins
+    // model quality (>0.9 rule agreement), save/load round-trip, and
+    // streaming/batch prediction equality
+    "q_ml_risk" -> (graft.pipeline.MlScoring.mlRiskQuery _),
   )
 
   /** Bench-time plan shapes: identical to `queries` except that the two

@@ -104,18 +104,23 @@ object CrowdPipeline {
     * row-at-a-time UDF). */
   def scoreBatched(frames: DataFrame, scorer: Array[Byte] => Seq[Det] = scoreHeavy,
                    batchSize: Int = 64): DataFrame = {
-    val outSchema = StructType(frameSchema.fields :+
+    // passthrough schema: every input column survives (a label or join key
+    // riding on the frame reaches the stages AFTER the model boundary —
+    // what the MLlib Pipeline wiring needs), `dets` appended last
+    val inSchema = frames.schema
+    val imgIdx = inSchema.fieldIndex("image")
+    val outSchema = StructType(inSchema.fields :+
       StructField("dets", detectionType))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    frames.select("camera_id", "frame_id", "ts", "image").mapPartitions { rows =>
+    frames.mapPartitions { rows =>
       // per-partition init point: a real impl deserializes the broadcast
       // model here, once, before the batch loop
       val model: Array[Byte] => Seq[Det] = scorer
       rows.grouped(batchSize).flatMap { batch =>
         // one "forward call" per batch
-        val dets = batch.map(r => model(r.getAs[Array[Byte]](3)))
+        val dets = batch.map(r => model(r.getAs[Array[Byte]](imgIdx)))
         batch.lazyZip(dets).map { (r, ds) =>
-          Row(r.get(0), r.get(1), r.get(2), r.get(3),
+          Row.fromSeq(r.toSeq :+
             ds.map(d => Row(d.x, d.y, d.w, d.h, d.conf, d.class_id)))
         }
       }
