@@ -25,8 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  val K = 16
-  val NProbe = 2
+  /** K lists, NProbe probed: the scan fraction is NProbe/K (unchanged at
+    * 1/8 from r8) but the r9 move to a FINER quantizer (16→32 cells,
+    * probing 4) raises recall at the same scan budget — smaller cells
+    * put more of each probe's true neighborhood inside its nearest
+    * cells. The knob hierarchy at 100 TB: grow K with the corpus
+    * (cells stay constant-sized), tune NProbe to the recall target. */
+  val K = 32
+  val NProbe = 4
 
   /** Fitted quantizer per fixture dir. An IVF index is built ONCE, offline,
     * and amortized over every query that probes it — retraining the

@@ -82,8 +82,12 @@ object Pq {
     (coded, models.map(_.clusterCenters.map(_.toArray)))
   }
 
-  /** Shortlist size for the ADC prune stage. */
-  val Shortlist = 50
+  /** Shortlist size for the ADC prune stage — the recall/cost knob: the
+    * exact re-rank touches |probes|·Shortlist float vectors, so widening
+    * it buys recall at a cost INDEPENDENT of corpus size (200 of 6k here,
+    * 200 of billions at 100 TB — same float budget per probe). 50 → 200
+    * lifted measured recall@10 from 0.70 (r8) to ~0.9 (PqSpec). */
+  val Shortlist = 200
 
   /** q_pq_topk: top-10 neighbors per probe (vec_id < 10) via the
     * production two-stage recipe — ADC over the 4-byte codes prunes the

@@ -36,9 +36,10 @@ class PqSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     info(f"PQ mean top-10 recall = $mean%.3f")
     // after the exact re-rank, recall@10 is the fraction of true top-10
-    // that survived the ADC top-50 prune (a 10x pruning of the corpus);
-    // far above the 50/499 ~ 0.1 random-shortlist baseline
-    assert(mean >= 0.5, f"PQ recall $mean%.3f under floor")
+    // that survived the ADC top-200 prune; measured 0.970 with the r9
+    // widened shortlist (was 0.70 at 50 — the shortlist is the
+    // corpus-size-independent recall knob); floor leaves version slack
+    assert(mean >= 0.9, f"PQ recall $mean%.3f under floor")
 
     // every probe yields a full top-10 and codes stay in the 4-bit domain
     assert(approx.size == 10 && approx.values.forall(_.size == 10))
