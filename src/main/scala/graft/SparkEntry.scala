@@ -60,6 +60,7 @@ object SparkEntry {
     "q_json" -> (Relational.jsonExtract _),
     "q_crowd_alert" -> (Relational.crowdAlert _),
     "q_session" -> (Relational.sessionize _),
+    "q_watermark" -> (Relational.watermarkReplay _),
     "q_validate" -> (Relational.validationDispatch _),
     "q_auth" -> (Relational.authenticate _),
     "q_corr_subq" -> (Relational.correlatedSubqueries _),
@@ -1693,6 +1694,27 @@ object SparkEntry {
         |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
         |  count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+    // q_watermark: streaming late-drop rule under deterministic replay —
+    // arrival = event time + bounded hash jitter; watermark = running
+    // max(event time) − 10 min over arrival order; an event is dropped
+    // iff its 10-min window end ≤ the watermark at its arrival
+    "q_watermark" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      + (event_id * 2654435761) % 3600 - 1800 AS arr
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, sec, (sec // 600) * 600 AS w_start,
+        |    max(sec) OVER (ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        |  FROM e
+        |)
+        |SELECT event_type, w_start, count(*) AS n_kept
+        |FROM w
+        |WHERE mx IS NULL OR w_start + 600 > mx - 600
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_validate" ->
       """SELECT status, count(*) AS n FROM (
         |  SELECT CASE

@@ -411,6 +411,59 @@ object Relational {
       .select(unix_timestamp(col("window.start")).as("win_start"), col("user_id"), col("n_events"))
       .orderBy("win_start", "user_id")
 
+  /** E-WATERMARK batch twin (q_watermark): Structured Streaming's
+    * late-data drop rule under a DETERMINISTIC replay, oracle-checkable —
+    * the one streaming semantic that previously had spec-only coverage
+    * (r8 verdict "what's missing" #2).
+    *
+    * Replay model: arrival order is event-time order plus bounded jitter
+    * (arr = epoch(ts) + hash(event_id) mod 3600 − 1800 — the Knuth-hash
+    * idiom, same draw both engines); the watermark after each arrival is
+    * max(event time seen so far) − 10 min, and an event is DROPPED iff
+    * its 10-min tumbling window has already closed (window_end ≤
+    * watermark at arrival) — exactly when a streaming windowed aggregate
+    * discards it. ~45% of fixture events arrive late enough to drop, so
+    * the rule is exercised both ways. Output: kept-event count per
+    * (event_type, window).
+    *
+    * Scale shape: the running max over arrival order is a prefix
+    * aggregation, so it uses the q_auc two-level recipe instead of one
+    * unpartitioned fact window — arrival-day block maxima take the
+    * ordered window over the BLOCK frame (calendar-bounded), the exact
+    * per-row prefix max is block offset (broadcast) + a within-block
+    * window PARTITIONED by block. The hash multiply stays in ANSI-safe
+    * long range up to ~3.5e9 events; past that, route the mix through
+    * the 128-bit-safe TokenCode/xxhash path. */
+  def watermarkReplay(spark: SparkSession, dir: String): DataFrame = {
+    val delay = 600L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"),
+        (unix_timestamp(col("ts"))
+          + pmod(col("event_id") * lit(2654435761L), lit(3600L)) - 1800L).as("arr"))
+    // sentinel well below any epoch (and overflow-safe under − delay)
+    // for "no arrivals yet": the global first arrival has no watermark
+    val noWm = -1000000000000L
+    val blocked = ev.withColumn("blk", expr("arr div 86400"))
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = blocked.groupBy("blk").agg(max("sec").as("bmax"))
+      .withColumn("off", max(col("bmax")).over(wBlk))
+      .select(col("blk"), col("off"))
+    val wIn = Window.partitionBy("blk").orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    blocked
+      .withColumn("inmax", max(col("sec")).over(wIn))
+      .join(broadcast(offsets), "blk")
+      .withColumn("mx", greatest(coalesce(col("inmax"), lit(noWm)),
+        coalesce(col("off"), lit(noWm))))
+      .withColumn("w_start", expr("sec div 600") * 600)
+      .filter(col("w_start") + 600 > col("mx") - delay)
+      .groupBy("event_type", "w_start")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("event_type", "w_start")
+  }
+
   /** E-SCAN partition pruning: daily totals for one queried week over the
     * date-partitioned events layout (Tables.eventsByDate). The event_date
     * predicate resolves against directory names (scan `PartitionFilters`),

@@ -225,6 +225,26 @@ class PlansSpec extends SparkSpec {
       s"tau grid should broadcast:\n${plan.take(1500)}")
   }
 
+  test("q_watermark plan: prefix max is two-level, no unpartitioned fact window") {
+    // the replay watermark is a running max over arrival order — a prefix
+    // aggregation, so it must use the q_auc recipe: the only unpartitioned
+    // window runs over the arrival-day BLOCK frame (an Aggregate grouping
+    // by the block key sits in its subtree); the per-row window is
+    // partitioned by block
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    val df = operators.Relational.watermarkReplay(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(wins.nonEmpty, "expected windows in q_watermark")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val blockAgg = w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.size == 1 => a
+      }
+      assert(blockAgg.isDefined,
+        s"unpartitioned window not over the block-grain aggregate:\n$w")
+    }
+    assert(df.count() > 0)
+  }
+
   test("q_auc plan: no unpartitioned Window over a doc-cardinality frame") {
     // r8 verdict task #4: avg_llr is a per-doc double, so the distinct-
     // score frame scales with |documents| — any unpartitioned window over
