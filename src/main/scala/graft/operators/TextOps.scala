@@ -1144,9 +1144,14 @@ object TextOps {
         slice(col("g4"), lit(1), greatest(size(col("g4")) - 2, lit(0))),
         slice(col("g2"), lit(5), greatest(size(col("g4")) - 2, lit(0))),
         (a, b) => concat(a, lit("_"), b))).as("gram"))
-    g6.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("df"),
-        count(lit(1)).as("n_occurrences"),
+    // two plain hash aggs instead of countDistinct+count in one (which
+    // plans an Expand that doubles the exploded gram stream): collapse
+    // to (gram, doc) with per-doc occurrence counts first — partial-
+    // aggregable map-side — then df is a plain count over that frame
+    g6.groupBy("gram", "doc_id").agg(count(lit(1)).as("occ"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"),
+        sum("occ").as("n_occurrences"),
         min("doc_id").as("min_doc"))
       .filter(col("df") >= 2)
       .orderBy(col("df").desc, col("gram"))
