@@ -567,9 +567,13 @@ object TextOps {
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val df = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
-    val corpus = toks.agg(
-      countDistinct(col("doc_id")).as("n_docs"),
-      (count(lit(1)) / countDistinct(col("doc_id"))).as("avgdl"))
+    // corpus stats from the doc-cardinality dl frame, not a
+    // countDistinct over the exploded token stream (whose mixed
+    // distinct+plain agg would Expand-double the widest frame):
+    // n_docs = |dl| and avgdl = Σdl/|dl| are the same values exactly
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val score = round(idf * col("tf") * (lit(k1) + 1) /
@@ -1025,8 +1029,12 @@ object TextOps {
         explode(array_distinct(transform(
           sequence(lit(1), size(col("h")) - 3),
           i => array_min(slice(col("h"), i, lit(4)))))).as("fingerprint"))
+      // de-distinct (the q_repeated_grams reshape): collapse to
+      // (fingerprint, doc) first so df is a plain count — no Expand
+      // over the exploded fingerprint stream
+      .groupBy("fingerprint", "doc_id").agg(count(lit(1)).as("occ"))
       .groupBy("fingerprint")
-      .agg(countDistinct(col("doc_id")).as("df"), min("doc_id").as("min_doc"))
+      .agg(count(lit(1)).as("df"), min("doc_id").as("min_doc"))
       .filter(col("df") >= 2)
       .orderBy(col("df").desc, col("fingerprint"))
       .limit(50)
