@@ -32,11 +32,18 @@ object Curation {
 
   /** Per-split / per-language corpus accounting: doc and token totals.
     * The report a data curator reads before training — split sizes and
-    * language balance in one pass (scan → narrow project → one agg). */
+    * language balance in one pass (scan → narrow project → one agg).
+    * Token count is the arithmetic space count via `translate`
+    * (separators + 1 ≡ `size(split(text, " "))` exactly, empties
+    * included on both definitions) — no per-row token-array
+    * materialization. At fixture scale the query is scan/overhead-bound
+    * either way (measured flat); the allocation-free form is for the
+    * 100 TB scan, where per-row array churn is pure GC. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(splitOf(col("doc_id")).as("split"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("toks"))
+        (length(col("text")) - length(translate(col("text"), " ", ""))
+          + 1L).cast("long").as("toks"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
       .orderBy("split", "lang")
