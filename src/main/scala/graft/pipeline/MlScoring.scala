@@ -126,10 +126,10 @@ object MlScoring {
     * signature, lazy fit holder): a regenerated fixture replaces the
     * entry; the lazy holder keeps the multi-second fit out of the CHM
     * bin lock. */
-  private final class LazyModel(fit: () => PipelineModel) {
+  private[graft] final class LazyModel(fit: () => PipelineModel) {
     lazy val model: PipelineModel = fit()
   }
-  private val modelCache =
+  private[graft] val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, LazyModel)]()
 
   private def contentSig(dir: String): String = {

@@ -84,6 +84,25 @@ class MlScoringSpec extends SparkSpec {
     assert(m.transform(frames).select("prediction").count() > 0)
   }
 
+  test("model cache: reused while the corpus is unchanged, REPLACED when it changes") {
+    // the Ivf.modelCache discipline, verified for the ml pipeline too
+    val dir = java.nio.file.Files.createTempDirectory("graft_ml_cache").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    MlScoring.fitCrowdRisk(spark, dir)
+    val first = MlScoring.modelCache.get(dir)
+    assert(first != null)
+    MlScoring.fitCrowdRisk(spark, dir)
+    assert(MlScoring.modelCache.get(dir)._2 eq first._2, "unchanged corpus must reuse the model")
+    val f = new java.io.File(s"$dir/documents.parquet")
+    assert(f.setLastModified(f.lastModified() + 60000))
+    MlScoring.fitCrowdRisk(spark, dir)
+    val second = MlScoring.modelCache.get(dir)
+    assert(second._1 != first._1, "content signature should have changed")
+    assert(!(second._2 eq first._2), "model should have been refitted")
+  }
+
   test("q_ml_risk: per-camera rollup is stable-shaped and label-consistent") {
     val out = MlScoring.mlRiskQuery(spark, sf).collect()
     assert(out.nonEmpty)
