@@ -225,6 +225,23 @@ class PlansSpec extends SparkSpec {
       s"tau grid should broadcast:\n${plan.take(1500)}")
   }
 
+  test("de-distinct reshapes: no Expand over exploded streams (grams, bm25, winnow)") {
+    // r9 sweep: countDistinct mixed with plain aggregates plans an
+    // Expand that doubles the aggregate's input — fatal when that input
+    // is an exploded token/gram/fingerprint stream (the widest frame in
+    // each query). All three now use chained plain hash aggs; the
+    // distinct-agg SHOWCASE queries (q_agg_distinct/q_multi_distinct)
+    // keep their Expand on purpose and are not pinned here.
+    import org.apache.spark.sql.catalyst.plans.logical.Expand
+    for ((name, df) <- Seq(
+        "q_repeated_grams" -> operators.TextOps.repeatedGrams(spark, sf),
+        "q_bm25" -> operators.TextOps.bm25(spark, sf),
+        "q_winnow" -> operators.TextOps.winnow(spark, sf))) {
+      val expands = df.queryExecution.optimizedPlan.collect { case e: Expand => e }
+      assert(expands.isEmpty, s"$name still plans an Expand:\n${expands.headOption}")
+    }
+  }
+
   test("q_watermark plan: prefix max is two-level, no unpartitioned fact window") {
     // the replay watermark is a running max over arrival order — a prefix
     // aggregation, so it must use the q_auc recipe: the only unpartitioned
