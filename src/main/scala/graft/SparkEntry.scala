@@ -1143,7 +1143,7 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens,
         |  round(list_sum(list_transform(l, s ->
         |    s.tf * (ln((s.ct + 1) / CAST(nt + v AS DOUBLE))
-        |          - ln((s.c + 1) / CAST(n + v AS DOUBLE))))) / n_tokens, 4)
+        |          - ln((s.c + 1) / CAST(n + v AS DOUBLE))))) / n_tokens, 4) + 0.0
         |    AS avg_llr
         |FROM per CROSS JOIN scalars ORDER BY doc_id""".stripMargin,
     // q_eval_metrics: F1 via the integer identity 2TP/(act+pred) — no
@@ -1390,9 +1390,9 @@ object SparkEntry {
         |), tot AS (SELECT count(*) AS n_users FROM dur
         |), risk AS (
         |  SELECT t, d,
-        |    n_users - COALESCE(sum(leaving) OVER
+        |    CAST(n_users - COALESCE(sum(leaving) OVER
         |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS n_risk
+        |      AS BIGINT) AS n_risk
         |  FROM pert CROSS JOIN tot)
         |SELECT t AS t_days, n_risk, d AS d_events,
         |  CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER
