@@ -108,6 +108,11 @@ object CrowdPipeline {
     // riding on the frame reaches the stages AFTER the model boundary —
     // what the MLlib Pipeline wiring needs), `dets` appended last
     val inSchema = frames.schema
+    // a frame that already carries `dets` means the scorer is being applied
+    // twice (e.g. a double-applied PipelineModel) — the duplicate field name
+    // would make downstream resolution ambiguous, so fail loudly here
+    require(!inSchema.fieldNames.contains("dets"),
+      "scoreBatched input already has a 'dets' column — scorer applied twice?")
     val imgIdx = inSchema.fieldIndex("image")
     val outSchema = StructType(inSchema.fields :+
       StructField("dets", detectionType))

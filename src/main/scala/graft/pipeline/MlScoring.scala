@@ -152,11 +152,19 @@ object MlScoring {
     * coefficients have no SQL oracle; the spec pins model quality and
     * save/load round-trip instead). The model comes from the fit-once
     * cache, so the steady-state query cost is transform-only — the
-    * production lifecycle (train offline, serve per query). */
+    * production lifecycle (train offline, serve per query).
+    *
+    * The heavy scoring boundary runs ONCE: raw frames go straight into
+    * `model.transform` (whose first stage is the [[DetectionScorer]]),
+    * and the reference-rule label is derived from the `dets` that pass
+    * already produced via [[CrowdPipeline.personCounts]] — not by
+    * re-scoring through [[labeledFrames]], which would double the
+    * per-query inference cost for an identical (deterministic) label. */
   def mlRiskQuery(spark: SparkSession, dir: String): DataFrame = {
-    val frames = labeledFrames(spark, dir)
     val model = fitCrowdRisk(spark, dir)
-    model.transform(frames)
+    val scored = model.transform(CrowdPipeline.framesFromDocuments(spark, dir))
+    CrowdPipeline.personCounts(scored)
+      .withColumn("crowd_label", when(col("crowded"), 1.0).otherwise(0.0))
       .groupBy("camera_id")
       .agg(count(lit(1)).as("n_frames"),
         sum(col("prediction")).cast("long").as("n_pred_crowded"),
