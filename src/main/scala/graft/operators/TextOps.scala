@@ -1129,39 +1129,50 @@ object TextOps {
     * many distinct documents and total occurrences carry each. Where
     * winnow fingerprints LOCALIZE shared runs probabilistically, this
     * reports the literal repeated spans themselves — the rows a curator
-    * reads to decide what boilerplate to strip. 6-grams are built by
-    * chaining the same materialized zip_with stages as the
-    * decontamination 4-grams (each stage's array bound to an attribute
-    * first — the quadratic-recompute trap, see shingleCodes); the wide
-    * part is one explode → hash agg on the gram key. */
+    * reads to decide what boilerplate to strip.
+    *
+    * The wide stream carries ONLY 8-byte keys (the winnow trick): each
+    * 6-gram position hashes to a LONG via one codegen'd `xxhash64` over
+    * the six token columns — no concatenated 60-byte gram string is ever
+    * built, shuffled, or hash-agg'd at corpus scale (the r9 profile
+    * showed the string-keyed agg over ~500k grams at 1.9× baseline).
+    * Two plain hash aggs (no Expand — PlansSpec pin): (key, doc) with
+    * per-doc occurrence counts and first position, then per-key df /
+    * occurrence totals. Gram TEXT is reconstructed only for the tiny
+    * df ≥ 2 candidate frame, by broadcasting it against one more narrow
+    * scan of its `min_doc` rows and slicing the tokens at the recorded
+    * position — strings exist only on candidate-cardinality frames.
+    * Key collisions are the usual 64-bit-sketch risk (~n²/2⁶⁵ — ~10⁻⁹
+    * even at 10⁹ distinct grams), the same bound the MinHash/fingerprint
+    * family already accepts. */
   def repeatedGrams(spark: SparkSession, dir: String): DataFrame = {
-    val withToks = Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val g2 = withToks.select(col("doc_id"),
-      zip_with(
-        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
-        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
-        (a, b) => concat(a, lit("_"), b)).as("g2"))
-    val g4 = g2.select(col("doc_id"), col("g2"),
-      zip_with(
-        slice(col("g2"), lit(1), greatest(size(col("g2")) - 2, lit(0))),
-        slice(col("g2"), lit(3), greatest(size(col("g2")) - 2, lit(0))),
-        (a, b) => concat(a, lit("_"), b)).as("g4"))
-    val g6 = g4.select(col("doc_id"),
-      explode(zip_with(
-        slice(col("g4"), lit(1), greatest(size(col("g4")) - 2, lit(0))),
-        slice(col("g2"), lit(5), greatest(size(col("g4")) - 2, lit(0))),
-        (a, b) => concat(a, lit("_"), b))).as("gram"))
-    // two plain hash aggs instead of countDistinct+count in one (which
-    // plans an Expand that doubles the exploded gram stream): collapse
-    // to (gram, doc) with per-doc occurrence counts first — partial-
-    // aggregable map-side — then df is a plain count over that frame
-    g6.groupBy("gram", "doc_id").agg(count(lit(1)).as("occ"))
-      .groupBy("gram")
+      // sequence(1, n) DESCENDS for n < 1 — too-short docs are dropped
+      .filter(size(col("t")) >= 6)
+    val pos = toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 5)).as("j"))
+      .select(col("doc_id"), col("j"),
+        xxhash64((0 to 5).map(k => element_at(col("t"), col("j") + k)): _*)
+          .as("k"))
+    val cands = pos
+      .groupBy("k", "doc_id")
+      .agg(count(lit(1)).as("occ"), min("j").as("j0"))
+      .groupBy("k")
       .agg(count(lit(1)).as("df"),
         sum("occ").as("n_occurrences"),
-        min("doc_id").as("min_doc"))
+        // struct min = (lowest doc, lowest position within it): where the
+        // text reconstruction below will read the gram back from
+        min(struct(col("doc_id"), col("j0"))).as("loc"))
       .filter(col("df") >= 2)
+      .select(col("k"), col("df"), col("n_occurrences"),
+        col("loc.doc_id").as("min_doc"), col("loc.j0").as("j0"))
+    toks
+      .join(broadcast(cands), col("doc_id") === col("min_doc"))
+      .select(
+        array_join(slice(col("t"), col("j0"), lit(6)), "_").as("gram"),
+        col("df"), col("n_occurrences"), col("min_doc"))
       .orderBy(col("df").desc, col("gram"))
       .limit(50)
   }
