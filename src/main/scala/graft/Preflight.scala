@@ -37,15 +37,25 @@ object Preflight {
   def check(spark: SparkSession, dir: String): Unit = {
     // nanos columns surface as LongType under this conf instead of
     // aborting footer inference outright; the events.ts special case
-    // below decides whether that is acceptable
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val problems = expected.flatMap { case (name, want) =>
-      val path = s"$dir/$name.parquet"
-      try diff(name, want, spark.read.parquet(path).schema)
-      catch {
-        case e: Exception => Seq(s"$name: footer unreadable: ${e.getMessage}")
+    // below decides whether that is acceptable. The previous value is
+    // restored afterwards — the gate must not leak session state into
+    // everything that runs behind it ([[Tables.events]] sets the conf
+    // itself, for its own lifetime, when the fixture really is nanos).
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    val problems =
+      try expected.flatMap { case (name, want) =>
+        val path = s"$dir/$name.parquet"
+        try diff(name, want, spark.read.parquet(path).schema)
+        catch {
+          case e: Exception => Seq(s"$name: footer unreadable: ${e.getMessage}")
+        }
       }
-    }
+      finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
     if (problems.nonEmpty)
       throw new IllegalStateException(
         s"fixture schema drift under $dir — refusing to run against " +

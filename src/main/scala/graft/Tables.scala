@@ -122,12 +122,26 @@ object Tables {
     }
   }
 
+  /** mtime+size signature of `$dir/events.parquet` — the cache key
+    * discipline every events-derived cache uses (eventsByDate scratch,
+    * MlScoring.modelCache): a fixture regenerated IN PLACE must never be
+    * answered from state recorded for the previous generation. */
+  private def eventsContentSig(dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
+    s"${files.map(_.lastModified).max}_${files.map(_.length).sum}"
+  }
+
   /** True iff the fixture's `ts` column is annotated TIMESTAMP(NANOS) in
-    * the parquet footer. Cached per directory: the unit is a property of
-    * the fixture generation, not of any one query. */
+    * the parquet footer. Cached per (directory, content signature): the
+    * unit is a property of the fixture GENERATION, not the path — a
+    * fixture regenerated in place during one JVM's lifetime flips the
+    * entry instead of being read with the stale unit (the exact silent-
+    * drift class Preflight guards the process boundary against; this
+    * guards the intra-process boundary). */
   private val tsUnitCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean =
-    tsUnitCache.computeIfAbsent(dir, { _ =>
+    tsUnitCache.computeIfAbsent(s"${eventsContentSig(dir)}|$dir", { _ =>
       import org.apache.parquet.schema.LogicalTypeAnnotation
       val hconf = spark.sessionState.newHadoopConf()
       val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
@@ -162,9 +176,7 @@ object Tables {
     // change — v2 scratch was written by the stale nanos reader) + fixture
     // content signature (mtime+size of events.parquet), so a regenerated
     // fixture at the same path is never answered from stale scratch
-    val src = new java.io.File(s"$dir/events.parquet")
-    val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
-    val sig = s"${files.map(_.lastModified).max}_${files.map(_.length).sum}"
+    val sig = eventsContentSig(dir)
     val scratch = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_events_by_date/v3_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + sig)
