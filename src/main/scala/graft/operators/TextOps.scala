@@ -1297,21 +1297,38 @@ object TextOps {
     * each 50-document prefix (in doc_id order). Computed exactly without
     * any per-prefix rescan: each token contributes at its FIRST
     * occurrence (min doc_id), so the curve is one vocabulary-cardinality
-    * aggregate + a running sum over the ≤|docs|/50 bucket frame. The
+    * aggregate + a prefix sum over the ≤|docs|/50 bucket frame. The
     * report that sizes a tokenizer vocabulary and spots corpus
-    * saturation. */
+    * saturation.
+    *
+    * The bucket count scales with |docs| (2×10⁷ buckets at 10⁹ docs), so
+    * the prefix sum uses the q_auc/q_wmedian TWO-LEVEL recipe rather
+    * than one unpartitioned window: 1024-bucket BLOCKS aggregate their
+    * totals, the only unpartitioned window runs over the block frame
+    * (|docs|/51200 rows — a few-10⁴-row single task at 10⁹ docs), and
+    * the per-bucket running sum is a window PARTITIONED by block plus
+    * the broadcast block offset. Bit-identical to the one-window form. */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val firstSeen = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(min("doc_id").as("first_doc"))
     val perBucket = firstSeen
       .groupBy((floor(col("first_doc") / 50) * 50 + 50).as("docs_seen"))
       .agg(count(lit(1)).as("new_types"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("docs_seen")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+      .withColumn("blk", floor(col("docs_seen") / (50L * 1024)).cast("long"))
+    val wBlock = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = perBucket.groupBy("blk").agg(sum("new_types").as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wBlock), lit(0L)))
+      .select("blk", "off")
+    val wIn = Window.partitionBy("blk").orderBy("docs_seen")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perBucket
-      .withColumn("vocab", sum("new_types").over(w))
+      .withColumn("run", sum("new_types").over(wIn))
+      .join(broadcast(offsets), "blk")
+      .select(col("docs_seen"), col("new_types"),
+        (col("run") + col("off")).as("vocab"))
       .orderBy("docs_seen")
   }
 

@@ -16,6 +16,43 @@ class CorpusOpsSpec extends SparkSpec {
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
   }
 
+  test("vocab growth: two-level prefix sum ≡ naive running sum across blocks") {
+    // The fixtures' 31-word vocabulary first-occurs entirely in bucket 1,
+    // so the oracle row never exercises the multi-bucket (let alone
+    // multi-BLOCK, 1024 buckets each) path of the two-level reshape.
+    // Synthetic corpus: 120k docs, each introducing a fresh token every
+    // 3rd doc — buckets span 3 blocks; pin against a local running sum.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("vocab_growth_docs").toFile
+    try {
+      (0L until 120000L).map { id =>
+        val tok = if (id % 3 == 0) s"w$id" else "the"
+        (id, s"the quick $tok", "en", "s0", 10L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(2)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = TextOps.vocabGrowth(spark, tmp.getPath).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // local recompute: first_doc of each token -> bucket -> running sum
+      val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+      (0L until 120000L).foreach { id =>
+        val toks = Seq("the", "quick", if (id % 3 == 0) s"w$id" else "the")
+        toks.foreach(t => if (!firstDoc.contains(t)) firstDoc(t) = id)
+      }
+      val buckets = firstDoc.values.groupBy(d => d / 50 * 50 + 50)
+        .map { case (b, ds) => (b, ds.size.toLong) }.toSeq.sortBy(_._1)
+      val expect = buckets.scanLeft((0L, 0L, 0L)) {
+        case ((_, _, acc), (b, n)) => (b, n, acc + n) }.drop(1)
+      assert(got.length == expect.length && got.sameElements(expect),
+        s"got ${got.take(5).toSeq}... expect ${expect.take(5)}...")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("triangle census: closed triangle with a pendant edge") {
     // 1-2-3 closed, 4 hangs off 3: deg = (2,2,3,1) → wedges 1+1+3 = 5
     assert(census(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))) ==

@@ -262,6 +262,26 @@ class PlansSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("q_vocab_growth plan: prefix sum is two-level, no |docs|-scaling unpartitioned window") {
+    // the docs_seen bucket frame scales as |docs|/50 — an unpartitioned
+    // running sum over it is a 2x10^7-row single-task sort at 10^9 docs.
+    // After the two-level reshape the only unpartitioned window runs over
+    // the 1024-bucket BLOCK frame (an Aggregate grouping by the block key
+    // alone sits in its subtree); the per-bucket window is partitioned.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    val df = operators.TextOps.vocabGrowth(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(wins.nonEmpty, "expected windows in q_vocab_growth")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val blockAgg = w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.size == 1 => a
+      }
+      assert(blockAgg.isDefined,
+        s"unpartitioned window not over the block-grain aggregate:\n$w")
+    }
+    assert(df.count() > 0)
+  }
+
   test("q_auc plan: no unpartitioned Window over a doc-cardinality frame") {
     // r8 verdict task #4: avg_llr is a per-doc double, so the distinct-
     // score frame scales with |documents| — any unpartitioned window over
