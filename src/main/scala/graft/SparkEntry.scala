@@ -61,6 +61,8 @@ object SparkEntry {
     "q_crowd_alert" -> (Relational.crowdAlert _),
     "q_session" -> (Relational.sessionize _),
     "q_watermark" -> (Relational.watermarkReplay _),
+    "q_latch_replay" -> (Relational.latchReplay _),
+    "q_session_replay" -> (Relational.sessionReplay _),
     "q_validate" -> (Relational.validationDispatch _),
     "q_auth" -> (Relational.authenticate _),
     "q_corr_subq" -> (Relational.correlatedSubqueries _),
@@ -1715,6 +1717,61 @@ object SparkEntry {
         |FROM w
         |WHERE mx IS NULL OR w_start + 600 > mx - 600
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_latch_replay: the alarm latch replayed in the q_watermark arrival
+    // permutation — F→T edges per user in ARRIVAL order (the latch keys
+    // no watermark, so arrival order is all that matters)
+    "q_latch_replay" ->
+      """WITH sig AS (
+        |  SELECT event_id, user_id, value > 150 AS fire,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      + (event_id * 2654435761) % 3600 - 1800 AS arr
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, event_id, arr, fire,
+        |    lag(fire) OVER (PARTITION BY user_id ORDER BY arr, event_id)
+        |      AS prev
+        |  FROM sig)
+        |SELECT user_id, event_id, arr FROM l
+        |WHERE fire AND NOT COALESCE(prev, false)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // q_session_replay: sessionFinalize's idle-timeout eviction under the
+    // same replay — late rows (sec < watermark at arrival) dropped, a
+    // session closes when the watermark strictly passes end + gap (the
+    // user's kept running max ≡ the session end, see Relational
+    // .sessionReplayOn), open sessions withheld at end of stream
+    "q_session_replay" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      + (event_id * 2654435761) % 3600 - 1800 AS arr
+        |  FROM events
+        |), w AS (
+        |  SELECT *, max(sec) OVER (ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600 AS wm
+        |  FROM e
+        |), kept AS (
+        |  SELECT * FROM w WHERE wm IS NULL OR sec > wm
+        |), m AS (
+        |  SELECT *, max(sec) OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_prev
+        |  FROM kept
+        |), s AS (
+        |  SELECT *, CASE WHEN m_prev IS NULL OR m_prev + 1800 < wm
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM m
+        |), sid AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM s
+        |), fw AS (SELECT max(sec) - 600 AS fwm FROM e)
+        |SELECT user_id, min(sec) AS session_start_sec,
+        |  max(sec) AS session_end_sec, count(*) AS n_events
+        |FROM sid CROSS JOIN fw
+        |GROUP BY user_id, sess_id, fwm
+        |HAVING max(sec) + 1800 < fwm
+        |ORDER BY user_id, session_start_sec""".stripMargin,
     "q_validate" ->
       """SELECT status, count(*) AS n FROM (
         |  SELECT CASE

@@ -464,6 +464,117 @@ object Relational {
       .orderBy("event_type", "w_start")
   }
 
+  /** q_latch_replay: the ARRIVAL-ORDER batch twin of the streaming alarm
+    * latch (AlarmLatch / AlarmLatchV2, `main.py:171-185`) — q_win_edge
+    * answers "where does fire rise in EVENT-time order", this answers
+    * what the latch actually EMITS when the feed is out of order: signals
+    * replay one-per-micro-batch in the q_watermark deterministic arrival
+    * permutation, and the latch fires on each F→T edge in that order
+    * (the latch keys no watermark — TimeMode.None — so arrival order is
+    * the only thing that matters). ReplayTwinsSpec pins this formulation
+    * against a real AlarmLatchV2 run on the same replay.
+    *
+    * Scale shape: one lag window PARTITIONED by the latch key — state per
+    * key like the streaming original, never a global sort. */
+  def latchReplay(spark: SparkSession, dir: String): DataFrame =
+    latchReplayOn(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("value") > 150).as("fire"),
+        (unix_timestamp(col("ts"))
+          + pmod(col("event_id") * lit(2654435761L), lit(3600L)) - 1800L).as("arr")))
+      .select("user_id", "event_id", "arr")
+      .orderBy("user_id", "event_id")
+
+  /** Core of [[latchReplay]] on a prepared (user_id, event_id, arr, fire)
+    * frame — separated so ReplayTwinsSpec can drive the SAME formulation
+    * over a synthetic replay and diff it against the streaming latch. */
+  private[graft] def latchReplayOn(sig: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("arr", "event_id")
+    sig.withColumn("prev", lag(col("fire"), 1).over(w))
+      .filter(col("fire") && !coalesce(col("prev"), lit(false)))
+  }
+
+  /** q_session_replay: the batch twin of [[graft.streaming.StreamOps
+    * .sessionFinalize]]'s idle-timeout EVICTION under the q_watermark
+    * deterministic replay — which closed sessions does the stateful
+    * finalizer emit when events arrive one-per-micro-batch in the hashed
+    * arrival permutation, with watermark delay 10 min and idle gap
+    * 30 min. Replays the full contract: late rows (event time at or below
+    * the watermark at arrival) never reach the state; a session CLOSES when
+    * the watermark passes its end + gap, so the user's next kept row
+    * starts a fresh session; still-open sessions at end of stream are
+    * withheld (exactly-once emission on eviction only).
+    *
+    * Why this is window-expressible at all: the accumulator's
+    * session-local max equals the user's GLOBAL running max over kept
+    * rows — every kept row of a later session exceeds every earlier
+    * session's end, because keeping it requires sec ≥ watermark and the
+    * split required watermark > end + gap (proof in ReplayTwinsSpec,
+    * which pins this against a real sessionFinalize run). So the fold
+    * linearizes: split iff prev-max + gap < watermark-at-arrival.
+    *
+    * Scale shape: the q_auc two-level prefix max for the watermark
+    * (unpartitioned window only over the arrival-day block frame); both
+    * per-user windows are user-partitioned; the final watermark is a
+    * one-row broadcast. */
+  def sessionReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        (unix_timestamp(col("ts"))
+          + pmod(col("event_id") * lit(2654435761L), lit(3600L)) - 1800L).as("arr"))
+    sessionReplayOn(ev, delaySec = 600L, gapSec = 1800L)
+      .orderBy("user_id", "session_start_sec")
+  }
+
+  /** Core of [[sessionReplay]] on a prepared (event_id, user_id, sec, arr)
+    * frame — separated so the spec can drive the SAME logic over a
+    * synthetic replay and diff it against the real streaming operator. */
+  private[graft] def sessionReplayOn(ev: DataFrame, delaySec: Long,
+                                     gapSec: Long): DataFrame = {
+    val noWm = -1000000000000L
+    val blocked = ev.withColumn("blk", expr("arr div 86400"))
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = blocked.groupBy("blk").agg(max("sec").as("bmax"))
+      .withColumn("off", max(col("bmax")).over(wBlk))
+      .select("blk", "off")
+    val wIn = Window.partitionBy("blk").orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    // wm = the watermark in force when the row is processed: max event
+    // time over STRICTLY EARLIER arrivals − delay (Spark's watermark is
+    // computed from data through the previous micro-batch)
+    val withWm = blocked
+      .withColumn("inmax", max(col("sec")).over(wIn))
+      .join(broadcast(offsets), "blk")
+      .withColumn("wm", greatest(coalesce(col("inmax"), lit(noWm)),
+        coalesce(col("off"), lit(noWm))) - delaySec)
+    // late filter: rows at or below the watermark never reach the state
+    // (STRICT — ReplayTwinsSpec pinned that a row with sec == wm is
+    // dropped by the real operator)
+    val kept = withWm.filter(col("sec") > col("wm"))
+    val wu = Window.partitionBy("user_id").orderBy("arr", "event_id")
+    val marked = kept
+      .withColumn("m_prev", max(col("sec"))
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)))
+      // session closed before this row iff the watermark strictly passed
+      // its deadline (end + gap) — end ≡ the user's running kept-max
+      .withColumn("new_sess", col("m_prev").isNull
+        || col("m_prev") + gapSec < col("wm"))
+      .withColumn("sess_id", sum(when(col("new_sess"), 1L).otherwise(0L))
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val fw = ev.agg((max("sec") - delaySec).as("fwm"))
+    marked.groupBy("user_id", "sess_id")
+      .agg(min("sec").as("session_start_sec"),
+        max("sec").as("session_end_sec"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(fw))
+      // eviction = emission: only sessions whose deadline the FINAL
+      // watermark strictly passed ever produce a row
+      .filter(col("session_end_sec") + gapSec < col("fwm"))
+      .select("user_id", "session_start_sec", "session_end_sec", "n_events")
+  }
+
   /** E-SCAN partition pruning: daily totals for one queried week over the
     * date-partitioned events layout (Tables.eventsByDate). The event_date
     * predicate resolves against directory names (scan `PartitionFilters`),
