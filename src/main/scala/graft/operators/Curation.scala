@@ -86,8 +86,17 @@ object Curation {
     * pre-shuffle. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val grams = gram4(Tables.documents(spark, dir))
+    // persisted: the distinct test-gram set feeds BOTH the eager bloom
+    // build and the exact join probe — without the persist each consumer
+    // re-tokenizes and re-shuffles the test split (the r9 profile showed
+    // the bloom job alone at ~0.4 s of the query's 1.25 s). The set is
+    // benchmark-suite sized (the 100 TB story: eval corpora are the
+    // SMALL side by construction), and MEMORY_AND_DISK spills rather
+    // than OOMs if a pathological split inverts that. Bench's
+    // clearCache() between queries drops it.
     val testGrams = grams.filter(splitOf(col("doc_id")) === "test")
       .select("gram").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed = testGrams.select(xxhash64(col("gram")).as("gk"))
     // test split ≈ 5% of docs, ≤ ~200 grams each; 1% fpp at this size is
     // a few hundred KB — overshooting the estimate is harmless. The doc
@@ -208,7 +217,15 @@ object Curation {
     * quality gate): per-source micro-averaged duplicate-bigram mass and
     * the count of docs over the 10% repetition threshold. Ratios divide
     * exact BIGINT sums (never averaged doubles), so both engines produce
-    * bit-identical results. One narrow projection + one agg. */
+    * bit-identical results. One narrow projection + one agg.
+    *
+    * The per-doc distinct runs over 8-byte `xxhash64(tok_i, tok_{i+1})`
+    * codes, not concatenated bigram STRINGS (the q_repeated_grams
+    * reshape, r10): `array_distinct` compares fixed-width longs instead
+    * of variable-length text, and no gram string is ever materialized.
+    * Collisions are the usual 64-bit-sketch risk (~m²/2⁶⁵ for an
+    * m-token doc — ~10⁻¹⁵ at m=200), the bound the MinHash/fingerprint
+    * family already accepts. */
   def repetitionScreen(spark: SparkSession, dir: String): DataFrame = {
     val withToks = Tables.documents(spark, dir)
       .select(col("source"), split(col("text"), " ").as("t"))
@@ -216,7 +233,7 @@ object Curation {
       zip_with(
         slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
         slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
-        (a, b) => concat(a, lit("_"), b)).as("g2"))
+        (a, b) => xxhash64(a, b)).as("g2"))
     g2.select(col("source"),
         size(col("g2")).cast("long").as("n_grams"),
         size(array_distinct(col("g2"))).cast("long").as("n_distinct"))

@@ -1110,28 +1110,50 @@ object Relational {
     * seen in the trailing week. Sliding-window DISTINCT cannot partial-
     * aggregate as a window function (distinct isn't subtractable), so
     * the standard shape: dedupe to (user, day) FIRST — the only
-    * fact-sized shuffle — then re-count each trailing window over the
-    * |users|×|days|-bounded activity frame.
+    * fact-sized shuffle — then count coverage per day.
     *
-    * Window expansion is a narrow interval EXPLODE (a user active on
-    * day x covers WAU(d) for d ∈ [x, x+6]), not the broadcast
-    * theta-join this used through r7: BroadcastNestedLoopJoin
-    * evaluates the range predicate against every grid day per activity
-    * row (|act|·|days| predicate evals for |act|·7 surviving rows) and
-    * keeps a nested-loop operator in the plan; sequence+explode emits
-    * exactly the 7 covered days per row, the (user, d) distinct is the
-    * same shuffle countDistinct ran internally anyway, and the only
-    * join left is a broadcast-hash clip to observed grid days. */
+    * Coverage is computed by INTERVAL SWEEP, not the 7-way explode this
+    * used through r9: a user active on day x covers WAU(d) for
+    * d ∈ [x, x+6], so per user the covered days form a union of
+    * intervals — active days ≤ 6 apart merge into one run [s, e+6]
+    * (one lag + running-flag-sum window over the user's own activity
+    * rows). Each run then emits two boundary deltas (+1 at s, −1 at
+    * e+7); summing deltas per day is a partial-aggregable hash agg
+    * down to CALENDAR cardinality, and the running prefix sum over
+    * that calendar frame (domain-bounded single window — the
+    * PLANS.md sanctioned class) is WAU for every day. The old shape
+    * re-shuffled and re-deduped a 7×|act| exploded stream; the sweep
+    * shuffles |act| once for the user-partitioned window and
+    * boundary deltas collapse map-side, so the second exchange moves
+    * ~2 rows per activity RUN instead of 7 per activity day. The
+    * only join left is a broadcast-hash clip to observed grid days. */
   def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val act = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     val days = act.select(col("day").as("d")).distinct()
-    act.select(col("user_id"),
-        explode(sequence(col("day"), date_add(col("day"), 6))).as("d"))
-      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val runs = act
+      .withColumn("gap", datediff(col("day"), lag("day", 1).over(w)))
+      .withColumn("run", sum(when(col("gap").isNull || col("gap") > 6, 1L)
+        .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "run")
+      .agg(min("day").as("s"), max("day").as("e"))
+    val deltas = runs
+      .select(explode(array(
+        struct(col("s").as("d"), lit(1L).as("delta")),
+        struct(date_add(col("e"), 7).as("d"), lit(-1L).as("delta")))).as("b"))
+      .groupBy(col("b.d").as("d")).agg(sum(col("b.delta")).as("delta"))
+      // scaffold: observed days with no run boundary still need a row
+      // under the prefix sum, or the day clip below drops them
+      .unionByName(days.select(col("d"), lit(0L).as("delta")))
+      .groupBy("d").agg(sum("delta").as("delta"))
+    val cal = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas
+      .withColumn("wau", sum("delta").over(cal))
       .join(broadcast(days), "d")
-      .groupBy(col("d").as("day"))
-      .agg(count(lit(1)).as("wau"))
+      .select(col("d").as("day"), col("wau"))
       .orderBy("day")
   }
 

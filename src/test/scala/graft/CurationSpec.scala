@@ -74,6 +74,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("repetition screen matches an exact string-bigram recompute") {
+    // the r10 hash-keyed distinct (xxhash64 bigram codes) must agree
+    // with the collision-free definition: distinct STRING bigrams per
+    // doc, micro-averaged per source — a collision would deflate
+    // n_distinct and surface here
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perDoc = docs.map { case (src, text) =>
+      val t = text.split(" ", -1)
+      val g = t.dropRight(1).zip(t.drop(1)).toSeq
+      (src, g.length.toLong, g.distinct.length.toLong)
+    }.filter(_._2 > 0)
+    val expected = perDoc.groupBy(_._1).map { case (src, ds) =>
+      val (nd, ng) = (ds.map(_._3).sum, ds.map(_._2).sum)
+      val flagged = ds.count { case (_, n, d) => 1.0 - d.toDouble / n > 0.1 }
+      src -> ((ds.length.toLong,
+        BigDecimal(1.0 - nd.toDouble / ng).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        flagged.toLong))
+    }
+    val got = Curation.repetitionScreen(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
   test("basket pairs: canonical ordering, bounded co-count, positive lift") {
     val rows = Relational.basketPairs(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 100)

@@ -37,6 +37,22 @@ class EventFlowSpec extends SparkSpec {
     }
   }
 
+  test("wau equals the brute-force trailing-7-day distinct recompute") {
+    // the r10 interval-sweep reshape (merged activity runs + boundary
+    // deltas) must agree day-for-day with the definition it optimizes:
+    // |{u : u active on some day in [d-6, d]}| for every observed day d
+    val act = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val expected = act.map(_._1).distinct.sorted.map { d =>
+      d -> act.filter { case (a, _) =>
+        !a.isAfter(d) && !a.isBefore(d.minusDays(6)) }.map(_._2).distinct.length.toLong
+    }.toMap
+    val got = Relational.rollingActiveUsers(spark, sfDir).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("attribution: credited click precedes its purchase, same user") {
     val attr = Relational.attribution(spark, sfDir)
     val rows = attr.collect()

@@ -190,16 +190,23 @@ class PlansSpec extends SparkSpec {
       s"daily self-join should broadcast:\n${plan.take(1500)}")
   }
 
-  test("q_wau plan: interval explode replaced the nested-loop range join") {
-    // r8 reshape: the trailing-week expansion must be a generator over
-    // sequence(), and the only join left is the broadcast-hash day clip —
-    // BroadcastNestedLoopJoin evaluated |act|·|days| range predicates
+  test("q_wau plan: interval sweep — user window + delta agg, no 7× distinct") {
+    // r10 reshape: coverage comes from merged per-user activity runs
+    // (one user-partitioned window) plus boundary deltas hash-agg'd to
+    // calendar cardinality — NOT from re-deduping a 7×|act| exploded
+    // stream (r8-r9), and never from the r7 nested-loop range join
     val plan = operators.Relational.rollingActiveUsers(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"BNLJ back in q_wau:\n${plan.take(1500)}")
-    assert(plan.contains("Generate") && plan.contains("BroadcastHashJoin"),
-      s"expected explode + broadcast-hash clip:\n${plan.take(1500)}")
+    assert(plan.contains("Window") && plan.contains("user_id"),
+      s"expected the user-partitioned run window:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the broadcast-hash day clip:\n${plan.take(1500)}")
+    // the generator left is the 2-element boundary array, not sequence():
+    // a sequence() explode means the 7-day expansion came back
+    assert(!plan.contains("sequence("),
+      s"7-day sequence explode back in q_wau:\n${plan.take(1500)}")
   }
 
   test("q_alloc bench shape carries no global sort; verify shape does") {
