@@ -83,6 +83,19 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // optional comma-list subset (SPARK_GRAFT_QUERIES=q_a,q_b) for cheap
+    // single-query baselining; unknown names fail fast rather than
+    // silently benching nothing. Parsed BEFORE the warmups so a subset
+    // that excludes q_ml_risk doesn't pay the model fit.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.benchShapes.keySet
+      require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
+    }
+    val names = SparkEntry.benchShapes.keys.toSeq.sorted
+      .filter(n => subset.forall(_.contains(n)))
+
     // JVM + codegen warmup (smallest fixture): without it the first measured
     // query absorbs ~5 s of classloading/codegen that is not query cost.
     try SparkEntry.benchShapes("q_agg")(spark, "/root/testdata/sf0.001")
@@ -92,8 +105,9 @@ object Bench {
     // so the multi-second one-time fit belongs to warmup, not to any timed
     // sample (r9 showed the first sample absorbing a 4.7 s fit and skewing
     // the median pool). The fit-once cache then serves every pass.
-    try graft.pipeline.MlScoring.fitCrowdRisk(spark, sfDir)
-    catch { case _: Throwable => () }
+    if (names.contains("q_ml_risk"))
+      try graft.pipeline.MlScoring.fitCrowdRisk(spark, sfDir)
+      catch { case _: Throwable => () }
 
     // 1-minute load average (Linux /proc/loadavg; -1 when unreadable —
     // never fails the bench)
@@ -123,17 +137,6 @@ object Bench {
     // default locale and emits ',' decimals on e.g. de_DE → invalid JSON).
     def num(t: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
 
-    // optional comma-list subset (SPARK_GRAFT_QUERIES=q_a,q_b) for cheap
-    // single-query baselining; unknown names fail fast rather than
-    // silently benching nothing
-    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    subset.foreach { s =>
-      val unknown = s -- SparkEntry.benchShapes.keySet
-      require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
-    }
-    val names = SparkEntry.benchShapes.keys.toSeq.sorted
-      .filter(n => subset.forall(_.contains(n)))
     // samples(name)(pass) = (seconds, error); -1 s stands in for a failed
     // repeat in the emitted array
     val samples = scala.collection.mutable.Map.empty[String, Vector[(Double, Option[String])]]

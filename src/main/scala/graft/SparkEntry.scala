@@ -1950,17 +1950,21 @@ object SparkEntry {
         |    t -> pow(CAST(2.0 AS DOUBLE), CAST(t - r.t_ref AS DOUBLE) / 604800.0))), 4) AS score
         |FROM u CROSS JOIN r ORDER BY user_id""".stripMargin,
     "q_arr" ->
+      // every rounded double carries "+ 0.0": DuckDB's round() preserves
+      // IEEE -0.0 where Spark's BigDecimal round has no signed zero — one
+      // bit, hash fail (the q_dsir artifact class; an sf0.1 sweep caught
+      // first_val rounding to -0.0 on a fixture vector)
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
-        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
-        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_val,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS max_val,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) + 0.0 AS sum_val,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-        |  round(CAST(list_sort(embedding)[2] AS DOUBLE), 4) AS second_min,
+        |  round(CAST(list_sort(embedding)[2] AS DOUBLE), 4) + 0.0 AS second_min,
         |  round(list_sum(list_transform(range(1, len(embedding) + 1),
-        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 4) AS rev_dot,
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 4) + 0.0 AS rev_dot,
         |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos,
-        |  round(CAST(embedding[1] AS DOUBLE), 4) AS zip_first_x
+        |  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS zip_first_x
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_range_count" ->
       """SELECT vec_id, n_in_range FROM (
@@ -2770,17 +2774,20 @@ object SparkEntry {
     "q_repeated_grams" ->
       // literal repeated 6-token spans across documents (exact-substring
       // dedup audit): distinct-doc frequency + total occurrences
+      // gram identity is the 6-token TUPLE (list slice), matching the
+      // engine's xxhash64 token-tuple keys; the display string joins
+      // with '_' only AFTER grouping, so underscore-bearing tokens
+      // cannot merge distinct grams
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |), grams AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 4),
-        |    j -> t[j] || '_' || t[j+1] || '_' || t[j+2] || '_' ||
-        |         t[j+3] || '_' || t[j+4] || '_' || t[j+5])) AS gram
+        |    j -> t[j:j+5])) AS g
         |  FROM toks WHERE len(t) >= 6)
-        |SELECT gram, count(DISTINCT doc_id) AS df,
+        |SELECT array_to_string(g, '_') AS gram, count(DISTINCT doc_id) AS df,
         |  count(*) AS n_occurrences, min(doc_id) AS min_doc
-        |FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
-        |ORDER BY df DESC, gram LIMIT 50""".stripMargin,
+        |FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY df DESC, array_to_string(g, '_') LIMIT 50""".stripMargin,
     "q_xcorr" ->
       // Pearson r from six exact sums (never the engine's double-summing
       // corr aggregate); doubles only in the closing ratio
@@ -3010,16 +3017,19 @@ object SparkEntry {
         |WHERE p.n_shared * 10 >= tt.n_test_grams * 3
         |ORDER BY test_doc, train_doc""".stripMargin,
     "q_repetition" ->
-      // duplicate-bigram mass; ratios divide exact BIGINT sums
-      """WITH g AS (
-        |  SELECT source, list_transform(range(1, len(string_split(text, ' '))),
-        |    j -> string_split(text, ' ')[j] || '_' ||
-        |         string_split(text, ' ')[j + 1]) AS g2
-        |  FROM documents
+      // duplicate-bigram mass; ratios divide exact BIGINT sums. Bigram
+      // identity is the token PAIR (a 2-element list), matching the
+      // engine's xxhash64(tok_i, tok_{i+1}) tuple keys — a '_'-joined
+      // string would merge ("a_b","c") with ("a","b_c") on text that
+      // contains underscores
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
         |), d AS (
-        |  SELECT source, CAST(len(g2) AS BIGINT) AS n_grams,
-        |    CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct
-        |  FROM g WHERE len(g2) > 0)
+        |  SELECT doc_id, any_value(source) AS source,
+        |    CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(DISTINCT (t[j], t[j+1])) AS BIGINT) AS n_distinct
+        |  FROM toks, unnest(range(1, len(t))) AS u(j)
+        |  GROUP BY doc_id)
         |SELECT source, count(*) AS n_docs,
         |  round(1.0 - CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE), 4)
         |    AS avg_rep,

@@ -128,8 +128,16 @@ object Tables {
     * answered from state recorded for the previous generation. */
   private def eventsContentSig(dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
-    val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
-    s"${files.map(_.lastModified).max}_${files.map(_.length).sum}"
+    val files =
+      if (src.isDirectory) Option(src.listFiles()).map(_.toSeq).getOrElse(Nil)
+      else Seq(src)
+    // empty/unlistable dir (or a non-local path the File API can't see):
+    // a constant sentinel sig — the footer sniff behind the cache then
+    // raises ITS context-bearing error instead of an `empty.max` here.
+    // The sentinel deliberately never matches a real sig, so a fixture
+    // that MATERIALIZES mid-JVM is re-probed rather than answered stale.
+    if (files.isEmpty) "absent"
+    else s"${files.map(_.lastModified).max}_${files.map(_.length).sum}"
   }
 
   /** True iff the fixture's `ts` column is annotated TIMESTAMP(NANOS) in

@@ -435,12 +435,41 @@ object Relational {
     * long range up to ~3.5e9 events; past that, route the mix through
     * the 128-bit-safe TokenCode/xxhash path. */
   def watermarkReplay(spark: SparkSession, dir: String): DataFrame = {
-    val delay = 600L
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
-        unix_timestamp(col("ts")).as("sec"),
-        (unix_timestamp(col("ts"))
-          + pmod(col("event_id") * lit(2654435761L), lit(3600L)) - 1800L).as("arr"))
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("arr", replayArrival(col("sec"), col("event_id")))
+    runningWatermarkOn(ev, delaySec = 600L)
+      .withColumn("w_start", expr("sec div 600") * 600)
+      .filter(col("w_start") + 600 > col("wm"))
+      .groupBy("event_type", "w_start")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("event_type", "w_start")
+  }
+
+  /** The q_watermark deterministic arrival permutation: event time plus
+    * a Knuth-hash jitter in [−1800, 1800) seconds keyed on event_id.
+    * This is the ONE definition every replay twin shares — q_watermark,
+    * q_latch_replay, and q_session_replay all claim "the same arrival
+    * permutation", and ReplayTwinsSpec's streaming diffs rest on it, so
+    * a drift in any inlined copy would silently break the cross-query
+    * equivalence. The hash multiply stays in ANSI-safe long range up to
+    * ~3.5e9 events; past that, route the mix through TokenCode/xxhash. */
+  private[graft] def replayArrival(sec: Column, eventId: Column): Column =
+    sec + pmod(eventId * lit(2654435761L), lit(3600L)) - 1800L
+
+  /** Running watermark in force when each row is PROCESSED under the
+    * replay: max event time over STRICTLY earlier arrivals − delay
+    * (Spark computes the watermark from data through the previous
+    * micro-batch). Shared by [[watermarkReplay]] and [[sessionReplayOn]].
+    *
+    * Scale shape: the q_auc two-level prefix recipe — arrival-day block
+    * maxima take the ordered window over the BLOCK frame
+    * (calendar-bounded), the exact per-row prefix max is block offset
+    * (broadcast) + a within-block window PARTITIONED by block; no
+    * unpartitioned fact window. Input needs (event_id, sec, arr);
+    * output adds `wm` and keeps every input column. */
+  private[graft] def runningWatermarkOn(ev: DataFrame, delaySec: Long): DataFrame = {
     // sentinel well below any epoch (and overflow-safe under − delay)
     // for "no arrivals yet": the global first arrival has no watermark
     val noWm = -1000000000000L
@@ -455,13 +484,9 @@ object Relational {
     blocked
       .withColumn("inmax", max(col("sec")).over(wIn))
       .join(broadcast(offsets), "blk")
-      .withColumn("mx", greatest(coalesce(col("inmax"), lit(noWm)),
-        coalesce(col("off"), lit(noWm))))
-      .withColumn("w_start", expr("sec div 600") * 600)
-      .filter(col("w_start") + 600 > col("mx") - delay)
-      .groupBy("event_type", "w_start")
-      .agg(count(lit(1)).as("n_kept"))
-      .orderBy("event_type", "w_start")
+      .withColumn("wm", greatest(coalesce(col("inmax"), lit(noWm)),
+        coalesce(col("off"), lit(noWm))) - delaySec)
+      .drop("blk", "inmax", "off")
   }
 
   /** q_latch_replay: the ARRIVAL-ORDER batch twin of the streaming alarm
@@ -480,8 +505,8 @@ object Relational {
     latchReplayOn(Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
         (col("value") > 150).as("fire"),
-        (unix_timestamp(col("ts"))
-          + pmod(col("event_id") * lit(2654435761L), lit(3600L)) - 1800L).as("arr")))
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("arr", replayArrival(col("sec"), col("event_id"))))
       .select("user_id", "event_id", "arr")
       .orderBy("user_id", "event_id")
 
@@ -520,9 +545,8 @@ object Relational {
   def sessionReplay(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
-        unix_timestamp(col("ts")).as("sec"),
-        (unix_timestamp(col("ts"))
-          + pmod(col("event_id") * lit(2654435761L), lit(3600L)) - 1800L).as("arr"))
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("arr", replayArrival(col("sec"), col("event_id")))
     sessionReplayOn(ev, delaySec = 600L, gapSec = 1800L)
       .orderBy("user_id", "session_start_sec")
   }
@@ -532,23 +556,7 @@ object Relational {
     * synthetic replay and diff it against the real streaming operator. */
   private[graft] def sessionReplayOn(ev: DataFrame, delaySec: Long,
                                      gapSec: Long): DataFrame = {
-    val noWm = -1000000000000L
-    val blocked = ev.withColumn("blk", expr("arr div 86400"))
-    val wBlk = Window.orderBy("blk")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val offsets = blocked.groupBy("blk").agg(max("sec").as("bmax"))
-      .withColumn("off", max(col("bmax")).over(wBlk))
-      .select("blk", "off")
-    val wIn = Window.partitionBy("blk").orderBy("arr", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    // wm = the watermark in force when the row is processed: max event
-    // time over STRICTLY EARLIER arrivals − delay (Spark's watermark is
-    // computed from data through the previous micro-batch)
-    val withWm = blocked
-      .withColumn("inmax", max(col("sec")).over(wIn))
-      .join(broadcast(offsets), "blk")
-      .withColumn("wm", greatest(coalesce(col("inmax"), lit(noWm)),
-        coalesce(col("off"), lit(noWm))) - delaySec)
+    val withWm = runningWatermarkOn(ev, delaySec)
     // late filter: rows at or below the watermark never reach the state
     // (STRICT — ReplayTwinsSpec pinned that a row with sec == wm is
     // dropped by the real operator)

@@ -280,11 +280,18 @@ class PlansSpec extends SparkSpec {
     val wins = df.queryExecution.optimizedPlan.collect { case w: Window => w }
     assert(wins.nonEmpty, "expected windows in q_vocab_growth")
     wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // arity-1 grouping alone is VACUOUS here: the forbidden single-level
+      // form also groups by one expression (the docs_seen bucket). The
+      // pin must see the BLOCK key — grouping on `blk`, whose defining
+      // projection divides by the 50·1024 = 51200 block width — under
+      // the unpartitioned window
       val blockAgg = w.child.collectFirst {
-        case a: Aggregate if a.groupingExpressions.size == 1 => a
+        case a: Aggregate if a.groupingExpressions.size == 1 &&
+          a.groupingExpressions.head.toString.contains("blk") &&
+          a.exists(_.expressions.exists(_.toString.contains("51200"))) => a
       }
       assert(blockAgg.isDefined,
-        s"unpartitioned window not over the block-grain aggregate:\n$w")
+        s"unpartitioned window not over the blk (÷51200) block-grain aggregate:\n$w")
     }
     assert(df.count() > 0)
   }
