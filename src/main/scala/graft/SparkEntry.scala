@@ -63,6 +63,7 @@ object SparkEntry {
     "q_watermark" -> (Relational.watermarkReplay _),
     "q_latch_replay" -> (Relational.latchReplay _),
     "q_session_replay" -> (Relational.sessionReplay _),
+    "q_attr_replay" -> (Relational.attrReplay _),
     "q_validate" -> (Relational.validationDispatch _),
     "q_auth" -> (Relational.authenticate _),
     "q_corr_subq" -> (Relational.correlatedSubqueries _),
@@ -1772,6 +1773,46 @@ object SparkEntry {
         |GROUP BY user_id, sess_id, fwm
         |HAVING max(sec) + 1800 < fwm
         |ORDER BY user_id, session_start_sec""".stripMargin,
+    // q_attr_replay: AttributionV2's TTL-expiring last-touch attribution
+    // under the same replay — the state TTL refreshes on EVERY arrival of
+    // a user (the processor updates unconditionally), so expiry is an
+    // arrival-gap split (islands on the arrival axis); within a segment
+    // the state is the max-(sec, id) click over strictly earlier
+    // arrivals, packed into one BIGINT (sec·10⁷ + id) for a primitive
+    // running max on both engines
+    "q_attr_replay" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      + (event_id * 2654435761) % 3600 - 1800 AS arr
+        |  FROM events
+        |), g AS (
+        |  SELECT *, CASE WHEN lag(arr) OVER
+        |      (PARTITION BY user_id ORDER BY arr, event_id) IS NULL
+        |    OR arr - lag(arr) OVER
+        |      (PARTITION BY user_id ORDER BY arr, event_id) > 28800
+        |    THEN 1 ELSE 0 END AS new_seg
+        |  FROM e
+        |), s AS (
+        |  SELECT *, sum(new_seg) OVER (PARTITION BY user_id
+        |      ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM g
+        |), b AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click'
+        |      THEN sec * 10000000 + event_id END)
+        |    OVER (PARTITION BY user_id, seg ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+        |  FROM s
+        |)
+        |SELECT user_id, event_id AS purchase_id,
+        |  best % 10000000 AS click_id,
+        |  sec - best // 10000000 AS latency_s
+        |FROM b
+        |WHERE event_type = 'purchase' AND best IS NOT NULL
+        |  AND best < sec * 10000000 + event_id
+        |ORDER BY purchase_id""".stripMargin,
     "q_validate" ->
       """SELECT status, count(*) AS n FROM (
         |  SELECT CASE

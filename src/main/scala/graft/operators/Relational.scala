@@ -583,6 +583,68 @@ object Relational {
       .select("user_id", "session_start_sec", "session_end_sec", "n_events")
   }
 
+  /** q_attr_replay: the batch twin of [[graft.streaming.AttributionV2]]'s
+    * TTL-expiring last-touch attribution under the q_watermark
+    * deterministic replay — the LAST spec-only stateful operator to gain a
+    * DuckDB-checked row (q_attribution covers the event-time fold;
+    * this covers what TTL eviction does to it under out-of-order arrival).
+    *
+    * Replay model: events arrive one-per-micro-batch in the shared
+    * [[replayArrival]] permutation, and the replay's processing clock IS
+    * the arrival stamp (seconds granularity — the same contract as the
+    * other twins; the processor compares milliseconds, which coincides on
+    * whole-second fixtures). The processor calls `state.update` on EVERY
+    * row of a user — clicks, purchases and bystander types alike — so the
+    * per-state TTL refreshes on every arrival, and expiry happens exactly
+    * when a user's consecutive-ARRIVAL gap exceeds the ttl. That makes
+    * eviction value-independent, so the fold segments: a gap > ttl starts
+    * a fresh segment with empty state (the islands trick on the arrival
+    * axis), and within a segment the state is the max-(event-time, id)
+    * click over strictly earlier arrivals. A purchase credits that state
+    * iff it exists and is strictly earlier than the purchase itself in
+    * (event-time, id) order — the processor's late-purchase guard.
+    *
+    * Scale shape: every window is user-partitioned (state per key, like
+    * the streaming original); no global sort, no unpartitioned window.
+    * The (sec, event_id) click key is packed into one BIGINT
+    * (sec·10⁷ + id) so the running max stays a primitive long both here
+    * and in the oracle; the pack is exact while event_id < 10⁷ — beyond
+    * that (real 100 TB feeds) swap the packed max for `max_by(struct)`,
+    * which trades oracle parity for unbounded ids. */
+  def attrReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("arr", replayArrival(col("sec"), col("event_id")))
+    attrReplayOn(ev, ttlSec = 28800L)
+      .orderBy("purchase_id")
+  }
+
+  /** Core of [[attrReplay]] on a prepared (event_id, user_id, event_type,
+    * sec, arr) frame — separated so ReplayTwinsSpec can drive the SAME
+    * formulation over a synthetic replay and diff it against a real
+    * AttributionV2 run (ttl disabled ⇒ no segmentation) and against an
+    * imperative fold with the replay clock (finite ttl). */
+  private[graft] def attrReplayOn(ev: DataFrame, ttlSec: Long): DataFrame = {
+    val enc = lit(10000000L)
+    val wArr = Window.partitionBy("user_id").orderBy("arr", "event_id")
+    val wSeg = Window.partitionBy("user_id", "seg").orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("prev_arr", lag(col("arr"), 1).over(wArr))
+      .withColumn("new_seg",
+        col("prev_arr").isNull || col("arr") - col("prev_arr") > ttlSec)
+      .withColumn("seg", sum(when(col("new_seg"), 1L).otherwise(0L))
+        .over(wArr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("best", max(when(col("event_type") === "click",
+        col("sec") * enc + col("event_id"))).over(wSeg))
+      .filter(col("event_type") === "purchase" && col("best").isNotNull
+        && col("best") < col("sec") * enc + col("event_id"))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("best") % enc).as("click_id"),
+        (col("sec") - expr("best div 10000000")).as("latency_s"))
+  }
+
   /** E-SCAN partition pruning: daily totals for one queried week over the
     * date-partitioned events layout (Tables.eventsByDate). The event_date
     * predicate resolves against directory names (scan `PartitionFilters`),
