@@ -152,6 +152,8 @@ object SparkEntry {
     "q_outlier_embed" -> (VectorOps.semanticOutliers _),
     "q_str" -> (TextOps.strFunctions _),
     "q_text_quality" -> (TextOps.textQuality _),
+    "q_scrub" -> (TextOps.scrub _),
+    "q_gopher_rules" -> (TextOps.gopherRules _),
     "q_langid" -> (TextOps.langId _),
     "q_token_count" -> (TextOps.tokenCount _),
     "q_fingerprint" -> (TextOps.fingerprint _),
@@ -2093,6 +2095,53 @@ object SparkEntry {
         |    round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
         |      / len(string_split(text, ' ')), 4) AS stopword_ratio
         |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    // q_scrub: blocklist redaction — identical RE2-safe word-boundary
+    // pattern on both engines; the redacted text round-trips through md5
+    // so the compare stays narrow
+    "q_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|key)\b', 1)) AS BIGINT)
+        |    AS n_hits,
+        |  md5(regexp_replace(text, '\b(customer|key)\b', '[REDACTED]', 'g'))
+        |    AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_gopher_rules: gram identity is the token TUPLE (the q_repetition
+    // house rule) and the keep gates multiply exact BIGINTs — only the
+    // reported fractions are rounded doubles
+    "q_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |    string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) - count(DISTINCT (t[j], t[j+1], t[j+2])) AS BIGINT)
+        |      AS dup3_cnt
+        |  FROM d, unnest(range(1, len(t) - 1)) AS u(j)
+        |  GROUP BY doc_id
+        |), big AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_cnt FROM (
+        |    SELECT doc_id, count(*) AS c
+        |    FROM d, unnest(range(1, len(t))) AS u(j)
+        |    GROUP BY doc_id, t[j], t[j+1]) g
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.n_tok,
+        |  round(CAST(d.len - d.n_tok + 1 AS DOUBLE) / d.n_tok, 4) + 0.0
+        |    AS mean_wlen,
+        |  COALESCE(big.top2_cnt, 0) AS top2_cnt,
+        |  COALESCE(tri.dup3_cnt, 0) AS dup3_cnt,
+        |  round(CAST(COALESCE(big.top2_cnt, 0) AS DOUBLE)
+        |    / greatest(d.n_tok - 1, 1), 4) + 0.0 AS top2_frac,
+        |  round(CAST(COALESCE(tri.dup3_cnt, 0) AS DOUBLE)
+        |    / greatest(d.n_tok - 2, 1), 4) + 0.0 AS dup3_frac,
+        |  (d.n_tok >= 20
+        |    AND COALESCE(big.top2_cnt, 0) * 10000 < 800 * greatest(d.n_tok - 1, 1)
+        |    AND COALESCE(tri.dup3_cnt, 0) * 10000 < 200 * greatest(d.n_tok - 2, 1))
+        |    AS keep
+        |FROM d LEFT JOIN tri USING (doc_id) LEFT JOIN big USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q_langid" ->
       """SELECT doc_id, pred_lang, pred_lang = lang AS is_match FROM (

@@ -53,6 +53,81 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q_scrub: blocklist scrubbing — the PII/sensitive-term redaction pass
+    * every curation pipeline runs before training (emails, names, keys;
+    * here the fixture-vocabulary stand-ins "customer"/"key"). Per doc:
+    * the match count and the MD5 of the redacted text (the full redacted
+    * string round-trips through the hash so the compare stays narrow).
+    *
+    * Scale shape: a pure per-row map — the regexp match/replace is
+    * whole-stage-codegen'd, no shuffle, no UDF; the scan prunes to
+    * (doc_id, text). The word-boundary alternation is RE2-safe, so the
+    * identical pattern runs on the oracle side. */
+  def scrub(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "\\b(customer|key)\\b"
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(1)))
+          .cast("long").as("n_hits"),
+        md5(encode(regexp_replace(col("text"), pat, "[REDACTED]"), "UTF-8"))
+          .as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q_gopher_rules: the Gopher/MassiveText-style per-document repetition
+    * gates (Rae et al. 2021 §A1.1): token count, mean word length, the
+    * fraction of the doc covered by its single most frequent bigram, and
+    * the duplicate-trigram fraction, plus the conjunctive keep flag. The
+    * keep decision is computed in EXACT integer arithmetic (cnt·10⁴
+    * vs threshold·denominator) so no float threshold can flip on a
+    * rounding boundary; the reported fractions are 4-dp rounded doubles.
+    *
+    * Scale shape: trigram duplication is in-array per row (arrays_zip +
+    * array_distinct — no explode, no shuffle); only the top-bigram count
+    * explodes, and it aggregates on (doc_id, xxhash64(bigram)) 8-byte
+    * codes map-side before the one exchange (the q_repetition idiom —
+    * 64-bit collisions are the accepted sketch bound). Both frames are
+    * doc-cardinality at the join. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        split(col("text"), " ").as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("n3", greatest(size(col("t")) - 2, lit(0)))
+      .withColumn("dup3_cnt",
+        (size(arrays_zip(
+          slice(col("t"), lit(1), col("n3")),
+          slice(col("t"), lit(2), col("n3")),
+          slice(col("t"), lit(3), col("n3")))) -
+          size(array_distinct(arrays_zip(
+            slice(col("t"), lit(1), col("n3")),
+            slice(col("t"), lit(2), col("n3")),
+            slice(col("t"), lit(3), col("n3")))))).cast("long"))
+    val top2 = docs
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))).as("b"))
+      .groupBy(col("doc_id"), xxhash64(col("b.0"), col("b.1")).as("bh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top2_cnt"))
+    val d1 = greatest(col("n_tok") - 1, lit(1L))
+    val d3 = greatest(col("n_tok") - 2, lit(1L))
+    docs.join(top2, Seq("doc_id"), "left")
+      .withColumn("top2_cnt", coalesce(col("top2_cnt"), lit(0L)))
+      .select(
+        col("doc_id"), col("n_tok"),
+        round((col("len") - col("n_tok") + 1).cast("double") / col("n_tok"), 4)
+          .as("mean_wlen"),
+        col("top2_cnt"), col("dup3_cnt"),
+        round(col("top2_cnt").cast("double") / d1, 4).as("top2_frac"),
+        round(col("dup3_cnt").cast("double") / d3, 4).as("dup3_frac"),
+        (col("n_tok") >= 20 &&
+          col("top2_cnt") * 10000L < d1 * 800L &&
+          col("dup3_cnt") * 10000L < d3 * 200L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic: marker-stopword hit counts per language,
     * argmax with deterministic preference order (mandate: n-gram-style
     * langid; markers stand in for the n-gram tables). */

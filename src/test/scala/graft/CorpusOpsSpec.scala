@@ -16,6 +16,49 @@ class CorpusOpsSpec extends SparkSpec {
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
   }
 
+  test("scrub: regex redaction ≡ token-level blocklist replace on the fixture") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val block = Set("customer", "key")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val red = toks.map(t => if (block(t)) "[REDACTED]" else t).mkString(" ")
+      (id, toks.count(block).toLong,
+        md.digest(red.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }.sortBy(_._1).toSeq
+    val got = TextOps.scrub(spark, sf)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == expected, s"got=${got.take(3)} expected=${expected.take(3)}")
+    assert(got.exists(_._2 > 0), "blocklist never hit — the scrub is a no-op")
+  }
+
+  test("gopher rules: windowed stats ≡ brute-force per-doc recompute") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      val n = t.length.toLong
+      val bigs = t.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      val top2 = if (bigs.isEmpty) 0L
+        else bigs.groupBy(identity).values.map(_.size).max.toLong
+      val tris = t.sliding(3).filter(_.length == 3).map(_.toSeq).toSeq
+      val dup3 = (tris.size - tris.distinct.size).toLong
+      val keep = n >= 20 && top2 * 10000L < 800L * math.max(n - 1, 1L) &&
+        dup3 * 10000L < 200L * math.max(n - 2, 1L)
+      (id, n, top2, dup3, keep)
+    }.sortBy(_._1).toSeq
+    val got = TextOps.gopherRules(spark, sf)
+      .select("doc_id", "n_tok", "top2_cnt", "dup3_cnt", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == expected, s"got=${got.take(3)} expected=${expected.take(3)}")
+    // the gate must actually split the fixture
+    assert(got.exists(_._5) && got.exists(!_._5),
+      s"keep flag is constant: ${got.count(_._5)}/${got.size}")
+  }
+
   test("vocab growth: two-level prefix sum ≡ naive running sum across blocks") {
     // The fixtures' 31-word vocabulary first-occurs entirely in bucket 1,
     // so the oracle row never exercises the multi-bucket (let alone
