@@ -149,6 +149,7 @@ object SparkEntry {
     "q_ann_multiband" -> (VectorOps.annTopKMultiband _),
     "q_embed_neardup" -> (VectorOps.embedNearDup _),
     "q_kmeans_assign" -> (VectorOps.kmeansAssign _),
+    "q_semdedup" -> (VectorOps.semDedup _),
     "q_outlier_embed" -> (VectorOps.semanticOutliers _),
     "q_str" -> (TextOps.strFunctions _),
     "q_text_quality" -> (TextOps.textQuality _),
@@ -2526,6 +2527,50 @@ object SparkEntry {
         |  FROM d)
         |SELECT vec_id, c_id AS cluster, round(dist2, 4) AS dist2
         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    // q_semdedup: SemDeDup — the q_kmeans_assign geometry bounds the
+    // pairwise cosine compare to within-cluster; duplicate iff a
+    // lower-id cluster-mate has cosine ≥ 0.3; sequential dimension
+    // folds keep every double bit-identical to the engine
+    "q_semdedup" ->
+      """WITH c AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+        |), d AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE)))) AS dist2
+        |  FROM embeddings e CROSS JOIN c
+        |), r AS (
+        |  SELECT vec_id, c_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rk
+        |  FROM d
+        |), a AS (
+        |  SELECT e.vec_id, r.c_id AS cluster, e.embedding
+        |  FROM embeddings e JOIN r ON r.vec_id = e.vec_id AND r.rk = 1
+        |), dup AS (
+        |  SELECT p.cluster, p.vec_id,
+        |    min(c.vec_id) AS dup_of,
+        |    round(max(
+        |      list_sum(list_transform(range(1,65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1,65),
+        |          i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1,65),
+        |          i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+        |    ), 4) + 0.0 AS max_cos
+        |  FROM a p JOIN a c ON p.cluster = c.cluster AND c.vec_id < p.vec_id
+        |  WHERE list_sum(list_transform(range(1,65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1,65),
+        |          i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1,65),
+        |          i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) >= 0.3
+        |  GROUP BY p.cluster, p.vec_id
+        |)
+        |SELECT a.vec_id, a.cluster, dup.dup_of IS NOT NULL AS is_dup,
+        |  dup.dup_of, dup.max_cos
+        |FROM a LEFT JOIN dup ON dup.cluster = a.cluster AND dup.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     "q_outlier_embed" ->
       // anchor = min-vec_id member per label (deterministic pick, no
       // float-mean); sequential dimension fold as in q_kmeans_assign

@@ -113,6 +113,51 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** q_semdedup: SemDeDup (Abbas et al. 2023) — semantic deduplication
+    * with the quadratic bounded by clustering: assign every embedding to
+    * its nearest seed centroid (the [[kmeansAssign]] geometry, same
+    * deterministic vec_id<8 seeds), then compare pairs ONLY within a
+    * cluster; a vector is a duplicate iff some lower-id cluster-mate has
+    * cosine ≥ τ (keep-lowest-id is the paper's keep-one-representative
+    * rule made deterministic). Output: every vector with its cluster,
+    * dup flag, the representative it collapses into (min such id) and its
+    * strongest in-cluster similarity.
+    *
+    * Scale shape: the centroid table broadcasts (at real scale, k ≈ 10⁵
+    * centroids from a trained k-means — still dimension-table-sized);
+    * the pairwise compare is an equi-join on the cluster key, so the
+    * quadratic is per-cluster, never corpus-wide — exactly the trade
+    * SemDeDup makes to run on web-scale corpora. Cosines fold
+    * sequentially (q_entropy precedent) → bit-identical to the oracle. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("c_emb"),
+        (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("dist2", d2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster"), col("embedding"))
+    val dups = assigned.select(col("cluster"), col("vec_id"), col("embedding").as("e1"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2")),
+        Seq("cluster"))
+      .filter(col("v2") < col("vec_id"))
+      .withColumn("cos", cosineSim(col("e1"), col("e2")))
+      .filter(col("cos") >= 0.3)
+      .groupBy("cluster", "vec_id")
+      .agg(min("v2").as("dup_of"), round(max("cos"), 4).as("max_cos"))
+    assigned.select("vec_id", "cluster")
+      .join(dups, Seq("cluster", "vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("max_cos"))
+      .orderBy("vec_id")
+  }
+
   /** Cross-modal semantic outliers: per label, the 3 vectors furthest
     * (squared L2) from the label's ANCHOR vector, joined back to the
     * document metadata they embed — the "which docs don't belong to

@@ -73,4 +73,37 @@ class AnnSpec extends SparkSpec {
     assert(found >= (nProbes * 0.9).toInt,
       s"only $found/$nProbes planted twins recovered")
   }
+
+  test("semdedup: cluster-bounded dedup ≡ brute-force recompute; dedup is cluster-local") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, annSf)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cents = vecs.filter(_._1 < 8)
+    def assign(v: Array[Float]): Long = cents.map { case (cid, c) =>
+      val d2 = (0 until v.length).foldLeft(0.0) { (acc, i) =>
+        val d = v(i).toDouble - c(i).toDouble; acc + d * d
+      }
+      (d2, cid)
+    }.min._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = (0 until a.length).foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+      val na = math.sqrt((0 until a.length).foldLeft(0.0)((acc, i) => acc + a(i).toDouble * a(i).toDouble))
+      val nb = math.sqrt((0 until b.length).foldLeft(0.0)((acc, i) => acc + b(i).toDouble * b(i).toDouble))
+      dot / (na * nb)
+    }
+    val clusters = vecs.map { case (id, v) => (id, v, assign(v)) }
+    val expected = clusters.map { case (id, v, cl) =>
+      val mates = clusters.filter(m => m._3 == cl && m._1 < id)
+        .map(m => (m._1, cos(v, m._2))).filter(_._2 >= 0.3)
+      if (mates.isEmpty) (id, cl, false, None: Option[Long])
+      else (id, cl, true, Some(mates.map(_._1).min))
+    }.toSeq
+    val got = VectorOps.semDedup(spark, annSf)
+      .select("vec_id", "cluster", "is_dup", "dup_of")
+      .as[(Long, Long, Boolean, Option[Long])].collect().toSeq
+    assert(got == expected, s"got=${got.take(3)} expected=${expected.take(3)}")
+    assert(got.exists(_._3) && got.exists(!_._3),
+      s"dup flag constant: ${got.count(_._3)}/${got.size}")
+  }
 }
