@@ -317,4 +317,37 @@ class PlansSpec extends SparkSpec {
     }
     assert(df.count() == 1)
   }
+
+  test("r10 additions: scrub is shuffle-free, gopher keeps the trigram in-array, semdedup never goes cartesian, attr_replay windows are keyed") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Expand, Generate, Join, Window}
+    // q_scrub: a pure per-row map — no join, window, aggregate or
+    // generator anywhere in the plan; the only exchange is the output sort
+    val scrub = operators.TextOps.scrub(spark, sf).queryExecution
+    assert(scrub.optimizedPlan.collect {
+      case j: Join => j; case w: Window => w; case g: Generate => g
+    }.isEmpty, s"q_scrub should be a pure map:\n${scrub.optimizedPlan}")
+    assert("Exchange".r.findAllIn(scrub.executedPlan.toString).size <= 1,
+      "q_scrub should shuffle only for the output sort")
+    // q_gopher_rules: trigram duplication stays in-array — only the
+    // bigram-mode explode generates rows; no Expand over it
+    val gopher = operators.TextOps.gopherRules(spark, sf).queryExecution
+    assert(gopher.optimizedPlan.collect { case g: Generate => g }.size == 1,
+      "q_gopher_rules must explode exactly once (bigrams); trigrams are in-array")
+    assert(gopher.optimizedPlan.collect { case e: Expand => e }.isEmpty,
+      "q_gopher_rules must not plan an Expand")
+    // q_semdedup: the pairwise compare is an equi-join on the cluster
+    // key; the only nested-loop is the broadcast centroid cross join
+    val sem = operators.VectorOps.semDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!sem.contains("CartesianProduct"),
+      s"q_semdedup pair compare went cartesian:\n${sem.take(1500)}")
+    // q_attr_replay: state-per-key like the streaming original — every
+    // window partitioned (no global prefix anywhere in the fold)
+    val attr = operators.Relational.attrReplay(spark, sf).queryExecution
+    val unkeyed = attr.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty => w
+    }
+    assert(unkeyed.isEmpty,
+      s"q_attr_replay has an unpartitioned window:\n${unkeyed.headOption}")
+  }
 }
