@@ -155,6 +155,7 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.textQuality _),
     "q_scrub" -> (TextOps.scrub _),
     "q_gopher_rules" -> (TextOps.gopherRules _),
+    "q_chunk_overlap" -> (TextOps.chunkOverlap _),
     "q_langid" -> (TextOps.langId _),
     "q_token_count" -> (TextOps.tokenCount _),
     "q_fingerprint" -> (TextOps.fingerprint _),
@@ -2107,6 +2108,25 @@ object SparkEntry {
         |  md5(regexp_replace(text, '\b(customer|key)\b', '[REDACTED]', 'g'))
         |    AS redacted_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_chunk_overlap: the RAG chunker — 32-token windows, stride 16;
+    // tail windows under 8 tokens dropped unless they are the doc's only
+    // chunk; md5 of the joined chunk keys downstream embedding/dedup
+    "q_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(u.k AS BIGINT) AS chunk_idx,
+        |    CAST(u.k * 16 + 1 AS BIGINT) AS start_tok,
+        |    CAST(least(32, n - u.k * 16) AS BIGINT) AS n_tok,
+        |    array_to_string(t[(u.k * 16 + 1):(u.k * 16 + least(32, n - u.k * 16))], ' ')
+        |      AS chunk
+        |  FROM d, unnest(range(0, (n - 1) // 16 + 1)) AS u(k)
+        |)
+        |SELECT doc_id, chunk_idx, start_tok, n_tok, md5(chunk) AS chunk_md5
+        |FROM c WHERE n_tok >= 8 OR chunk_idx = 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // q_gopher_rules: gram identity is the token TUPLE (the q_repetition
     // house rule) and the keep gates multiply exact BIGINTs — only the
     // reported fractions are rounded doubles

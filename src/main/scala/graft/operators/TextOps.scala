@@ -75,6 +75,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q_chunk_overlap: the RAG/embedding chunker — sliding token windows
+    * of 32 with stride 16 (half-overlap, the standard retrieval-corpus
+    * prep), each chunk emitted with its offset bookkeeping and an md5 of
+    * the joined text (the id a downstream embedding/dedup stage keys on).
+    * Tail rule: a trailing window shorter than 8 tokens is dropped unless
+    * it is the document's ONLY chunk. Complements [[packSequences]]
+    * (training packing, no overlap) and [[chunkDedup]] (disjoint chunks
+    * for dedup).
+    *
+    * Scale shape: the chunk list is built IN-ARRAY per row (one
+    * `transform` over the start sequence) and exploded once — no window,
+    * no join, no self-join on doc_id; the explode's fan-out is the
+    * chunk count (≈ 2·tokens/32 per doc), partial work stays map-side. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+    docs
+      .withColumn("c", explode(transform(
+        sequence(lit(0L), expr("(n - 1) div 16")),
+        k => struct(
+          k.as("k"),
+          (k * 16L + 1L).as("start_tok"),
+          least(lit(32L), col("n") - k * 16L).as("n_tok")))))
+      .filter(col("c.n_tok") >= 8L || col("c.k") === 0L)
+      .select(
+        col("doc_id"), col("c.k").as("chunk_idx"),
+        col("c.start_tok"), col("c.n_tok"),
+        md5(encode(array_join(
+          slice(col("t"), col("c.start_tok").cast("int"), col("c.n_tok").cast("int")),
+          " "), "UTF-8")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** q_gopher_rules: the Gopher/MassiveText-style per-document repetition
     * gates (Rae et al. 2021 §A1.1): token count, mean word length, the
     * fraction of the doc covered by its single most frequent bigram, and

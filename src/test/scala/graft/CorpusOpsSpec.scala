@@ -59,6 +59,40 @@ class CorpusOpsSpec extends SparkSpec {
       s"keep flag is constant: ${got.count(_._5)}/${got.size}")
   }
 
+  test("chunk overlap: stride bookkeeping ≡ brute force, incl. the short-only-chunk tail rule") {
+    import spark.implicits._
+    // lengths probing every boundary: the fixture has no doc under 8
+    // tokens, so the keep-the-only-chunk branch only lives here
+    val lens = Seq(1, 5, 8, 9, 16, 17, 20, 24, 32, 33, 40, 48, 65)
+    val tmp = java.nio.file.Files.createTempDirectory("chunk_docs").toFile
+    try {
+      lens.zipWithIndex.map { case (n, id) =>
+        val text = (0 until n).map(i => s"w$i").mkString(" ")
+        (id.toLong, text, "en", "s0", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = TextOps.chunkOverlap(spark, tmp.getPath)
+        .select("doc_id", "chunk_idx", "start_tok", "n_tok")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val expected = lens.zipWithIndex.flatMap { case (n, id) =>
+        (0 to (n - 1) / 16).map { k =>
+          (id.toLong, k.toLong, k * 16L + 1L, math.min(32L, n - k * 16L))
+        }.filter(c => c._4 >= 8 || c._2 == 0)
+      }
+      assert(got == expected, s"got=$got\nexpected=$expected")
+      // both tail branches live: a short ONLY chunk kept, a short tail dropped
+      assert(got.contains((0L, 0L, 1L, 1L)), "only-chunk keep branch dead")
+      assert(!got.exists(c => c._2 > 0 && c._4 < 8), "short tails must drop")
+      assert(lens.exists(n => (n - 1) / 16 > 0 && n % 16 != 0),
+        "fixture must exercise a dropped tail")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("vocab growth: two-level prefix sum ≡ naive running sum across blocks") {
     // The fixtures' 31-word vocabulary first-occurs entirely in bucket 1,
     // so the oracle row never exercises the multi-bucket (let alone
