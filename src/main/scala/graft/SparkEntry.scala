@@ -150,6 +150,7 @@ object SparkEntry {
     "q_embed_neardup" -> (VectorOps.embedNearDup _),
     "q_kmeans_assign" -> (VectorOps.kmeansAssign _),
     "q_semdedup" -> (VectorOps.semDedup _),
+    "q_hard_negatives" -> (VectorOps.hardNegatives _),
     "q_outlier_embed" -> (VectorOps.semanticOutliers _),
     "q_str" -> (TextOps.strFunctions _),
     "q_text_quality" -> (TextOps.textQuality _),
@@ -2038,6 +2039,24 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT probe_id, rank, cand_id, round(cos, 4) AS cos_sim
         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // q_hard_negatives: the q_sim_topk shape restricted to label-mismatch
+    // candidates — similar-but-differently-labeled vectors for
+    // contrastive/reranker training
+    "q_hard_negatives" ->
+      """WITH pairs AS (
+        |  SELECT p.vec_id AS anchor_id, c.vec_id AS cand_id,
+        |    CAST(c.label AS BIGINT) AS neg_label,
+        |    list_sum(list_transform(range(1,65), i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1,65), i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1,65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings p JOIN embeddings c ON c.label <> p.label
+        |  WHERE p.vec_id < 10
+        |), ranked AS (
+        |  SELECT anchor_id, cand_id, neg_label, cos,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+        |  FROM pairs)
+        |SELECT anchor_id, rank, cand_id, neg_label, round(cos, 4) AS cos_sim
+        |FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
     "q_ann_bucket" ->
       """SELECT vec_id,
         |  CAST((CASE WHEN d0 > 0 THEN 1 ELSE 0 END) + 2 * (CASE WHEN d1 > 0 THEN 1 ELSE 0 END)

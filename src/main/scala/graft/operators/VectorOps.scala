@@ -86,6 +86,31 @@ object VectorOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** q_hard_negatives: hard-negative mining for contrastive training —
+    * for each anchor (vec_id < 10), the 3 most cosine-similar vectors
+    * whose LABEL DIFFERS (similar-but-wrong examples, the ones a
+    * contrastive or reranker loss learns most from). Same brute-force
+    * shape as [[simTopK]] (anchors broadcast, one fact scan, per-anchor
+    * bounded window); at 100 TB the candidate stream swaps to the
+    * ANN/IVF paths — the label-mismatch predicate and top-k are
+    * unchanged. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("p_emb"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+      col("embedding").as("c_emb"))
+    val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("cand_id"))
+    cands.join(broadcast(probes), col("c_label") =!= col("a_label"))
+      .withColumn("cos", cosineSim(col("p_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("anchor_id"), col("rank"), col("cand_id"),
+        col("c_label").cast("long").as("neg_label"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("anchor_id", "rank")
+  }
+
   /** E-SIM clustering assignment: every embedding labeled with its
     * nearest of 8 fixed centroids (vec_id < 8 as deterministic seeds) by
     * squared L2 — the assignment step at the heart of IVF/k-means,
