@@ -168,6 +168,11 @@ object VectorOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("c_id").as("cluster"), col("embedding"))
+      // consumed three times (both pair sides + the final report) and
+      // nothing below it reuses — without the persist the k·|vecs|
+      // distance sweep runs three times (SemDeDup materializes the
+      // assignment table for the same reason)
+      .persist()
     val dups = assigned.select(col("cluster"), col("vec_id"), col("embedding").as("e1"))
       .join(assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2")),
         Seq("cluster"))
