@@ -1199,6 +1199,12 @@ object Relational {
     * only join left is a broadcast-hash clip to observed grid days. */
   def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // `act` feeds the run fold and (twice, via `days`) the calendar
+    // scaffold/clip; it is deliberately NOT persisted — an A/B at sf0.1
+    // measured cache materialization costing ~2× what the two extra
+    // scan+distinct passes do (0.62 → 1.04 s median, matched load). The
+    // crossover flips when the fact scan dominates: at production volume
+    // persist (or write out) this |users×days|-bounded frame.
     val act = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     val days = act.select(col("day").as("d")).distinct()
