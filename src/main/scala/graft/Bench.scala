@@ -47,18 +47,25 @@ import org.apache.spark.sql.SparkSession
   * survived — a flaky query is a bug, not a fast median) lands in the
   * samples file's "errors", and the process exits nonzero. */
 object Bench {
-  /** Queries the round-6 verdict read >1.3× baseline (q_basket 1.93×,
-    * q_funnel 1.79×, q_contamination 1.66×, q_jaccard_pairs 1.42× — all
-    * warm-up/noise- or reshape-explained): medians for these rest on
+  /** Queries whose driver-run medians have shown contention bimodality —
+    * the r6 set (q_basket 1.93×, q_funnel 1.79×, q_contamination 1.66×,
+    * q_jaccard_pairs 1.42×) plus the short queries r9/r10 adjudicated as
+    * contention scatter (q_wau was BENCH_r10-era worst at 1.9× with a
+    * quiet-run floor of ≈1×; q_benford/q_bigram_lm bimodal with minima at
+    * ≈1×; q_repeated_grams the r9 worst): medians for these rest on
     * `watchRepeats` samples, not the default `repeats`. */
   private val watchlist: Set[String] =
-    Set("q_basket", "q_funnel", "q_contamination", "q_jaccard_pairs")
+    Set("q_basket", "q_funnel", "q_contamination", "q_jaccard_pairs",
+      "q_wau", "q_benford", "q_bigram_lm", "q_repeated_grams")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "5").toInt
-    val watchRepeats = sys.env.getOrElse("SPARK_GRAFT_WATCH_REPEATS", "5").toInt max repeats
+    // default 7 > the 5 default passes: a median of 7 survives THREE
+    // stalled passes on the watchlist (a default-5 watch equalled the
+    // fleet and protected nothing)
+    val watchRepeats = sys.env.getOrElse("SPARK_GRAFT_WATCH_REPEATS", "7").toInt max repeats
     val samplesOut = sys.env.getOrElse("SPARK_GRAFT_SAMPLES_OUT", "bench_samples.json")
     val mediansOut = sys.env.getOrElse("SPARK_GRAFT_MEDIANS_OUT", "bench_medians.json")
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
