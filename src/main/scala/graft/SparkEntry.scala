@@ -260,6 +260,11 @@ object SparkEntry {
       "q_scd2" -> (Relational.scd2Core _),
       "q_pagerank" -> (TextOps.pageRankCore _),
       "q_alloc" -> (Relational.allocationCore _),
+      "q_scrub" -> (TextOps.scrubCore _),
+      "q_gopher_rules" -> (TextOps.gopherRulesCore _),
+      "q_chunk_overlap" -> (TextOps.chunkOverlapCore _),
+      "q_semdedup" -> (VectorOps.semDedupCore _),
+      "q_attr_replay" -> (Relational.attrReplayCore _),
     )
 
   /** SQL twin of Curation.splitOf — Knuth multiplicative hash, 90/5/5. */

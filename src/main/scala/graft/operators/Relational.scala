@@ -611,13 +611,19 @@ object Relational {
     * and in the oracle; the pack is exact while event_id < 10⁷ — beyond
     * that (real 100 TB feeds) swap the packed max for `max_by(struct)`,
     * which trades oracle parity for unbounded ids. */
-  def attrReplay(spark: SparkSession, dir: String): DataFrame = {
+  def attrReplay(spark: SparkSession, dir: String): DataFrame =
+    attrReplayUnsorted(spark, dir).orderBy("purchase_id")
+
+  /** Bench shape: purchase-sized output, global sort oracle-only. */
+  def attrReplayCore(spark: SparkSession, dir: String): DataFrame =
+    attrReplayUnsorted(spark, dir).sortWithinPartitions("purchase_id")
+
+  private def attrReplayUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_timestamp(col("ts")).as("sec"))
       .withColumn("arr", replayArrival(col("sec"), col("event_id")))
     attrReplayOn(ev, ttlSec = 28800L)
-      .orderBy("purchase_id")
   }
 
   /** Core of [[attrReplay]] on a prepared (event_id, user_id, event_type,

@@ -63,7 +63,15 @@ object TextOps {
     * whole-stage-codegen'd, no shuffle, no UDF; the scan prunes to
     * (doc_id, text). The word-boundary alternation is RE2-safe, so the
     * identical pattern runs on the oracle side. */
-  def scrub(spark: SparkSession, dir: String): DataFrame = {
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    scrubUnsorted(spark, dir).orderBy("doc_id")
+
+  /** Bench shape: document-sized output — the global sort exists only
+    * for the oracle compare (the q_alloc precedent). */
+  def scrubCore(spark: SparkSession, dir: String): DataFrame =
+    scrubUnsorted(spark, dir).sortWithinPartitions("doc_id")
+
+  private def scrubUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val pat = "\\b(customer|key)\\b"
     Tables.documents(spark, dir)
       .select(
@@ -72,7 +80,6 @@ object TextOps {
           .cast("long").as("n_hits"),
         md5(encode(regexp_replace(col("text"), pat, "[REDACTED]"), "UTF-8"))
           .as("redacted_md5"))
-      .orderBy("doc_id")
   }
 
   /** q_chunk_overlap: the RAG/embedding chunker — sliding token windows
@@ -88,7 +95,14 @@ object TextOps {
     * `transform` over the start sequence) and exploded once — no window,
     * no join, no self-join on doc_id; the explode's fan-out is the
     * chunk count (≈ 2·tokens/32 per doc), partial work stays map-side. */
-  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlapUnsorted(spark, dir).orderBy("doc_id", "chunk_idx")
+
+  /** Bench shape: chunk-table-sized output, global sort oracle-only. */
+  def chunkOverlapCore(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlapUnsorted(spark, dir).sortWithinPartitions("doc_id", "chunk_idx")
+
+  private def chunkOverlapUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("n", size(col("t")).cast("long"))
@@ -106,7 +120,6 @@ object TextOps {
         md5(encode(array_join(
           slice(col("t"), col("c.start_tok").cast("int"), col("c.n_tok").cast("int")),
           " "), "UTF-8")).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** q_gopher_rules: the Gopher/MassiveText-style per-document repetition
@@ -123,7 +136,14 @@ object TextOps {
     * codes map-side before the one exchange (the q_repetition idiom —
     * 64-bit collisions are the accepted sketch bound). Both frames are
     * doc-cardinality at the join. */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesUnsorted(spark, dir).orderBy("doc_id")
+
+  /** Bench shape: document-sized output, global sort oracle-only. */
+  def gopherRulesCore(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesUnsorted(spark, dir).sortWithinPartitions("doc_id")
+
+  private def gopherRulesUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("len"),
         split(col("text"), " ").as("t"))
@@ -159,7 +179,6 @@ object TextOps {
         (col("n_tok") >= 20 &&
           col("top2_cnt") * 10000L < d1 * 800L &&
           col("dup3_cnt") * 10000L < d3 * 200L).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** Language-ID heuristic: marker-stopword hit counts per language,

@@ -154,7 +154,14 @@ object VectorOps {
     * quadratic is per-cluster, never corpus-wide — exactly the trade
     * SemDeDup makes to run on web-scale corpora. Cosines fold
     * sequentially (q_entropy precedent) → bit-identical to the oracle. */
-  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupUnsorted(spark, dir).orderBy("vec_id")
+
+  /** Bench shape: vector-table-sized output, global sort oracle-only. */
+  def semDedupCore(spark: SparkSession, dir: String): DataFrame =
+    semDedupUnsorted(spark, dir).sortWithinPartitions("vec_id")
+
+  private def semDedupUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -185,7 +192,6 @@ object VectorOps {
       .join(dups, Seq("cluster", "vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("max_cos"))
-      .orderBy("vec_id")
   }
 
   /** Cross-modal semantic outliers: per label, the 3 vectors furthest

@@ -218,6 +218,22 @@ class PlansSpec extends SparkSpec {
       "allocationCore must keep per-partition order only")
     assert(hasGlobalSort(operators.Relational.allocation(spark, sf)),
       "verify form must stay globally sorted for the oracle")
+    // the r10 table-cardinality outputs follow the same contract
+    for ((name, core, verify) <- Seq[(String,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+      ("scrub", operators.TextOps.scrubCore(spark, sf),
+        operators.TextOps.scrub(spark, sf)),
+      ("gopher_rules", operators.TextOps.gopherRulesCore(spark, sf),
+        operators.TextOps.gopherRules(spark, sf)),
+      ("chunk_overlap", operators.TextOps.chunkOverlapCore(spark, sf),
+        operators.TextOps.chunkOverlap(spark, sf)),
+      ("semdedup", operators.VectorOps.semDedupCore(spark, sf),
+        operators.VectorOps.semDedup(spark, sf)),
+      ("attr_replay", operators.Relational.attrReplayCore(spark, sf),
+        operators.Relational.attrReplay(spark, sf)))) {
+      assert(!hasGlobalSort(core), s"${name}Core must not globally sort")
+      assert(hasGlobalSort(verify), s"$name verify form must stay sorted")
+    }
   }
 
   test("q_dedup_curve plan: threshold grid broadcast; exact intersect pair-bounded") {
