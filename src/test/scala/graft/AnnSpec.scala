@@ -74,6 +74,39 @@ class AnnSpec extends SparkSpec {
       s"only $found/$nProbes planted twins recovered")
   }
 
+  test("hard negatives: top-3 label-mismatched ≡ brute-force recompute; no same-label leak") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, annSf)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
+    // same fold order as the CosineSimilarity expression: three
+    // left-to-right accumulations, sqrt·sqrt denominator
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.filter(_._1 < 10).flatMap { case (aid, albl, aemb) =>
+      vecs.filter(_._2 != albl)
+        .map { case (cid, clbl, cemb) => (cos(aemb, cemb), cid, clbl) }
+        .sortBy { case (c, cid, _) => (-c, cid) }
+        .take(3).zipWithIndex
+        .map { case ((c, cid, clbl), i) =>
+          (aid, i + 1L, cid, clbl.toLong,
+            BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = VectorOps.hardNegatives(spark, annSf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected, s"got=${got.take(3)} expected=${expected.take(3)}")
+    val labelOf = vecs.map(v => v._1 -> v._2.toLong).toMap
+    assert(got.forall { case (aid, _, _, neg, _) => labelOf(aid) != neg },
+      "a same-label candidate leaked into the negatives")
+  }
+
   test("semdedup: cluster-bounded dedup ≡ brute-force recompute; dedup is cluster-local") {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, annSf)
