@@ -265,6 +265,8 @@ object SparkEntry {
       "q_chunk_overlap" -> (TextOps.chunkOverlapCore _),
       "q_semdedup" -> (VectorOps.semDedupCore _),
       "q_attr_replay" -> (Relational.attrReplayCore _),
+      "q_latch_replay" -> (Relational.latchReplayCore _),
+      "q_session_replay" -> (Relational.sessionReplayCore _),
     )
 
   /** SQL twin of Curation.splitOf — Knuth multiplicative hash, 90/5/5. */
@@ -2956,7 +2958,9 @@ object SparkEntry {
       // gram identity is the 6-token TUPLE (list slice), matching the
       // engine's xxhash64 token-tuple keys; the display string joins
       // with '_' only AFTER grouping, so underscore-bearing tokens
-      // cannot merge distinct grams
+      // cannot merge distinct grams — and ties ORDER BY the tuple too
+      // (two distinct tuples can render the same string, and an equal
+      // (df, string) key would leave the LIMIT 50 cut engine-dependent)
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |), grams AS (
@@ -2966,7 +2970,7 @@ object SparkEntry {
         |SELECT array_to_string(g, '_') AS gram, count(DISTINCT doc_id) AS df,
         |  count(*) AS n_occurrences, min(doc_id) AS min_doc
         |FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
-        |ORDER BY df DESC, array_to_string(g, '_') LIMIT 50""".stripMargin,
+        |ORDER BY df DESC, g LIMIT 50""".stripMargin,
     "q_xcorr" ->
       // Pearson r from six exact sums (never the engine's double-summing
       // corr aggregate); doubles only in the closing ratio

@@ -122,12 +122,13 @@ object Tables {
     }
   }
 
-  /** mtime+size signature of `$dir/events.parquet` — the cache key
-    * discipline every events-derived cache uses (eventsByDate scratch,
-    * MlScoring.modelCache): a fixture regenerated IN PLACE must never be
-    * answered from state recorded for the previous generation. */
-  private def eventsContentSig(dir: String): String = {
-    val src = new java.io.File(s"$dir/events.parquet")
+  /** mtime+size signature of `$dir/$table.parquet` — the cache key
+    * discipline every fixture-derived cache uses (tsUnitCache,
+    * eventsByDate scratch, MlScoring.modelCache): a fixture regenerated
+    * IN PLACE must never be answered from state recorded for the
+    * previous generation. */
+  private[graft] def parquetContentSig(dir: String, table: String): String = {
+    val src = new java.io.File(s"$dir/$table.parquet")
     val files =
       if (src.isDirectory) Option(src.listFiles()).map(_.toSeq).getOrElse(Nil)
       else Seq(src)
@@ -139,6 +140,9 @@ object Tables {
     if (files.isEmpty) "absent"
     else s"${files.map(_.lastModified).max}_${files.map(_.length).sum}"
   }
+
+  private def eventsContentSig(dir: String): String =
+    parquetContentSig(dir, "events")
 
   /** True iff the fixture's `ts` column is annotated TIMESTAMP(NANOS) in
     * the parquet footer. Cached per (directory, content signature): the

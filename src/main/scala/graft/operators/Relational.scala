@@ -502,13 +502,20 @@ object Relational {
     * Scale shape: one lag window PARTITIONED by the latch key — state per
     * key like the streaming original, never a global sort. */
   def latchReplay(spark: SparkSession, dir: String): DataFrame =
+    latchReplayUnsorted(spark, dir).orderBy("user_id", "event_id")
+
+  /** Bench shape: edge-cardinality output (every F→T rising edge — the
+    * largest of the replay-twin outputs), global sort oracle-only. */
+  def latchReplayCore(spark: SparkSession, dir: String): DataFrame =
+    latchReplayUnsorted(spark, dir).sortWithinPartitions("user_id", "event_id")
+
+  private def latchReplayUnsorted(spark: SparkSession, dir: String): DataFrame =
     latchReplayOn(Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
         (col("value") > 150).as("fire"),
         unix_timestamp(col("ts")).as("sec"))
       .withColumn("arr", replayArrival(col("sec"), col("event_id"))))
       .select("user_id", "event_id", "arr")
-      .orderBy("user_id", "event_id")
 
   /** Core of [[latchReplay]] on a prepared (user_id, event_id, arr, fire)
     * frame — separated so ReplayTwinsSpec can drive the SAME formulation
@@ -542,13 +549,20 @@ object Relational {
     * (unpartitioned window only over the arrival-day block frame); both
     * per-user windows are user-partitioned; the final watermark is a
     * one-row broadcast. */
-  def sessionReplay(spark: SparkSession, dir: String): DataFrame = {
+  def sessionReplay(spark: SparkSession, dir: String): DataFrame =
+    sessionReplayUnsorted(spark, dir).orderBy("user_id", "session_start_sec")
+
+  /** Bench shape: session-cardinality output, global sort oracle-only. */
+  def sessionReplayCore(spark: SparkSession, dir: String): DataFrame =
+    sessionReplayUnsorted(spark, dir)
+      .sortWithinPartitions("user_id", "session_start_sec")
+
+  private def sessionReplayUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
         unix_timestamp(col("ts")).as("sec"))
       .withColumn("arr", replayArrival(col("sec"), col("event_id")))
     sessionReplayOn(ev, delaySec = 600L, gapSec = 1800L)
-      .orderBy("user_id", "session_start_sec")
   }
 
   /** Core of [[sessionReplay]] on a prepared (event_id, user_id, sec, arr)

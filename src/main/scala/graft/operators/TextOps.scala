@@ -1298,11 +1298,18 @@ object TextOps {
         col("loc.doc_id").as("min_doc"), col("loc.j0").as("j0"))
     toks
       .join(broadcast(cands), col("doc_id") === col("min_doc"))
-      .select(
-        array_join(slice(col("t"), col("j0"), lit(6)), "_").as("gram"),
+      // ties order by the token TUPLE (the group identity), not the '_'
+      // display string: two distinct grams can render the same string on
+      // underscore-bearing tokens, and an equal (df, string) key would
+      // leave their relative order — and which survives the LIMIT 50
+      // cut — engine-dependent. Array compare is elementwise binary on
+      // both engines (oracle: ORDER BY g).
+      .select(slice(col("t"), col("j0"), lit(6)).as("g_arr"),
         col("df"), col("n_occurrences"), col("min_doc"))
-      .orderBy(col("df").desc, col("gram"))
+      .orderBy(col("df").desc, col("g_arr"))
       .limit(50)
+      .select(array_join(col("g_arr"), "_").as("gram"),
+        col("df"), col("n_occurrences"), col("min_doc"))
   }
 
   /** q_minhash_est: sketch calibration audit — for every LSH candidate

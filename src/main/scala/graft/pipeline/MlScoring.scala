@@ -132,11 +132,13 @@ object MlScoring {
   private[graft] val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, LazyModel)]()
 
-  private def contentSig(dir: String): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
-    s"${files.map(_.lastModified).max}_${files.map(_.length).sum}"
-  }
+  // shared helper, not a local copy: the hand-rolled version NPE'd on an
+  // unlistable dir and threw a bare `empty.max` on an empty one — exactly
+  // the mid-materialization states Tables.parquetContentSig handles with
+  // its "absent" sentinel (which never matches a real sig, so a fixture
+  // that materializes mid-JVM is re-fit rather than served stale)
+  private def contentSig(dir: String): String =
+    graft.Tables.parquetContentSig(dir, "documents")
 
   /** Fit the pipeline on the fixture's labeled frames (cached per
     * fixture content — probe-only after first touch). */
