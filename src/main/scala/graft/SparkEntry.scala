@@ -178,6 +178,7 @@ object SparkEntry {
     "q_jw" -> (TextOps.jaroWinklerPairs _),
     "q_triangles" -> (TextOps.triangleCensus _),
     "q_mix" -> (TextOps.mixRates _),
+    "q_interleave" -> (TextOps.interleave _),
     "q_wsample" -> (TextOps.weightedSample _),
     "q_pack" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "q_zorder" -> (Layout.zorderQuery _),
@@ -267,6 +268,7 @@ object SparkEntry {
       "q_attr_replay" -> (Relational.attrReplayCore _),
       "q_latch_replay" -> (Relational.latchReplayCore _),
       "q_session_replay" -> (Relational.sessionReplayCore _),
+      "q_interleave" -> (TextOps.interleaveCore _),
     )
 
   /** SQL twin of Curation.splitOf — Knuth multiplicative hash, 90/5/5. */
@@ -2761,6 +2763,31 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, share, rate,
         |  CAST(floor(rate * n_tokens) AS BIGINT) AS est_tokens
         |FROM r ORDER BY source""".stripMargin,
+    // q_interleave: stride scheduling — w = 6 − token-mass quintile,
+    // vt = rank·(60/w) exact BIGINT (60 = lcm(1..5)), pos = global rank
+    // of (vt, source, doc_id); ntile ties broken by (n_tokens, source),
+    // both engines assign the first n mod 5 buckets the extra row
+    "q_interleave" ->
+      """WITH stats AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), wgt AS (
+        |  SELECT source,
+        |    CAST(6 - ntile(5) OVER (ORDER BY n_tokens, source) AS BIGINT) AS w
+        |  FROM stats
+        |), ranked AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS rank_in_source
+        |  FROM documents
+        |), vt AS (
+        |  SELECT doc_id, ranked.source, w, rank_in_source,
+        |    CAST(rank_in_source * (60 // w) AS BIGINT) AS vt
+        |  FROM ranked JOIN wgt ON ranked.source = wgt.source)
+        |SELECT doc_id, source, w, rank_in_source, vt,
+        |  CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS BIGINT) AS pos
+        |FROM vt ORDER BY pos""".stripMargin,
     "q_wau" ->
       // trailing-7-day distinct users per active day
       """WITH act AS (

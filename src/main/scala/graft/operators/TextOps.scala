@@ -1043,6 +1043,64 @@ object TextOps {
       .orderBy("source", "rank")
   }
 
+  /** q_interleave: deterministic stride-scheduled source interleaving —
+    * the EXECUTABLE training order that [[mixRates]]'s weights only plan.
+    * Classic stride scheduling (weighted round-robin): each source
+    * advances a virtual clock by 60/w per document, and the global
+    * training order is ascending virtual time — a source with weight w
+    * contributes w docs per 60 virtual ticks, so sources interleave
+    * ∝ weight instead of concatenating (the "don't train on one domain
+    * for a million steps" rule). Weights are the standard
+    * small-source-upweight policy, derived from the data: w = 6 − q
+    * where q is the source's token-mass quintile (smallest curated
+    * sources repeat up to 5× as densely as the web-crawl quintile).
+    * 60 = lcm(1..5) keeps every stride integral — all arithmetic exact.
+    *
+    * Scale shape: the per-source rank is a source-partitioned window;
+    * the quintile ntile runs over the SOURCE frame (|sources| rows, a
+    * dimension); the global position is the q_auc two-level prefix sum —
+    * per-bucket counts (bucket = vt ≫ 12) offset a bucket-PARTITIONED
+    * row_number, so the only unpartitioned window is the bucket-offset
+    * frame: vt_max/4096 ≈ 60·|docs| / (|sources|·4096) rows, ~0.07% of
+    * the corpus (~730k rows at 10⁹ docs), never |docs| itself. */
+  def interleave(spark: SparkSession, dir: String): DataFrame =
+    interleaveUnsorted(spark, dir).orderBy("pos")
+
+  /** Bench shape: doc-cardinality output, global sort oracle-only. */
+  def interleaveCore(spark: SparkSession, dir: String): DataFrame =
+    interleaveUnsorted(spark, dir).sortWithinPartitions("pos")
+
+  private def interleaveUnsorted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // source weights: token-mass quintile, inverted (|sources| rows — a
+    // dimension frame; the unpartitioned ntile window is domain-bounded)
+    val wQ = Window.orderBy("n_tokens", "source")
+    val weights = docs.groupBy("source")
+      .agg(sum("n_tok").as("n_tokens"))
+      .withColumn("w", (lit(6) - ntile(5).over(wQ)).cast("long"))
+      .select("source", "w")
+    val wRank = Window.partitionBy("source").orderBy("doc_id")
+    val vt = docs
+      .join(broadcast(weights), "source")
+      .withColumn("rank_in_source", row_number().over(wRank).cast("long"))
+      // 60/w is integral for w ∈ 1..5 (60 = lcm); vt stays exact BIGINT
+      .withColumn("vt", expr("rank_in_source * (60 div w)"))
+      .withColumn("b", shiftright(col("vt"), 12))
+    val wOff = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = vt.groupBy("b").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select("b", "off")
+    val wIn = Window.partitionBy("b").orderBy("vt", "source", "doc_id")
+    vt.join(broadcast(offsets), "b")
+      .withColumn("pos", (col("off") + row_number().over(wIn)).cast("long"))
+      .select(col("doc_id"), col("source"), col("w"),
+        col("rank_in_source"), col("vt"), col("pos"))
+  }
+
   /** Training-sequence packing (the concat-and-chunk recipe): per source,
     * documents concatenate in doc_id order into one token stream that is
     * cut every `budget` tokens; each document is labeled with the

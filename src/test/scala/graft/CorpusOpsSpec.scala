@@ -34,6 +34,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.exists(_._2 > 0), "blocklist never hit — the scrub is a no-op")
   }
 
+  test("interleave: stride schedule ≡ brute-force recompute; weights non-degenerate") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+      .map { case (id, src, text) => (id, src, text.split(" ", -1).length.toLong) }
+    // ntile(5) by hand: sorted by (token mass, source), first n%5 buckets
+    // take the extra row — the standard assignment both engines use
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val ordered = bySrc.toSeq.sortBy { case (s, t) => (t, s) }
+    val n = ordered.size
+    val (base, extra) = (n / 5, n % 5)
+    val weightOf = ordered.zipWithIndex.map { case ((s, _), i) =>
+      // row i (0-based) falls in bucket q: first `extra` buckets have
+      // base+1 rows
+      val q =
+        if (i < extra * (base + 1)) i / (base + 1) + 1
+        else (i - extra * (base + 1)) / base + extra + 1
+      s -> (6L - q)
+    }.toMap
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(_._1).zipWithIndex.map { case ((id, _, _), r0) =>
+        val w = weightOf(src)
+        val rank = r0 + 1L
+        (id, src, w, rank, rank * (60L / w))
+      }
+    }.sortBy { case (id, src, _, _, vt) => (vt, src, id) }
+      .zipWithIndex
+      .map { case ((id, src, w, rank, vt), p) => (id, src, w, rank, vt, p + 1L) }
+    val got = TextOps.interleave(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"got=${got.take(3)} expected=${expected.take(3)}")
+    assert(got.map(_._3).distinct.size > 1, "all sources got the same weight")
+  }
+
   test("gopher rules: windowed stats ≡ brute-force per-doc recompute") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

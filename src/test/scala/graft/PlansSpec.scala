@@ -334,6 +334,32 @@ class PlansSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("q_interleave plan: unpartitioned windows only over bucket- or source-grain aggregates") {
+    // the global position is a rank over |docs| rows — the two-level
+    // reshape keeps the doc-cardinality window PARTITIONED by the vt
+    // bucket; the only unpartitioned windows are the bucket-offset scan
+    // (over an Aggregate grouping by the shiftright-12 bucket key) and
+    // the source-quintile ntile (over the |sources| dimension frame,
+    // an Aggregate grouping by source).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    val df = operators.TextOps.interleave(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(wins.nonEmpty, "expected windows in q_interleave")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // the bucket key is an attribute (`b`) at the Aggregate — its
+      // shiftright-12 definition sits in the subtree (vocab_growth pin
+      // precedent); the ntile's dimension aggregate groups by source
+      val grainAgg = w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.size == 1 &&
+          (a.exists(_.expressions.exists(_.toString.contains("shiftright"))) ||
+            a.groupingExpressions.head.toString.contains("source")) => a
+      }
+      assert(grainAgg.isDefined,
+        s"unpartitioned window not over a bucket/source-grain aggregate:\n$w")
+    }
+    assert(df.count() > 0)
+  }
+
   test("r10 additions: scrub is shuffle-free, gopher keeps the trigram in-array, semdedup never goes cartesian, attr_replay windows are keyed") {
     import org.apache.spark.sql.catalyst.plans.logical.{Expand, Generate, Join, Window}
     // q_scrub: a pure per-row map — no join, window, aggregate or
