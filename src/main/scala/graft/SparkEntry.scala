@@ -206,6 +206,7 @@ object SparkEntry {
     "q_bootstrap" -> (Analytics.bootstrapCi _),
     "q_km" -> (Analytics.kaplanMeier _),
     "q_holt" -> (Analytics.holt _),
+    "q_series_match" -> (Analytics.seriesMatch _),
     "q_kcore" -> (TextOps.kcore _),
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     "q_dedup_curve" -> (TextOps.dedupCurve _),
@@ -1444,6 +1445,43 @@ object SparkEntry {
         |SELECT event_type, day, round(l, 6) AS holt_level,
         |  round(b, 6) AS holt_trend, round(l + b, 6) AS forecast_next
         |FROM h ORDER BY event_type, day""".stripMargin,
+    // q_series_match: nearest z-normalized 7-day subsequence per purchase
+    // window — the match score is q_xcorr's Pearson r under its exact
+    // integer-sums discipline (one double expression at the end); the
+    // argmax ranks on round(r, 8) with (type, day) tie-break, the
+    // weightedSample grid argument; zero-variance windows filtered BOTH
+    // sides (r undefined); HUGEINT ≡ Spark decimal(38,0) throughout
+    "q_series_match" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2
+        |), wins AS (
+        |  SELECT event_type, day,
+        |    list(cents) OVER w AS arr,
+        |    CAST(sum(cents) OVER w AS HUGEINT) AS s,
+        |    sum(CAST(cents AS HUGEINT) * cents) OVER w AS ss
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+        |), ok AS (
+        |  SELECT event_type, day, arr, s, 7 * ss - s * s AS v
+        |  FROM wins WHERE len(arr) = 7 AND 7 * ss - s * s > 0
+        |), pair AS (
+        |  SELECT q.day AS q_day, c.event_type AS m_type, c.day AS m_day,
+        |    CAST(7 * list_sum(list_transform(range(1, 8),
+        |        i -> CAST(q.arr[i] AS HUGEINT) * c.arr[i])) - q.s * c.s
+        |      AS DOUBLE)
+        |      / (sqrt(CAST(q.v AS DOUBLE)) * sqrt(CAST(c.v AS DOUBLE))) AS r
+        |  FROM ok q JOIN ok c
+        |    ON q.event_type = 'purchase' AND c.event_type <> 'purchase'
+        |), ranked AS (
+        |  SELECT q_day, m_type, m_day, r,
+        |    row_number() OVER (PARTITION BY q_day
+        |      ORDER BY round(r, 8) DESC, m_type, m_day) AS rk
+        |  FROM pair)
+        |SELECT q_day, m_type, m_day, round(r, 6) AS best_r
+        |FROM ranked WHERE rk = 1 ORDER BY q_day""".stripMargin,
     // q_impute: per-group median fill — quantile_cont ≡ Spark percentile on
     // integer inputs; was_missing cast to BIGINT (scalar-only outputs)
     "q_impute" ->

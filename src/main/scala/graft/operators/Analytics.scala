@@ -910,4 +910,65 @@ object Analytics {
         round(col("e.l") + col("e.b"), 6).as("forecast_next"))
       .orderBy("event_type", "day")
   }
+
+  /** q_series_match: time-series subsequence similarity search — for
+    * every 7-day window of the purchase revenue series, the best
+    * z-normalized match among all 7-day windows of every OTHER event
+    * type (the Matrix-Profile-style nearest-subsequence join behind
+    * "which series has seen this shape before"). Z-normalized distance
+    * is monotone in Pearson r (d² = 2n(1−r)), so the match score IS the
+    * q_xcorr correlation, computed under its exact discipline: every
+    * sum an integer (cents; products decimal-widened), ONE double
+    * expression at the end. The ranking key rounds r to 1e-8 before the
+    * (skey desc, type, day) order — the weightedSample grid argument: a
+    * 1-ulp cross-engine wobble flips a rank only if the true value sits
+    * within ~1e-16 of a grid boundary; ties themselves break on
+    * (type, day) identically on both sides.
+    *
+    * Scale shape: windows are CALENDAR-bounded (one per day per type,
+    * built by one type-partitioned frame window over the daily
+    * aggregate), so the candidate×query pair frame is |calendar|² at
+    * worst — a dimension product, never |fact|; the query side is
+    * broadcast. Constant (zero-variance) windows are filtered on both
+    * sides — r is undefined there (documented, the q_xcorr CASE). */
+  def seriesMatch(spark: SparkSession, dir: String): DataFrame = {
+    val wDay = Window.partitionBy("event_type").orderBy("day")
+    val wFrame = wDay.rowsBetween(Window.currentRow, 6)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val wins = daily
+      .withColumn("arr", collect_list("cents").over(wFrame))
+      .withColumn("s", sum("cents").over(wFrame).cast("decimal(38,0)"))
+      .withColumn("ss",
+        sum((col("cents") * col("cents")).cast("decimal(38,0)")).over(wFrame))
+      .filter(size(col("arr")) === 7)
+      .withColumn("v", lit(7) * col("ss") - col("s") * col("s"))
+      .filter(col("v") > 0)
+      .select(col("event_type"), col("day"), col("arr"), col("s"), col("v"))
+    val q = wins.filter(col("event_type") === "purchase")
+      .select(col("day").as("q_day"), col("arr").as("q_arr"),
+        col("s").as("q_s"), col("v").as("q_v"))
+    val c = wins.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("m_type"), col("day").as("m_day"),
+        col("arr").as("m_arr"), col("s").as("m_s"), col("v").as("m_v"))
+    val sxy = aggregate(
+      zip_with(col("q_arr"), col("m_arr"),
+        (x, y) => (x.cast("decimal(19,0)") * y).cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)"), (acc, p) => acc + p)
+    val r = (lit(7) * col("sxy") - col("q_s") * col("m_s")).cast("double") /
+      (sqrt(col("q_v").cast("double")) * sqrt(col("m_v").cast("double")))
+    val wBest = Window.partitionBy("q_day")
+      .orderBy(col("skey").desc, col("m_type"), col("m_day"))
+    c.crossJoin(broadcast(q))
+      .withColumn("sxy", sxy)
+      .withColumn("r", r)
+      .withColumn("skey", round(col("r"), 8))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("q_day"), col("m_type"), col("m_day"),
+        round(col("r"), 6).as("best_r"))
+      .orderBy("q_day")
+  }
 }

@@ -228,4 +228,48 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(i - 7 * s) < 0.005, s"dow $d: index $i vs 7*share ${7 * s}")
     }
   }
+
+  test("series_match: nearest z-normalized window ≡ brute-force recompute") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .as[(String, String, Long)].collect()
+    // 7-day windows per type in day order, constant windows dropped
+    val wins = daily.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      val ord = rows.sortBy(_._2)
+      ord.indices.dropRight(6).map { i =>
+        val w = ord.slice(i, i + 7)
+        (tpe, w.head._2, w.map(_._3).toVector)
+      }
+    }.filter { case (_, _, a) => a.distinct.size > 1 }
+    def stats(a: Vector[Long]) =
+      (a.map(BigInt(_)).sum, a.map(x => BigInt(x) * x).sum)
+    def r(a: Vector[Long], b: Vector[Long]): Double = {
+      val (sa, ssa) = stats(a); val (sb, ssb) = stats(b)
+      val sxy = a.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+      val num = 7 * sxy - sa * sb
+      num.toDouble /
+        (math.sqrt((7 * ssa - sa * sa).toDouble) *
+          math.sqrt((7 * ssb - sb * sb).toDouble))
+    }
+    val q = wins.filter(_._1 == "purchase")
+    val c = wins.filter(_._1 != "purchase")
+    val expected = q.map { case (_, qd, qa) =>
+      // same ranking key as the engine: r on the 1e-8 grid desc, then
+      // (type, day) ascending
+      val best = c.map { case (mt, md, ma) => (r(qa, ma), mt, md) }
+        .sortBy { case (rv, mt, md) =>
+          (-BigDecimal(rv).setScale(8, BigDecimal.RoundingMode.HALF_UP), mt, md)
+        }.head
+      (qd, best._2, best._3,
+        BigDecimal(best._1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = Analytics.seriesMatch(spark, sfDir)
+      .as[(String, String, String, Double)].collect().toSeq
+    assert(got == expected, s"got=${got.take(3)} expected=${expected.take(3)}")
+    assert(got.map(_._2).distinct.size > 1 || got.size < 2,
+      "every window matched the same candidate type — suspicious")
+  }
 }
