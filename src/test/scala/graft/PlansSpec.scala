@@ -334,6 +334,20 @@ class PlansSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("q_series_match plan: pair join broadcasts the query windows, never CartesianProduct") {
+    // the window pair frame is a calendar-bounded dimension product — it
+    // must materialize as a broadcast nested-loop with the purchase-side
+    // windows as the build side, not a shuffled CartesianProduct (which
+    // the guard would also reject without the hint)
+    val df = operators.Analytics.seriesMatch(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      s"series_match went cartesian:\n$phys")
+    assert(phys.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast pair join:\n$phys")
+    assert(df.count() > 0)
+  }
+
   test("q_interleave plan: unpartitioned windows only over bucket- or source-grain aggregates") {
     // the global position is a rank over |docs| rows — the two-level
     // reshape keeps the doc-cardinality window PARTITIONED by the vt
