@@ -372,19 +372,21 @@ object Relational {
     * doubling the parse is an oracle concern, not a cost a production
     * query pays; the bench measures the single-parse plan (pattern of
     * scanProjectCore / mathScalarsCore). */
+  /** Bench shape of [[jsonExtract]] — the FULL computation including the
+    * JSONPath twin column; only the 10-row output sort is skipped.
+    * (Pre-r10 this core had drifted to an older, narrower form without
+    * `n_mismatch` — the bench was silently measuring one JSON parse per
+    * row instead of two. QueriesSpec now pins every core ≡ its oracle
+    * form, so the drift class is closed.) */
   def jsonExtractCore(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(
-        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-          .getField("k").cast("long").as("k"))
-      .filter(col("k").isNotNull)
-      .groupBy((col("k") % 10).as("k_bucket"))
-      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
-      .orderBy("k_bucket")
+    jsonExtractUnsorted(spark, dir).sortWithinPartitions("k_bucket")
 
   /** E-MAP/JSON: extract typed field from the `props` JSON payload
     * (`events.props`, FIXTURES.md) and aggregate on it. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    jsonExtractUnsorted(spark, dir).orderBy("k_bucket")
+
+  private def jsonExtractUnsorted(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"),
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
@@ -396,7 +398,6 @@ object Relational {
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         sum(when(col("k2") === col("k"), 0L).otherwise(1L)).as("n_mismatch"))
-      .orderBy("k_bucket")
 
   /** Flagship (SURVEY §7.3) — "when is an area crowded?" on events:
     * tumbling 1-day window count per user above the reference's crowd

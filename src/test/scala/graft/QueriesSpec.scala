@@ -40,4 +40,21 @@ class QueriesSpec extends SparkSpec {
       assert(df.count() >= 0)
     }
   }
+
+  // every Core bench override must compute the SAME multiset of rows as
+  // its oracle-checked twin — a divergence (an edit landing on one form
+  // only) would silently bench a different computation than the one the
+  // correctness gate certifies. Sorted-row compare at sf0.001.
+  SparkEntry.benchShapes.foreach { case (name, coreFn) =>
+    if (!SparkEntry.queries.get(name).contains(coreFn))
+      test(s"$name bench core ≡ oracle form (rows, up to order)") {
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+          df.collect().map(_.toString).sorted.toSeq
+        val core = coreFn(spark, sf)
+        val oracleForm = SparkEntry.queries(name)(spark, sf)
+        assert(core.schema == oracleForm.schema,
+          s"schema drift: core=${core.schema} oracle=${oracleForm.schema}")
+        assert(rows(core) == rows(oracleForm))
+      }
+  }
 }
