@@ -1169,6 +1169,13 @@ object TextOps {
     * both engines; all inputs to every ln are exact integers. Corpus
     * totals ride in as a broadcast 1-row aggregate. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    // `tf` feeds the corpus model (cf → nv) and the per-doc join;
+    // deliberately NOT persisted — an A/B at sf0.1 measured the cached
+    // form at 1.92 s vs 1.19 s median (matched context): exchange reuse
+    // already shares the aggregated subtree, so the persist only adds
+    // materialization cost (the q_wau crossover). At production volume
+    // with reuse disabled or multi-job consumers, persist (or write out)
+    // this |docs×vocab|-bounded frame instead.
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
