@@ -2711,8 +2711,9 @@ object SparkEntry {
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_pmi" ->
       // PMI over word bigrams: integer count products stay exact on both
-      // sides (long×long there, HUGEINT here), cast to DOUBLE only at the
-      // division so ln sees the identical IEEE value
+      // sides (decimal(38,0) there, HUGEINT here — overflow headroom past
+      // 2^63, the q_ess precedent), cast to DOUBLE only at the division
+      // so ln sees the identical IEEE value
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents
         |), g AS (
@@ -2728,7 +2729,8 @@ object SparkEntry {
         |), n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM bi),
         |s AS (
         |  SELECT b.bigram, b.c_ab,
-        |    round(ln(CAST(n.n_bi * b.c_ab AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)), 4) AS pmi
+        |    round(ln(CAST(CAST(n.n_bi AS HUGEINT) * b.c_ab AS DOUBLE)
+        |      / CAST(CAST(u1.c AS HUGEINT) * u2.c AS DOUBLE)), 4) AS pmi
         |  FROM bi b
         |  JOIN uni u1 ON u1.w = string_split(b.bigram, ' ')[1]
         |  JOIN uni u2 ON u2.w = string_split(b.bigram, ' ')[2]

@@ -338,7 +338,11 @@ object Relational {
         col("event_id"),
         array_join(map_keys(col("m")), ",").as("keys_csv"),
         array_join(map_values(col("m")).cast("array<string>"), ",").as("vals_csv"),
-        element_at(col("m"), "k").cast("long").as("k_val"),
+        // try_element_at, not element_at: under ANSI mode a valid-JSON
+        // payload WITHOUT "k" (the at-scale garbling corruptQuarantine
+        // documents) would abort the job with MAP_KEY_DOES_NOT_EXIST —
+        // the isNotNull filter below expects the null-degrade semantics
+        expr("try_element_at(m, 'k')").cast("long").as("k_val"),
         size(map_concat(col("m"), map(lit("extra"), lit(1)))).cast("long").as("n_concat"))
       .filter(col("k_val").isNotNull)
 
@@ -1917,13 +1921,7 @@ object Relational {
     * is the only wide stage; the transition frame is |types|² (tiny), so
     * totals broadcast back. Probabilities divide exact counts. */
   def transitions(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pairs = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-      .withColumn("dst", lead("event_type", 1).over(w))
-      .filter(col("dst").isNotNull)
-      .groupBy(col("event_type").as("src"), col("dst"))
-      .agg(count(lit(1)).as("n"))
+    val pairs = transitionPairs(spark, dir)
     val totals = pairs.groupBy("src").agg(sum("n").as("tot"))
     pairs.join(broadcast(totals), "src")
       .select(col("src"), col("dst"), col("n"),
@@ -1947,14 +1945,24 @@ object Relational {
     * (broadcast joins, ≤|types| rows of state). The iteration count is
     * fixed and tiny, so no checkpoint discipline is needed — the whole
     * loop is one linear plan over 25-row frames. */
-  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+  /** Consecutive event-type pair counts per user — the SHARED estimation
+    * stage of [[transitions]] (single-step probabilities) and
+    * [[markovStationary]] (power iteration): one definition so an edit
+    * to the ordering key or the null-tail filter cannot silently make
+    * q_markov's chain diverge from q_transitions' matrix while both
+    * still pass their independent oracles. */
+  private def transitionPairs(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pairs = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       .withColumn("dst", lead("event_type", 1).over(w))
       .filter(col("dst").isNotNull)
       .groupBy(col("event_type").as("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = transitionPairs(spark, dir)
       // localCheckpoint the |types|²-row transition counts: totals, the
       // uniform seed, every iteration's π, and the final join all derive
       // from this frame, so without truncation the per-user lead window

@@ -224,11 +224,23 @@ object TextOps {
     * confusion matrix; everything else lives on ≤|classes| rows. The
     * class axis comes from the LABELED side, so a class the model never
     * predicts still reports (recall 0, precision 0-guarded). */
-  def evalMetrics(spark: SparkSession, dir: String): DataFrame = {
+  /** |classes|² confusion matrix of [[langPredictions]] plus its two
+    * marginal frames — the SHARED evaluation stage of [[evalMetrics]]
+    * and [[cohenKappa]]: one definition so an edit to the matrix
+    * construction (a null-label guard, a class filter) cannot silently
+    * make q_kappa's pₒ/pₑ inconsistent with q_eval_metrics'
+    * precision/recall over the same predictions. */
+  private def confusion(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val conf = langPredictions(spark, dir)
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
     val act = conf.groupBy(col("lang").as("cls")).agg(sum("n").as("act_n"))
     val prd = conf.groupBy(col("pred_lang").as("cls")).agg(sum("n").as("pred_n"))
+    (conf, act, prd)
+  }
+
+  def evalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val (conf, act, prd) = confusion(spark, dir)
     val tp = conf.filter(col("lang") === col("pred_lang"))
       .select(col("lang").as("cls"), col("n").as("tp"))
     act
@@ -259,10 +271,7 @@ object TextOps {
     * Scale shape: the |classes|² confusion collapse is the only
     * fact-sized pass (shared shape with evalMetrics). */
   def cohenKappa(spark: SparkSession, dir: String): DataFrame = {
-    val conf = langPredictions(spark, dir)
-      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
-    val act = conf.groupBy(col("lang").as("cls")).agg(sum("n").as("act_n"))
-    val prd = conf.groupBy(col("pred_lang").as("cls")).agg(sum("n").as("pred_n"))
+    val (conf, act, prd) = confusion(spark, dir)
     val agree = conf.filter(col("lang") === col("pred_lang"))
       .agg(coalesce(sum("n"), lit(0L)).as("n_agree"))
     // rank-style products widened to decimal BEFORE the sum (the
@@ -746,7 +755,14 @@ object TextOps {
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(nBi))
       .select(col("bigram"), col("c_ab"),
-        round(log(col("n_bi") * col("c_ab") / (col("c1") * col("c2"))), 4).as("pmi"))
+        // products decimal-widened (the Analytics header rule): at corpus
+        // scale n_bi·c_ab passes 2^63 and a raw long product aborts under
+        // ANSI; decimal→double rounds to the same nearest double a long
+        // product would, so the ln input is bit-unchanged at fixture scale
+        round(log(
+          (col("n_bi").cast("decimal(38,0)") * col("c_ab")).cast("double")
+            / (col("c1").cast("decimal(38,0)") * col("c2")).cast("double")),
+          4).as("pmi"))
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(15)
   }
@@ -1222,10 +1238,11 @@ object TextOps {
         explode(array_distinct(transform(
           sequence(lit(1), size(col("h")) - 3),
           i => array_min(slice(col("h"), i, lit(4)))))).as("fingerprint"))
-      // de-distinct (the q_repeated_grams reshape): collapse to
-      // (fingerprint, doc) first so df is a plain count — no Expand
-      // over the exploded fingerprint stream
-      .groupBy("fingerprint", "doc_id").agg(count(lit(1)).as("occ"))
+      // the per-doc array_distinct already makes (fingerprint, doc_id)
+      // unique, so df is a plain count in ONE aggregation — no Expand,
+      // and no intermediate (fingerprint, doc) hash-agg whose occ was
+      // always 1 (dead stage removed in r10; repeatedGrams keeps its
+      // two-level form because there occ and j0 are actually consumed)
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("df"), min("doc_id").as("min_doc"))
       .filter(col("df") >= 2)
@@ -1388,16 +1405,18 @@ object TextOps {
     * signatures. LEFT join on the intersection so a band collision
     * without shared codes still reports (est > 0, jaccard 0). */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sig = docs
-      .select(col("doc_id"), shingleCodes(col("text")).as("codes"))
-      .filter(size(col("codes")) > 0)
-      .select(col("doc_id"),
-        graft.functions.MinHashSig.minhashSig(col("codes"), MinhashParams, MinhashPrime).as("mins"))
-    val docCodes = docs
-      .select(col("doc_id"), explode(array_distinct(shingleCodes(col("text")))).as("code"))
+    // ONE persisted shingle-code scan threaded through all three
+    // consumers (signatures, exact-side code sets, LSH candidates) — the
+    // containment/dedupCurve reuse pattern; the old form ran the
+    // tokenize→shingle→TokenCode pipeline three times. Signature mins
+    // are unaffected by the frame's code dedup (shingleCodeFrame doc).
+    val codes = shingleCodeFrame(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = codes.select(col("doc_id"),
+      graft.functions.MinHashSig.minhashSig(col("cs"), MinhashParams, MinhashPrime).as("mins"))
+    val docCodes = codes.select(col("doc_id"), explode(col("cs")).as("code"))
     val sz = docCodes.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = minhashPairs(spark, dir)
+    val pairs = minhashPairsOver(codes)
     val inter = pairs
       .join(docCodes.select(col("doc_id").as("ia"), col("code")), col("d1") === col("ia"))
       .join(docCodes.select(col("doc_id").as("ib"), col("code").as("code_b")),
