@@ -528,7 +528,9 @@ object SparkEntry {
         |FROM pb ORDER BY docs_seen""".stripMargin,
     "q_drift" ->
       // PSI over 5 fixed value buckets, add-one smoothed; the 5-term
-      // double sum folds over a bucket-sorted list on both engines
+      // double sum folds over a bucket-sorted list on both engines. The
+      // grid LEFT JOIN materializes buckets empty in BOTH halves — their
+      // smoothed term is nonzero whenever n_ref ≠ n_cur
       """WITH c AS (
         |  SELECT event_type,
         |    CASE WHEN value < 10 THEN 0 WHEN value < 50 THEN 1
@@ -537,11 +539,19 @@ object SparkEntry {
         |    sum(CASE WHEN dayofmonth(CAST(ts AS DATE)) <= 14 THEN 1 ELSE 0 END) AS r,
         |    sum(CASE WHEN dayofmonth(CAST(ts AS DATE)) <= 14 THEN 0 ELSE 1 END) AS c
         |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT event_type, gb.b
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(range(0, 5)) AS b) gb
+        |), f AS (
+        |  SELECT g.event_type, g.b,
+        |    COALESCE(c.r, 0) AS r, COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.b = c.b
         |), g AS (
         |  SELECT event_type,
         |    CAST(sum(r) AS BIGINT) AS n_ref, CAST(sum(c) AS BIGINT) AS n_cur,
         |    list(struct_pack(b := b, r := r, c := c) ORDER BY b) AS bs
-        |  FROM c GROUP BY 1)
+        |  FROM f GROUP BY 1)
         |SELECT event_type, n_ref, n_cur,
         |  round(list_sum(list_transform(bs, x ->
         |    ((x.r + 1) / CAST(n_ref + 5 AS DOUBLE)
@@ -985,6 +995,7 @@ object SparkEntry {
         |  FROM runs GROUP BY 1)
         |SELECT event_type, n_above, n_below, runs,
         |  CASE WHEN n_above = 0 OR n_below = 0 OR n_above + n_below <= 1
+        |         OR 2 * n_above * n_below = n_above + n_below
         |       THEN 0.0
         |       ELSE round(
         |         (CAST(runs AS DOUBLE)

@@ -55,7 +55,7 @@ object Analytics {
       .groupBy(col("r_name").as("region"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("cents").cast("decimal(38,0)")).as("s"),
-        sum((col("i") * col("cents")).cast("decimal(38,0)")).as("w"))
+        sum((col("i").cast("decimal(38,0)") * col("cents"))).as("w"))
       .select(col("region"), col("n_customers"),
         when(col("s") === 0, lit(0.0))
           .otherwise(round(
@@ -78,7 +78,7 @@ object Analytics {
       .groupBy("day")
       .agg(count(lit(1)).as("n_types"),
         sum(col("v").cast("decimal(38,0)")).as("tot"),
-        sum((col("v") * col("v")).cast("decimal(38,0)")).as("sq"))
+        sum((col("v").cast("decimal(38,0)") * col("v"))).as("sq"))
       .select(col("day"), col("n_types"),
         when(col("tot") === 0, lit(0.0))
           .otherwise(round(col("sq").cast("double")
@@ -105,9 +105,9 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
         sum(col("y").cast("decimal(38,0)")).as("sy"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+        sum((col("x").cast("decimal(38,0)") * col("y"))).as("sxy"),
+        sum((col("x").cast("decimal(38,0)") * col("x"))).as("sxx"),
+        sum((col("y").cast("decimal(38,0)") * col("y"))).as("syy"))
     val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
     s.select(col("event_type"), col("n").as("n_pairs"),
@@ -163,9 +163,9 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
         sum(col("y").cast("decimal(38,0)")).as("sy"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+        sum((col("x").cast("decimal(38,0)") * col("y"))).as("sxy"),
+        sum((col("x").cast("decimal(38,0)") * col("x"))).as("sxx"),
+        sum((col("y").cast("decimal(38,0)") * col("y"))).as("syy"))
     val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
     s.select(col("l_returnflag"), col("n").as("n_items"),
@@ -269,7 +269,7 @@ object Analytics {
     val s = pts.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(38,0)")).as("s1"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"),
+        sum((col("x").cast("decimal(38,0)") * col("x"))).as("s2"),
         sum((col("x").cast("decimal(38,0)") * col("x") * col("x"))).as("s3"),
         sum((col("x").cast("decimal(38,0)") * col("x") * col("x") * col("x"))).as("s4"))
     // doubles from here down — one fixed expression tree on both engines
@@ -324,7 +324,7 @@ object Analytics {
     val scored = daily
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s1", sum(col("v").cast("decimal(38,0)")).over(w))
-      .withColumn("s2", sum((col("v") * col("v")).cast("decimal(38,0)")).over(w))
+      .withColumn("s2", sum((col("v").cast("decimal(38,0)") * col("v"))).over(w))
     val n = col("n").cast("double")
     val (s1, s2) = (col("s1").cast("double"), col("s2").cast("double"))
     val mean = s1 / n
@@ -357,7 +357,15 @@ object Analytics {
       .groupBy("event_type", "b")
       .agg(sum(when(col("p") === "ref", 1L).otherwise(0L)).as("r"),
         sum(when(col("p") === "cur", 1L).otherwise(0L)).as("c"))
-    counts
+    // materialize ALL 5 buckets per type: a bucket empty in BOTH halves
+    // still contributes a nonzero smoothed term whenever n_ref ≠ n_cur,
+    // and the groupBy alone silently dropped it (PSI underestimated) —
+    // the "Σ over 5 fixed buckets" the doc promises needs the grid
+    val grid = counts.select("event_type").distinct()
+      .crossJoin(broadcast(spark.range(0, 5).select(col("id").as("b"))))
+    val full = grid.join(counts, Seq("event_type", "b"), "left")
+      .na.fill(0L, Seq("r", "c"))
+    full
       .groupBy("event_type")
       .agg(sum("r").as("n_ref"), sum("c").as("n_cur"),
         array_sort(collect_list(struct(col("b"), col("r"), col("c")))).as("bs"))
@@ -542,8 +550,14 @@ object Analytics {
     val m = (col("n_above") + col("n_below")).cast("double")
     val tab = (lit(2L) * col("n_above") * col("n_below")).cast("double")
     counted.select(col("event_type"), col("n_above"), col("n_below"), col("runs"),
+        // the 2ab = m guard: at n_above = n_below = 1 (the only solution
+        // of 2ab = a+b with a,b ≥ 1) Var[R] = 0 and R = E[R], so the
+        // formula is 0/0 — the documented degenerate-series contract
+        // (z = 0) covers it, the NaN did not
         when(col("n_above") === 0 || col("n_below") === 0
-            || col("n_above") + col("n_below") <= 1, lit(0.0))
+            || col("n_above") + col("n_below") <= 1
+            || lit(2L) * col("n_above") * col("n_below")
+                 === col("n_above") + col("n_below"), lit(0.0))
           .otherwise(round(
             (col("runs").cast("double") - (tab / m + lit(1.0)))
               / sqrt(tab * (tab - m) / (m * m * (m - lit(1.0)))), 6)).as("z"))
@@ -942,7 +956,7 @@ object Analytics {
       .withColumn("arr", collect_list("cents").over(wFrame))
       .withColumn("s", sum("cents").over(wFrame).cast("decimal(38,0)"))
       .withColumn("ss",
-        sum((col("cents") * col("cents")).cast("decimal(38,0)")).over(wFrame))
+        sum((col("cents").cast("decimal(38,0)") * col("cents"))).over(wFrame))
       .filter(size(col("arr")) === 7)
       .withColumn("v", lit(7) * col("ss") - col("s") * col("s"))
       .filter(col("v") > 0)

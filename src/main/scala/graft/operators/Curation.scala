@@ -475,6 +475,13 @@ object Curation {
     * is bit-identical to the one-window form. */
   def dsirAuc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // perVal feeds the bucket offsets, the P/N totals and the main
+    // chain; deliberately NOT persisted — an A/B at sf0.1 measured the
+    // cached form at 2.70 vs 2.17 s median (matched context): AQE
+    // exchange reuse already shares the aggregated DSIR subtree across
+    // the three consumers, so the persist only adds materialization
+    // (the q_wau/lm_score crossover). With reuse disabled or multi-job
+    // consumers, persist this distinct-score-sized frame instead.
     val perVal = dsirScoreUnsorted(spark, dir)
       .select(col("avg_llr").as("s"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))

@@ -96,9 +96,14 @@ object Scale {
     * it; the library form is for build sides the author KNOWS are
     * selective (the reference's dim-table joins, SURVEY §2.2 P7). */
   def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the filtered key set is scanned by the count, the bloom
+    // build, and the semi-join probe — three eager passes over orders
+    // without it (the contamination/testGrams lesson); the frame is
+    // selective-keys-sized by construction
     val hot = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 300000.0)
       .select("o_orderkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sized from the actual build-side count: same driver pass that a
     // broadcast build would do anyway; fpp 1% keeps the sketch a few
     // hundred KB per million keys

@@ -121,22 +121,37 @@ object VectorOps {
     * the q_entropy precedent), so both engines produce bit-identical
     * doubles and the argmin rank cannot flip. Centroids broadcast; the
     * scan stays narrow; per-vector argmin is a bounded window. */
-  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  /** Elementwise squared-L2 distance — sequential left-to-right fold
+    * (`aggregate` ≡ DuckDB `list_sum(list_transform)`, the q_entropy
+    * precedent) so both engines produce bit-identical doubles. ONE
+    * definition shared by [[kmeansAssign]], [[semDedup]] and
+    * [[semanticOutliers]]: a change to the fold or casts cannot leave
+    * the three computing different geometry. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-seed-centroid assignment (deterministic vec_id < 8 seeds,
+    * argmin with c_id tie-break) — the shared clustering step of
+    * [[kmeansAssign]] (reports it) and [[semDedup]] (bounds its pairwise
+    * compare with it). Returns (vec_id, cluster, dist2, embedding). */
+  private def seedAssign(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val d2 = aggregate(
-      zip_with(col("embedding"), col("c_emb"),
-        (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
     val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))
     e.crossJoin(broadcast(cents))
-      .withColumn("dist2", d2)
+      .withColumn("dist2", sqDist(col("embedding"), col("c_emb")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("c_id").as("cluster"), round(col("dist2"), 4).as("dist2"))
-      .orderBy("vec_id")
+      .select(col("vec_id"), col("c_id").as("cluster"), col("dist2"), col("embedding"))
   }
+
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    seedAssign(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("cluster"), round(col("dist2"), 4).as("dist2"))
+      .orderBy("vec_id")
 
   /** q_semdedup: SemDeDup (Abbas et al. 2023) — semantic deduplication
     * with the quadratic bounded by clustering: assign every embedding to
@@ -162,19 +177,8 @@ object VectorOps {
     semDedupUnsorted(spark, dir).sortWithinPartitions("vec_id")
 
   private def semDedupUnsorted(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val d2 = aggregate(
-      zip_with(col("embedding"), col("c_emb"),
-        (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("dist2", d2)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("c_id").as("cluster"), col("embedding"))
+    val assigned = seedAssign(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("cluster"), col("embedding"))
       // consumed three times (both pair sides + the final report) and
       // nothing below it reuses — without the persist the k·|vecs|
       // distance sweep runs three times (SemDeDup materializes the
@@ -210,13 +214,9 @@ object VectorOps {
         e.groupBy("label").agg(min("vec_id").as("a_id")).select("a_id"),
         col("x.vec_id") === col("a_id"))
       .select(col("x.label").as("label"), col("x.embedding").as("a_emb"))
-    val d2 = aggregate(
-      zip_with(col("embedding"), col("a_emb"),
-        (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
     val w = Window.partitionBy("label").orderBy(col("dist2").desc, col("vec_id"))
     e.join(broadcast(anchors), "label")
-      .withColumn("dist2", d2)
+      .withColumn("dist2", sqDist(col("embedding"), col("a_emb")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .join(Tables.documents(spark, dir)
@@ -285,7 +285,12 @@ object VectorOps {
       .filter(col("cand_id") =!= col("probe_id"))
       .select("probe_id", "cand_id")
       .distinct()
-    val pe = emb.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    // probe filter applied BEFORE the broadcast: the equi-join would drop
+    // non-probe rows anyway, but broadcasting the unfiltered table ships
+    // every vector of the corpus to every executor — probe-set-sized is
+    // the scale story this function's doc claims
+    val pe = emb.filter(isProbe)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
     val ce = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
     pairs.join(broadcast(pe), "probe_id").join(ce, "cand_id")

@@ -131,17 +131,8 @@ object StreamOps {
     * match again); without them a stream-stream join's state grows
     * forever. Expects two event-shaped streams (ts, user_id, event_id). */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
-                        watermarkDelay: String = "2 hours"): DataFrame = {
-    val c = clicks
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
-      .withWatermark("c_ts", watermarkDelay)
-    val p = purchases
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
-      .withWatermark("p_ts", watermarkDelay)
-    p.join(c, expr(
-      "c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
-      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
-  }
+                        watermarkDelay: String = "2 hours"): DataFrame =
+    clickPurchaseJoined(clicks, purchases, watermarkDelay, "inner")
 
   /** LEFT OUTER stream-stream join: every purchase emits — matched rows
     * as they pair, UNMATCHED purchases as null-extended rows once the
@@ -153,7 +144,16 @@ object StreamOps {
     * conditions as [[clickPurchaseJoin]] — watermarks on BOTH sides +
     * the time-range predicate keep join state bounded. */
   def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame,
-                             watermarkDelay: String = "2 hours"): DataFrame = {
+                             watermarkDelay: String = "2 hours"): DataFrame =
+    clickPurchaseJoined(clicks, purchases, watermarkDelay, "leftOuter")
+
+  /** Shared body of the inner and LEFT OUTER variants — one definition
+    * of the projections, watermarks and range predicate, so widening the
+    * click window (or the delay) cannot silently make the two variants
+    * answer different questions. */
+  private def clickPurchaseJoined(clicks: DataFrame, purchases: DataFrame,
+                                  watermarkDelay: String,
+                                  joinType: String): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
       .withWatermark("c_ts", watermarkDelay)
@@ -162,7 +162,7 @@ object StreamOps {
       .withWatermark("p_ts", watermarkDelay)
     p.join(c, expr(
       "c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
-      "leftOuter")
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
@@ -285,6 +285,11 @@ object StreamOps {
     import sess.implicits._
     val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    // month-bearing intervals have no fixed millisecond value; silently
+    // reading only days+micros would turn gap "1 month" into 0 ms and
+    // time every session out immediately — fail loudly instead
+    require(gapMs.months == 0,
+      s"sessionFinalize gap '$gap' must not contain month units")
     val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
     events
       .withWatermark("ts", watermarkDelay)
@@ -309,7 +314,13 @@ object StreamOps {
             val next = SessionAcc(math.min(prev.start, ts.min),
               math.max(prev.end, ts.max), prev.n + ts.size)
             state.update(next)
-            state.setTimeoutTimestamp(next.end + gapMillis)
+            // clamp: when gap < watermarkDelay, a legally-late row can
+            // put end + gap BEHIND the current watermark, and Spark
+            // rejects a timeout at-or-before the watermark (query
+            // failure). The clamped deadline fires at the next possible
+            // instant — the session is already due to close
+            state.setTimeoutTimestamp(
+              math.max(next.end + gapMillis, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }
@@ -424,18 +435,33 @@ object StreamOps {
   private[graft] def jdbcSinkBatch(batch: DataFrame, batchId: Long,
                                    url: String, table: String,
                                    driver: String = "org.apache.derby.jdbc.EmbeddedDriver"): Unit = {
+    // the DELETE needs the driver class loaded exactly like the append
+    // path does — and a REAL delete failure (lock timeout, connection
+    // refused) must PROPAGATE and fail the batch, not be swallowed:
+    // append-after-skipped-delete is precisely the replay duplication
+    // the batch_id stamp exists to prevent. Only the legitimately-absent
+    // table (first batch, nothing to clear) is skipped, detected via
+    // metadata rather than by catching every SQLException.
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val conn = java.sql.DriverManager.getConnection(url)
-      try {
+      val meta = conn.getMetaData
+      def tableExists(name: String): Boolean = {
+        val rs = meta.getTables(null, null, name, null)
+        try rs.next() finally rs.close()
+      }
+      // Spark's JDBC writer creates the table unquoted → Derby stores it
+      // upper-cased; probe both spellings
+      if (tableExists(table.toUpperCase) || tableExists(table)) {
         val st = conn.createStatement()
         // Spark's JDBC writer quotes column identifiers at CREATE TABLE, so
         // the stamp column is case-sensitive "batch_id" — an unquoted
         // batch_id would normalize to BATCH_ID and miss (the miss surfaced
         // as silent non-idempotence, caught by the replay spec)
-        st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
-        st.close()
-      } finally conn.close()
-    } catch { case _: java.sql.SQLException => () } // first batch: table absent
+        try st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+        finally st.close()
+      }
+    } finally conn.close()
     graft.sources.Writers.writeJdbc(
       batch.withColumn("batch_id", lit(batchId)), url, table, driver = driver)
   }
