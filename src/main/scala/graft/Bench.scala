@@ -82,12 +82,14 @@ object Bench {
     Preflight.check(spark, sfDir)
 
     def run(name: String): Unit = {
-      SparkEntry.benchShapes(name)(spark, sfDir)
+      // finally, not sequentially: a FAILED repeat must still drop its
+      // persisted blocks (LSH signatures, token sets) — otherwise the
+      // next query's timed sample runs with the failure's cached RDDs
+      // occupying executor memory, skewing exactly the samples the
+      // interleaved-median design protects
+      try SparkEntry.benchShapes(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      // drop intra-query persisted blocks (LSH signatures, token sets) so
-      // caches neither accumulate across the session nor carry between
-      // passes
-      spark.catalog.clearCache()
+      finally spark.catalog.clearCache()
     }
 
     // optional comma-list subset (SPARK_GRAFT_QUERIES=q_a,q_b) for cheap
@@ -171,8 +173,13 @@ object Bench {
       (name, if (ok.nonEmpty) Some(median(ok)) else None, firstErr,
         attempts.map { case (t, e) => if (e.isEmpty) t else -1.0 })
     }
+    // control chars below 0x20 (ANSI ESC in wrapped tool errors, NULs
+    // from binary payloads in messages) must not reach the JSON — \s+
+    // only covers the whitespace subset, and one raw ESC makes the
+    // driver's json.load reject the whole samples file (Verify.q's rule)
     def jsonStr(s: String): String =
-      "\"" + s.replaceAll("[\\\\\"]", "_").replaceAll("\\s+", " ").take(200) + "\""
+      "\"" + s.replaceAll("[\\\\\"]", "_").replaceAll("\\s+", " ")
+        .replaceAll("[\\x00-\\x1f]", "_").take(200) + "\""
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v.fold("-1.0")(num) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, _, ts) =>

@@ -40,7 +40,9 @@ object Preflight {
     // below decides whether that is acceptable. The previous value is
     // restored afterwards — the gate must not leak session state into
     // everything that runs behind it ([[Tables.events]] sets the conf
-    // itself, for its own lifetime, when the fixture really is nanos).
+    // SESSION-WIDE when the fixture really is nanos — deliberately, and
+    // documented there: the lazy frame consults it at action time, so a
+    // restore here-and-now would break its later execution).
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey, "true")

@@ -110,6 +110,13 @@ object Tables {
     * Round 8 burned entirely on assuming the wrong unit; never again. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (eventsTsIsNanos(spark, dir)) {
+      // deliberately session-scoped, NOT restored: the returned frame is
+      // lazy and consults the conf at ACTION time, so an eager restore
+      // would break its execution. Blast radius of the leak: a later
+      // schema-INFERRED read of some other nanos-annotated parquet in
+      // the same session yields LongType instead of the loud
+      // unsupported-type error — every engine read declares its schema
+      // through this object, so only ad-hoc session reads are affected.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = StructType(Schemas.events.map {
         case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)

@@ -7,8 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query names to dump (local
-    // selfcheck of a single query without a full run)
-    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    // selfcheck of a single query without a full run); trimmed and
+    // validated — a typo'd or space-bearing name would otherwise
+    // silently dump a PARTIAL surface with exit 0 (Bench's fail-fast)
+    val only: Option[Set[String]] = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown verify queries: ${unknown.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,12 +34,13 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
-          // release per-query persisted blocks (minhashLsh/jaccardPairs
-          // cache intra-query); without this, cached RDDs accumulate
-          // across the 46-query session
-          spark.catalog.clearCache()
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally {
+          // release per-query persisted blocks (minhashLsh/jaccardPairs
+          // cache intra-query) even when the query FAILED; without this,
+          // cached RDDs accumulate across the 200-query session
+          spark.catalog.clearCache()
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

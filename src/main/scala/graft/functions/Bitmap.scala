@@ -100,15 +100,19 @@ case class BitmapAndCount(left: Expression, right: Expression) extends BinaryExp
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // containsNull = false required, mirroring BitmapFromBits: getLong on
+    // a null block would silently read 0/garbage into the popcount — the
+    // exact silent-wrong-result the sibling rejects at analysis time
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"bitmap_and_count expects two ARRAY<BIGINT>, got ${left.dataType.sql}, ${right.dataType.sql}")
+        "bitmap_and_count expects two ARRAY<BIGINT> with non-null elements, " +
+          s"got ${left.dataType.sql}, ${right.dataType.sql}")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {

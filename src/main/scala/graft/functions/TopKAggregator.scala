@@ -21,6 +21,10 @@ case class Scored(score: Double, id: Long)
   */
 class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
+  // k ≤ 0 would reach `buf.last` on an empty buffer at aggregation time
+  // on an executor — fail at construction with the real cause instead
+  require(k > 0, s"TopKAggregator needs k > 0, got $k")
+
   private val ord: Ordering[Scored] = Ordering.by(s => (-s.score, s.id))
 
   override def zero: Seq[Scored] = Vector.empty

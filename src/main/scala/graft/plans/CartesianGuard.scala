@@ -37,13 +37,19 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, L
 case class CartesianGuard(spark: SparkSession) extends (LogicalPlan => Unit) {
 
   private def broadcastThreshold: Long =
-    spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // a check rule must never throw on a conf it merely READS: an exotic
+    // but Spark-legal value ('1tb', '1pb', future suffixes) would
+    // otherwise fail EVERY query in the session from inside analysis —
+    // unparseable values fall back to the Spark default instead
+    try spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
       .stripSuffix("b").stripSuffix("B") match {
       case s if s.endsWith("k") || s.endsWith("K") => s.dropRight(1).toLong << 10
       case s if s.endsWith("m") || s.endsWith("M") => s.dropRight(1).toLong << 20
       case s if s.endsWith("g") || s.endsWith("G") => s.dropRight(1).toLong << 30
+      case s if s.endsWith("t") || s.endsWith("T") => s.dropRight(1).toLong << 40
+      case s if s.endsWith("p") || s.endsWith("P") => s.dropRight(1).toLong << 50
       case s => s.toLong
-    }
+    } catch { case _: NumberFormatException => 10485760L }
 
   /** At analysis time a broadcast() marker is still a ResolvedHint node
     * in the side's subtree (EliminateResolvedHint folds it into the

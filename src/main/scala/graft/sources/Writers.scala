@@ -101,6 +101,13 @@ object Writers {
     import org.apache.spark.sql.Column
     val b = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
       min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    // empty (or all-null-column) input: the min/max row is all nulls and
+    // getDouble would NPE deep in the quantizer — write the empty layout
+    // and return (the no-op a maintenance pass expects)
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def quant(c: Column, lo: Double, hi: Double): Column =
       least(lit(65535L), greatest(lit(0L),
         ((c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-300)) * 65535.0).cast("long")))
@@ -146,7 +153,15 @@ object Writers {
     val staging = new java.io.File(
       path + s".merge_${ProcessHandle.current().pid()}_${System.nanoTime()}")
     merged.write.parquet(staging.getPath)
-    try overwritePartitions(spark.read.parquet(staging.getPath), path, partitionCols)
+    // schema pinned on the re-read: an empty `updates` frame stages zero
+    // data files and inference would fail with 'Unable to infer schema'
+    // instead of the correct no-op swap (the deleteByKeys lesson). Pinned
+    // to the MERGED frame's schema, not the target's — the unionByName
+    // reconciles types (an updates column may be wider) and the staged
+    // files carry exactly that reconciled shape.
+    try overwritePartitions(
+      spark.read.schema(merged.schema).parquet(staging.getPath),
+      path, partitionCols)
     finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -251,8 +266,23 @@ object Writers {
     val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
     val nonce = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
     val tmp = new java.io.File(path + s".compact_$nonce")
+    // a hive-partitioned layout (appendPartitioned's col=value dirs) must
+    // be REWRITTEN partitioned: the schema-inferred read turns the dir
+    // keys into data columns, and a flat rewrite would silently destroy
+    // the directory pruning the partitioned readers depend on. The key
+    // chain is recovered from the first directory chain (one col=value
+    // level per depth — the layout appendPartitioned produces).
+    def partChain(dir: java.io.File): Seq[String] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .find(f => f.isDirectory && f.getName.contains("=")) match {
+        case Some(d) => d.getName.split("=", 2)(0) +: partChain(d)
+        case None => Nil
+      }
+    val partCols = partChain(new java.io.File(path))
     // coalesce, not repartition: narrowing the file count needs no shuffle
-    df.coalesce(files).write.mode("overwrite").parquet(tmp.getPath)
+    val w = df.coalesce(files).write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(tmp.getPath)
     swapIn(new java.io.File(path), tmp, new java.io.File(path + s".old_$nonce"))
   }
 
