@@ -36,21 +36,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Arity-checked builder: a wrong-argument-count SQL call must surface
+    * Spark's standard invalid-arity analysis error, not an opaque
+    * IndexOutOfBoundsException from `exprs(1)` inside resolution. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> n.toString,
+            "actualNum" -> exprs.length.toString, "docroot" -> ""))
+      build(exprs)
+    }
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
-    "iou" -> (exprs => Iou(exprs(0), exprs(1))),
-    "token_code" -> (exprs => TokenCode(exprs(0))),
-    "minhash_sig" -> (exprs =>
+    "cosine_sim" -> arity("cosine_sim", 2)(exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "iou" -> arity("iou", 2)(exprs => Iou(exprs(0), exprs(1))),
+    "token_code" -> arity("token_code", 1)(exprs => TokenCode(exprs(0))),
+    "minhash_sig" -> arity("minhash_sig", 1)(exprs =>
       MinHashSig(exprs(0), TextOps.MinhashParams.map(_._2),
         TextOps.MinhashParams.map(_._3), TextOps.MinhashPrime)),
-    "simhash16" -> (exprs =>
+    "simhash16" -> arity("simhash16", 1)(exprs =>
       SimHash16(exprs(0), TextOps.MinhashParams.map(_._2),
         TextOps.MinhashParams.map(_._3), TextOps.MinhashPrime)),
-    "walsh_band_keys" -> (exprs =>
+    "walsh_band_keys" -> arity("walsh_band_keys", 1)(exprs =>
       WalshBandKeys(exprs(0), VectorOps.MultibandPlanes)),
-    "bitmap_from_bits" -> (exprs => BitmapFromBits(exprs(0))),
-    "bitmap_and_count" -> (exprs => BitmapAndCount(exprs(0), exprs(1))),
-    "jaro_winkler" -> (exprs => JaroWinkler(exprs(0), exprs(1))))
+    "bitmap_from_bits" -> arity("bitmap_from_bits", 1)(exprs => BitmapFromBits(exprs(0))),
+    "bitmap_and_count" -> arity("bitmap_and_count", 2)(exprs => BitmapAndCount(exprs(0), exprs(1))),
+    "jaro_winkler" -> arity("jaro_winkler", 2)(exprs => JaroWinkler(exprs(0), exprs(1))))
 
   /** Late registration on an existing session: functions + the planner
     * strategy for graft's custom logical operators. */

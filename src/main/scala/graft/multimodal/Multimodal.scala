@@ -77,11 +77,16 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.select("media_id", "media_type", "payload").mapPartitions { rows =>
       // per-partition init point: a real impl deserializes the broadcast
-      // model here, once, before the batch loop
-      val model: Array[Byte] => Array[Float] = decodeStub
+      // model here, once, before the batch loop. The model boundary is
+      // BATCH-shaped — one call per grouped batch, like a Pandas UDF's
+      // per-batch invoke (the stub maps internally; a real vectorized
+      // model consumes the whole payload batch in one forward pass) —
+      // a per-row call inside the group would make grouped() a no-op.
+      val modelBatch: Seq[Array[Byte]] => Seq[Array[Float]] = _.map(decodeStub)
       rows.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          Row(r.getLong(0), r.getString(1), model(r.getAs[Array[Byte]](2)).toSeq)
+        val feats = modelBatch(batch.map(_.getAs[Array[Byte]](2)))
+        batch.lazyZip(feats).map { (r, f) =>
+          Row(r.getLong(0), r.getString(1), f.toSeq)
         }
       }
     }(enc)

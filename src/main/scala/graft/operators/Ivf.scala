@@ -52,22 +52,33 @@ object Ivf {
     * only for the entry swap; the fit itself runs on first `.model`
     * access outside it, with `lazy val`'s per-holder monitor making two
     * racing queries of the SAME dir fit once. */
-  private[graft] final class LazyModel(fit: () => org.apache.spark.ml.clustering.KMeansModel) {
-    lazy val model: org.apache.spark.ml.clustering.KMeansModel = fit()
+  private[graft] final class LazyModel(fit0: () => org.apache.spark.ml.clustering.KMeansModel) {
+    // the thunk is nulled after the fit: it captures a DataFrame (and so
+    // a whole SparkSession reference graph), and cache entries live for
+    // the JVM — without the release every cached dir pins its captured
+    // session, including per-suite test sessions long since stopped
+    private var f = fit0
+    lazy val model: org.apache.spark.ml.clustering.KMeansModel = {
+      val m = f(); f = null; m
+    }
   }
   private[graft] val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, LazyModel)]()
 
-  private def contentSig(dir: String): String = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
-    s"${files.map(_.lastModified).max}_${files.map(_.length).sum}"
-  }
+  private def contentSig(dir: String): String =
+    graft.Tables.parquetContentSig(dir, "embeddings")
 
-  /** (vec_id, embedding, list) assignment plus the fitted centers. */
+  /** (vec_id, embedding, list) assignment plus the fitted centers.
+    * The quantizer trains and probes on L2-NORMALIZED vectors (r10): the
+    * search metric is cosine, and euclidean cells over raw magnitudes
+    * split equal-direction vectors across cells — cosine neighbors land
+    * outside the probed lists and are unreachable at any NProbe (Pq
+    * normalizes before training for the same reason). On the unit
+    * sphere, squared euclidean is 2(1−cos): the quantizer's own metric
+    * IS the search metric. */
   private def assign(spark: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("features", array_to_vector(col("embedding")))
+    val emb = Pq.normalized(Tables.embeddings(spark, dir))
+      .withColumn("features", array_to_vector(col("nemb")))
     val sig = contentSig(dir)
     val model = modelCache.compute(dir, (_, prev) =>
       if (prev != null && prev._1 == sig) prev
@@ -75,7 +86,8 @@ object Ivf {
         .setK(K).setSeed(42L).setMaxIter(10)
         .fit(emb))))._2.model
     val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("list"))
+      .select(col("vec_id"), col("embedding"), col("nemb"),
+        col("prediction").as("list"))
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
@@ -86,12 +98,15 @@ object Ivf {
     val (assigned, centers) = assign(spark, dir)
     val centersDf = centers.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("list", "center")
-    // rank the k centroids per probe by squared euclidean distance (the
-    // quantizer's own metric); keep the NProbe nearest lists
+    // rank the k centroids per probe by squared euclidean distance in the
+    // NORMALIZED space (the quantizer's own metric ≡ cosine on the unit
+    // sphere); keep the NProbe nearest lists. Exact scoring below stays
+    // on the raw vectors — cosine is scale-invariant.
     val probes = assigned.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nemb").as("p_nemb"))
     val dist = aggregate(
-      zip_with(col("p_emb"), col("center"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      zip_with(col("p_nemb"), col("center"), (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, v) => acc + v)
     val wc = Window.partitionBy("probe_id").orderBy(col("dist"), col("list"))
     val probeLists = probes.crossJoin(broadcast(centersDf))

@@ -44,22 +44,30 @@ object Pq {
 
   /** Same fit-once-per-corpus cache discipline as [[Ivf.modelCache]]
     * (lazy holder so no KMeans fit ever runs under the CHM bin lock). */
-  private final class LazyModels(fit: () => Array[KMeansModel]) {
-    lazy val models: Array[KMeansModel] = fit()
+  private final class LazyModels(fit0: () => Array[KMeansModel]) {
+    // thunk nulled after the fit (the Ivf.LazyModel hygiene): it captures
+    // a DataFrame and its SparkSession for the cache entry's JVM lifetime
+    private var f = fit0
+    lazy val models: Array[KMeansModel] = {
+      val m = f(); f = null; m
+    }
   }
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, LazyModels)]()
 
-  private def contentSig(dir: String): String = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
-    s"${files.map(_.lastModified).max}_${files.map(_.length).sum}"
-  }
+  private def contentSig(dir: String): String =
+    graft.Tables.parquetContentSig(dir, "embeddings")
 
-  /** L2-normalized double-array embedding column `nemb`. */
+  /** L2-normalized double-array embedding column `nemb`. Zero-norm
+    * vectors (a failed encode) are FILTERED, not divided: 0/0 = NaN, and
+    * Spark orders NaN above every double, so one all-zero vector would
+    * rank as the top neighbor of every probe whose shortlist it enters —
+    * the hazard CosineSimilarity's null-on-zero-norm convention exists
+    * to prevent (this hand-rolled dot has no such guard). */
   private[graft] def normalized(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
         (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .filter(col("nrm") > 0.0)
       .withColumn("nemb", transform(col("embedding"),
         x => x.cast("double") / col("nrm")))
 

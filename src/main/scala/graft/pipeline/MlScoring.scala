@@ -126,8 +126,13 @@ object MlScoring {
     * signature, lazy fit holder): a regenerated fixture replaces the
     * entry; the lazy holder keeps the multi-second fit out of the CHM
     * bin lock. */
-  private[graft] final class LazyModel(fit: () => PipelineModel) {
-    lazy val model: PipelineModel = fit()
+  private[graft] final class LazyModel(fit0: () => PipelineModel) {
+    // thunk nulled after the fit (the Ivf.LazyModel hygiene): it captures
+    // a DataFrame and its SparkSession for the cache entry's JVM lifetime
+    private var f = fit0
+    lazy val model: PipelineModel = {
+      val m = f(); f = null; m
+    }
   }
   private[graft] val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, LazyModel)]()
