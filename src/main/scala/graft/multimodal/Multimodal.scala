@@ -85,6 +85,12 @@ object Multimodal {
       val modelBatch: Seq[Array[Byte]] => Seq[Array[Float]] = _.map(decodeStub)
       rows.grouped(batchSize).flatMap { batch =>
         val feats = modelBatch(batch.map(_.getAs[Array[Byte]](2)))
+        // lazyZip truncates to the shorter side: a real batch model that
+        // returns the wrong number of feature rows would silently DROP
+        // payload rows (or features) — fail loudly instead
+        require(feats.size == batch.size,
+          s"batch model returned ${feats.size} feature rows for a " +
+            s"${batch.size}-payload batch — model must be 1:1 per batch")
         batch.lazyZip(feats).map { (r, f) =>
           Row(r.getLong(0), r.getString(1), f.toSeq)
         }

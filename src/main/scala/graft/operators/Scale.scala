@@ -99,7 +99,10 @@ object Scale {
     // persisted: the filtered key set is scanned by the count, the bloom
     // build, and the semi-join probe — three eager passes over orders
     // without it (the contamination/testGrams lesson); the frame is
-    // selective-keys-sized by construction
+    // selective-keys-sized by construction. The probe pass runs at the
+    // CALLER'S action time, so it cannot be unpersisted here —
+    // Bench/Verify's clearCache() between queries drops it (the testGrams
+    // lifecycle in Curation).
     val hot = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 300000.0)
       .select("o_orderkey")

@@ -447,7 +447,17 @@ object StreamOps {
     try {
       val meta = conn.getMetaData
       def tableExists(name: String): Boolean = {
-        val rs = meta.getTables(null, null, name, null)
+        // getTables' name argument is a LIKE pattern: a literal '_' or '%'
+        // in the sink table name acts as a wildcard, so a similarly-named
+        // table could satisfy the probe while the real target is absent —
+        // the DELETE would then throw table-not-found and fail the batch.
+        // Escape metacharacters so the probe matches the exact name only.
+        val esc = meta.getSearchStringEscape
+        val pattern =
+          if (esc == null || esc.isEmpty) name
+          else name.replace(esc, esc + esc)
+            .replace("_", esc + "_").replace("%", esc + "%")
+        val rs = meta.getTables(null, null, pattern, null)
         try rs.next() finally rs.close()
       }
       // Spark's JDBC writer creates the table unquoted → Derby stores it

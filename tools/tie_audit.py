@@ -35,9 +35,35 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def mask_literals(s):
+    """Same-length copy with single-quoted literal spans blanked to spaces,
+    so the paren-depth scans below can't be fooled by a parenthesis, comma,
+    or the text 'ORDER BY' inside a quoted SQL string ('' escapes stay
+    inside the literal). Indices into the mask are valid in the original."""
+    out, in_lit, i, n = [], False, 0, len(s)
+    while i < n:
+        c = s[i]
+        if in_lit:
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":  # '' = escaped quote
+                    out.append('  ')
+                    i += 2
+                    continue
+                in_lit = False
+                out.append("'")
+            else:
+                out.append(' ')
+        else:
+            if c == "'":
+                in_lit = True
+            out.append(c)
+        i += 1
+    return ''.join(out)
+
+
 def last_top_orderby(s):
-    depth, pos, u = 0, -1, s.upper()
-    for i, c in enumerate(s):
+    depth, pos, u = 0, -1, mask_literals(s).upper()
+    for i, c in enumerate(u):
         if c == '(':
             depth += 1
         elif c == ')':
@@ -48,19 +74,19 @@ def last_top_orderby(s):
 
 
 def split_top(s):
-    out, depth, cur = [], 0, ''
-    for ch in s:
+    # scan the literal-masked copy for structure, slice the original text
+    masked = mask_literals(s)
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(masked):
         if ch == '(':
             depth += 1
-        if ch == ')':
+        elif ch == ')':
             depth -= 1
-        if ch == ',' and depth == 0:
-            out.append(cur)
-            cur = ''
-        else:
-            cur += ch
-    if cur.strip():
-        out.append(cur)
+        elif ch == ',' and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    if s[start:].strip():
+        out.append(s[start:])
     return [c.strip() for c in out]
 
 
