@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BitmapAndCount, BitmapFromBits, CosineSimilarity, Iou, JaroWinkler, MinHashSig, SimHash16, TokenCode, WalshBandKeys}
+import graft.functions.{BitmapAndCount, BitmapFromBits, CosineSimilarity, Iou, JaroWinkler, MinHashSig, SimHash16, SqDistance, TokenCode, WalshBandKeys}
 import graft.operators.{TextOps, VectorOps}
 
 /** SQL-surface registration for the engine's custom Catalyst expressions
@@ -53,6 +53,7 @@ object GraftExtensions {
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> arity("cosine_sim", 2)(exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "sq_dist" -> arity("sq_dist", 2)(exprs => SqDistance(exprs(0), exprs(1))),
     "iou" -> arity("iou", 2)(exprs => Iou(exprs(0), exprs(1))),
     "token_code" -> arity("token_code", 1)(exprs => TokenCode(exprs(0))),
     "minhash_sig" -> arity("minhash_sig", 1)(exprs =>

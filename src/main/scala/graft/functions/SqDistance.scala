@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** `sq_dist(a, b)` over ARRAY<FLOAT> — squared L2 distance as a native
+  * Catalyst expression with whole-stage codegen (the [[CosineSimilarity]]
+  * promotion applied to the clustering hot path: Spark's higher-order
+  * functions evaluate lambdas interpreted, one closure call per element,
+  * and the k×N assignment sweep in VectorOps.seedAssign paid ~0.25 s of
+  * that interpreter overhead per run at sf0.1).
+  *
+  * Semantics are EXACTLY the HOF formulation it replaces
+  * (`aggregate(zip_with(a, b, (x,y) => (x−y)²), 0.0, _+_)`) and the
+  * DuckDB oracle mirror `list_sum(list_transform(...))`: float→double
+  * casts per element, one left-to-right accumulation — bit-identical
+  * doubles, so swapping it under the oracle-checked q_kmeans_assign /
+  * q_semdedup / q_outlier_embed is safe (ExpressionsSpec pins the
+  * equivalence on fixture data).
+  *
+  * Mismatched lengths → null, mirroring the HOF twin: zip_with null-pads
+  * the shorter lane, the lambda then yields null, and the aggregate sum
+  * absorbs it to null. (Element nulls don't arise — the embedding columns
+  * are containsNull=false, the same contract [[CosineSimilarity]] relies
+  * on.)
+  *
+  * Reference analog: the YOLO/CLIP embedding-distance comparisons the
+  * surveillance pipeline runs per frame (`main.py:74-79`).
+  */
+case class SqDistance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_dist expects two ARRAY<FLOAT>, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = xs.getFloat(i).toDouble - ys.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistance {
+  /** Column-API surface. */
+  def sqDist(a: Column, b: Column): Column =
+    GraftBridge.column(SqDistance(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

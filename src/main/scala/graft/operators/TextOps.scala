@@ -1197,16 +1197,24 @@ object TextOps {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val cf = tf.groupBy("tok").agg(sum("tf").as("c"))
     val nv = cf.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    // the per-token surprisal term is computed HERE, in a codegen'd
+    // projection (one ln per (doc, tok) row), not inside the array fold —
+    // HOF lambdas evaluate interpreted, so keeping the ln/divide/multiply
+    // in the fold charged the whole corpus-model math to the interpreter
+    // (~0.2 s/run at sf0.1). The fold below only subtracts, in the same
+    // token-sorted order over the same doubles (struct(tok, term) sorts
+    // by the per-doc-unique tok exactly like struct(tok, tf, c) did), so
+    // the result stays bit-identical to the oracle's recurrence.
     tf.join(cf, "tok")
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("tok"), col("tf"), col("c")))).as("l"),
-        sum("tf").as("n_tokens"))
       .crossJoin(broadcast(nv))
+      .withColumn("term",
+        col("tf") * log((col("c") + 1) / (col("n") + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("tok"), col("term")))).as("l"),
+        sum("tf").as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         round(
-          aggregate(col("l"), lit(0.0), (acc, s) =>
-            acc - s.getField("tf") *
-              log((s.getField("c") + 1) / (col("n") + col("v")).cast("double")))
+          aggregate(col("l"), lit(0.0), (acc, s) => acc - s.getField("term"))
             / col("n_tokens"), 4).as("lm_score"))
       .orderBy("doc_id")
   }

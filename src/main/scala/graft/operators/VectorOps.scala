@@ -121,17 +121,17 @@ object VectorOps {
     * the q_entropy precedent), so both engines produce bit-identical
     * doubles and the argmin rank cannot flip. Centroids broadcast; the
     * scan stays narrow; per-vector argmin is a bounded window. */
-  /** Elementwise squared-L2 distance — sequential left-to-right fold
-    * (`aggregate` ≡ DuckDB `list_sum(list_transform)`, the q_entropy
-    * precedent) so both engines produce bit-identical doubles. ONE
-    * definition shared by [[kmeansAssign]], [[semDedup]] and
-    * [[semanticOutliers]]: a change to the fold or casts cannot leave
-    * the three computing different geometry. */
+  /** Elementwise squared-L2 distance — the native codegen expression
+    * [[graft.functions.SqDistance]], bit-identical to the HOF fold it
+    * replaced (`aggregate(zip_with(...))` ≡ DuckDB
+    * `list_sum(list_transform)`, the q_entropy precedent — same
+    * float→double casts, same left-to-right accumulation;
+    * ExpressionsSpec pins the equivalence). ONE definition shared by
+    * [[kmeansAssign]], [[semDedup]] and [[semanticOutliers]]: a change
+    * to the fold or casts cannot leave the three computing different
+    * geometry. */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b,
-        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.SqDistance.sqDist(a, b)
 
   /** Nearest-seed-centroid assignment (deterministic vec_id < 8 seeds,
     * argmin with c_id tie-break) — the shared clustering step of
@@ -140,12 +140,20 @@ object VectorOps {
   private def seedAssign(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_id"))
+    // argmin as min(struct(dist2, c_id, …)): struct ordering compares
+    // dist2 first, then c_id — exactly the row_number-over-window
+    // (orderBy dist2, c_id) pick, but as an AGGREGATE, so the partial min
+    // runs map-side and the exchange moves one row per vector instead of
+    // the full k×N candidate frame a window shuffle would carry (at k=10⁵
+    // real-scale centroids that is the difference between shuffling N and
+    // k·N rows). The embedding rides inside the struct but is never
+    // compared — (dist2, c_id) is unique per vec_id since c_id is.
     e.crossJoin(broadcast(cents))
       .withColumn("dist2", sqDist(col("embedding"), col("c_emb")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("c_id").as("cluster"), col("dist2"), col("embedding"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist2"), col("c_id"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.c_id").as("cluster"),
+        col("m.dist2").as("dist2"), col("m.embedding").as("embedding"))
   }
 
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame =

@@ -23,6 +23,35 @@ class ExpressionsSpec extends SparkSpec {
     assert(diffs.nonEmpty && diffs.forall(_ == 0.0))
   }
 
+  test("SqDistance === HOF squared-L2 fold, bit for bit") {
+    import graft.functions.SqDistance.sqDist
+    // the exact HOF formulation SqDistance replaced in VectorOps.sqDist
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b,
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+      .limit(2000)
+    val diffs = pairs.select(
+      (sqDist(col("ea"), col("eb")) - hof(col("ea"), col("eb"))).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(diffs.nonEmpty && diffs.forall(_ == 0.0))
+    // length mismatch → null, like the null-padded zip_with lane
+    val mism = emb.limit(1).select(
+      sqDist(col("embedding"), slice(col("embedding"), 1, 3).cast("array<float>")).as("d"))
+      .head()
+    assert(mism.isNullAt(0))
+  }
+
+  test("sq_dist participates in whole-stage codegen (no fallback in plan)") {
+    import graft.functions.SqDistance.sqDist
+    val plan = emb.select(sqDist(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1) Project"))
+  }
+
   test("Iou expression === Nms.iou scala function") {
     import spark.implicits._
     val boxes = (0 until 50).map(i =>
