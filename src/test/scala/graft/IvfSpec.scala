@@ -31,11 +31,19 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = got.intersect(truth).size.toDouble / truth.size
     info(f"IVF recall@3: $recall%.3f (searching ${Ivf.NProbe}/${Ivf.K} lists)")
-    // measured 0.617 with the r9 finer quantizer (32 cells, probe 4 —
-    // same 12.5% scan fraction as the r8 16/2 whose recall was 0.517);
-    // far above data-oblivious sign-LSH (0.133) on this weak-similarity
-    // fixture; floor leaves seed/version slack
-    assert(recall >= 0.5, f"IVF recall degraded to $recall%.3f")
+    // RE-MEASURED 0.617 after the r10 metric-alignment fix (quantizer
+    // trains/probes in L2-NORMALIZED space — 32 cells, probe 4, 12.5%
+    // scan). Identical to the r9 raw-space number, and that is EXPECTED,
+    // not a coincidence: the fixture's embeddings are unit-norm to 1e-7
+    // (verified via the parquet), so raw and normalized cells coincide
+    // here — the fixture cannot distinguish the two geometries. The fix
+    // is for real corpora, where unnormalized magnitudes split
+    // equal-direction vectors across cells and cosine neighbors become
+    // unreachable at any nProbe; this assertion pins the normalized
+    // path's recall so a quantizer regression (seed, k, probe count)
+    // still fails loudly. Far above data-oblivious sign-LSH (0.133) on
+    // this weak-similarity fixture; the floor leaves seed/version slack.
+    assert(recall >= 0.55, f"IVF recall degraded to $recall%.3f")
   }
 
   test("seeded quantizer: identical results across runs") {
