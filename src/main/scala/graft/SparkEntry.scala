@@ -64,6 +64,7 @@ object SparkEntry {
     "q_latch_replay" -> (Relational.latchReplay _),
     "q_session_replay" -> (Relational.sessionReplay _),
     "q_attr_replay" -> (Relational.attrReplay _),
+    "q_funnel_replay" -> (Relational.funnelReplay _),
     "q_validate" -> (Relational.validationDispatch _),
     "q_auth" -> (Relational.authenticate _),
     "q_corr_subq" -> (Relational.correlatedSubqueries _),
@@ -267,6 +268,7 @@ object SparkEntry {
       "q_chunk_overlap" -> (TextOps.chunkOverlapCore _),
       "q_semdedup" -> (VectorOps.semDedupCore _),
       "q_attr_replay" -> (Relational.attrReplayCore _),
+      "q_funnel_replay" -> (Relational.funnelReplayCore _),
       "q_latch_replay" -> (Relational.latchReplayCore _),
       "q_session_replay" -> (Relational.sessionReplayCore _),
       "q_interleave" -> (TextOps.interleaveCore _),
@@ -1876,6 +1878,51 @@ object SparkEntry {
         |WHERE event_type = 'purchase' AND best IS NOT NULL
         |  AND best < sec * 10000000 + event_id
         |ORDER BY purchase_id""".stripMargin,
+    // q_funnel_replay: the funnelStages ordered-sequence matcher under
+    // the same replay — state timestamps only move earlier, so the fold
+    // linearizes: view state = running min of views over strictly
+    // earlier arrivals; a click is accepted iff strictly after that
+    // state AT ITS ARRIVAL (never revisited); purchases likewise against
+    // the accepted-click running min. Final per-user stage + state.
+    "q_funnel_replay" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      + (event_id * 2654435761) % 3600 - 1800 AS arr
+        |  FROM events
+        |), v AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN sec END)
+        |    OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS view_before
+        |  FROM e
+        |), c AS (
+        |  SELECT *, (event_type = 'click' AND sec > view_before)
+        |    AS click_ok
+        |  FROM v
+        |), cb AS (
+        |  SELECT *, min(CASE WHEN click_ok THEN sec END)
+        |    OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS click_before
+        |  FROM c
+        |)
+        |SELECT user_id,
+        |  CAST(CASE
+        |    WHEN min(CASE WHEN event_type = 'purchase'
+        |        AND sec > click_before THEN sec END) IS NOT NULL THEN 3
+        |    WHEN min(CASE WHEN click_ok THEN sec END) IS NOT NULL THEN 2
+        |    WHEN min(CASE WHEN event_type = 'view' THEN sec END)
+        |      IS NOT NULL THEN 1
+        |    ELSE 0 END AS BIGINT) AS stage,
+        |  min(CASE WHEN event_type = 'view' THEN sec END) AS view_sec,
+        |  min(CASE WHEN click_ok THEN sec END) AS click_sec,
+        |  min(CASE WHEN event_type = 'purchase' AND sec > click_before
+        |    THEN sec END) AS buy_sec
+        |FROM cb
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q_validate" ->
       """SELECT status, count(*) AS n FROM (
         |  SELECT CASE

@@ -670,6 +670,79 @@ object Relational {
         (col("sec") - expr("best div 10000000")).as("latency_s"))
   }
 
+  /** q_funnel_replay: the batch twin of [[graft.streaming.StreamOps
+    * .funnelStages]]'s ordered-sequence matcher under the q_watermark
+    * deterministic replay — the last stateful operator with spec-only
+    * coverage to gain a DuckDB-checked row. q_funnel answers "who
+    * converted in EVENT-time order"; this answers what the bounded-state
+    * stream matcher actually reports when the feed is out of order.
+    *
+    * Replay model: one event per micro-batch in the shared
+    * [[replayArrival]] permutation (ties broken by event_id, the
+    * contract every twin shares). The matcher's state is three
+    * timestamps that only ever move EARLIER, so the fold linearizes per
+    * user in arrival order: the view state is the running min of view
+    * times over strictly earlier arrivals; a click is ACCEPTED iff it is
+    * strictly after that view state at its own arrival (a click rejected
+    * for lack of a known view is never revisited — the bounded-state
+    * tradeoff documented on the operator); the click state is the
+    * running min of accepted clicks; a purchase is accepted iff strictly
+    * after the click state at its arrival. Output: each user's final
+    * reached stage with the three state timestamps (null = never set) —
+    * exactly the matcher's state at end of stream, which is also its
+    * last update-mode emission for that user (ReplayTwinsSpec pins this
+    * against a real funnelStages run on the same replay).
+    *
+    * Scale shape: both windows are user-partitioned with the same
+    * (arr, event_id) order — one exchange, state per key like the
+    * streaming original; no global sort, no unpartitioned window. */
+  def funnelReplay(spark: SparkSession, dir: String): DataFrame =
+    funnelReplayUnsorted(spark, dir).orderBy("user_id")
+
+  /** Bench shape: user-cardinality output, global sort oracle-only. */
+  def funnelReplayCore(spark: SparkSession, dir: String): DataFrame =
+    funnelReplayUnsorted(spark, dir).sortWithinPartitions("user_id")
+
+  private def funnelReplayUnsorted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("arr", replayArrival(col("sec"), col("event_id")))
+    funnelReplayOn(ev)
+  }
+
+  /** Core of [[funnelReplay]] on a prepared (event_id, user_id,
+    * event_type, sec, arr) frame — separated so ReplayTwinsSpec can
+    * drive the SAME formulation over a synthetic replay and diff it
+    * against the real mapGroupsWithState matcher. */
+  private[graft] def funnelReplayOn(ev: DataFrame): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // state BEFORE each row (strictly earlier arrivals): a null
+    // comparison (no view yet / no accepted click yet) evaluates to null
+    // and the when() drops the row — the matcher's MaxValue sentinel
+    val staged = ev
+      .withColumn("view_before",
+        min(when(col("event_type") === "view", col("sec"))).over(wu))
+      .withColumn("click_ok",
+        col("event_type") === "click" && col("sec") > col("view_before"))
+      .withColumn("click_before",
+        min(when(col("click_ok"), col("sec"))).over(wu))
+      .withColumn("buy_ok",
+        col("event_type") === "purchase" && col("sec") > col("click_before"))
+    staged.groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("sec"))).as("view_sec"),
+        min(when(col("click_ok"), col("sec"))).as("click_sec"),
+        min(when(col("buy_ok"), col("sec"))).as("buy_sec"))
+      .select(col("user_id"),
+        when(col("buy_sec").isNotNull, 3L)
+          .when(col("click_sec").isNotNull, 2L)
+          .when(col("view_sec").isNotNull, 1L)
+          .otherwise(0L).as("stage"),
+        col("view_sec"), col("click_sec"), col("buy_sec"))
+  }
+
   /** E-SCAN partition pruning: daily totals for one queried week over the
     * date-partitioned events layout (Tables.eventsByDate). The event_date
     * predicate resolves against directory names (scan `PartitionFilters`),

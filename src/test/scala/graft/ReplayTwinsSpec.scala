@@ -177,4 +177,59 @@ class ReplayTwinsSpec extends SparkSpec {
     // appear in either output
     assert(!streamed.exists(_._1 == 9L), s"u9's open session leaked: $streamed")
   }
+
+  test("funnel replay twin: running-min formulation ≡ funnelStages on replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (user, event-time sec, type) in ARRIVAL order; ids = arrival index.
+    // Probes every branch of the matcher's fold:
+    //  u1: click before any known view is REJECTED and never revisited
+    //      (click@5 arrives first), purchase behind the click state is
+    //      rejected (4 < click 6), a later purchase converts (7 > 6);
+    //  u2: click not strictly after the view state rejected (8 < 10), a
+    //      purchase with no accepted click rejected, then click@15 and
+    //      the 12 vs 15 strictly-after purchase guard, 16 converts;
+    //  u3: purchase-only then view → final stage 1;
+    //  u4: a LATER-arriving earlier view (4 → 2) unlocks click@3, which
+    //      would have been rejected against view 4;
+    //  u5: click@5 accepted against view 4, then view moves to 2 and
+    //      click@3 lowers the click state (running min over accepted).
+    val arrived = Seq(
+      (1L, 5L, "click"), (1L, 3L, "view"), (1L, 6L, "click"),
+      (1L, 4L, "purchase"), (1L, 7L, "purchase"),
+      (2L, 10L, "view"), (2L, 8L, "click"), (2L, 20L, "purchase"),
+      (2L, 15L, "click"), (2L, 12L, "purchase"), (2L, 16L, "purchase"),
+      (3L, 5L, "purchase"), (3L, 9L, "view"),
+      (4L, 4L, "view"), (4L, 2L, "view"), (4L, 3L, "click"),
+      (5L, 4L, "view"), (5L, 5L, "click"), (5L, 2L, "view"), (5L, 3L, "click"))
+    val input = MemoryStream[graft.streaming.FunnelEvent]
+    val q = StreamOps.funnelStages(input.toDF())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_replay_out").start()
+    // update-mode memory sink: capture each batch's emission by delta so
+    // the LAST emission per user (≡ final state) is known without batch
+    // ids; each replayed batch holds exactly one event → one output row
+    val lastStage = scala.collection.mutable.Map.empty[Long, Int]
+    var seen = 0L
+    try arrived.foreach { case (u, s, typ) =>
+      input.addData(graft.streaming.FunnelEvent(u, typ, ts(s)))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_replay_out")
+        .as[(Long, Int)].collect()
+      rows.drop(seen.toInt).foreach { case (uid, st) => lastStage(uid) = st }
+      seen = rows.length.toLong
+    } finally q.stop()
+    val streamed = lastStage.toSeq.sorted
+
+    val ev = arrived.zipWithIndex
+      .map { case ((u, s, typ), i) => (i.toLong, u, typ, s, i.toLong) }
+      .toDF("event_id", "user_id", "event_type", "sec", "arr")
+    val batch = Relational.funnelReplayOn(ev)
+      .select(col("user_id"), col("stage").cast("int"))
+      .as[(Long, Int)].collect().toSeq.sorted
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed=$streamed batch=$batch")
+    assert(streamed == Seq((1L, 3), (2L, 3), (3L, 1), (4L, 2), (5L, 2)),
+      s"fold branches drifted: $streamed")
+  }
 }
