@@ -144,21 +144,48 @@ class R8StatsSpec extends SparkSpec {
     assert(keptTotal == distinctChunks)
   }
 
-  test("kcore equals a local iterative peel and needs no round 4 at this scale") {
+  test("kcore equals a local peel-to-fixpoint; fixture is stable by round 3 (oracle depth)") {
     import spark.implicits._
     val pairs = TextOps.minhashPairs(spark, sf).as[(Long, Long)].collect()
     var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
-    for (_ <- 1 to 3) {
+    var localRounds = 0
+    var changed = true
+    while (changed) {
       val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
       val keep = deg.filter(_._2 >= 2).keySet
-      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      if (changed) localRounds += 1
+      edges = next
     }
     val expect = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
     val got = TextOps.kcore(spark, sf).as[(Long, Long)].collect().toMap
     assert(got == expect)
-    // round 4 would not change the survivor set (bounded rounds suffice)
-    val deg4 = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
-    assert(deg4.values.forall(_ >= 2))
+    // the DuckDB oracle unrolls exactly three peel CTEs — the fixture
+    // graph must stay within that depth or the oracle needs re-deepening
+    assert(localRounds <= 3,
+      s"fixture needs $localRounds peel rounds; q_kcore oracle unrolls 3")
+  }
+
+  test("kcorePeel converges on a chain needing more rounds than the old fixed-3 cap") {
+    import spark.implicits._
+    // path 1-2-…-10 (peels one endpoint pair per round: 5 modifying
+    // rounds) + a triangle (every node degree 2: survives forever)
+    val path = (1L until 10L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val und = path ++ tri
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val (survived, rounds) = TextOps.kcorePeelWithRounds(edges)
+    val got = survived.as[(Long, Long)].collect().toSet
+    assert(got == (tri ++ tri.map(_.swap)).toSet,
+      s"only the triangle must survive, got $got")
+    assert(rounds == 5, s"P10 peels in 5 modifying rounds, got $rounds")
+    // the cap guards the pathological chain but must never be silent OR
+    // alter results below it: capped at 2, the chain's middle remains
+    val (capped, cr) = TextOps.kcorePeelWithRounds(edges, maxRounds = 2)
+    assert(cr == 2 && capped.count() > 6,
+      "capped peel should stop early with chain remnants present")
   }
 
   test("markovStationary matches a local matrix power iteration") {
