@@ -358,18 +358,26 @@ object Curation {
       .select(col("tok"), col("c"), coalesce(col("ct"), lit(0L)).as("ct"))
     val scalars = vocab.agg(sum("c").as("n"), sum("ct").as("nt"),
       count(lit(1)).as("v"))
+    // per-token LLR term computed HERE, in a codegen'd projection (two
+    // lns per (doc, tok) row), not inside the array fold — the lmScore
+    // r11 lesson: HOF lambdas evaluate interpreted, so leaving the
+    // ln/divide/multiply in the fold charges the whole importance-model
+    // math to the interpreter. The fold below only adds, in the same
+    // token-sorted order over the same doubles (struct(tok, term) sorts
+    // by the per-group-unique tok exactly like struct(tok, tf, ct, c)
+    // did), so avg_llr stays bit-identical to the oracle.
     tf.join(vocab, "tok")
-      .groupBy("doc_id", "lang")
-      .agg(array_sort(collect_list(
-          struct(col("tok"), col("tf"), col("ct"), col("c")))).as("l"),
-        sum("tf").as("n_tokens"))
       .crossJoin(broadcast(scalars))
+      .withColumn("term",
+        col("tf") *
+          (log((col("ct") + 1) / (col("nt") + col("v")).cast("double"))
+            - log((col("c") + 1) / (col("n") + col("v")).cast("double"))))
+      .groupBy("doc_id", "lang")
+      .agg(array_sort(collect_list(struct(col("tok"), col("term")))).as("l"),
+        sum("tf").as("n_tokens"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         round(
-          aggregate(col("l"), lit(0.0), (acc, s) =>
-            acc + s.getField("tf") *
-              (log((s.getField("ct") + 1) / (col("nt") + col("v")).cast("double"))
-                - log((s.getField("c") + 1) / (col("n") + col("v")).cast("double"))))
+          aggregate(col("l"), lit(0.0), (acc, s) => acc + s.getField("term"))
             / col("n_tokens"), 4).as("avg_llr"))
   }
 
