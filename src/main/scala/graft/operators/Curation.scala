@@ -97,7 +97,9 @@ object Curation {
     val testGrams = grams.filter(splitOf(col("doc_id")) === "test")
       .select("gram").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hashed = testGrams.select(xxhash64(col("gram")).as("gk"))
+    // gram4 keys are already 8-byte xxhash64 codes — the bloom consumes
+    // them directly (the old string form hashed here)
+    val hashed = testGrams.select(col("gram").as("gk"))
     // test split ≈ 5% of docs, ≤ ~200 grams each; 1% fpp at this size is
     // a few hundred KB — overshooting the estimate is harmless. The doc
     // count comes from the parquet FOOTERS (driver-side metadata read, no
@@ -107,7 +109,7 @@ object Curation {
     val bf = hashed.stat.bloomFilter("gk", expectedNumItems = estGrams, fpp = 0.01)
     grams.filter(splitOf(col("doc_id")) === "train")
       .filter(graft.functions.MightContainLong.mightContainLong(
-        xxhash64(col("gram")), bf))
+        col("gram"), bf))
       .join(testGrams, "gram")
       .groupBy("doc_id")
       // grams is already distinct per doc, so count(*) = distinct grams hit
@@ -197,20 +199,29 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** Distinct (doc_id, gram) word 4-grams. g2[i] = tok_i‖tok_{i+1};
-    * zip_with(g2[i], g2[i+2]) = tok_i..tok_{i+3}. Both stages narrow. */
+  /** Distinct (doc_id, gram) word 4-grams, keyed by the 8-byte
+    * `xxhash64` of the token TUPLE — the q_repeated_grams r10 reshape
+    * applied to the whole gram4 family: no gram STRING is ever
+    * materialized (the old form concatenated ~30-byte strings in two
+    * chained zip_with lambdas and then shuffled them), the per-doc
+    * distinct compares fixed-width longs, and every downstream shuffle /
+    * join / bloom in contamination, overlapFraction and gramNovelty
+    * carries longs. None of the three consumers outputs a gram value, so
+    * the oracles (which group by the string/tuple form) agree modulo the
+    * usual 64-bit-sketch collision risk (~m²/2⁶⁵ — ~10⁻⁹ even at 10⁹
+    * distinct grams), the bound the MinHash/fingerprint family already
+    * accepts. `t` is bound to a column attribute before the lambda (the
+    * TextOps.shingleCodes recomputed-outer-reference trap); docs with
+    * < 4 tokens are filtered (sequence(1, n) DESCENDS for n < 1 — the
+    * winnow lesson), matching the old empty-slice drop. */
   private def gram4(docs: DataFrame): DataFrame = {
     val withToks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val g2 = withToks.select(col("doc_id"),
-      zip_with(
-        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
-        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
-        (a, b) => concat(a, lit("_"), b)).as("g2"))
-    g2.select(col("doc_id"),
-        explode(array_distinct(zip_with(
-          slice(col("g2"), lit(1), greatest(size(col("g2")) - 2, lit(0))),
-          slice(col("g2"), lit(3), greatest(size(col("g2")) - 2, lit(0))),
-          (a, b) => concat(a, lit("_"), b)))).as("gram"))
+      .filter(size(col("t")) >= 4)
+    withToks.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("t")) - 3),
+        j => xxhash64((0 to 3).map(k => element_at(col("t"), j + k)): _*))))
+        .as("gram"))
   }
 
   /** Intra-document repetition screen (the Gopher-style repeated-n-gram

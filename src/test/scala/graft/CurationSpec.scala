@@ -64,6 +64,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("gramNovelty's hash-keyed grams match an exact string-tuple local recompute") {
+    import spark.implicits._
+    // the r11 gram4 reshape keys grams by xxhash64 of the token tuple —
+    // this pins the hash-keyed counts to the collision-free definition
+    // (distinct STRING 4-gram sets, first-seen by ascending doc_id)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val gsets = docs.map { case (id, text) =>
+      val t = text.split(" ")
+      id -> (if (t.length < 4) Set.empty[Seq[String]]
+             else (0 to t.length - 4).map(i => t.slice(i, i + 4).toSeq).toSet)
+    }
+    val firstSeen = scala.collection.mutable.Map.empty[Seq[String], Long]
+    for ((id, gs) <- gsets; g <- gs.toSeq.sortBy(_.mkString(" ")))
+      if (!firstSeen.contains(g)) firstSeen(g) = id
+    val expect = gsets.filter(_._2.nonEmpty).map { case (id, gs) =>
+      id -> ((gs.size.toLong, gs.count(g => firstSeen(g) == id).toLong))
+    }.toMap
+    val got = Curation.gramNovelty(spark, sfDir)
+      .select("doc_id", "n_grams", "n_novel")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("repetition ratios stay in [0,1] and flagged <= docs") {
     val rows = Curation.repetitionScreen(spark, sfDir).collect()
     assert(rows.nonEmpty)
