@@ -85,6 +85,12 @@ class ExpressionsSpec extends SparkSpec {
       "SELECT iou(named_struct('x',0,'y',0,'w',10,'h',10), named_struct('x',5,'y',0,'w',10,'h',10)) AS i")
       .head().getDouble(0)
     assert(math.abs(i - 50.0 / 150.0) < 1e-12)
+    val d = spark.sql(
+      """SELECT sq_dist(a.embedding, b.embedding) AS d
+        |FROM emb_ext_test a JOIN emb_ext_test b ON a.vec_id = b.vec_id
+        |WHERE a.vec_id < 5""".stripMargin)
+      .collect().map(_.getDouble(0))
+    assert(d.length == 5 && d.forall(_ == 0.0))
   }
 
   test("cosine_sim participates in whole-stage codegen (no fallback in plan)") {
