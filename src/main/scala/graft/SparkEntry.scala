@@ -3274,15 +3274,17 @@ object SparkEntry {
         |WHERE s1.split <> s2.split
         |ORDER BY d1, d2""".stripMargin,
     "q_contamination" ->
-      // word 4-grams of the test split probed against train docs
+      // word 4-grams of the test split probed against train docs. Gram
+      // identity is the 4-token TUPLE (list slice), matching the
+      // engine's xxhash64 token-tuple keys — the q_repetition
+      // convention: a '_'-joined string would merge ("a_b","c") with
+      // ("a","b_c") on underscore-bearing text (same CTE in
+      // q_overlap_frac and q_novelty)
       s"""WITH grams AS (
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id, unnest(list_transform(
         |      range(1, len(string_split(text, ' ')) - 2),
-        |      j -> string_split(text, ' ')[j] || '_' ||
-        |           string_split(text, ' ')[j + 1] || '_' ||
-        |           string_split(text, ' ')[j + 2] || '_' ||
-        |           string_split(text, ' ')[j + 3])) AS gram
+        |      j -> string_split(text, ' ')[j:j+3])) AS gram
         |    FROM documents) raw
         |), splits AS (SELECT doc_id, $splitCaseSql AS split FROM documents
         |), test_grams AS (
@@ -3301,10 +3303,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id, unnest(list_transform(
         |      range(1, len(string_split(text, ' ')) - 2),
-        |      j -> string_split(text, ' ')[j] || '_' ||
-        |           string_split(text, ' ')[j + 1] || '_' ||
-        |           string_split(text, ' ')[j + 2] || '_' ||
-        |           string_split(text, ' ')[j + 3])) AS gram
+        |      j -> string_split(text, ' ')[j:j+3])) AS gram
         |    FROM documents) raw
         |), splits AS (SELECT doc_id, $splitCaseSql AS split FROM documents
         |), test_g AS (
@@ -3366,10 +3365,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id, unnest(list_transform(
         |      range(1, len(string_split(text, ' ')) - 2),
-        |      j -> string_split(text, ' ')[j] || '_' ||
-        |           string_split(text, ' ')[j + 1] || '_' ||
-        |           string_split(text, ' ')[j + 2] || '_' ||
-        |           string_split(text, ' ')[j + 3])) AS gram
+        |      j -> string_split(text, ' ')[j:j+3])) AS gram
         |    FROM documents) raw
         |), fs AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1)
         |SELECT g.doc_id, count(*) AS n_grams,

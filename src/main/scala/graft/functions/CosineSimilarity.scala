@@ -40,10 +40,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   /** Mismatched lengths → null (the zip_with twin's null-padded lane
-    * nulls the whole sum) and zero-norm → null (Spark's fractional Divide
-    * yields NULL on a zero divisor in the HOF twin) — silently truncating
-    * or emitting NaN would let the expression and its documented
-    * bit-identical twin disagree on malformed vectors. */
+    * nulls the whole sum), element NULLS → null (the lambda's null
+    * arithmetic nulls the fold — matters on the public `cosine_sim` SQL
+    * surface, where a caller's nullable array would otherwise have its
+    * null slots silently read as 0.0f), and zero-norm → null (Spark's
+    * fractional Divide yields NULL on a zero divisor in the HOF twin) —
+    * silently truncating or emitting NaN would let the expression and
+    * its documented bit-identical twin disagree on malformed vectors. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
@@ -52,6 +55,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = xs.getFloat(i).toDouble
       val y = ys.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -78,15 +82,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $x = (double) $a.getFloat($i);
          |    double $y = (double) $b.getFloat($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($denom == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / $denom;
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / $denom;
+         |    }
          |  }
          |}
        """.stripMargin

@@ -24,9 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Mismatched lengths → null, mirroring the HOF twin: zip_with null-pads
   * the shorter lane, the lambda then yields null, and the aggregate sum
-  * absorbs it to null. (Element nulls don't arise — the embedding columns
-  * are containsNull=false, the same contract [[CosineSimilarity]] relies
-  * on.)
+  * absorbs it to null. Element NULLS → null for the same reason — the
+  * engine's embedding columns are containsNull=false so this never fires
+  * on the hot path, but the expression is registered on the public SQL
+  * surface (`sq_dist`), where a caller can pass a nullable array and
+  * ArrayData.getFloat would otherwise silently read the null slot as
+  * 0.0f — a wrong NUMBER instead of a missing one.
   *
   * Reference analog: the YOLO/CLIP embedding-distance comparisons the
   * surveillance pipeline runs per frame (`main.py:74-79`).
@@ -57,6 +60,7 @@ case class SqDistance(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val d = xs.getFloat(i).toDouble - ys.getFloat(i).toDouble
       acc += d * d
       i += 1
@@ -77,10 +81,13 @@ case class SqDistance(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
          |    $acc += $d * $d;
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * and intra-document repetition screening — the four checks a corpus
   * passes through between "deduplicated" and "ready to train on".
   *
-  * Everything here is engine-neutral integer/string arithmetic (no
-  * engine hash functions), so each query is DuckDB-oracle-checkable.
+  * Every query is DuckDB-oracle-checkable: the split/threshold
+  * arithmetic is engine-neutral integers, and the one engine hash in
+  * the file — gram4's xxhash64 token-tuple keys (r11) — never reaches
+  * an output column, so the oracles group by the tuple form and agree
+  * modulo the documented 64-bit collision bound.
   */
 object Curation {
 
@@ -64,11 +67,8 @@ object Curation {
   /** Benchmark decontamination: train-split docs sharing any word
     * 4-gram with the test split, with the shared-gram count. The
     * standard pre-training hygiene pass (eval n-grams must not appear in
-    * training text). 4-grams are built by two chained zip_with passes
-    * over MATERIALIZED token arrays — each stage's array is bound to a
-    * column attribute first, because a recomputed-expression outer
-    * reference inside a HOF lambda re-evaluates per element (the
-    * quadratic trap documented at TextOps.shingleCodes).
+    * training text). 4-grams come from [[gram4]] as 8-byte xxhash64
+    * token-tuple codes (r11 reshape — no gram string is materialized).
     *
     * Scale shape (reworked round 7 per the r6 watch item): the test
     * split's distinct-gram set is NOT broadcast — at 100 TB a 5% split's

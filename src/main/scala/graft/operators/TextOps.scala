@@ -1851,10 +1851,15 @@ object TextOps {
     var edges = edges0
     var rounds = 0
     var converged = false
-    while (!converged && rounds < maxRounds) {
+    var capped = false
+    while (!converged && !capped) {
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
       if (deg.filter(col("deg") < k).isEmpty) converged = true
+      // the probe runs BEFORE the cap check, so a peel that completes on
+      // exactly the maxRounds-th modifying round reports converged, not
+      // a false "may be under-peeled" alarm
+      else if (rounds == maxRounds) capped = true
       else {
         rounds += 1
         val keep = deg.filter(col("deg") >= k).select("src")
@@ -1865,7 +1870,7 @@ object TextOps {
           .localCheckpoint(true)
       }
     }
-    if (!converged)
+    if (capped)
       System.err.println(s"[graft] kcorePeel capped at $maxRounds rounds " +
         s"before fixpoint — survivor set may still contain sub-$k-core nodes")
     (edges, rounds)

@@ -72,7 +72,8 @@ class CurationSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .as[(Long, String)].collect().sortBy(_._1)
     val gsets = docs.map { case (id, text) =>
-      val t = text.split(" ")
+      // limit -1: keep trailing empty tokens, matching Spark's split()
+      val t = text.split(" ", -1)
       id -> (if (t.length < 4) Set.empty[Seq[String]]
              else (0 to t.length - 4).map(i => t.slice(i, i + 4).toSeq).toSet)
     }

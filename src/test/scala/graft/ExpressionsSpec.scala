@@ -43,6 +43,17 @@ class ExpressionsSpec extends SparkSpec {
       sqDist(col("embedding"), slice(col("embedding"), 1, 3).cast("array<float>")).as("d"))
       .head()
     assert(mism.isNullAt(0))
+    // element null → null on the SQL surface (a nullable array's null
+    // slot must not be silently read as 0.0f) — both expressions
+    GraftExtensions.register(spark)
+    val nulls = spark.sql(
+      """SELECT
+        |  sq_dist(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |          array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d,
+        |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |             array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c
+        |""".stripMargin).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
   test("sq_dist participates in whole-stage codegen (no fallback in plan)") {

@@ -63,9 +63,16 @@ class WindowLintSpec extends SparkSpec {
             "single-task sort at scale; fix the plan or justify an entry"
         stale -= name
         unpart.foreach { w =>
-          if (w.child.collectFirst { case a: Aggregate => a }.isEmpty)
-            offenders += s"$name has an unpartitioned Window with NO " +
-              s"Aggregate below it (raw-stream global window):\n$w"
+          // the Aggregate must GROUP (nonempty grouping expressions): a
+          // grouping-less scalar aggregate cross-joined onto a raw fact
+          // stream (the lmScore/dsir broadcast-nv shape) does not bound
+          // the windowed frame and must not satisfy the check
+          val grouped = w.child.collectFirst {
+            case a: Aggregate if a.groupingExpressions.nonEmpty => a
+          }
+          if (grouped.isEmpty)
+            offenders += s"$name has an unpartitioned Window with no " +
+              s"GROUPING Aggregate below it (raw-stream global window):\n$w"
         }
       }
     }
