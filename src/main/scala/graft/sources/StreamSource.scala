@@ -26,12 +26,14 @@ import org.apache.spark.sql.types.StructType
 object StreamSource {
 
   /** File-drop directory: each dropped file is one micro-batch of events.
-    * `maxFilesPerTrigger=1` keeps replay deterministic in specs. */
+    * The default `maxFilesPerTrigger=1` keeps replay deterministic in
+    * specs; a backfill over many files should raise it, or a directory of
+    * N files is forced through N micro-batches. */
   def fileDrop(spark: SparkSession, dir: String, schema: StructType,
-               format: String = "parquet"): DataFrame =
+               format: String = "parquet", maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .format(format)
       .load(dir)
 
@@ -76,6 +78,11 @@ object StreamSource {
       .option("subscribe", topic)
       .load()
       .select(from_json(col("value").cast("string"), schema).as("e"))
+      // from_json yields a NULL struct for an unparseable payload; e.* on
+      // it would emit an all-null row, and one poison message would then
+      // crash-loop any downstream typed op with non-nullable fields (the
+      // offset replays on restart). Drop corrupt records at the boundary.
+      .filter(col("e").isNotNull)
       .select(col("e.*"))
 
   /** Multi-camera fan-in: N per-camera streams union into one logical

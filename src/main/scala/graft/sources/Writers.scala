@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions.col
   */
 object Writers {
 
+  /** Recursive local-FS delete (staging dirs, parked table copies).
+    * `listFiles` returns null for non-directories AND on I/O errors, so
+    * the null is absorbed rather than thrown mid-cleanup. */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** Partitioned parquet write: repartition by the partition column(s)
     * before `partitionBy`, so every partition directory is written by
     * exactly one task → one file. Without the repartition, every upstream
@@ -147,8 +156,13 @@ object Writers {
     val cols = target.columns.toIndexedSeq
     val hitParts = updates.select(partitionCols.map(col): _*).distinct()
     val affected = target.join(broadcast(hitParts), partitionCols, "left_semi")
+    // row identity is (key, partition values) — anti-joining on the key
+    // alone would also delete a SAME-KEY row living in a sibling hit
+    // partition (two updates touching partitions a and c would silently
+    // drop c's row for a key updated only in a)
+    val idCols = (key +: partitionCols.filterNot(_ == key)).toIndexedSeq
     val merged = affected
-      .join(broadcast(updates.select(col(key))), Seq(key), "left_anti")
+      .join(broadcast(updates.select(idCols.map(col): _*)), idCols, "left_anti")
       .unionByName(updates.select(cols.map(col): _*))
     val staging = new java.io.File(
       path + s".merge_${ProcessHandle.current().pid()}_${System.nanoTime()}")
@@ -162,13 +176,7 @@ object Writers {
     try overwritePartitions(
       spark.read.schema(merged.schema).parquet(staging.getPath),
       path, partitionCols)
-    finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(staging)
-    }
+    finally deleteRecursively(staging)
   }
 
   /** Keyed deletion from a partitioned parquet table — the
@@ -213,19 +221,9 @@ object Writers {
       emptied.foreach { row =>
         val dir = new java.io.File(path + partitionCols.zipWithIndex
           .map { case (c, i) => s"/$c=${row.get(i)}" }.mkString)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        if (dir.exists()) rm(dir)
+        if (dir.exists()) deleteRecursively(dir)
       }
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(staging)
-    }
+    } finally deleteRecursively(staging)
   }
 
   /** S5 row-insert sink into a relational store: the reference writes new
@@ -279,10 +277,21 @@ object Writers {
         case None => Nil
       }
     val partCols = partChain(new java.io.File(path))
-    // coalesce, not repartition: narrowing the file count needs no shuffle
-    val w = df.coalesce(files).write.mode("overwrite")
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .parquet(tmp.getPath)
+    if (partCols.nonEmpty)
+      // partitioned layout: coalesce(files) + partitionBy would leave every
+      // task writing into every directory it holds rows for — up to
+      // files × partitions fragments, each far below targetRows (compaction
+      // could INCREASE the file count). Cluster by the partition key
+      // instead — one task per directory — with the per-file row cap
+      // rolling hot partitions, exactly writePartitioned's recipe.
+      df.repartition(partCols.map(col): _*)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRows)
+        .partitionBy(partCols: _*)
+        .parquet(tmp.getPath)
+    else
+      // coalesce, not repartition: narrowing the file count needs no shuffle
+      df.coalesce(files).write.mode("overwrite").parquet(tmp.getPath)
     swapIn(new java.io.File(path), tmp, new java.io.File(path + s".old_$nonce"))
   }
 
@@ -305,10 +314,6 @@ object Writers {
         s"compaction swap failed for $dst: could not move compacted copy in; " +
           s"original restored, compacted copy kept at $tmp")
     }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(old)
+    deleteRecursively(old)
   }
 }

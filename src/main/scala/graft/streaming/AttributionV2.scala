@@ -66,17 +66,21 @@ object AttributionV2 {
   /** Apply via transformWithState. `ttl` ≤ 0 disables expiry (exact
     * attributionStream semantics); a positive ttl bounds state to users
     * active within the window. TimeMode.ProcessingTime is required for
-    * TTL-bearing state in Spark 4. */
+    * TTL-bearing state in Spark 4, and is used ONLY then: under
+    * ProcessingTime the exec always reports "run another batch", so a
+    * ttl-less query would spin no-data micro-batches forever with the
+    * default `noDataMicroBatches` setting — TimeMode.None otherwise. */
   def apply(events: DataFrame, ttlMillis: Long = -1L): Dataset[Attribution] = {
     val sess = events.sparkSession
     import sess.implicits._
     val proc = new AttributionProcessor
     proc.ttlMillis = ttlMillis
+    val timeMode = if (ttlMillis > 0) TimeMode.ProcessingTime() else TimeMode.None()
     events.select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
         col("event_type"), col("ts"))
       .as[AttrEvent]
       .groupByKey(_.user_id)
-      .transformWithState(proc, TimeMode.ProcessingTime(), OutputMode.Append())
+      .transformWithState(proc, timeMode, OutputMode.Append())
   }
 }

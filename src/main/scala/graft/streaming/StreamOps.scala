@@ -310,7 +310,19 @@ object StreamOps {
               new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n))
           } else {
             val ts = rows.map(_._2.getTime).toSeq
-            val prev = state.getOption.getOrElse(SessionAcc(Long.MaxValue, Long.MinValue, 0L))
+            val wm = state.getCurrentWatermarkMs()
+            // a session whose deadline (end + gap) the watermark has
+            // already STRICTLY passed is closed by contract — the timeout
+            // just hadn't fired yet because the user's next rows landed in
+            // the very batch that would have fired it. Close it here and
+            // start a fresh session from these rows; silently extending it
+            // would merge two sessions separated by more than the gap
+            // (the batch twin sessionReplayOn splits on exactly
+            // prev-end + gap < wm-at-arrival).
+            val stale = state.getOption.filter(p => p.end + gapMillis < wm)
+            val prev =
+              if (stale.isDefined) SessionAcc(Long.MaxValue, Long.MinValue, 0L)
+              else state.getOption.getOrElse(SessionAcc(Long.MaxValue, Long.MinValue, 0L))
             val next = SessionAcc(math.min(prev.start, ts.min),
               math.max(prev.end, ts.max), prev.n + ts.size)
             state.update(next)
@@ -319,9 +331,9 @@ object StreamOps {
             // rejects a timeout at-or-before the watermark (query
             // failure). The clamped deadline fires at the next possible
             // instant — the session is already due to close
-            state.setTimeoutTimestamp(
-              math.max(next.end + gapMillis, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            state.setTimeoutTimestamp(math.max(next.end + gapMillis, wm + 1))
+            stale.iterator.map(s => SessionOut(uid,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n))
           }
       }
   }
@@ -422,10 +434,22 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val df = batch.toDF()
-        if (!new java.io.File(path).exists())
-          graft.sources.Writers.writePartitioned(df, path, partitionCols)
-        else
+        // "table exists" must mean a COMMITTED data file, not a bare
+        // directory: an empty or crashed first batch leaves a directory
+        // holding only _SUCCESS / _temporary, and mergeUpsert's read of it
+        // dies on schema inference — permanently, since replay repeats the
+        // probe. Until a data file is committed, (re)write the initial
+        // layout; an empty batch before that is skipped outright (nothing
+        // to upsert, no schema worth pinning).
+        def hasDataFile(f: java.io.File): Boolean = {
+          val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
+            kids.exists(hasDataFile)
+        }
+        if (hasDataFile(new java.io.File(path)))
           graft.sources.Writers.mergeUpsert(df.sparkSession, path, df, key, partitionCols)
+        else if (!df.isEmpty)
+          graft.sources.Writers.writePartitioned(df, path, partitionCols)
       }
       .start()
 
@@ -446,18 +470,25 @@ object StreamOps {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val meta = conn.getMetaData
-      def tableExists(name: String): Boolean = {
-        // getTables' name argument is a LIKE pattern: a literal '_' or '%'
-        // in the sink table name acts as a wildcard, so a similarly-named
-        // table could satisfy the probe while the real target is absent —
-        // the DELETE would then throw table-not-found and fail the batch.
-        // Escape metacharacters so the probe matches the exact name only.
+      // getTables' name arguments are LIKE patterns: a literal '_' or '%'
+      // in the sink table name acts as a wildcard, so a similarly-named
+      // table could satisfy the probe while the real target is absent —
+      // the DELETE would then throw table-not-found and fail the batch.
+      // Escape metacharacters so the probe matches the exact name only.
+      def escapePattern(name: String): String = {
         val esc = meta.getSearchStringEscape
-        val pattern =
-          if (esc == null || esc.isEmpty) name
-          else name.replace(esc, esc + esc)
-            .replace("_", esc + "_").replace("%", esc + "%")
-        val rs = meta.getTables(null, null, pattern, null)
+        if (esc == null || esc.isEmpty) name
+        else name.replace(esc, esc + esc)
+          .replace("_", esc + "_").replace("%", esc + "%")
+      }
+      def tableExists(name: String): Boolean = {
+        // scope the probe to the connection's CURRENT schema: a null
+        // schema pattern searches every schema, so a same-named table
+        // elsewhere (e.g. Derby's SYS.*) would satisfy the probe while
+        // the unqualified DELETE still resolves to the current schema
+        // and fails with table-not-found
+        val schemaPattern = Option(conn.getSchema).map(escapePattern).orNull
+        val rs = meta.getTables(null, schemaPattern, escapePattern(name), null)
         try rs.next() finally rs.close()
       }
       // Spark's JDBC writer creates the table unquoted → Derby stores it
