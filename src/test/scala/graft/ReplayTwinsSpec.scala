@@ -178,6 +178,46 @@ class ReplayTwinsSpec extends SparkSpec {
     assert(!streamed.exists(_._1 == 9L), s"u9's open session leaked: $streamed")
   }
 
+  test("session replay twin: a stale session closes even when the user's next event arrives WITH data (r11 fix)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The flatMapGroupsWithState timeout only fires for groups WITHOUT
+    // data in a batch — so when the watermark passes u2's deadline and
+    // u2's very next event arrives in the following batch, the data
+    // branch itself must close the stale session and start fresh
+    // (pre-r11 it silently merged sessions separated by ~27 h):
+    //   b1: u2@1000 opens (deadline 2800, wm 0 — timeout can't fire yet)
+    //   b2: u9@100000 advances wm to 99400 at batch END (during b2 the
+    //       timeout check still sees wm 0, so u2 stays open)
+    //   b3: u2@100001 — u2 HAS data, no timeout; the stale check fires
+    //   b4: u9@200000 pushes the final watermark past u2's 2nd deadline
+    val arrived = Seq(
+      (0L, 2L, 1000L), (1L, 9L, 100000L), (2L, 2L, 100001L),
+      (3L, 9L, 200000L))
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionFinalize(input.toDF(), "30 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_stale_out").start()
+    try arrived.foreach { case (id, u, s) =>
+      input.addData(Ev(id, ts(s), u, "view", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("session_stale_out")
+      .select(col("user_id"), unix_timestamp(col("sess_start")).as("s"),
+        unix_timestamp(col("sess_end")).as("e"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    // TWO u2 sessions, not one 1000..100001 merge; u9 stays open/withheld
+    assert(streamed == Seq((2L, 1000L, 1000L, 1L), (2L, 100001L, 100001L, 1L)),
+      s"stale session not split: $streamed")
+    // and the batch twin agrees row-for-row on the same replay
+    val ev = arrived.zipWithIndex
+      .map { case ((id, u, s), i) => (id, u, s, i.toLong) }
+      .toDF("event_id", "user_id", "sec", "arr")
+    val batch = Relational.sessionReplayOn(ev, delaySec = 600L, gapSec = 1800L)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("funnel replay twin: running-min formulation ≡ funnelStages on replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
