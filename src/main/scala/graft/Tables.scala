@@ -136,10 +136,20 @@ object Tables {
     * previous generation. */
   private[graft] def parquetContentSig(dir: String, table: String): String = {
     val src = new java.io.File(s"$dir/$table.parquet")
+    // a path the local File API cannot STAT at all — a remote URI
+    // (s3://, hdfs://) or a not-yet-materialized local file — must yield
+    // a sig that never equals ANY sig including itself across calls:
+    // File(\"s3://...\").lastModified/length both return 0, so a constant
+    // here would make every remote-corpus generation look identical and
+    // serve stale cached models/units forever. The unique sentinel
+    // instead forces every consumer cache to re-probe/refit per call —
+    // correct (if slow) until sig computation is routed through the
+    // Hadoop FileSystem for the scheme.
+    if (!src.exists()) return s"unstat_${System.nanoTime()}"
     val files =
       if (src.isDirectory) Option(src.listFiles()).map(_.toSeq).getOrElse(Nil)
       else Seq(src)
-    // empty/unlistable dir (or a non-local path the File API can't see):
+    // empty/unlistable dir:
     // a constant sentinel sig — the footer sniff behind the cache then
     // raises ITS context-bearing error instead of an `empty.max` here.
     // The sentinel deliberately never matches a real sig, so a fixture

@@ -22,6 +22,11 @@ class BitmapDistinct(maxId: Int) extends Aggregator[Long, Array[Long], Long] {
   override def zero: Array[Long] = new Array[Long]((maxId >>> 6) + 1)
 
   override def reduce(buf: Array[Long], id: Long): Array[Long] = {
+    // NullSentinel = a NULL key at the call site (the udaf's primitive
+    // input encoder cannot carry null itself): skipped, exactly as
+    // count(DISTINCT) ignores nulls — the oracle this aggregator must
+    // match. Everything else out of domain still fails fast.
+    if (id == BitmapDistinct.NullSentinel) return buf
     require(id >= 0 && id <= maxId, s"id $id outside bitmap domain [0, $maxId]")
     buf((id >>> 6).toInt) |= 1L << (id & 63)
     buf
@@ -46,5 +51,9 @@ class BitmapDistinct(maxId: Int) extends Aggregator[Long, Array[Long], Long] {
 }
 
 object BitmapDistinct {
+  /** Call-site stand-in for a NULL key (`coalesce(k, NullSentinel)`):
+    * reduce skips it, matching count(DISTINCT)'s null handling. */
+  val NullSentinel: Long = Long.MinValue
+
   def apply(maxId: Int): BitmapDistinct = new BitmapDistinct(maxId)
 }

@@ -35,9 +35,19 @@ case class Iou(left: Expression, right: Expression) extends BinaryExpression {
         s"iou expects two STRUCT<x INT, y INT, w INT, h INT>, got ${left.dataType.sql}, ${right.dataType.sql}")
   }
 
+  /** A null FIELD in either box → null (the SqDistance/CosineSimilarity
+    * convention): the type check only sees STRUCT<4×INT>, not field
+    * nullability, and getInt would silently read a null coordinate as 0 —
+    * a wrong overlap number that kills/keeps the wrong boxes instead of
+    * a missing one. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val ra = a.asInstanceOf[InternalRow]
     val rb = b.asInstanceOf[InternalRow]
+    var j = 0
+    while (j < 4) {
+      if (ra.isNullAt(j) || rb.isNullAt(j)) return null
+      j += 1
+    }
     graft.operators.Nms.iou(
       ra.getInt(0), ra.getInt(1), ra.getInt(2), ra.getInt(3),
       rb.getInt(0), rb.getInt(1), rb.getInt(2), rb.getInt(3))
@@ -48,11 +58,16 @@ case class Iou(left: Expression, right: Expression) extends BinaryExpression {
       val ix = ctx.freshName("ix"); val iy = ctx.freshName("iy")
       val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
       s"""
-         |int $ix = java.lang.Math.max(0, java.lang.Math.min($a.getInt(0) + $a.getInt(2), $b.getInt(0) + $b.getInt(2)) - java.lang.Math.max($a.getInt(0), $b.getInt(0)));
-         |int $iy = java.lang.Math.max(0, java.lang.Math.min($a.getInt(1) + $a.getInt(3), $b.getInt(1) + $b.getInt(3)) - java.lang.Math.max($a.getInt(1), $b.getInt(1)));
-         |long $inter = (long) $ix * (long) $iy;
-         |long $union = (long) $a.getInt(2) * (long) $a.getInt(3) + (long) $b.getInt(2) * (long) $b.getInt(3) - $inter;
-         |${ev.value} = ($union <= 0L) ? 0.0 : (double) $inter / (double) $union;
+         |if ($a.isNullAt(0) || $a.isNullAt(1) || $a.isNullAt(2) || $a.isNullAt(3)
+         |    || $b.isNullAt(0) || $b.isNullAt(1) || $b.isNullAt(2) || $b.isNullAt(3)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $ix = java.lang.Math.max(0, java.lang.Math.min($a.getInt(0) + $a.getInt(2), $b.getInt(0) + $b.getInt(2)) - java.lang.Math.max($a.getInt(0), $b.getInt(0)));
+         |  int $iy = java.lang.Math.max(0, java.lang.Math.min($a.getInt(1) + $a.getInt(3), $b.getInt(1) + $b.getInt(3)) - java.lang.Math.max($a.getInt(1), $b.getInt(1)));
+         |  long $inter = (long) $ix * (long) $iy;
+         |  long $union = (long) $a.getInt(2) * (long) $a.getInt(3) + (long) $b.getInt(2) * (long) $b.getInt(3) - $inter;
+         |  ${ev.value} = ($union <= 0L) ? 0.0 : (double) $inter / (double) $union;
+         |}
        """.stripMargin
     })
 

@@ -41,6 +41,11 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Lo
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
+      // element null → null signature (the HOF twin's null arithmetic
+      // nulls the fold): getLong would silently read the slot as code 0,
+      // whose hash is often the per-plane minimum — a silently WRONG
+      // sketch on the public minhash_sig SQL surface
+      if (arr.isNullAt(i)) return null
       val c = arr.getLong(i)
       var p = 0
       while (p < k) {
@@ -73,13 +78,16 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Lo
          |  long[] $mins = new long[${as.length}];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    long $c = $a.getLong($i);
          |    for (int $p = 0; $p < ${as.length}; $p++) {
          |      long $h = ($aArr[$p] * $c + $bArr[$p]) % ${prime}L;
          |      if ($h < $mins[$p]) $mins[$p] = $h;
          |    }
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |  }
          |}
        """.stripMargin
     })

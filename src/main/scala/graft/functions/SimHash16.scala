@@ -40,6 +40,10 @@ case class SimHash16(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Lon
     val s = new Array[Long](k)
     var i = 0
     while (i < n) {
+      // element null → null fingerprint (the MinHashSig convention):
+      // getLong would silently read the slot as code 0 and bias the
+      // bit-vote — a silently wrong sketch on the simhash16 SQL surface
+      if (arr.isNullAt(i)) return null
       val c = arr.getLong(i)
       var p = 0
       while (p < k) {
@@ -73,16 +77,19 @@ case class SimHash16(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Lon
          |int $n = $a.numElements();
          |long[] $s = new long[${as.length}];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  long $c = $a.getLong($i);
          |  for (int $p = 0; $p < ${as.length}; $p++) {
          |    $s[$p] += (($aArr[$p] * $c + $bArr[$p]) % ${prime}L % 2L) * 2L - 1L;
          |  }
          |}
-         |long $fp = 0L;
-         |for (int $p = 0; $p < ${as.length}; $p++) {
-         |  if ($s[$p] > 0L) $fp |= (1L << $p);
+         |if (!${ev.isNull}) {
+         |  long $fp = 0L;
+         |  for (int $p = 0; $p < ${as.length}; $p++) {
+         |    if ($s[$p] > 0L) $fp |= (1L << $p);
+         |  }
+         |  ${ev.value} = $fp;
          |}
-         |${ev.value} = $fp;
        """.stripMargin
     })
   }

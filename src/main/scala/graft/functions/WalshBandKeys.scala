@@ -48,6 +48,9 @@ case class WalshBandKeys(child: Expression, hyperplanes: Seq[Seq[Int]])
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      // element null → null keys (the MinHashSig convention): getFloat
+      // would silently read the slot as 0.0f and flip band bits
+      if (arr.isNullAt(i)) return null
       val x = arr.getFloat(i).toDouble
       var h = 0
       while (h < nH) {
@@ -92,20 +95,23 @@ case class WalshBandKeys(child: Expression, hyperplanes: Seq[Seq[Int]])
          |int $n = $a.numElements();
          |double[] $dots = new double[${flatPlanes.length}];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $x = (double) $a.getFloat($i);
          |  for (int $h = 0; $h < ${flatPlanes.length}; $h++) {
          |    $dots[$h] += $x * (1.0 - 2.0 * (java.lang.Integer.bitCount($i & $hp[$h]) & 1));
          |  }
          |}
-         |long[] $keys = new long[${bandBits.length}];
-         |for (int $b = 0; $b < ${bandBits.length}; $b++) {
-         |  long $key = 0L;
-         |  for (int $r = 0; $r < $bits[$b]; $r++) {
-         |    if ($dots[$off[$b] + $r] > 0.0) $key |= (1L << $r);
+         |if (!${ev.isNull}) {
+         |  long[] $keys = new long[${bandBits.length}];
+         |  for (int $b = 0; $b < ${bandBits.length}; $b++) {
+         |    long $key = 0L;
+         |    for (int $r = 0; $r < $bits[$b]; $r++) {
+         |      if ($dots[$off[$b] + $r] > 0.0) $key |= (1L << $r);
+         |    }
+         |    $keys[$b] = $key;
          |  }
-         |  $keys[$b] = $key;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
        """.stripMargin
     })
   }

@@ -23,6 +23,15 @@ object Scale {
     * (Spark's AQE skew handling covers joins; aggregation skew is still
     * the pipeline author's job — this is that tool.) */
   def saltedAgg(df: DataFrame, key: String, buckets: Int)(aggs: (Column, String)*): DataFrame = {
+    // the CONTRACT lives in the final combine: every partial is re-merged
+    // with sum(), so only sum-decomposable aggregates (count, sum) are
+    // legal here — an avg/max/min partial summed over `buckets` rows is
+    // silently ~buckets× wrong, which is worse than failing. The varargs
+    // can't carry that proof, but an EMPTY call can at least die with the
+    // contract instead of a bare aggs.head NoSuchElementException.
+    require(aggs.nonEmpty,
+      "saltedAgg needs at least one (aggregate, name) pair; aggregates " +
+        "must be sum-decomposable (count/sum) — partials are re-merged with sum()")
     val salted = df.withColumn("_salt",
       pmod(hash(struct(df.columns.toIndexedSeq.map(col): _*)), lit(buckets)))
     val partial = salted.groupBy(col(key), col("_salt"))
@@ -140,17 +149,24 @@ object Scale {
     * so a crash mid-maintenance leaves the previous state readable. */
   def maintainAggState(spark: SparkSession, statePath: String, slice: DataFrame,
                        key: String, valueCol: String): Unit = {
+    // the STATE sum is decimal(38,2), not the per-value (18,2): a rolling
+    // total accumulates across every slice ever folded, and a hot key's
+    // lifetime total passing 10^16 would overflow an (18,2) cap — under
+    // ANSI (the Spark 4 default) that throws on EVERY subsequent
+    // maintenance (permanent outage for the whole state file), with ANSI
+    // off it silently NULLs the state so the next merge restarts the key
+    // from one slice. (38,2) holds 10^36 — beyond physical — and the cast
+    // below only pins the schema against precision creep (28,2 → 38,2),
+    // it can no longer truncate a real total.
     val partials = slice.groupBy(col(key))
       .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(18,2)").as("s"))
+        sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)").as("s"))
     val state = new java.io.File(statePath)
     if (!state.exists()) { partials.write.parquet(statePath); return }
     val merged = spark.read.parquet(statePath).unionByName(partials)
       .groupBy(col(key))
       .agg(sum(col("n")).as("n"),
-        // cap back to the state schema: sum widens decimal precision and
-        // repeated maintenance would otherwise creep 18,2 → 28,2 → 38,2
-        sum(col("s")).cast("decimal(18,2)").as("s"))
+        sum(col("s")).cast("decimal(38,2)").as("s"))
     val nonce = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
     val tmp = new java.io.File(statePath + s".maintain_$nonce")
     merged.write.parquet(tmp.getPath)
@@ -174,7 +190,15 @@ object Scale {
       org.apache.spark.sql.Encoders.scalaLong)
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(bd(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      // null ids become the aggregator's skip sentinel: count(DISTINCT) —
+      // the oracle — ignores nulls, but the udaf's primitive-Long input
+      // encoder cannot represent null (a null slot would otherwise read
+      // as 0 and alias id 0, or fail the batch). The fixture carries no
+      // null user_id; the coalesce pins oracle-equal semantics for
+      // inputs that do.
+      .agg(bd(coalesce(col("user_id"),
+          lit(graft.functions.BitmapDistinct.NullSentinel))).as("n_users"),
+        count(lit(1)).as("n_events"))
       .orderBy("event_type")
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.SparkException
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, RepartitionOperation, ResolvedHint, Sort, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, GlobalLimit, HintInfo, Join, LocalLimit, LogicalPlan, Project, RepartitionOperation, ResolvedHint, SHUFFLE_REPLICATE_NL, Sort, SubqueryAlias}
 
 /** 100 TB guardrail (SURVEY §4): an analysis-time check that REJECTS
   * unconditioned cartesian joins where both sides exceed broadcast size.
@@ -61,9 +61,21 @@ case class CartesianGuard(spark: SparkSession) extends (LogicalPlan => Unit) {
     * here too. Still root-path-only: a hint on a dim inside an unrelated
     * sub-join expresses broadcast intent about that sub-join and must not
     * vouch for an unconditioned join above it. */
+  /** Only hints that actually CHANGE the physical outcome of a
+    * condition-less join vouch for it: BROADCAST (nested-loop over a
+    * broadcast side — the engine's own deliberate-cartesian idiom) and
+    * SHUFFLE_REPLICATE_NL (an explicit request for the replicated
+    * cartesian). MERGE / SHUFFLE_HASH are inapplicable without join keys
+    * — the planner ignores them and falls back to CartesianProduct, so
+    * letting them vouch would wave through the exact cluster-killer the
+    * guard exists for (e.g. a .hint("merge") left over from an unrelated
+    * equi-join on the same frame). */
+  private def vouches(h: HintInfo): Boolean =
+    h.strategy.contains(BROADCAST) || h.strategy.contains(SHUFFLE_REPLICATE_NL)
+
   @scala.annotation.tailrec
   private def hinted(side: LogicalPlan): Boolean = side match {
-    case r: ResolvedHint          => r.hints.strategy.isDefined
+    case r: ResolvedHint          => vouches(r.hints)
     case p: Project               => hinted(p.child)
     case a: SubqueryAlias         => hinted(a.child)
     case f: Filter                => hinted(f.child)
@@ -84,14 +96,23 @@ case class CartesianGuard(spark: SparkSession) extends (LogicalPlan => Unit) {
   }
 
   override def apply(plan: LogicalPlan): Unit = {
-    if (spark.conf.get("spark.graft.allowCartesian", "false").toBoolean) return
+    // same never-throw-on-a-read policy as broadcastThreshold: a
+    // non-boolean value ("1", "yes", trailing space) must not brick
+    // every query in the session from inside analysis — anything that is
+    // not a parseable true/false keeps the guard ACTIVE (fail safe)
+    val allow = spark.conf.get("spark.graft.allowCartesian", "false")
+      .trim.equalsIgnoreCase("true")
+    if (allow) return
     val threshold = broadcastThreshold
     if (threshold <= 0) return // auto-broadcast disabled -> guard undefined
-    plan.foreach {
+    // subqueriesAll: a cartesian INSIDE an EXISTS/IN/scalar subquery plan
+    // is the same cluster-killer — TreeNode.foreach walks children only
+    // and would never visit it
+    (plan +: plan.subqueriesAll).foreach(_.foreach {
       case j @ Join(left, right, Inner | Cross, cond, hint)
           if cond.forall(literallyTrue)
-            && !hint.leftHint.exists(_.strategy.isDefined)
-            && !hint.rightHint.exists(_.strategy.isDefined)
+            && !hint.leftHint.exists(vouches)
+            && !hint.rightHint.exists(vouches)
             && !hinted(left) && !hinted(right) =>
         val (ls, rs) = (left.stats.sizeInBytes, right.stats.sizeInBytes)
         if (ls > threshold && rs > threshold) {
@@ -103,6 +124,6 @@ case class CartesianGuard(spark: SparkSession) extends (LogicalPlan => Unit) {
               s"dim-sized side, or set spark.graft.allowCartesian=true.")
         }
       case _ => ()
-    }
+    })
   }
 }

@@ -78,6 +78,18 @@ case class GreedyNmsExec(child: SparkPlan, iouThreshold: Double) extends UnaryEx
       val kw = new scala.collection.mutable.ArrayBuffer[Int]
       val kh = new scala.collection.mutable.ArrayBuffer[Int]
       it.flatMap { row =>
+        // fail LOUDLY on null geometry/frame values: the schema check in
+        // GreedyNms.apply sees types, not nullability, and getLong/getInt
+        // on a null slot silently reads 0 — a null frame_id would merge
+        // its rows into frame 0's suppression group and a null coordinate
+        // would anchor a phantom box at the origin. The typed twin
+        // (nmsPerFrame over Dataset[Detection]) fails loudly on the same
+        // input; the plan-node form must not silently diverge from it.
+        if (row.isNullAt(fIdx) || row.isNullAt(xIdx) || row.isNullAt(yIdx)
+          || row.isNullAt(wIdx) || row.isNullAt(hIdx))
+          throw new IllegalArgumentException(
+            "GreedyNms: null frame_id/x/y/w/h in input — NMS geometry " +
+              "must be non-null (filter or impute upstream)")
         val f = row.getLong(fIdx)
         if (!started || f != curFrame) {
           started = true; curFrame = f

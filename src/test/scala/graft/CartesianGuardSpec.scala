@@ -76,6 +76,44 @@ class CartesianGuardSpec extends SparkSpec {
     }
   }
 
+  test("an unparseable allowCartesian value neither throws nor disables the guard") {
+    val ev = Tables.events(spark, sfDir)
+    // the user typed "1" meaning true — the guard must not brick every
+    // query with toBoolean's IllegalArgumentException, and (fail-safe)
+    // must stay ACTIVE for anything that isn't a parseable true
+    spark.conf.set("spark.graft.allowCartesian", "1")
+    try {
+      val e = intercept[SparkException] {
+        withThreshold(1024)(guard(ev.crossJoin(ev).queryExecution.analyzed))
+      }
+      assert(e.getMessage.contains("cartesian guard"))
+    } finally spark.conf.unset("spark.graft.allowCartesian")
+  }
+
+  test("an inapplicable merge hint does not vouch for a condition-less join") {
+    // SHUFFLE_MERGE cannot be honored without join keys — the planner
+    // falls back to CartesianProduct, so the hint must NOT pass the guard
+    val ev = Tables.events(spark, sfDir)
+    val e = intercept[SparkException] {
+      withThreshold(1024)(
+        guard(ev.hint("merge").crossJoin(ev).queryExecution.analyzed))
+    }
+    assert(e.getMessage.contains("cartesian guard"))
+  }
+
+  test("a cartesian inside an EXISTS subquery is rejected too") {
+    val ev = Tables.events(spark, sfDir)
+    ev.createOrReplaceTempView("guard_ev")
+    val q = spark.sql(
+      """SELECT * FROM guard_ev g WHERE EXISTS (
+        |  SELECT 1 FROM guard_ev a CROSS JOIN guard_ev b
+        |  WHERE a.value = g.value)""".stripMargin)
+    val e = intercept[SparkException] {
+      withThreshold(1024)(guard(q.queryExecution.analyzed))
+    }
+    assert(e.getMessage.contains("cartesian guard"))
+  }
+
   test("injectCheckRule wiring: an extensions-built session enforces the guard") {
     val orig = spark // force shared-session init before we swap defaults
     SparkSession.clearDefaultSession()

@@ -56,6 +56,30 @@ class ExpressionsSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("sketch and box expressions null out on null elements/fields (SQL surface)") {
+    // getLong/getFloat/getInt silently read a null slot as 0 — every
+    // custom expression must return NULL instead of a silently wrong
+    // sketch/overlap (r11 review sweep); engine columns are
+    // containsNull=false so only the public SQL surface can hit this
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  minhash_sig(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT))) AS m,
+        |  simhash16(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT))) AS s,
+        |  walsh_band_keys(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT))) AS w,
+        |  iou(named_struct('x', CAST(NULL AS INT), 'y', 0, 'w', 10, 'h', 10),
+        |      named_struct('x', 0, 'y', 0, 'w', 10, 'h', 10)) AS i
+        |""".stripMargin).head()
+    (0 until 4).foreach(j => assert(r.isNullAt(j), s"column $j should be null"))
+    // and the non-null forms still produce values (no over-nulling)
+    val ok = spark.sql(
+      """SELECT minhash_sig(array(CAST(7 AS BIGINT))) AS m,
+        |  iou(named_struct('x', 0, 'y', 0, 'w', 10, 'h', 10),
+        |      named_struct('x', 0, 'y', 0, 'w', 10, 'h', 10)) AS i
+        |""".stripMargin).head()
+    assert(!ok.isNullAt(0) && ok.getDouble(1) == 1.0)
+  }
+
   test("sq_dist participates in whole-stage codegen (no fallback in plan)") {
     import graft.functions.SqDistance.sqDist
     val plan = emb.select(sqDist(col("embedding"), col("embedding")).as("d"))

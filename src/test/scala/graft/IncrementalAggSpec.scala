@@ -27,15 +27,18 @@ class IncrementalAggSpec extends SparkSpec {
         r.getDecimal(2).toPlainString, r.getDouble(3))).toSet
     val want = events.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("s"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("s"))
       .select(col("event_type"), col("n"), col("s"),
         round(col("s") / col("n"), 2).cast("double").as("mean"))
       .collect().map(r => (r.getString(0), r.getLong(1),
         r.getDecimal(2).toPlainString, r.getDouble(3))).toSet
     assert(got == want)
-    // decimal precision must not creep across merges (18,2 forever)
+    // decimal precision must not creep across merges — pinned at the
+    // r11 overflow-proof state width (38,2): an (18,2) cap overflows at a
+    // hot key's lifetime total of 10^16 (ANSI: permanent maintenance
+    // outage; non-ANSI: silent state reset)
     val sField = spark.read.parquet(statePath).schema("s")
-    assert(sField.dataType.simpleString == "decimal(18,2)", sField.dataType.simpleString)
+    assert(sField.dataType.simpleString == "decimal(38,2)", sField.dataType.simpleString)
     // crash-safety staging leaves no litter
     assert(!new java.io.File(dir).listFiles().exists(_.getName.contains("maintain_")))
   }

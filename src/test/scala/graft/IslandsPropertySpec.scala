@@ -75,4 +75,21 @@ class IslandsPropertySpec extends SparkSpec {
       got == ids.toSet.size.toLong
     }
   }
+
+  test("BitmapDistinct skips null keys via the sentinel, matching count(DISTINCT)") {
+    import spark.implicits._
+    val bd = udaf(graft.functions.BitmapDistinct(1 << 12),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val df = Seq(Some(1L), Some(2L), None, Some(2L), None).toDF("id")
+    val got = df.agg(
+      bd(coalesce(col("id"), lit(graft.functions.BitmapDistinct.NullSentinel))).as("b"),
+      countDistinct(col("id")).as("cd")).head()
+    assert(got.getLong(0) == 2L && got.getLong(0) == got.getLong(1))
+    // a genuinely out-of-domain id still fails fast (sentinel is the ONLY pass)
+    val e = intercept[Exception] {
+      Seq(-5L).toDF("id").agg(bd(col("id"))).collect()
+    }
+    assert(e.getMessage.contains("bitmap domain")
+      || Option(e.getCause).exists(_.getMessage.contains("bitmap domain")))
+  }
 }

@@ -35,6 +35,20 @@ class PlansSpec extends SparkSpec {
     assert(e.getMessage.contains("GreedyNms needs"))
   }
 
+  test("null NMS geometry fails loudly, not as a phantom origin box") {
+    // the schema check sees types, not nullability: a null x would be
+    // read as 0 by getInt and anchor a phantom box at the origin — the
+    // exec must throw like the typed twin does (r11 review sweep)
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val dets = Nms.detectionsFromEvents(spark, sf)
+      .withColumn("x", expr("IF(det_id % 7 = 3, CAST(NULL AS INT), x)"))
+    val e = intercept[org.apache.spark.SparkException] {
+      GreedyNms(dets, 0.3).count()
+    }
+    assert(Option(e.getCause).exists(_.getMessage.contains("NMS geometry")) ||
+      e.getMessage.contains("NMS geometry"), e.getMessage.take(300))
+  }
+
   test("q_bloom_join plan: bloom predicate filters the probe side below the semi-join") {
     val plan = operators.Scale.bloomSemiJoin(spark, sf)
       .queryExecution.executedPlan.toString
