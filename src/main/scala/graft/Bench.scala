@@ -193,13 +193,19 @@ object Bench {
     val nFlaky = results.count(r => r._2.nonEmpty && r._3.nonEmpty) // some repeats failed
 
     // Baseline per-query rows from BASELINE.md ("| q_x | 0.1 | 1.21 | date |");
-    // first matching row wins (first-correct-run record policy). Parsed
-    // leniently — a missing or reshaped file degrades worst_ratio to -1,
-    // it never fails the bench.
+    // first matching row wins (first-correct-run record policy). Rows are
+    // filtered to THIS run's scale factor (the sf token in the dir name) —
+    // without the filter, a baseline file carrying rows for several sfs
+    // would silently ratio a sf1 run against a sf0.1 row (an ~10× phantom
+    // regression, or a masked real one). Parsed leniently — a missing or
+    // reshaped file degrades worst_ratio to -1, it never fails the bench.
+    val sfToken = """sf([\d.]+)""".r.findFirstMatchIn(sfDir).map(_.group(1))
     val baseline: Map[String, Double] = try {
-      val row = """\|\s*(q_\w+)\s*\|\s*[\d.]+\s*\|\s*([\d.]+)\s*\|""".r
+      val row = """\|\s*(q_\w+)\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|""".r
       scala.io.Source.fromFile(baselinePath)("UTF-8").getLines()
-        .flatMap { l => row.findFirstMatchIn(l).map(m => m.group(1) -> m.group(2).toDouble) }
+        .flatMap { l => row.findFirstMatchIn(l)
+          .filter(m => sfToken.forall(_ == m.group(2)))
+          .map(m => m.group(1) -> m.group(3).toDouble) }
         .foldLeft(Map.empty[String, Double]) { (acc, kv) =>
           if (acc.contains(kv._1)) acc else acc + kv }
     } catch { case _: Throwable => Map.empty }

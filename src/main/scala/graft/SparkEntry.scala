@@ -1574,14 +1574,38 @@ object SparkEntry {
         |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_n,
         |  coalesce(CAST(round(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS DOUBLE), 0.0) AS o_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q_group_stats: exact DECIMAL(38,0) moment sums over centi-units,
+    // doubles from one fixed expression tree (the q_xcorr discipline) —
+    // built-in avg/stddev/corr would sum doubles in engine-specific order
     "q_group_stats" ->
-      """SELECT event_type, count(*) AS n,
-        |  round(avg(value), 4) AS mean_value,
-        |  round(stddev_samp(value), 4) AS sd_value,
-        |  round(min(value), 4) AS min_value,
-        |  round(max(value), 4) AS max_value,
-        |  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH pts AS (
+        |  SELECT event_type, value,
+        |    CAST(floor(value * 100) AS BIGINT) AS x, user_id AS y
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(38,0))) AS s1,
+        |    sum(CAST(x AS DECIMAL(38,0)) * x) AS s2,
+        |    sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+        |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+        |    round(min(value), 4) AS min_value,
+        |    round(max(value), 4) AS max_value
+        |  FROM pts GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(CAST(s1 AS DOUBLE) / 100 / CAST(n AS DOUBLE), 4) AS mean_value,
+        |  CASE WHEN n < 2 THEN NULL ELSE
+        |    round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100, 4)
+        |  END AS sd_value,
+        |  min_value, max_value,
+        |  CASE WHEN n < 2 OR CAST(n * s2 - s1 * s1 AS DOUBLE) = 0
+        |        OR CAST(n * syy - sy * sy AS DOUBLE) = 0 THEN NULL ELSE
+        |    round(CAST(n * sxy - s1 * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+        |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+        |  END AS corr_value_user
+        |FROM s ORDER BY event_type""".stripMargin,
     // q_range_join: the oracle states the range predicate directly; the
     // engine's bucketed equi-join + exact filter must produce identical
     // pairs (each true pair meets exactly once)
@@ -1747,8 +1771,12 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING count(*) > 3
         |ORDER BY win_start, user_id""".stripMargin,
     "q_session" ->
+      // the sid running sum orders by (ts, event_id) like the is_new
+      // window — a ts-only ROWS frame would let a same-timestamp tie
+      // order AHEAD of its session opener's +1 and split/merge sessions
+      // nondeterministically between runs (r11 review)
       """WITH s AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS is_new
@@ -1756,7 +1784,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), g AS (
         |  SELECT user_id, ts, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM s
         |)
         |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
@@ -1973,12 +2002,12 @@ object SparkEntry {
         |  WHERE e.event_type = 'purchase' AND e.ts > s.t0
         |  GROUP BY 1
         |), lat AS (
-        |  SELECT CAST(weekofyear(CAST(s.t0 AS DATE)) AS BIGINT) AS week,
+        |  SELECT CAST(date_trunc('week', s.t0) AS DATE) AS week,
         |    CAST(floor(epoch(c.t1)) AS BIGINT)
         |      - CAST(floor(epoch(s.t0)) AS BIGINT) AS lat_s
         |  FROM s JOIN c USING (user_id)
         |), coh AS (
-        |  SELECT CAST(weekofyear(CAST(t0 AS DATE)) AS BIGINT) AS week,
+        |  SELECT CAST(date_trunc('week', t0) AS DATE) AS week,
         |    count(*) AS n_signups
         |  FROM s GROUP BY 1
         |), agg AS (
@@ -2004,7 +2033,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "q_wow" ->
       """WITH weekly AS (
-        |  SELECT CAST(weekofyear(CAST(ts AS DATE)) AS BIGINT) AS week,
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
         |    event_type, sum(CAST(value AS DECIMAL(18,2))) AS v
         |  FROM events GROUP BY 1, 2)
         |SELECT week, event_type,
@@ -2054,9 +2083,9 @@ object SparkEntry {
         |  JOIN ct USING (wkend)
         |  CROSS JOIN nn)
         |SELECT round(list_sum(list_transform(cs, c ->
-        |    (c.o - CAST(c.row_tot * c.col_tot AS DOUBLE) / c.n)
-        |  * (c.o - CAST(c.row_tot * c.col_tot AS DOUBLE) / c.n)
-        |  / (CAST(c.row_tot * c.col_tot AS DOUBLE) / c.n))), 4) AS chi2,
+        |    (c.o - CAST(CAST(c.row_tot AS DECIMAL(38,0)) * c.col_tot AS DOUBLE) / c.n)
+        |  * (c.o - CAST(CAST(c.row_tot AS DECIMAL(38,0)) * c.col_tot AS DOUBLE) / c.n)
+        |  / (CAST(CAST(c.row_tot AS DECIMAL(38,0)) * c.col_tot AS DOUBLE) / c.n))), 4) AS chi2,
         |  CAST(4 AS BIGINT) AS dof
         |FROM packed""".stripMargin,
     "q_checksum" ->
@@ -2916,7 +2945,8 @@ object SparkEntry {
         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY 1, 2)
         |SELECT p1, p2, CAST(n_both AS BIGINT) AS n_both,
-        |  round(n_both * n.n_orders / (s1.supp * s2.supp), 4) AS lift
+        |  round(CAST(CAST(n_both AS DECIMAL(38,0)) * n.n_orders AS DOUBLE)
+        |    / CAST(CAST(s1.supp AS DECIMAL(38,0)) * s2.supp AS DOUBLE), 4) AS lift
         |FROM pairs
         |JOIN supp s1 ON pairs.p1 = s1.pk
         |JOIN supp s2 ON pairs.p2 = s2.pk

@@ -169,8 +169,17 @@ object Tables {
     * drift class Preflight guards the process boundary against; this
     * guards the intra-process boundary). */
   private val tsUnitCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean =
-    tsUnitCache.computeIfAbsent(s"${eventsContentSig(dir)}|$dir", { _ =>
+  private def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean = {
+    val sig = eventsContentSig(dir)
+    // an unstat_ sig is unique PER CALL (non-File-statable path): caching
+    // under it would grow the map by one dead entry per events() read —
+    // probe fresh instead (the probe itself goes through the Hadoop
+    // FileSystem, so remote schemes still resolve correctly)
+    if (sig.startsWith("unstat_")) probeTsIsNanos(spark, dir)
+    else tsUnitCache.computeIfAbsent(s"$sig|$dir",
+      _ => probeTsIsNanos(spark, dir))
+  }
+  private def probeTsIsNanos(spark: SparkSession, dir: String): Boolean = {
       import org.apache.parquet.schema.LogicalTypeAnnotation
       val hconf = spark.sessionState.newHadoopConf()
       val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
@@ -192,7 +201,8 @@ object Tables {
           case _ => false
         }
       } finally reader.close()
-    })
+  }
+
   /** events re-written once per sf dir as a date-partitioned table
     * (`event_date=YYYY-MM-DD/` directories) in scratch space, then read
     * back. Partition layout is THE 100 TB scan lever: a date-ranged query
@@ -206,10 +216,33 @@ object Tables {
     // content signature (mtime+size of events.parquet), so a regenerated
     // fixture at the same path is never answered from stale scratch
     val sig = eventsContentSig(dir)
-    val scratch = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_events_by_date/v3_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + sig)
+    // an unstat_ sig is unique per call — the scratch key would never
+    // match, so every call would materialize ANOTHER full copy of the
+    // table into local tmp (unbounded disk growth). This fixture helper
+    // is local-FS test infrastructure by design; fail loudly for remote
+    // dirs instead of silently filling the host.
+    require(!sig.startsWith("unstat_"),
+      s"eventsByDate requires a locally-statable fixture dir (got $dir); " +
+        "for remote storage, ingest into the date-partitioned layout directly")
+    val base = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_by_date")
+    val prefix = "v3_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "_"
+    val scratch = new java.io.File(base, prefix + sig)
     if (!new java.io.File(scratch, "_SUCCESS").exists()) {
+      // GC superseded generations of THIS dir before writing the new one:
+      // an in-place fixture regeneration changes the sig, and without the
+      // sweep every regeneration would leak a full table copy in tmp
+      Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith(prefix) && f.getName != prefix + sig
+          && !f.getName.contains(".tmp_"))
+        .foreach { stale =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+            f.delete()
+          }
+          rm(stale)
+        }
       // write into a process-private temp dir, publish by atomic rename:
       // two JVMs (Verify and Bench) may race here and a reader must never
       // see a half-written layout. rename onto an existing dir fails, so

@@ -28,6 +28,11 @@ object Verify {
     // better no correctness rows than 199 plausible wrong ones
     Preflight.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
+    // failures are tracked, not swallowed: a partially-dumped surface
+    // must not LOOK like a clean run (the Bench exit-nonzero policy) —
+    // a failed query's possibly-stale dump dir from a previous run into
+    // the same outDir is also removed so the comparer can't read it
+    var nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -35,7 +40,17 @@ object Verify {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
+          nFailed += 1
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val stale = new java.io.File(s"$outDir/$name")
+          if (stale.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory)
+                Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+              f.delete()
+            }
+            rm(stale)
+          }
         } finally {
           // release per-query persisted blocks (minhashLsh/jaccardPairs
           // cache intra-query) even when the query FAILED; without this,
@@ -59,5 +74,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (nFailed > 0) {
+      System.err.println(s"[verify] $nFailed quer${if (nFailed == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }

@@ -353,7 +353,19 @@ object Relational {
   /** E-MATH: sqrt/exp/ln/pow/abs/round — the scalar pieces of softmax and
     * L2-normalize (`main.py:78-79`), checked on relational columns.
     * Core/sorted split mirrors scanProject: the bench measures the
-    * sort-free production projection. */
+    * sort-free production projection.
+    *
+    * Accepted knife-edge (r11 review adjudication): exp/ln are not
+    * IEEE-correctly-rounded, so JVM libm and DuckDB's std::exp may
+    * legally differ by 1 ulp, and round(·,4) could then flip a 4th
+    * decimal when a value sits exactly on a rounding boundary — a
+    * per-row exposure that would fail the hash compare. Empirically the
+    * pair has matched bit-for-bit at every sf through eleven rounds
+    * (incl. the full sf0.1 sweep), the inputs are 2-dp-quantized so the
+    * boundary set is sparse, and there is no portable exact formulation
+    * of exp/ln to swap in — if this ever flips, re-adjudicate to a
+    * rows-only check rather than chasing libm. sqrt and the integer pow
+    * ARE correctly rounded and carry no such risk. */
   def mathScalarsCore(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(
@@ -835,7 +847,11 @@ object Relational {
     * distinct users at every test sf vs 8192 tracked) the result is the
     * exact histogram and the oracle is a plain GROUP BY; at corpus scale
     * the SAME query degrades gracefully to guaranteed-error-bound
-    * estimates. */
+    * estimates. A fixture regeneration past the k=2000 emission cap
+    * cannot fail SILENTLY: the oracle is unbounded, so the row-count
+    * mismatch trips the driver's compare loudly — the cardinality
+    * contract is enforced by the check itself, not by a per-run
+    * count-distinct guard this hot path would otherwise pay for. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_hh_events")
     spark.sql(
@@ -1050,18 +1066,51 @@ object Relational {
   /** Data-profiling summary statistics per group: count / mean / sample
     * stddev / extrema / value↔user correlation. All single-pass
     * partial-aggregable moments — the profile never reshuffles the data,
-    * only the per-group moment tuples. */
-  def groupStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        round(avg("value"), 4).as("mean_value"),
-        round(stddev_samp(col("value")), 4).as("sd_value"),
-        round(min("value"), 4).as("min_value"),
-        round(max("value"), 4).as("max_value"),
-        round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_value_user"))
+    * only the per-group moment tuples.
+    *
+    * Determinism discipline (r11 — the q_moments/q_xcorr recipe applied
+    * here too): the built-in avg/stddev_samp/corr accumulate IEEE doubles
+    * in partition-dependent partial-merge order, so their last ulp can
+    * legally differ from DuckDB's sequential pass AND between two Spark
+    * runs with different partitioning — a latent hash flake whenever a
+    * statistic lands within ~1e-13 of a .xxxx5 rounding boundary.
+    * Instead the moments are EXACT DECIMAL(38,0) sums over centi-unit
+    * integers (value is 2-dp by fixture contract; floor(v·100) is the
+    * established xcorr idiom), and the doubles derive from one fixed
+    * expression tree mirrored in the oracle. min/max are
+    * order-independent and stay on the raw column. n·(n−1) and the
+    * variance numerators stay in long/decimal until a single terminal
+    * double cast. */
+  def groupStats(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        floor(col("value") * 100).cast("long").as("x"),
+        col("user_id").as("y"))
+    val s = pts.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("s1"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"))
+    val nD = col("n").cast("double")
+    val varx = (col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+    val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    s.select(col("event_type"), col("n"),
+        round(col("s1").cast("double") / 100.0 / nD, 4).as("mean_value"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(round(
+            sqrt(varx / (nD * (nD - 1.0))) / 100.0, 4)).as("sd_value"),
+        col("min_value"), col("max_value"),
+        when(col("n") < 2 || varx === 0.0 || vary === 0.0,
+            lit(null).cast("double"))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("s1") * col("sy")).cast("double")
+              / (sqrt(varx) * sqrt(vary)), 4)).as("corr_value_user"))
       .orderBy("event_type")
+  }
 
   /** E-STREAM-WIN batch analog: session windows per user with a 30-minute
     * gap via the built-in `session_window`. */
@@ -1131,13 +1180,26 @@ object Relational {
     * the shape scales like any aggregate + two joins. The oracle is the
     * IDENTICAL statement: both engines speak this dialect, which is
     * itself the point — q_corr_subq pins that the decorrelated plan
-    * computes exactly what the correlated spec says. */
+    * computes exactly what the correlated spec says.
+    *
+    * The "50% above the customer's average" threshold is stated in the
+    * CROSS-MULTIPLIED exact form (2·price·n > 3·Σprice over exact
+    * decimals) rather than `price > 1.5·avg(...)`: avg sums raw doubles
+    * in engine-specific accumulation order, and a customer whose
+    * threshold lands within one ulp of an order's price would give the
+    * two engines DIFFERENT ROW SETS — the worst case for a hash check
+    * (r11 review; every other money aggregate already goes through
+    * exact DECIMAL for the same reason). Multiplying both sides by the
+    * positive order count preserves the predicate exactly. */
   val CorrSubqSql: String =
     """SELECT o.o_orderkey, o.o_totalprice
       |FROM orders o
-      |WHERE o.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
-      |                              FROM orders o2
-      |                              WHERE o2.o_custkey = o.o_custkey)
+      |WHERE 2 * CAST(o.o_totalprice AS DECIMAL(18,2))
+      |      * (SELECT count(*) FROM orders o2
+      |         WHERE o2.o_custkey = o.o_custkey)
+      |    > 3 * (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+      |           FROM orders o2
+      |           WHERE o2.o_custkey = o.o_custkey)
       |  AND EXISTS (SELECT 1 FROM lineitem l
       |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
       |ORDER BY o.o_orderkey""".stripMargin
@@ -1431,7 +1493,11 @@ object Relational {
       .join(broadcast(supp.select(col("pk").as("p2"), col("supp").as("s2"))), "p2")
       .crossJoin(broadcast(nOrders))
       .select(col("p1"), col("p2"), col("n_both"),
-        round(col("n_both") * col("n_orders") / (col("s1") * col("s2")), 4)
+        // both products widen to DECIMAL(38,0) before the divide (the
+        // chi2/Analytics long×long mandate): support×support and
+        // n_both×n_orders pass 2^63 around 1.5e9 orders
+        round((col("n_both").cast("decimal(38,0)") * col("n_orders")).cast("double")
+          / (col("s1").cast("decimal(38,0)") * col("s2")).cast("double"), 4)
           .as("lift"))
       .orderBy(col("n_both").desc, col("p1"), col("p2"))
       .limit(100)
@@ -1481,12 +1547,15 @@ object Relational {
       .join(signup, "user_id")
       .filter(col("ts") > col("t0"))
       .groupBy("user_id").agg(min("ts").as("t1"))
+    // cohort key = the signup week's START DATE (date_trunc, ISO
+    // Monday) — the q_wow r11 fix: a bare weekofyear number merges
+    // cohorts across years on any multi-year span
     val latency = signup.join(conv, "user_id")
       .select(col("user_id"),
-        weekofyear(to_date(col("t0"))).cast("long").as("week"),
+        date_trunc("week", col("t0")).cast("date").as("week"),
         (unix_timestamp(col("t1")) - unix_timestamp(col("t0"))).as("lat_s"))
     val cohorts = signup
-      .groupBy(weekofyear(to_date(col("t0"))).cast("long").as("week"))
+      .groupBy(date_trunc("week", col("t0")).cast("date").as("week"))
       .agg(count(lit(1)).as("n_signups"))
     cohorts.join(
         latency.groupBy("week").agg(
@@ -1542,10 +1611,15 @@ object Relational {
     * previous week's total and the percent delta — the lag-on-aggregate
     * reporting verb behind every trend arrow. The lag runs over the
     * |weeks|×|types| frame; deltas divide exact decimal totals as
-    * doubles. */
+    * doubles. The week key is the week's START DATE (ISO Monday via
+    * date_trunc — identical on both engines), not weekofyear: a bare
+    * week NUMBER folds week N of different years into one row and hands
+    * lag() the wrong calendar neighbor on any multi-year span (r11
+    * review — both engines agreed bit-for-bit, so the oracle could
+    * never catch the wrong semantics). */
   def weekOverWeek(spark: SparkSession, dir: String): DataFrame = {
     val weekly = Tables.events(spark, dir)
-      .groupBy(weekofyear(to_date(col("ts"))).cast("long").as("week"),
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
         col("event_type"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
     val w = Window.partitionBy("event_type").orderBy("week")
@@ -1691,7 +1765,12 @@ object Relational {
       .agg(array_sort(collect_list(col("c"))).as("cs"))
       .select(
         round(aggregate(col("cs"), lit(0.0), (acc, c) => {
-          val e = (c.getField("row_tot") * c.getField("col_tot")).cast("double") /
+          // row_tot·col_tot widens to DECIMAL(38,0) BEFORE the multiply
+          // (the Analytics long×long mandate): at ~1e10 events the raw
+          // BIGINT product passes 2^63 — ANSI aborts, non-ANSI silently
+          // wraps negative; decimal→double is bit-equal below 2^53
+          val e = (c.getField("row_tot").cast("decimal(38,0)")
+              * c.getField("col_tot")).cast("double") /
             c.getField("n")
           acc + (c.getField("o") - e) * (c.getField("o") - e) / e
         }), 4).as("chi2"),
