@@ -276,8 +276,8 @@ object SparkEntry {
 
   /** SQL twin of Curation.splitOf — Knuth multiplicative hash, 90/5/5. */
   private val splitCaseSql: String =
-    """CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
-      |       WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+    """CASE WHEN ((doc_id % 2147483647) * 2654435761) % 1000 < 900 THEN 'train'
+      |       WHEN ((doc_id % 2147483647) * 2654435761) % 1000 < 950 THEN 'val'
       |       ELSE 'test' END""".stripMargin
 
   /** Shared CTE chain for the MinHash-LSH oracles (q_minhash_lsh,
@@ -1800,7 +1800,7 @@ object SparkEntry {
         |  SELECT event_id, event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
         |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      + (event_id * 2654435761) % 3600 - 1800 AS arr
+        |      + ((event_id % 2147483647) * 2654435761) % 3600 - 1800 AS arr
         |  FROM events
         |), w AS (
         |  SELECT event_type, sec, (sec // 600) * 600 AS w_start,
@@ -1819,7 +1819,7 @@ object SparkEntry {
       """WITH sig AS (
         |  SELECT event_id, user_id, value > 150 AS fire,
         |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      + (event_id * 2654435761) % 3600 - 1800 AS arr
+        |      + ((event_id % 2147483647) * 2654435761) % 3600 - 1800 AS arr
         |  FROM events
         |), l AS (
         |  SELECT user_id, event_id, arr, fire,
@@ -1839,7 +1839,7 @@ object SparkEntry {
         |  SELECT event_id, user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
         |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      + (event_id * 2654435761) % 3600 - 1800 AS arr
+        |      + ((event_id % 2147483647) * 2654435761) % 3600 - 1800 AS arr
         |  FROM events
         |), w AS (
         |  SELECT *, max(sec) OVER (ORDER BY arr, event_id
@@ -1879,7 +1879,7 @@ object SparkEntry {
         |  SELECT event_id, user_id, event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
         |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      + (event_id * 2654435761) % 3600 - 1800 AS arr
+        |      + ((event_id % 2147483647) * 2654435761) % 3600 - 1800 AS arr
         |  FROM events
         |), g AS (
         |  SELECT *, CASE WHEN lag(arr) OVER
@@ -1918,7 +1918,7 @@ object SparkEntry {
         |  SELECT event_id, user_id, event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
         |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      + (event_id * 2654435761) % 3600 - 1800 AS arr
+        |      + ((event_id % 2147483647) * 2654435761) % 3600 - 1800 AS arr
         |  FROM events
         |), v AS (
         |  SELECT *, min(CASE WHEN event_type = 'view' THEN sec END)
@@ -2852,7 +2852,8 @@ object SparkEntry {
         |  SELECT v, count(*) AS deg FROM (
         |    SELECT d1 AS v FROM pairs UNION ALL SELECT d2 AS v FROM pairs) b
         |  GROUP BY v
-        |), w AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+        |), w AS (SELECT CAST(sum(CAST(deg AS DECIMAL(38,0)) * (deg - 1)) / 2
+        |    AS BIGINT) AS n_wedges FROM deg),
         |t AS (
         |  SELECT count(*) AS n_triangles
         |  FROM pairs e1
@@ -3382,9 +3383,9 @@ object SparkEntry {
         |    CAST(least(10000, (10000 * 2000) // n_total) AS BIGINT) AS threshold
         |  FROM c)
         |SELECT e.event_type, t.n_total, t.threshold,
-        |  CAST(sum(CASE WHEN (e.event_id * 2654435761) % 10000 < t.threshold
+        |  CAST(sum(CASE WHEN ((e.event_id % 2147483647) * 2654435761) % 10000 < t.threshold
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  round(CAST(sum(CASE WHEN (e.event_id * 2654435761) % 10000 < t.threshold
+        |  round(CAST(sum(CASE WHEN ((e.event_id % 2147483647) * 2654435761) % 10000 < t.threshold
         |    THEN 1 ELSE 0 END) AS DOUBLE) / t.n_total, 4) AS kept_rate
         |FROM events e JOIN t USING (event_type)
         |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
@@ -3808,7 +3809,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-        |    CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000003.0 AS u
+        |    CAST(((doc_id % 2147483647) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000003.0 AS u
         |  FROM documents
         |), k AS (
         |  SELECT doc_id, source, n_tok,

@@ -82,7 +82,11 @@ object Multimodal {
       // per-batch invoke (the stub maps internally; a real vectorized
       // model consumes the whole payload batch in one forward pass) —
       // a per-row call inside the group would make grouped() a no-op.
-      val modelBatch: Seq[Array[Byte]] => Seq[Array[Float]] = _.map(decodeStub)
+      // null payload → zero-vector features (a missing media blob must
+      // not NPE the partition): the same null-image contract the
+      // CrowdPipeline scorers implement (null image → no detections)
+      val modelBatch: Seq[Array[Byte]] => Seq[Array[Float]] =
+        _.map(p => if (p == null) new Array[Float](featureDim) else decodeStub(p))
       rows.grouped(batchSize).flatMap { batch =>
         val feats = modelBatch(batch.map(_.getAs[Array[Byte]](2)))
         // lazyZip truncates to the shorter side: a real batch model that

@@ -19,17 +19,27 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Knuth multiplicative-hash constant (2654435761 = 2^32·φ⁻¹, public
-    * domain); doc_id·K mod 1000 is a deterministic, engine-neutral
-    * bucket. Products stay far below 2^63 for any realistic id, so both
-    * engines compute the same exact integer. */
+    * domain); (id mod 2³¹−1)·K mod 1000 is a deterministic,
+    * engine-neutral bucket. The id is FOLDED to [0, 2³¹−1) before the
+    * multiply (r11): a raw id ≥ ~3.48e9 — well within a 100 TB corpus —
+    * pushes id·K past 2⁶³, where Spark (non-ANSI) silently wraps while
+    * DuckDB raises BIGINT overflow, so the engines would diverge or
+    * crash. The folded product caps at (2³¹−2)·K ≈ 5.7e18 < 2⁶³ on both
+    * engines, and every fixture id is < 2³¹−1 so recorded bucket values
+    * are unchanged. */
   private val SplitMult = 2654435761L
+
+  /** The overflow fold shared by every unbounded-id Knuth site (splitOf,
+    * classBalance, TextOps.weightedSample, Relational.replayArrival) and
+    * mirrored verbatim in their oracles. */
+  private[graft] def knuthFold(id: Column): Column = pmod(id, lit(2147483647L))
 
   /** Split assignment 90/5/5 by hash bucket — a pure narrow projection.
     * At 100 TB the split is recomputed from the id wherever needed
     * (stateless, no split-table join, no shuffle) — the property that
     * makes hash splits the standard over random draws. */
   private[graft] def splitOf(id: Column): Column = {
-    val b = pmod(id * lit(SplitMult), lit(1000L))
+    val b = pmod(knuthFold(id) * lit(SplitMult), lit(1000L))
     when(b < 900, lit("train")).when(b < 950, lit("val")).otherwise(lit("test"))
   }
 
@@ -104,8 +114,16 @@ object Curation {
     // a few hundred KB — overshooting the estimate is harmless. The doc
     // count comes from the parquet FOOTERS (driver-side metadata read, no
     // Spark job) so sizing the sketch never adds a scan to the query.
-    val estGrams =
-      math.max(1000L, Tables.parquetRowCount(spark, dir, "documents") * 10L)
+    // The estimate is CAPPED at 1e8 items (~120 MB of driver sketch):
+    // rows×10 scales linearly with the corpus and would ask for ~120 GB
+    // at 1e10 docs — a driver OOM before any pruning (r11 review).
+    // Past the cap the fpp degrades GRACEFULLY: the bloom prunes less,
+    // the exact equi-join behind it still clears every false positive,
+    // correctness is unchanged. (A production decontamination pass sizes
+    // from the actual eval-suite gram count — eval corpora are fixed
+    // suites, not a 5% hash slice of the corpus like this fixture demo.)
+    val estGrams = math.max(1000L, math.min(100000000L,
+      Tables.parquetRowCount(spark, dir, "documents") * 10L))
     val bf = hashed.stat.bloomFilter("gk", expectedNumItems = estGrams, fpp = 0.01)
     grams.filter(splitOf(col("doc_id")) === "train")
       .filter(graft.functions.MightContainLong.mightContainLong(
@@ -166,7 +184,7 @@ object Curation {
     val target = 2000L
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
-        pmod(col("event_id") * lit(SplitMult), lit(10000L)).as("bkt"))
+        pmod(knuthFold(col("event_id")) * lit(SplitMult), lit(10000L)).as("bkt"))
     val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n_total"))
       .withColumn("threshold",
         least(lit(10000L), expr(s"(10000 * $target) div n_total")))

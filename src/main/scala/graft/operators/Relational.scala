@@ -470,10 +470,12 @@ object Relational {
     * q_latch_replay, and q_session_replay all claim "the same arrival
     * permutation", and ReplayTwinsSpec's streaming diffs rest on it, so
     * a drift in any inlined copy would silently break the cross-query
-    * equivalence. The hash multiply stays in ANSI-safe long range up to
-    * ~3.5e9 events; past that, route the mix through TokenCode/xxhash. */
+    * equivalence. The event_id folds to [0, 2³¹−1) before the multiply
+    * (the Curation.knuthFold overflow rule, r11 — identity for every
+    * fixture id): a raw id past ~3.48e9 would wrap on Spark and raise on
+    * DuckDB, so the old form was only ANSI-safe to ~3.5e9 events. */
   private[graft] def replayArrival(sec: Column, eventId: Column): Column =
-    sec + pmod(eventId * lit(2654435761L), lit(3600L)) - 1800L
+    sec + pmod(Curation.knuthFold(eventId) * lit(2654435761L), lit(3600L)) - 1800L
 
   /** Running watermark in force when each row is PROCESSED under the
     * replay: max event time over STRICTLY earlier arrivals − delay

@@ -363,7 +363,17 @@ object TextOps {
     val ranked = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
       .orderBy("freq", "tok").select("tok").as[String]
       .rdd.zipWithIndex()
-      .map { case (tok, idx) => (tok, idx.toInt) }
+      // a vocabulary past 2^31 ranks would WRAP idx.toInt negative and
+      // silently corrupt the prefix order (dropped true pairs) — fail
+      // loudly instead and name the scale-path alternative. The exact
+      // bitmap verify is corpus-bounded by design; past this rank count
+      // the probabilistic MinHash-LSH sibling is the right tool.
+      .map { case (tok, idx) =>
+        require(idx < Int.MaxValue,
+          "jaccardPairs vocabulary exceeds 2^31 token ranks — the exact " +
+            "bitmap path is vocabulary-bounded; use minhashPairs at this scale")
+        (tok, idx.toInt)
+      }
       .toDF("tok", "bit")
     // the broadcast hint is a FIXTURE-SCALE choice (the RDD-derived rank
     // frame has no stats for Catalyst to decide with); at corpus scale the
@@ -891,25 +901,31 @@ object TextOps {
     * postings equi-join is what makes token-overlap dedup and keyword
     * search sub-quadratic at corpus scale.
     *
-    * Scale shape: ONE hash-partition by term feeds both the window and
-    * the aggregate (same key → Catalyst reuses the exchange). The posting
-    * sample is CAPPED BEFORE collection — `row_number ≤ 10` filters the
-    * exploded rows, so no task ever materializes a full posting list (at
-    * 100 TB a stopword's postings are corpus-sized; `collect_list`-then-
-    * slice would hold them in one aggregation buffer). df counts the full
-    * posting via the unbounded count window on the same partition. */
+    * Scale shape (r11 reshape): ONE partial-aggregable groupBy computes
+    * BOTH df (a plain count) and the 10-smallest-doc_id sample (the
+    * bounded [[graft.functions.TopKAggregator]] with score = −doc_id —
+    * k-row buffers, map-side combine). The old form routed each token's
+    * FULL posting list through a window PARTITIONED by tok: at 100 TB a
+    * stopword's ~1e12 posting rows would external-sort inside ONE task —
+    * the row_number ≤ 10 cap bounded only the collect, never that sort.
+    * Now the exchange carries one (count, ≤10-row buffer) per token per
+    * map task; no task ever holds a full posting list. (−doc_id as a
+    * double is exact below 2^53 — the same id-domain bound the packed
+    * attr_replay key documents.) */
   def postings(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("tok")
-    val wOrd = w.orderBy("doc_id")
+    val tk = udaf(graft.functions.TopKAggregator(10),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .withColumn("df", count(lit(1)).over(w))
-      .withColumn("rk", row_number().over(wOrd))
-      .filter(col("rk") <= 10)
       .groupBy("tok")
-      .agg(max("df").as("df"),
+      .agg(count(lit(1)).as("df"),
+        // aggregator order = (score desc, id asc) = doc_id ascending;
+        // a product-encoded udaf takes its case-class fields as
+        // FLATTENED column arguments, not one struct
+        tk((-col("doc_id")).cast("double"), col("doc_id")).as("top"))
+      .select(col("tok"), col("df"),
         concat_ws(",",
-          transform(sort_array(collect_list(col("doc_id"))), _.cast("string"))).as("sample_docs"))
+          transform(col("top"), s => s.getField("id").cast("string"))).as("sample_docs"))
       .orderBy("tok")
   }
 
@@ -977,7 +993,16 @@ object TextOps {
     val edges = pairs.persist() // joined 3× + degree scan
     val deg = edges.select(col("d1").as("v")).unionByName(edges.select(col("d2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    val wedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    // wedge terms stay EXACT integers: deg widens to DECIMAL(38,0)
+    // before the multiply (deg² passes 2^63 for a ~3e9-degree hub) and
+    // the single ÷2 happens on the exact total (always even — deg·(deg−1)
+    // is a product of consecutive integers). The old per-term `/ 2` made
+    // each term a DOUBLE summed in partition order — past 2^53 total
+    // wedges (one 1e8-member boilerplate clique ≈ 5e15 wedges) partial
+    // sums round differently between runs AND engines (r11 review).
+    val wedges = deg.agg(
+      (sum(col("deg").cast("decimal(38,0)") * (col("deg") - 1)) / 2)
+        .cast("long").as("n_wedges"))
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.d2") === col("e2.d1"))
       .join(edges.as("e3"),
@@ -1045,7 +1070,11 @@ object TextOps {
     * breaks them identically on both sides). Per-group top-k via row_number — one partial-aggregable
     * shuffle, the q_win_topk shape. */
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
-    val u = ((col("doc_id") * 2654435761L) % 1000003L + 1L).cast("double") / 1000003.0
+    // doc_id folds to [0, 2³¹−1) before the Knuth multiply (the Curation
+    // .knuthFold overflow rule — identity for every fixture id); folded
+    // positive, so the plain % can never go negative into the pow
+    val u = ((graft.operators.Curation.knuthFold(col("doc_id")) * 2654435761L)
+      % 1000003L + 1L).cast("double") / 1000003.0
     val key = round(pow(u, lit(1.0) / col("n_tok")), 8)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("skey").desc, col("doc_id"))
@@ -1387,7 +1416,14 @@ object TextOps {
       .select(col("k"), col("df"), col("n_occurrences"),
         col("loc.doc_id").as("min_doc"), col("loc.j0").as("j0"))
     toks
-      .join(broadcast(cands), col("doc_id") === col("min_doc"))
+      // UNHINTED join (r11): the df≥2 candidate frame is
+      // corpus-proportional on real text (repeated n-grams are pervasive
+      // — that is Lee et al.'s premise), so a broadcast hint here would
+      // OOM the driver at scale; AQE broadcasts it at fixture size and
+      // shuffles it when runtime stats say otherwise. The top-50 cut
+      // cannot move below this join: ties at the cut order by the
+      // reconstructed token TUPLE, which only exists after it.
+      .join(cands, col("doc_id") === col("min_doc"))
       // ties order by the token TUPLE (the group identity), not the '_'
       // display string: two distinct grams can render the same string on
       // underscore-bearing tokens, and an equal (df, string) key would
@@ -1591,10 +1627,19 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
     val base = docs.agg(count(lit(1)).as("n_docs"),
       countDistinct(md5(encode(col("text"), "UTF-8"))).as("n_distinct_texts"))
-    val pairs = minhashPairs(spark, dir).agg(count(lit(1)).as("n_near_pairs"))
-    val clusters = nearDupClusters(spark, dir)
-      .agg(sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
-        .as("n_dropped"))
+    // ONE LSH pair frame threads both consumers (r11): calling
+    // nearDupClusters directly would rebuild the whole
+    // tokenize→shingle→sign→band pipeline a second time for the same
+    // query (its own internal minhashPairs call) — the containment/
+    // dedupCurve shared-frame discipline applies across helper
+    // boundaries too. The eager count materializes the persist before
+    // the CC loop's checkpoints re-read it.
+    val pairsF = minhashPairs(spark, dir).persist()
+    val pairs = pairsF.agg(count(lit(1)).as("n_near_pairs"))
+    val clusters =
+      connectedComponents(docs.select(col("doc_id")), pairsF)
+        .agg(sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+          .as("n_dropped"))
     base.crossJoin(broadcast(pairs)).crossJoin(broadcast(clusters))
       .select(col("n_docs"),
         (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
@@ -1614,7 +1659,18 @@ object TextOps {
     * discipline — the DuckDB twin folds the identical sequence via
     * list_reduce, and adding each term to a 0.0 seed is IEEE-exact, so
     * seeded and seedless folds agree bit-for-bit). The collected array
-    * is BIGRAM-TYPE-sized — vocabulary², not corpus, bounded. */
+    * is BIGRAM-TYPE-sized — vocabulary², not corpus, bounded.
+    *
+    * Honest scale bound (r11): "vocabulary-bounded" still means one
+    * global aggregation row, and real web-text bigram TYPES grow
+    * near-linearly with the corpus — at 100 TB this single-task collect
+    * (like q_zipf's and q_coverage's unigram twins) is past one buffer.
+    * The production swap-in is the two-level fold (partial per-bucket
+    * entropies merged by the exact decomposition H(V|U) = Σ p(bucket)·H
+    * within + cross-term) with a tolerance check instead of the
+    * bit-exact oracle — the q_quantiles → percentile_approx precedent;
+    * the sequential-fold form here is what makes the DuckDB hash pin
+    * possible at all. */
   def condEntropy(spark: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
     val m1 = greatest(size(t) - 1, lit(0))
