@@ -57,9 +57,16 @@ case class Iou(left: Expression, right: Expression) extends BinaryExpression {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val ix = ctx.freshName("ix"); val iy = ctx.freshName("iy")
       val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      val anyNull = ctx.freshName("anyNull")
+      // NEVER start a generated line with '|': Spark's codegen Block
+      // re-applies stripMargin, so a leading "||" loses a pipe and the
+      // emitted Java fails to parse — Janino then silently drops the
+      // WHOLE predicate to interpreted mode (a 4.4x q_nms_dominance
+      // regression the r11 fleet bench caught; operators go at line END)
       s"""
-         |if ($a.isNullAt(0) || $a.isNullAt(1) || $a.isNullAt(2) || $a.isNullAt(3)
-         |    || $b.isNullAt(0) || $b.isNullAt(1) || $b.isNullAt(2) || $b.isNullAt(3)) {
+         |boolean $anyNull = $a.isNullAt(0) || $a.isNullAt(1) || $a.isNullAt(2) || $a.isNullAt(3) ||
+         |  $b.isNullAt(0) || $b.isNullAt(1) || $b.isNullAt(2) || $b.isNullAt(3);
+         |if ($anyNull) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $ix = java.lang.Math.max(0, java.lang.Math.min($a.getInt(0) + $a.getInt(2), $b.getInt(0) + $b.getInt(2)) - java.lang.Math.max($a.getInt(0), $b.getInt(0)));

@@ -329,4 +329,62 @@ class ExpressionsSpec extends SparkSpec {
     val got = df.collect().map(_.getDouble(0))
     assert(got.sameElements(expected))
   }
+
+  test("every custom expression COMPILES under CODEGEN_ONLY (no silent interpreter fallback)") {
+    // A doGenCode that emits unparseable Java does NOT fail any query:
+    // Janino's CompileException is swallowed and the predicate/projection
+    // silently drops to interpreted mode — correctness-invisible, 4-5x
+    // slower (the r11 Iou leading-'|' stripMargin bug rode through the
+    // full oracle suite and only surfaced as a q_nms_dominance bench
+    // regression). CODEGEN_ONLY turns that swallow into a hard error, so
+    // this test pins the compiled path for every custom expression in
+    // the exact shapes the queries use (join predicate, projection, SQL).
+    GraftExtensions.register(spark)
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // Iou inside a theta-join predicate — the shape that regressed
+      assert(Nms.dominanceQuery(spark, sf).collect().nonEmpty)
+      // the full scalar surface in one projection
+      val row = spark.sql(
+        """SELECT
+          |  iou(named_struct('x', 0, 'y', 0, 'w', 10, 'h', 10),
+          |      named_struct('x', 5, 'y', 5, 'w', 10, 'h', 10)) AS i,
+          |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+          |  sq_dist(array(CAST(1.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
+          |  minhash_sig(array(CAST(7 AS BIGINT), CAST(11 AS BIGINT))) AS m,
+          |  simhash16(array(CAST(7 AS BIGINT))) AS s,
+          |  walsh_band_keys(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT))) AS w,
+          |  token_code('alpha') AS t,
+          |  jaro_winkler('MARTHA', 'MARHTA') AS j
+          |""".stripMargin).head()
+      assert(row.getDouble(7) == 0.9611111111111111)
+      // might_contain_long is Column-API-only (carries a driver-side
+      // BloomFilter) — compile it through a projection the same way
+      val bf = Tables.orders(spark, sf).stat.bloomFilter("o_orderkey", 100, 0.03)
+      val hits = Tables.orders(spark, sf).limit(20)
+        .select(graft.functions.MightContainLong
+          .mightContainLong(col("o_orderkey"), bf).as("hit"))
+        .collect()
+      assert(hits.nonEmpty && hits.forall(!_.isNullAt(0)))
+      // and the null-guard branches compile too (the branch the r11 fix
+      // added is only reachable with nullable inputs)
+      val nulls = spark.sql(
+        """SELECT iou(named_struct('x', CAST(NULL AS INT), 'y', 0, 'w', 1, 'h', 1),
+          |           named_struct('x', 0, 'y', 0, 'w', 1, 'h', 1)) AS i,
+          |  minhash_sig(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT))) AS m,
+          |  simhash16(array(CAST(NULL AS BIGINT))) AS s,
+          |  walsh_band_keys(array(CAST(NULL AS FLOAT))) AS w
+          |""".stripMargin).head()
+      (0 until 4).foreach(j => assert(nulls.isNullAt(j)))
+    } finally {
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
 }
