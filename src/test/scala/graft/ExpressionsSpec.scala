@@ -359,7 +359,9 @@ class ExpressionsSpec extends SparkSpec {
           |  simhash16(array(CAST(7 AS BIGINT))) AS s,
           |  walsh_band_keys(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT))) AS w,
           |  token_code('alpha') AS t,
-          |  jaro_winkler('MARTHA', 'MARHTA') AS j
+          |  jaro_winkler('MARTHA', 'MARHTA') AS j,
+          |  bitmap_and_count(bitmap_from_bits(array(1, 3)),
+          |                   bitmap_from_bits(array(3, 5))) AS ba
           |""".stripMargin).head()
       assert(row.getDouble(7) == 0.9611111111111111)
       // might_contain_long is Column-API-only (carries a driver-side
