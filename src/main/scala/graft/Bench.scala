@@ -52,11 +52,15 @@ object Bench {
     * q_jaccard_pairs 1.42×) plus the short queries r9/r10 adjudicated as
     * contention scatter (q_wau was BENCH_r10-era worst at 1.9× with a
     * quiet-run floor of ≈1×; q_benford/q_bigram_lm bimodal with minima at
-    * ≈1×; q_repeated_grams the r9 worst): medians for these rest on
+    * ≈1×; q_repeated_grams the r9 worst; q_xcorr/q_moments the r11
+    * closers — sample spreads of 0.98-1.82 and 0.82-1.57 within ONE run
+    * with quiet-floor minima at ≈1.0-1.27× of baseline, the same
+    * scatter-not-regression signature): medians for these rest on
     * `watchRepeats` samples, not the default `repeats`. */
   private val watchlist: Set[String] =
     Set("q_basket", "q_funnel", "q_contamination", "q_jaccard_pairs",
-      "q_wau", "q_benford", "q_bigram_lm", "q_repeated_grams")
+      "q_wau", "q_benford", "q_bigram_lm", "q_repeated_grams",
+      "q_xcorr", "q_moments")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
