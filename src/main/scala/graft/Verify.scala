@@ -24,6 +24,21 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CODEGEN_STRICT=1: run the WHOLE surface with codegen
+    // fallback disabled. A doGenCode that emits unparseable Java fails
+    // no check by default — Spark swallows Janino's CompileException and
+    // runs the predicate/projection interpreted, correctness-identical
+    // and 4-5× slower (the r11 Iou leading-'|' bug rode green through
+    // every oracle and spec and only surfaced as a bench regression).
+    // Strict mode turns that swallow into a per-query [verify] failure,
+    // sweeping every plan shape the engine can produce — the
+    // ExpressionsSpec CODEGEN_ONLY test covers the scalar surface; this
+    // covers the queries.
+    if (sys.env.get("SPARK_GRAFT_CODEGEN_STRICT").exists(_ == "1")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      System.err.println("[verify] strict codegen: CODEGEN_ONLY, no whole-stage fallback")
+    }
     // fail FAST and LOUD on fixture-schema drift (the round-8 lesson):
     // better no correctness rows than 199 plausible wrong ones
     Preflight.check(spark, sfDir)
