@@ -16,6 +16,8 @@ engine self-consistency for all queries, including the rows-only ones
 (sketches, samples, ML scoring) that have no oracle at all.
 
 r10 state: 211/211 identical between local[24] and local[8] at sf0.01.
+r11 state: 212/212 identical between local[16] (strict-codegen run) and
+local[4] at sf0.01 — also pins codegen-vs-interpreted agreement.
 """
 import glob
 import os
