@@ -2670,8 +2670,11 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
     "q_postings" ->
-      // inverted index: df over the full posting, sample capped at rk<=10
-      // BEFORE aggregation (mirrors the Spark bounded-collect shape)
+      // inverted index: df over the full posting; the rk<=10 sample here
+      // must equal the engine's TopKAggregator output — top-10 by
+      // (score = −doc_id desc, id asc) ≡ the 10 SMALLEST doc_ids in
+      // ascending order, which is exactly row_number() OVER (ORDER BY
+      // doc_id) <= 10 then string_agg ORDER BY doc_id
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         |), ranked AS (
@@ -2852,7 +2855,7 @@ object SparkEntry {
         |  SELECT v, count(*) AS deg FROM (
         |    SELECT d1 AS v FROM pairs UNION ALL SELECT d2 AS v FROM pairs) b
         |  GROUP BY v
-        |), w AS (SELECT CAST(sum(CAST(deg AS DECIMAL(38,0)) * (deg - 1)) / 2
+        |), w AS (SELECT CAST(sum(CAST(deg AS HUGEINT) * (deg - 1)) // 2
         |    AS BIGINT) AS n_wedges FROM deg),
         |t AS (
         |  SELECT count(*) AS n_triangles

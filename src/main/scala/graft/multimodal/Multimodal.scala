@@ -82,11 +82,17 @@ object Multimodal {
       // per-batch invoke (the stub maps internally; a real vectorized
       // model consumes the whole payload batch in one forward pass) —
       // a per-row call inside the group would make grouped() a no-op.
-      // null payload → zero-vector features (a missing media blob must
-      // not NPE the partition): the same null-image contract the
-      // CrowdPipeline scorers implement (null image → no detections)
+      // null payload → NULL features, not a zero vector (r11 second-pass
+      // review): a missing media blob must not NPE the partition, but a
+      // fabricated all-zero embedding would look like a legitimate point
+      // to every similarity consumer (cosine between two zero vectors is
+      // 0/0 → NaN; sq_dist ranks all missing rows as mutual nearest
+      // neighbors) — absent input stays absent in the output, the
+      // null-image → no-detections contract the CrowdPipeline scorers
+      // implement. The row itself is kept (metadata survives; callers
+      // filter on features IS NULL to audit missing blobs).
       val modelBatch: Seq[Array[Byte]] => Seq[Array[Float]] =
-        _.map(p => if (p == null) new Array[Float](featureDim) else decodeStub(p))
+        _.map(p => if (p == null) null else decodeStub(p))
       rows.grouped(batchSize).flatMap { batch =>
         val feats = modelBatch(batch.map(_.getAs[Array[Byte]](2)))
         // lazyZip truncates to the shorter side: a real batch model that
@@ -96,7 +102,7 @@ object Multimodal {
           s"batch model returned ${feats.size} feature rows for a " +
             s"${batch.size}-payload batch — model must be 1:1 per batch")
         batch.lazyZip(feats).map { (r, f) =>
-          Row(r.getLong(0), r.getString(1), f.toSeq)
+          Row(r.getLong(0), r.getString(1), if (f == null) null else f.toSeq)
         }
       }
     }(enc)

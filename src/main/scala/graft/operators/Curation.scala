@@ -34,6 +34,14 @@ object Curation {
     * mirrored verbatim in their oracles. */
   private[graft] def knuthFold(id: Column): Column = pmod(id, lit(2147483647L))
 
+  /** Driver-side Long twin of [[knuthFold]] — the specs recompute split/
+    * sample/replay hashes locally, and they must pin the FOLDED form: an
+    * unfolded spec twin agrees with the engine only while every fixture
+    * id is < 2³¹−1, then silently asserts the wrong expected values
+    * (r11 second-pass review). */
+  private[graft] def knuthFoldLong(id: Long): Long =
+    java.lang.Math.floorMod(id, 2147483647L)
+
   /** Split assignment 90/5/5 by hash bucket — a pure narrow projection.
     * At 100 TB the split is recomputed from the id wherever needed
     * (stateless, no split-table join, no shuffle) — the property that

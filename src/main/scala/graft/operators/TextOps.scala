@@ -996,10 +996,14 @@ object TextOps {
     // wedge terms stay EXACT integers: deg widens to DECIMAL(38,0)
     // before the multiply (deg² passes 2^63 for a ~3e9-degree hub) and
     // the single ÷2 happens on the exact total (always even — deg·(deg−1)
-    // is a product of consecutive integers). The old per-term `/ 2` made
-    // each term a DOUBLE summed in partition order — past 2^53 total
-    // wedges (one 1e8-member boilerplate clique ≈ 5e15 wedges) partial
-    // sums round differently between runs AND engines (r11 review).
+    // is a product of consecutive integers; Spark decimal÷int stays
+    // decimal, scale 6, exact here). The old per-term `/ 2` made each
+    // term a DOUBLE summed in partition order — past 2^53 total wedges
+    // (one 1e8-member boilerplate clique ≈ 5e15 wedges) partial sums
+    // round differently between runs AND engines (r11 review). The
+    // DuckDB twin must use HUGEINT and `//`: DuckDB's `/` yields DOUBLE
+    // even on DECIMAL operands, which re-introduced the 2^53 rounding on
+    // the oracle side (r11 second-pass review, verified on a 3e9 hub).
     val wedges = deg.agg(
       (sum(col("deg").cast("decimal(38,0)") * (col("deg") - 1)) / 2)
         .cast("long").as("n_wedges"))
@@ -1632,18 +1636,26 @@ object TextOps {
     // tokenize→shingle→sign→band pipeline a second time for the same
     // query (its own internal minhashPairs call) — the containment/
     // dedupCurve shared-frame discipline applies across helper
-    // boundaries too. The eager count materializes the persist before
-    // the CC loop's checkpoints re-read it.
+    // boundaries too. Lifecycle (r11 second-pass review): the EAGER
+    // count() materializes the persist before the CC loop re-reads the
+    // pair frame every round, and the frame is UNPERSISTED right after
+    // the loop — CC's result is a localCheckpointed LogicalRDD leaf with
+    // no lineage back to pairsF, so nothing downstream recomputes it and
+    // the band-join blocks don't outlive the query in sessions that
+    // never call clearCache (a lazy agg here would have counted AFTER
+    // the unpersist and rebuilt the whole pipeline).
     val pairsF = minhashPairs(spark, dir).persist()
-    val pairs = pairsF.agg(count(lit(1)).as("n_near_pairs"))
-    val clusters =
-      connectedComponents(docs.select(col("doc_id")), pairsF)
-        .agg(sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
-          .as("n_dropped"))
-    base.crossJoin(broadcast(pairs)).crossJoin(broadcast(clusters))
+    val nNearPairs = pairsF.count()
+    val labels =
+      try connectedComponents(docs.select(col("doc_id")), pairsF)
+      finally pairsF.unpersist()
+    val clusters = labels
+      .agg(sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+        .as("n_dropped"))
+    base.crossJoin(broadcast(clusters))
       .select(col("n_docs"),
         (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
-        col("n_near_pairs"), col("n_dropped"),
+        lit(nNearPairs).as("n_near_pairs"), col("n_dropped"),
         round((col("n_docs") - col("n_dropped")).cast("double") / col("n_docs"), 4)
           .as("pct_kept"))
   }

@@ -47,7 +47,8 @@ class AllocSpec extends SparkSpec {
       val ids = byType(t).map(_._2)
       assert(nTotal == ids.length)
       assert(threshold == math.min(10000L, (10000L * 2000L) / nTotal))
-      val kept = ids.count(id => math.floorMod(id * 2654435761L, 10000L) < threshold)
+      val kept = ids.count(id =>
+        math.floorMod(operators.Curation.knuthFoldLong(id) * 2654435761L, 10000L) < threshold)
       assert(nKept == kept, s"class $t: engine $nKept vs local $kept")
     }
   }

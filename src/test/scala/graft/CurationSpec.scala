@@ -44,7 +44,7 @@ class CurationSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       // recompute the split of each reported doc — must be train
-      val bucket = (r.getLong(0) * 2654435761L) % 1000L
+      val bucket = (Curation.knuthFoldLong(r.getLong(0)) * 2654435761L) % 1000L
       assert(bucket < 900, s"doc ${r.getLong(0)} not in train split")
       assert(r.getLong(1) > 0)
     }
@@ -56,8 +56,8 @@ class CurationSpec extends SparkSpec {
     rows.foreach { r =>
       val (testDoc, trainDoc) = (r.getLong(0), r.getLong(1))
       val (shared, total, frac) = (r.getLong(2), r.getLong(3), r.getDouble(4))
-      assert((testDoc * 2654435761L) % 1000L >= 950, s"$testDoc not in test split")
-      assert((trainDoc * 2654435761L) % 1000L < 900, s"$trainDoc not in train split")
+      assert((Curation.knuthFoldLong(testDoc) * 2654435761L) % 1000L >= 950, s"$testDoc not in test split")
+      assert((Curation.knuthFoldLong(trainDoc) * 2654435761L) % 1000L < 900, s"$trainDoc not in train split")
       assert(shared > 0 && shared <= total)
       assert(shared * 10 >= total * 3, "row below the 30% gate leaked through")
       assert(frac > 0.0 && frac <= 1.0)

@@ -28,6 +28,24 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.schema("features").dataType == ArrayType(FloatType, containsNull = false))
   }
 
+  test("extractFeatures: null payload keeps the row with NULL features (no fake embedding)") {
+    import org.apache.spark.sql.Row
+    // a missing blob must neither NPE the partition nor fabricate an
+    // all-zero vector that similarity consumers would treat as a real
+    // point (r11 review); metadata survives, features is null
+    val schema = media.select("media_id", "media_type", "payload").schema
+    val rows = java.util.Arrays.asList(
+      Row(1L, "image", Array[Byte](1, 2, 3)),
+      Row(2L, "image", null))
+    val df = spark.createDataFrame(rows, schema)
+    val out = Multimodal.extractFeatures(df, batchSize = 8)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getSeq[Float](2)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) != null && out(1L).length == Multimodal.featureDim)
+    assert(out(2L) == null)
+  }
+
   test("resizeMeta rewrites metadata and records scale factors without touching payload") {
     val r = Multimodal.resizeMeta(media, 224, 224)
     val row = r.selectExpr("meta.width", "meta.height", "scale_x").head()

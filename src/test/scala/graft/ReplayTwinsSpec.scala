@@ -105,7 +105,8 @@ class ReplayTwinsSpec extends SparkSpec {
       .as[(Long, Long, String, Long)].collect()
     val expected = fixture
       .map { case (id, u, typ, sec) =>
-        (u, sec + Math.floorMod(id * 2654435761L, 3600L) - 1800L, id, typ, sec)
+        (u, sec + Math.floorMod(graft.operators.Curation.knuthFoldLong(id) * 2654435761L,
+          3600L) - 1800L, id, typ, sec)
       }
       .groupBy(_._1).toSeq.flatMap { case (u, rows) =>
         var lc: Option[(Long, Long)] = None // (sec, id)
