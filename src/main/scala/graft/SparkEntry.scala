@@ -276,8 +276,8 @@ object SparkEntry {
 
   /** SQL twin of Curation.splitOf — Knuth multiplicative hash, 90/5/5. */
   private val splitCaseSql: String =
-    """CASE WHEN ((doc_id % 2147483647) * 2654435761) % 1000 < 900 THEN 'train'
-      |       WHEN ((doc_id % 2147483647) * 2654435761) % 1000 < 950 THEN 'val'
+    """CASE WHEN ((((doc_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 1000 < 900 THEN 'train'
+      |       WHEN ((((doc_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 1000 < 950 THEN 'val'
       |       ELSE 'test' END""".stripMargin
 
   /** Shared CTE chain for the MinHash-LSH oracles (q_minhash_lsh,
@@ -899,7 +899,7 @@ object SparkEntry {
         |SELECT n1, n2,
         |  CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
         |       ELSE round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
-        |                  / CAST(n1 * n2 AS DOUBLE), 6) END AS ks_stat
+        |                  / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE), 6) END AS ks_stat
         |FROM cum CROSS JOIN tot GROUP BY n1, n2""".stripMargin,
     // q_cusum: dev = |n·cum_i − i·total| stays integer (DuckDB widens to
     // HUGEINT automatically where Spark casts to decimal(38,0))
@@ -1073,7 +1073,7 @@ object SparkEntry {
         |SELECT n1, n2,
         |  CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
         |       ELSE round(CAST(sum(abs(cum1 * n2 - cum2 * n1) * gap) AS DOUBLE)
-        |                  / CAST(n1 * n2 AS DOUBLE) / 100.0, 6) END AS emd
+        |                  / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) / 100.0, 6) END AS emd
         |FROM cum CROSS JOIN tot
         |WHERE gap IS NOT NULL GROUP BY n1, n2""".stripMargin,
     // q_spearman: Σd² is an exact integer (row_number ranks with day
@@ -1246,14 +1246,14 @@ object SparkEntry {
         |  FROM conf WHERE lang = pred_lang
         |), totals AS (SELECT CAST(sum(act_n) AS BIGINT) AS n_total FROM act
         |), chance AS (
-        |  SELECT COALESCE(sum(act_n * pred_n), 0) AS chance_mass
+        |  SELECT COALESCE(sum(CAST(act_n AS HUGEINT) * pred_n), 0) AS chance_mass
         |  FROM act JOIN prd USING (cls))
         |SELECT n_total, n_agree,
         |  round(CAST(n_agree AS DOUBLE) / n_total, 4) AS po,
         |  round(CAST(chance_mass AS DOUBLE)
-        |    / CAST(n_total * n_total AS DOUBLE), 4) AS pe,
-        |  round(CAST(n_agree * n_total - chance_mass AS DOUBLE)
-        |    / CAST(n_total * n_total - chance_mass AS DOUBLE), 4) AS kappa
+        |    / CAST(CAST(n_total AS HUGEINT) * n_total AS DOUBLE), 4) AS pe,
+        |  round(CAST(CAST(n_agree AS HUGEINT) * n_total - chance_mass AS DOUBLE)
+        |    / CAST(CAST(n_total AS HUGEINT) * n_total - chance_mass AS DOUBLE), 4) AS kappa
         |FROM agree CROSS JOIN chance CROSS JOIN totals""".stripMargin,
     // q_stl: trend window sums integer cents; detrended kept as the
     // scaled integer 7x - trend7 so the dow seasonal mean is an exact
@@ -1313,7 +1313,7 @@ object SparkEntry {
         |      j -> ascii(substr(event_type, j, 1)) * j)) AS code
         |  FROM counts
         |), drawn AS (
-        |  SELECT event_type, n_true, (code * 2654435761) % 999983 AS k
+        |  SELECT event_type, n_true, ((code % 999983) * 2654435761) % 999983 AS k
         |  FROM coded)
         |SELECT event_type, CAST(n_true AS BIGINT) AS n_true,
         |  round((CASE WHEN 2 * k + 1 < 999983 THEN -1.0 ELSE 1.0 END)
@@ -1800,7 +1800,7 @@ object SparkEntry {
         |  SELECT event_id, event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
         |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      + ((event_id % 2147483647) * 2654435761) % 3600 - 1800 AS arr
+        |      + ((((event_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 3600 - 1800 AS arr
         |  FROM events
         |), w AS (
         |  SELECT event_type, sec, (sec // 600) * 600 AS w_start,
@@ -1819,7 +1819,7 @@ object SparkEntry {
       """WITH sig AS (
         |  SELECT event_id, user_id, value > 150 AS fire,
         |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      + ((event_id % 2147483647) * 2654435761) % 3600 - 1800 AS arr
+        |      + ((((event_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 3600 - 1800 AS arr
         |  FROM events
         |), l AS (
         |  SELECT user_id, event_id, arr, fire,
@@ -1839,7 +1839,7 @@ object SparkEntry {
         |  SELECT event_id, user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
         |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      + ((event_id % 2147483647) * 2654435761) % 3600 - 1800 AS arr
+        |      + ((((event_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 3600 - 1800 AS arr
         |  FROM events
         |), w AS (
         |  SELECT *, max(sec) OVER (ORDER BY arr, event_id
@@ -1879,7 +1879,7 @@ object SparkEntry {
         |  SELECT event_id, user_id, event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
         |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      + ((event_id % 2147483647) * 2654435761) % 3600 - 1800 AS arr
+        |      + ((((event_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 3600 - 1800 AS arr
         |  FROM events
         |), g AS (
         |  SELECT *, CASE WHEN lag(arr) OVER
@@ -1918,7 +1918,7 @@ object SparkEntry {
         |  SELECT event_id, user_id, event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
         |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      + ((event_id % 2147483647) * 2654435761) % 3600 - 1800 AS arr
+        |      + ((((event_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 3600 - 1800 AS arr
         |  FROM events
         |), v AS (
         |  SELECT *, min(CASE WHEN event_type = 'view' THEN sec END)
@@ -3386,9 +3386,9 @@ object SparkEntry {
         |    CAST(least(10000, (10000 * 2000) // n_total) AS BIGINT) AS threshold
         |  FROM c)
         |SELECT e.event_type, t.n_total, t.threshold,
-        |  CAST(sum(CASE WHEN ((e.event_id % 2147483647) * 2654435761) % 10000 < t.threshold
+        |  CAST(sum(CASE WHEN ((((e.event_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 10000 < t.threshold
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  round(CAST(sum(CASE WHEN ((e.event_id % 2147483647) * 2654435761) % 10000 < t.threshold
+        |  round(CAST(sum(CASE WHEN ((((e.event_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 10000 < t.threshold
         |    THEN 1 ELSE 0 END) AS DOUBLE) / t.n_total, 4) AS kept_rate
         |FROM events e JOIN t USING (event_type)
         |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
@@ -3812,7 +3812,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-        |    CAST(((doc_id % 2147483647) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000003.0 AS u
+        |    CAST(((((doc_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000003.0 AS u
         |  FROM documents
         |), k AS (
         |  SELECT doc_id, source, n_tok,

@@ -9,9 +9,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** `simhash16(codes)` — the k-bit SimHash fingerprint in ONE pass over the
   * token-code array: per bit i, s_i = Σ_c (((a_i·c + b_i) mod p mod 2)·2−1);
-  * fingerprint = Σ (s_i > 0) << i.
+  * fingerprint = Σ (s_i > 0) << i. The hash is the EXACT mathematical mod
+  * for any 64-bit code — the code folds to [0, p) before the multiply
+  * (the MinHashSig fold; unfolded, a·c wraps past 2⁶³ at code ≈ 8.2e12
+  * and the % p % 2 of a negative wrap votes −3 instead of ±1, silently
+  * skewing the fingerprint while the DuckDB oracle's HUGEINT arithmetic
+  * stays exact — r11 oracle audit).
   *
-  * Integer-only, bit-identical to the HOF twin (one
+  * Integer-only, bit-identical to the folded HOF twin (one
   * `aggregate(codes, signed-bit sum)` per bit position), which interprets
   * 1 lambda × k bits per element per row. Empty input → 0, matching the
   * zero-seeded aggregate (no bit sum is positive).
@@ -20,6 +25,9 @@ case class SimHash16(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Lon
   extends UnaryExpression {
 
   require(as.length == bs.length && as.nonEmpty)
+  // a, b ∈ [0, p): keeps a·(c mod p) + b < 2⁶³ (the MinHashSig bound)
+  require(as.forall(a => a >= 0 && a < prime) && bs.forall(b => b >= 0 && b < prime),
+    s"simhash params must lie in [0, prime=$prime)")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -44,7 +52,7 @@ case class SimHash16(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Lon
       // getLong would silently read the slot as code 0 and bias the
       // bit-vote — a silently wrong sketch on the simhash16 SQL surface
       if (arr.isNullAt(i)) return null
-      val c = arr.getLong(i)
+      val c = java.lang.Math.floorMod(arr.getLong(i), prime)
       var p = 0
       while (p < k) {
         s(p) += ((as(p) * c + bs(p)) % prime % 2) * 2 - 1
@@ -78,7 +86,7 @@ case class SimHash16(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Lon
          |long[] $s = new long[${as.length}];
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  long $c = $a.getLong($i);
+         |  long $c = java.lang.Math.floorMod($a.getLong($i), ${prime}L);
          |  for (int $p = 0; $p < ${as.length}; $p++) {
          |    $s[$p] += (($aArr[$p] * $c + $bArr[$p]) % ${prime}L % 2L) * 2L - 1L;
          |  }

@@ -484,7 +484,13 @@ object Curation {
     // semantics (SPARK-40194) — one trailing empty element on older
     // builds null-pads the whole release
     val code = graft.functions.TokenCode.tokenCode(col("event_type"))
-    val k = pmod(code * lit(2654435761L), lit(P))
+    // fold the code to [0, P) BEFORE the Knuth multiply (r11 oracle
+    // audit): mod distributes, so the k is unchanged — but the unfolded
+    // code·K aborts under ANSI past code ≈ 3.47e9 (a ~7.4k-char garbage
+    // event_type — routine in dirty corpora) while the oracle's HUGEINT
+    // arithmetic sails on; folded, the product caps at ~2.7e15. This was
+    // the one Knuth site not routed through a fold.
+    val k = pmod(pmod(code, lit(P)) * lit(2654435761L), lit(P))
     val num = lit(P) - abs(lit(2L) * k + 1 - lit(P))
     // u < ½ ⇔ 2k+1 < P: there the draw is the NEGATIVE tail ln(2u),
     // i.e. −sgn(u−½)·ln(…) — the multiplier flips against the −ln

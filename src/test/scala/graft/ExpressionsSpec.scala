@@ -169,8 +169,13 @@ class ExpressionsSpec extends SparkSpec {
     import graft.functions.{MinHashSig, TokenCode}
     import graft.operators.TextOps
     val codes = transform(array_distinct(split(col("text"), " ")), TokenCode.tokenCode _)
+    // folded HOF twin: the expression computes the exact mathematical
+    // mod (code folds to [0, p) first — mod distributes over the affine
+    // map), so the twin folds identically; an unfolded a*c twin would
+    // wrap past 2^63 where the expression no longer does (r11 audit)
     val hof = array(TextOps.MinhashParams.map { case (_, a, b) =>
-      array_min(transform(col("codes"), c => (lit(a) * c + lit(b)) % TextOps.MinhashPrime))
+      array_min(transform(col("codes"),
+        c => (lit(a) * pmod(c, lit(TextOps.MinhashPrime)) + lit(b)) % TextOps.MinhashPrime))
     }: _*)
     val rows = Tables.documents(spark, sf)
       .select(codes.as("codes")).filter(size(col("codes")) > 0)
@@ -188,7 +193,8 @@ class ExpressionsSpec extends SparkSpec {
     val codes = transform(split(col("text"), " "), TokenCode.tokenCode _)
     def bit(i: Int, a: Long, b: Long) = {
       val s = aggregate(col("codes"),
-        lit(0L), (acc, c) => acc + ((lit(a) * c + lit(b)) % TextOps.MinhashPrime % 2) * 2 - 1)
+        lit(0L), (acc, c) => acc + ((lit(a) * pmod(c, lit(TextOps.MinhashPrime)) + lit(b))
+          % TextOps.MinhashPrime % 2) * 2 - 1)
       when(s > 0, lit(1L << i)).otherwise(lit(0L))
     }
     val hof = TextOps.MinhashParams.map { case (i, a, b) => bit(i, a, b) }.reduce(_ + _)
