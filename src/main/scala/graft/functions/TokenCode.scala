@@ -18,6 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * 1-based position. The HOF version allocates a per-character array of
   * singleton strings and interprets three lambdas per token — this is one
   * generated loop.
+  *
+  * Honest overflow bound (r11 oracle audit): the long accumulator wraps
+  * past 2⁶³, which for ASCII text needs a SINGLE token of ≈ 4×10⁸ chars
+  * (Σ c·j ≈ 100·L²/2) — a 400 MB unbroken run without whitespace, larger
+  * than any realistic document, let alone token. Below that the code is
+  * exact and equals the oracle's HUGEINT fold; downstream hash sites stay
+  * exact for ANY long code via their [0, p) folds (MinHashSig,
+  * SimHash16, dpNoisedCounts), so a wrap here would change WHICH
+  * signature a pathological token gets, never the arithmetic's validity.
   */
 case class TokenCode(child: Expression) extends UnaryExpression {
 
