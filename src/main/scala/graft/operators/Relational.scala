@@ -1503,6 +1503,8 @@ object Relational {
       .agg(array_sort(collect_set(col("l_partkey"))).as("pks"))
       // feeds pairs, supports, and the order count — persist the
       // order-cardinality frame instead of re-aggregating per consumer
+      // (lifecycle: caller's-action-time consumer, reclaimed by the
+      // harness clearCache — the bloomSemiJoin note)
       .persist()
     val nOrders = sets.select(count(lit(1)).as("n_orders"))
     val supp = sets.select(explode(col("pks")).as("pk"))
@@ -2000,6 +2002,8 @@ object Relational {
       .withColumn("rv", col("recency"))
       .withColumn("fv", -col("frequency"))
       .withColumn("mv", -(col("monetary_dec") * 100).cast("long"))
+      // (lifecycle: the final frame re-reads `per` at the caller's action
+      // time, so not unpersistable here; harness clearCache reclaims)
       .persist()
     val n = per.count() // per-user scalar (same license as the CC fixpoint)
     val (q5, r5) = (n / 5L, n % 5L)

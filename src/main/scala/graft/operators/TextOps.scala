@@ -389,6 +389,8 @@ object TextOps {
       // feeds both candidate sides and the verify join — persist once (the
       // checkpoint-signatures-before-candidate-join strategy a 100 TB run
       // uses; same pattern as minhashPairs)
+      // (lifecycle: consumed at the CALLER'S action time, so not unpersistable
+      // here; Bench/Verify clearCache per query — the bloomSemiJoin note)
       .persist()
     // prefix length p = sz - ceil(0.9*sz) + 1, via ceil(9x/10) =
     // floor((9x+9)/10) — exact in doubles because 10k/10 divides without
@@ -488,6 +490,8 @@ object TextOps {
       // materialize once: the band self-join would otherwise recompute the
       // whole signature pipeline for each side (same strategy a 100 TB run
       // would use — persist/checkpoint signatures before candidate join)
+      // (lifecycle: consumed at the CALLER'S action time, so not unpersistable
+      // here; Bench/Verify clearCache per query — the bloomSemiJoin note)
       .persist()
     sigs.as("x")
       .join(sigs.as("y"),
@@ -990,7 +994,9 @@ object TextOps {
     * [[connectedComponents]]) so known graph shapes — a closed triangle
     * with a pendant, a pure star — are unit-testable. */
   private[graft] def triangleCensusOnEdges(pairs: DataFrame): DataFrame = {
-    val edges = pairs.persist() // joined 3× + degree scan
+    // joined 3x + degree scan (lifecycle: caller's-action-time consumer,
+    // reclaimed by the harness clearCache — the bloomSemiJoin note)
+    val edges = pairs.persist()
     val deg = edges.select(col("d1").as("v")).unionByName(edges.select(col("d2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // wedge terms stay EXACT integers: deg widens to DECIMAL(38,0)
@@ -1193,6 +1199,8 @@ object TextOps {
     * time for the subset test, doubling the heaviest scan of the
     * engine's tightest-baselined dedup query. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
+    // (lifecycle: caller's-action-time consumer, reclaimed by the harness
+    // clearCache — the bloomSemiJoin note)
     val codes = shingleCodeFrame(spark, dir).persist()
     minhashPairsOver(codes)
       .join(codes.select(col("doc_id").as("d1"), col("cs").as("cs1")), "d1")
@@ -1839,6 +1847,8 @@ object TextOps {
     * bounded, never all-pairs); the 5-threshold grid rides in as a
     * broadcast 5-row frame. */
   def dedupCurve(spark: SparkSession, dir: String): DataFrame = {
+    // (lifecycle: caller's-action-time consumer, reclaimed by the harness
+    // clearCache — the bloomSemiJoin note)
     val codes = shingleCodeFrame(spark, dir).persist()
     val st = minhashPairsOver(codes)
       .join(codes.select(col("doc_id").as("d1"), col("cs").as("cs1")), "d1")

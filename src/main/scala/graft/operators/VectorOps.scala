@@ -190,7 +190,8 @@ object VectorOps {
       // consumed three times (both pair sides + the final report) and
       // nothing below it reuses — without the persist the k·|vecs|
       // distance sweep runs three times (SemDeDup materializes the
-      // assignment table for the same reason)
+      // assignment table for the same reason). (lifecycle: caller's-
+      // action-time consumer, reclaimed by the harness clearCache)
       .persist()
     val dups = assigned.select(col("cluster"), col("vec_id"), col("embedding").as("e1"))
       .join(assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2")),
