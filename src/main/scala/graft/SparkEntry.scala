@@ -2561,8 +2561,12 @@ object SparkEntry {
         |           j -> ascii(substr(t, j, 1)) * j))) AS c
         |  FROM documents
         |), grams AS (
+        |  -- polynomial rolling hash mod 2^31-1, codes folded first —
+        |  -- mirrors the engine's exact-long form in exact HUGEINT
         |  SELECT doc_id, list_transform(range(1, len(c) - 1),
-        |    j -> c[j] + c[j + 1] * 3 + c[j + 2] * 9) AS h
+        |    j -> ((((c[j] % 2147483647) * 2654435761 + (c[j + 1] % 2147483647))
+        |           % 2147483647) * 2654435761 + (c[j + 2] % 2147483647))
+        |         % 2147483647) AS h
         |  FROM seqs
         |), fps AS (
         |  SELECT DISTINCT doc_id, fp FROM (

@@ -122,11 +122,21 @@ object TextOps {
           " "), "UTF-8")).as("chunk_md5"))
   }
 
-  /** q_gopher_rules: the Gopher/MassiveText-style per-document repetition
-    * gates (Rae et al. 2021 §A1.1): token count, mean word length, the
-    * fraction of the doc covered by its single most frequent bigram, and
-    * the duplicate-trigram fraction, plus the conjunctive keep flag. The
-    * keep decision is computed in EXACT integer arithmetic (cnt·10⁴
+  /** q_gopher_rules: Gopher/MassiveText-STYLE per-document repetition
+    * gates in the spirit of Rae et al. 2021 §A1.1 — a documented VARIANT,
+    * not the published rule verbatim (r11 fidelity audit):
+    *   - top2_frac / dup3_frac are OCCURRENCE fractions (top-bigram count
+    *     over n_tok−1; duplicate-trigram count over n_tok−2), not §A1.1's
+    *     fraction-of-CHARACTERS metrics — length-independent, exact in
+    *     integer arithmetic, and ~2× stricter than char-coverage at
+    *     typical word lengths;
+    *   - thresholds (0.08 / 0.02) and the n_tok ≥ 20 floor are
+    *     FIXTURE-SCALED stand-ins for the published 0.20 char-fraction /
+    *     50–100k word gates, chosen so both keep branches are exercised
+    *     at test SFs; a production deployment swaps the constants;
+    *   - mean_wlen is REPORTED as a diagnostic but not gated (§A1.1
+    *     gates it to 3–10).
+    * The keep decision is computed in EXACT integer arithmetic (cnt·10⁴
     * vs threshold·denominator) so no float threshold can flip on a
     * rounding boundary; the reported fractions are 4-dp rounded doubles.
     *
@@ -1267,18 +1277,35 @@ object TextOps {
     * whole-doc hashing can't. Both stages are chained zip_with /
     * bounded-slice transforms over materialized arrays (narrow, linear —
     * the per-element slice is the w=4 window, not the doc). Output: the
-    * most widely shared fingerprints with their document frequency. */
+    * most widely shared fingerprints with their document frequency.
+    *
+    * Trigram hash (r11 fidelity audit): polynomial rolling hash
+    * ((c₁·B + c₂)·B + c₃) mod p with p = 2³¹−1, B the Knuth constant,
+    * codes folded to [0, p) first — every step exact in long on the
+    * engine and in HUGEINT on the oracle. The old c₁ + 3·c₂ + 9·c₃ form
+    * collided SYSTEMATICALLY (multipliers far below the code range:
+    * ("ab","ac",w) and ("ae","ab",w) hashed equal for every w), so
+    * Schleimer's rare-collision premise didn't hold and top-50 df
+    * partly measured bucket aliasing. Residual false-share probability
+    * is the birthday bound over p ≈ 2.1e9 — rare random noise in a df
+    * report, not structure; past ~10⁵ distinct trigrams per shared
+    * bucket regime, swap in a 61-bit scheme (needs the tuple-identity
+    * q_repeated_grams shape — the fingerprint here is an ORACLE-MIRRORED
+    * output, which 64-bit xxhash can't be). */
   def winnow(spark: SparkSession, dir: String): DataFrame = {
+    val P = MinhashPrime
+    val B = 2654435761L
+    def fold(x: Column): Column = pmod(x, lit(P))
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         transform(split(col("text"), " "), tokenCode _).as("c"))
     val m2 = greatest(size(col("c")) - 2, lit(0))
     val grams = toks.select(col("doc_id"),
       zip_with(slice(col("c"), lit(1), m2), slice(col("c"), lit(2), m2),
-        (a, b) => a + b * 3).as("t1"),
+        (a, b) => pmod(fold(a) * B + fold(b), lit(P))).as("t1"),
       slice(col("c"), lit(3), m2).as("c3"))
       .select(col("doc_id"),
-        zip_with(col("t1"), col("c3"), (t, cc) => t + cc * 9).as("h"))
+        zip_with(col("t1"), col("c3"), (t, cc) => pmod(t * B + fold(cc), lit(P))).as("h"))
     grams
       // sequence(1, n) DESCENDS for n < 1 — docs too short for one
       // window are dropped, not fed a reversed range

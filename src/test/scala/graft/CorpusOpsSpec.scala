@@ -432,11 +432,19 @@ class CorpusOpsSpec extends SparkSpec {
       }
       acc
     }
+    // the r11 polynomial rolling hash: ((c1·B + c2)·B + c3) mod p, codes
+    // folded to [0, p) — exact long at every step (the engine's form)
+    val P = 2147483647L
+    val B = 2654435761L
+    def trig(c1: Long, c2: Long, c3: Long): Long = {
+      def f(x: Long) = java.lang.Math.floorMod(x, P)
+      ((f(c1) * B + f(c2)) % P * B + f(c3)) % P
+    }
     val perFp = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
     docs.foreach { case (id, toks) =>
       val c = toks.map(code)
       val h = (0 until math.max(c.length - 2, 0))
-        .map(i => c(i) + c(i + 1) * 3 + c(i + 2) * 9)
+        .map(i => trig(c(i), c(i + 1), c(i + 2)))
       if (h.length >= 4)
         (0 to h.length - 4).map(i => h.slice(i, i + 4).min).distinct
           .foreach(fp => perFp.getOrElseUpdate(fp, scala.collection.mutable.Set.empty) += id)
@@ -448,5 +456,13 @@ class CorpusOpsSpec extends SparkSpec {
     val got = TextOps.winnow(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expect)
+    // the pre-r11 c1 + 3*c2 + 9*c3 form collided SYSTEMATICALLY:
+    // ("ab","ac",w) and ("ae","ab",w) hashed equal for EVERY w (293 +
+    // 3*295 = 299 + 3*293). The polynomial form must separate the class.
+    assert(code("ab") + 3 * code("ac") == code("ae") + 3 * code("ab"),
+      "premise: the old form's alias pair")
+    for (w <- Seq("x", "yz", "the"))
+      assert(trig(code("ab"), code("ac"), code(w)) != trig(code("ae"), code("ab"), code(w)),
+        s"alias class must not collide under the polynomial hash (w=$w)")
   }
 }
