@@ -69,8 +69,18 @@ object GraftExtensions {
     "jaro_winkler" -> arity("jaro_winkler", 2)(exprs => JaroWinkler(exprs(0), exprs(1))))
 
   /** Late registration on an existing session: functions + the planner
-    * strategy for graft's custom logical operators. */
-  def register(spark: SparkSession): Unit = {
+    * strategy for graft's custom logical operators.
+    *
+    * The whole method is synchronized on this object (r11 concurrency
+    * audit): `extraStrategies` is a bare session var, and the
+    * check-then-append below is a read-modify-write — two concurrent
+    * registrations (register runs on EVERY greedyExecQuery call) could
+    * both pass the !contains check and install the strategy twice, or
+    * overwrite a strategy another library appended in the same window.
+    * A JVM-wide lock is the right scope for the common one-session case;
+    * cross-library races on the same var remain the caller's to
+    * serialize (Spark offers no atomic append there). */
+  def register(spark: SparkSession): Unit = synchronized {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")

@@ -33,8 +33,19 @@ object Preflight {
     "embeddings" -> Schemas.embeddings)
 
   /** Throws IllegalStateException naming every (table, column, want, got)
-    * mismatch if any fixture's footer disagrees with its declared schema. */
-  def check(spark: SparkSession, dir: String): Unit = {
+    * mismatch if any fixture's footer disagrees with its declared schema.
+    *
+    * Synchronized (r11 concurrency audit): the nanosAsLong save/set/
+    * restore below is a non-atomic read-modify-write of SESSION-shared
+    * conf — two concurrent checks would restore each other's temporary
+    * value. The lock serializes checks; the remaining contract is
+    * TEMPORAL, not lock-enforceable: run the gate BEFORE submitting
+    * queries on the session, not concurrently with them — a
+    * [[Tables.events]] call interleaved inside the check's window could
+    * set the conf session-wide (nanos fixture) only to have the restore
+    * unset it under the lazy frame's later action. Both harness mains
+    * honor this (gate first, queries after). */
+  def check(spark: SparkSession, dir: String): Unit = synchronized {
     // nanos columns surface as LongType under this conf instead of
     // aborting footer inference outright; the events.ts special case
     // below decides whether that is acceptable. The previous value is

@@ -231,7 +231,13 @@ object Tables {
     if (!new java.io.File(scratch, "_SUCCESS").exists()) {
       // GC superseded generations of THIS dir before writing the new one:
       // an in-place fixture regeneration changes the sig, and without the
-      // sweep every regeneration would leak a full table copy in tmp
+      // sweep every regeneration would leak a full table copy in tmp.
+      // A reader STILL SCANNING a superseded generation (a lazy frame
+      // obtained before an in-place regeneration) dies with a loud
+      // FileNotFoundException when its files vanish — the deliberate
+      // trade (r11 audit): regeneration already invalidates in-flight
+      // frames semantically, and a loud abort beats both unbounded
+      // scratch growth and silently mixing generations
       Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.startsWith(prefix) && f.getName != prefix + sig
           && !f.getName.contains(".tmp_"))
@@ -328,11 +334,41 @@ object Tables {
       .option("numPartitions", numPartitions)
       .load()
 
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run `body` with each frame registered under a UNIQUE per-call temp
+    * view name (base + a JVM-wide counter); the views are dropped before
+    * returning. For library operators whose SQL-only features (ROLLUP /
+    * GROUPING SETS / LATERAL / recursive CTE / approx_top_k) force a
+    * spark.sql round-trip: `spark.sql` analyzes EAGERLY, so the resolved
+    * plan no longer consults the catalog and the drop is safe — and the
+    * unique names make concurrent callers on one shared SparkSession
+    * collision-free (r11 concurrency audit: a FIXED view name let thread
+    * B swap the view under thread A's in-flight analysis — same schema,
+    * no error, silently wrong data). `body` receives base → unique. */
+  private[graft] def withTempViews[A](spark: SparkSession, frames: (String, DataFrame)*)(
+      body: Map[String, String] => A): A = {
+    val names = frames.map { case (base, df) =>
+      val unique = s"${base}_${viewCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(unique)
+      base -> unique
+    }.toMap
+    try body(names)
+    finally names.values.foreach(spark.catalog.dropTempView(_))
+  }
+
   /** Register every fixture table as a temp view and the engine's custom
     * expressions as SQL functions: the full surface becomes usable from
     * pure `spark.sql` (the dashboard/ad-hoc entry the reference exposes
     * through Django views, SURVEY §3.2 — here it's ANSI SQL over the same
-    * operators). */
+    * operators).
+    *
+    * Deliberately SESSION-GLOBAL fixed names — this helper IS the
+    * catalog mirror (`SELECT ... FROM lineitem` must work verbatim), so
+    * two threads registering DIFFERENT dirs on one session would
+    * repoint each other's tables, exactly like two threads fighting
+    * over any shared catalog entry. Concurrent multi-dir tenants use
+    * `spark.newSession()` (temp views are session-scoped). */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     region(spark, dir).createOrReplaceTempView("region")
     nation(spark, dir).createOrReplaceTempView("nation")

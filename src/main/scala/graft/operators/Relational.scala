@@ -199,16 +199,17 @@ object Relational {
       // has no plan-id metadata; the physical plan (single-scan Expand +
       // hash agg) is identical.
       .transform { base =>
-        base.createOrReplaceTempView("graft_rollup_base")
-        base.sparkSession.sql(
-          """SELECT * FROM (
-            |  SELECT coalesce(rname, 'ALL') AS region, coalesce(nname, 'ALL') AS nation,
-            |    CAST(grouping(rname) * 2 + grouping(nname) AS BIGINT) AS gid,
-            |    CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
-            |    CAST(sum(cnt) AS BIGINT) AS n_items
-            |  FROM graft_rollup_base
-            |  GROUP BY ROLLUP(rname, nname)) t
-            |ORDER BY region, nation""".stripMargin)
+        Tables.withTempViews(base.sparkSession, "graft_rollup_base" -> base) { v =>
+          base.sparkSession.sql(
+            s"""SELECT * FROM (
+              |  SELECT coalesce(rname, 'ALL') AS region, coalesce(nname, 'ALL') AS nation,
+              |    CAST(grouping(rname) * 2 + grouping(nname) AS BIGINT) AS gid,
+              |    CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+              |    CAST(sum(cnt) AS BIGINT) AS n_items
+              |  FROM ${v("graft_rollup_base")}
+              |  GROUP BY ROLLUP(rname, nname)) t
+              |ORDER BY region, nation""".stripMargin)
+        }
       }
 
   /** E-AGG-SETS: cube over returnflag × linestatus. Pre-aggregated to the
@@ -877,13 +878,13 @@ object Relational {
     * mismatch trips the driver's compare loudly — the cardinality
     * contract is enforced by the check itself, not by a per-run
     * count-distinct guard this hot path would otherwise pay for. */
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir).createOrReplaceTempView("graft_hh_events")
-    spark.sql(
-      """SELECT item AS user_id, count AS n_events FROM (
-        |  SELECT inline(approx_top_k(user_id, 2000, 8192)) FROM graft_hh_events
-        |) ORDER BY n_events DESC, user_id""".stripMargin)
-  }
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.withTempViews(spark, "graft_hh_events" -> Tables.events(spark, dir)) { v =>
+      spark.sql(
+        s"""SELECT item AS user_id, count AS n_events FROM (
+          |  SELECT inline(approx_top_k(user_id, 2000, 8192)) FROM ${v("graft_hh_events")}
+          |) ORDER BY n_events DESC, user_id""".stripMargin)
+    }
 
   /** Conversion funnel: how many users progress view → click → purchase
     * IN ORDER (each stage strictly after the previous user's first
@@ -1020,16 +1021,17 @@ object Relational {
       // attrs carry plan-id metadata that false-positives the ambiguous-
       // self-join check inside Expand.
       .transform { base =>
-        base.createOrReplaceTempView("graft_gsets_base")
-        base.sparkSession.sql(
-          """SELECT * FROM (
-            |  SELECT coalesce(rname, 'ALL') AS region, coalesce(nname, 'ALL') AS nation,
-            |    CAST(grouping(rname) * 2 + grouping(nname) AS BIGINT) AS gid,
-            |    CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
-            |    CAST(sum(cnt) AS BIGINT) AS n_items
-            |  FROM graft_gsets_base
-            |  GROUP BY GROUPING SETS ((rname, nname), (nname), ())) t
-            |ORDER BY region, nation""".stripMargin)
+        Tables.withTempViews(base.sparkSession, "graft_gsets_base" -> base) { v =>
+          base.sparkSession.sql(
+            s"""SELECT * FROM (
+              |  SELECT coalesce(rname, 'ALL') AS region, coalesce(nname, 'ALL') AS nation,
+              |    CAST(grouping(rname) * 2 + grouping(nname) AS BIGINT) AS gid,
+              |    CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+              |    CAST(sum(cnt) AS BIGINT) AS n_items
+              |  FROM ${v("graft_gsets_base")}
+              |  GROUP BY GROUPING SETS ((rname, nname), (nname), ())) t
+              |ORDER BY region, nation""".stripMargin)
+        }
       }
 
   /** E-PROJ unpivot (melt): the four lineitem measures to long format —
@@ -1622,16 +1624,18 @@ object Relational {
     * subquery execution per customer row — proven by the identical
     * result and a plans note. */
   def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("graft_lat_customer")
-    Tables.orders(spark, dir).createOrReplaceTempView("graft_lat_orders")
-    spark.sql(
-      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-        |FROM graft_lat_customer c,
-        |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_orders
-        |         WHERE o_custkey = c.c_custkey
-        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-        |WHERE c.c_custkey <= 100
-        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    Tables.withTempViews(spark,
+      "graft_lat_customer" -> Tables.customer(spark, dir),
+      "graft_lat_orders" -> Tables.orders(spark, dir)) { v =>
+      spark.sql(
+        s"""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM ${v("graft_lat_customer")} c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM ${v("graft_lat_orders")}
+          |         WHERE o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c.c_custkey <= 100
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }
   }
 
   /** Week-over-week change: weekly revenue per event type with the

@@ -146,7 +146,17 @@ object Scale {
     * the streaming sinks' replay discipline — gate redelivery upstream,
     * e.g. by slice id). The rewrite goes through the compact/merge
     * staging path: new state is written beside the old and swapped in,
-    * so a crash mid-maintenance leaves the previous state readable. */
+    * so a crash mid-maintenance leaves the previous state readable.
+    *
+    * SINGLE-WRITER per statePath (r11 concurrency audit) — like any
+    * checkpoint/state store: the read-merge-swap is not atomic across
+    * CONCURRENT maintenance calls, so two simultaneous slices would
+    * either lose one slice's partials (both merged against the pre-swap
+    * state) or fail mid-scan when the other's swap renames files away.
+    * Serialize maintenance (union concurrent slices into one call); a
+    * JVM lock cannot express this — the state lives on shared storage
+    * across processes, so the discipline is the caller's, exactly as it
+    * is for a Structured Streaming checkpoint dir. */
   def maintainAggState(spark: SparkSession, statePath: String, slice: DataFrame,
                        key: String, valueCol: String): Unit = {
     // the STATE sum is decimal(38,2), not the per-value (18,2): a rolling

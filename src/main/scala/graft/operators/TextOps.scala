@@ -1370,24 +1370,24 @@ object TextOps {
     * path multiplicity. At scale each recursion step is one equi-join of
     * the frontier against the edge list — bounded depth = bounded
     * stages. */
-  def reachable(spark: SparkSession, dir: String): DataFrame = {
-    minhashPairs(spark, dir).createOrReplaceTempView("graft_dup_pairs")
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .createOrReplaceTempView("graft_doc_ids")
-    spark.sql(
-      """WITH RECURSIVE reach(seed_id, doc_id, hop) AS (
-        |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM graft_doc_ids WHERE doc_id < 50
-        |  UNION ALL
-        |  SELECT r.seed_id, e.dst, r.hop + 1
-        |  FROM reach r
-        |  JOIN (SELECT d1 AS src, d2 AS dst FROM graft_dup_pairs
-        |        UNION ALL
-        |        SELECT d2 AS src, d1 AS dst FROM graft_dup_pairs) e
-        |    ON r.doc_id = e.src
-        |  WHERE r.hop < 3)
-        |SELECT seed_id, doc_id, min(hop) AS min_hop
-        |FROM reach GROUP BY 1, 2 ORDER BY seed_id, doc_id""".stripMargin)
-  }
+  def reachable(spark: SparkSession, dir: String): DataFrame =
+    Tables.withTempViews(spark,
+      "graft_dup_pairs" -> minhashPairs(spark, dir),
+      "graft_doc_ids" -> Tables.documents(spark, dir).select(col("doc_id"))) { v =>
+      spark.sql(
+        s"""WITH RECURSIVE reach(seed_id, doc_id, hop) AS (
+          |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM ${v("graft_doc_ids")} WHERE doc_id < 50
+          |  UNION ALL
+          |  SELECT r.seed_id, e.dst, r.hop + 1
+          |  FROM reach r
+          |  JOIN (SELECT d1 AS src, d2 AS dst FROM ${v("graft_dup_pairs")}
+          |        UNION ALL
+          |        SELECT d2 AS src, d1 AS dst FROM ${v("graft_dup_pairs")}) e
+          |    ON r.doc_id = e.src
+          |  WHERE r.hop < 3)
+          |SELECT seed_id, doc_id, min(hop) AS min_hop
+          |FROM reach GROUP BY 1, 2 ORDER BY seed_id, doc_id""".stripMargin)
+    }
 
   /** q_dedup_decisions: the DECIDE stage that closes the dedup story
     * (detect pairs → cluster → choose survivors): per near-dup cluster,
