@@ -88,6 +88,33 @@ class HashLawsPropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee: any shared run of >= w+k-1 = 6 tokens yields a shared fingerprint") {
+    // Schleimer et al. 2003's t = w+k-1 guarantee, on random docs under
+    // the r11 polynomial trigram hash. Proven against the SAME pure
+    // recompute the engine is pinned to row-for-row in CorpusOpsSpec
+    // ("values match an independent local recompute"), so the law
+    // transfers to the engine without a Spark job per sample.
+    val P = 2147483647L
+    val B = 2654435761L
+    def f(x: Long) = java.lang.Math.floorMod(x, P)
+    def trig(c1: Long, c2: Long, c3: Long) = ((f(c1) * B + f(c2)) % P * B + f(c3)) % P
+    def fingerprints(c: Seq[Long]): Set[Long] = {
+      val h = (0 until math.max(c.length - 2, 0)).map(i => trig(c(i), c(i + 1), c(i + 2)))
+      if (h.length < 4) Set.empty
+      else (0 to h.length - 4).map(i => h.slice(i, i + 4).min).toSet
+    }
+    val genCase = for {
+      run <- Gen.listOfN(6, Gen.choose(0L, 500000L))            // the shared 6-token run
+      pre1 <- Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 500000L)))
+      suf1 <- Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 500000L)))
+      pre2 <- Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 500000L)))
+      suf2 <- Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 500000L)))
+    } yield (pre1 ++ run ++ suf1, pre2 ++ run ++ suf2)
+    forAllSamples(genCase, n = 80) { case (d1, d2) =>
+      (fingerprints(d1) intersect fingerprints(d2)).nonEmpty
+    }
+  }
+
   test("TopKAggregator: reduce/merge order never changes the result (shuffle-plan independence)") {
     import graft.functions.{Scored, TopKAggregator}
     val agg = TopKAggregator(5)
