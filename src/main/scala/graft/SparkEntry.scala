@@ -1309,8 +1309,8 @@ object SparkEntry {
         |  SELECT event_type, count(*) AS n_true FROM events GROUP BY 1
         |), coded AS (
         |  SELECT event_type, n_true,
-        |    list_sum(list_transform(range(1, length(event_type) + 1),
-        |      j -> ascii(substr(event_type, j, 1)) * j)) AS code
+        |    coalesce(list_sum(list_transform(range(1, length(event_type) + 1),
+        |      j -> ascii(substr(event_type, j, 1)) * j)), 0) AS code
         |  FROM counts
         |), drawn AS (
         |  SELECT event_type, n_true, ((code % 999983) * 2654435761) % 999983 AS k
@@ -2556,9 +2556,13 @@ object SparkEntry {
       // r6 red row). Values were always identical; only the carrier
       // type differed.
       """WITH seqs AS (
+        |  -- coalesce: list_sum over an EMPTY token ('' from a double
+        |  -- space) is NULL in DuckDB while the engine's TokenCode('') is
+        |  -- 0 — a NULL code nulls three trigram hashes and shifts window
+        |  -- minima (r11 review; latent, fixtures have no empty tokens)
         |  SELECT doc_id, list_transform(string_split(text, ' '),
-        |    t -> list_sum(list_transform(range(1, length(t) + 1),
-        |           j -> ascii(substr(t, j, 1)) * j))) AS c
+        |    t -> coalesce(list_sum(list_transform(range(1, length(t) + 1),
+        |           j -> ascii(substr(t, j, 1)) * j)), 0)) AS c
         |  FROM documents
         |), grams AS (
         |  -- polynomial rolling hash mod 2^31-1, codes folded first —
@@ -2654,8 +2658,11 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         |), coded AS (
-        |  SELECT doc_id, list_sum(list_transform(range(1, length(tok) + 1),
-        |    j -> ascii(substr(tok, j, 1)) * j)) AS code
+        |  -- coalesce 0: TokenCode('') = 0 on the engine; DuckDB's
+        |  -- list_sum([]) is NULL, and sum() would then silently skip the
+        |  -- empty token's bit-vote (r11 review; latent at fixture)
+        |  SELECT doc_id, coalesce(list_sum(list_transform(range(1, length(tok) + 1),
+        |    j -> ascii(substr(tok, j, 1)) * j)), 0) AS code
         |  FROM toks
         |), params(i, a, b) AS (VALUES
         |  (0, 1000003, 42), (1, 1007922, 1051), (2, 1015841, 2060), (3, 1023760, 3069),

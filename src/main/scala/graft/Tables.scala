@@ -345,16 +345,32 @@ object Tables {
     * unique names make concurrent callers on one shared SparkSession
     * collision-free (r11 concurrency audit: a FIXED view name let thread
     * B swap the view under thread A's in-flight analysis — same schema,
-    * no error, silently wrong data). `body` receives base → unique. */
+    * no error, silently wrong data). `body` receives base → unique.
+    *
+    * Do NOT register a .persist()ed frame: dropTempView also uncaches
+    * any entry whose plan sameResults the view (Catalog semantics), so
+    * the finally-drop would silently unpersist it before the caller's
+    * action and the "drop is safe" claim below would not hold. Every
+    * current site registers unpersisted frames; the safety argument is
+    * spark.sql's EAGER analysis — the resolved plan (incl. Spark 4.1's
+    * recursive-CTE UnionLoop re-iteration) never consults the catalog
+    * again. */
   private[graft] def withTempViews[A](spark: SparkSession, frames: (String, DataFrame)*)(
       body: Map[String, String] => A): A = {
-    val names = frames.map { case (base, df) =>
-      val unique = s"${base}_${viewCounter.incrementAndGet()}"
-      df.createOrReplaceTempView(unique)
-      base -> unique
-    }.toMap
-    try body(names)
-    finally names.values.foreach(spark.catalog.dropTempView(_))
+    // registration happens INSIDE the try: if the Nth view fails to
+    // register, the first N−1 unique names are still dropped — with
+    // per-call names a leak would otherwise accumulate analyzed plans
+    // in the catalog across retries for the session's lifetime
+    val registered = scala.collection.mutable.ListBuffer.empty[String]
+    try {
+      val names = frames.map { case (base, df) =>
+        val unique = s"${base}_${viewCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(unique)
+        registered += unique
+        base -> unique
+      }.toMap
+      body(names)
+    } finally registered.foreach(spark.catalog.dropTempView(_))
   }
 
   /** Register every fixture table as a temp view and the engine's custom

@@ -432,14 +432,9 @@ class CorpusOpsSpec extends SparkSpec {
       }
       acc
     }
-    // the r11 polynomial rolling hash: ((c1·B + c2)·B + c3) mod p, codes
-    // folded to [0, p) — exact long at every step (the engine's form)
-    val P = 2147483647L
-    val B = 2654435761L
-    def trig(c1: Long, c2: Long, c3: Long): Long = {
-      def f(x: Long) = java.lang.Math.floorMod(x, P)
-      ((f(c1) * B + f(c2)) % P * B + f(c3)) % P
-    }
+    // the r11 polynomial rolling hash, via the SINGLE shared test
+    // recompute (WinnowRef) every winnow law is proven against
+    import WinnowRef.trig
     val perFp = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
     docs.foreach { case (id, toks) =>
       val c = toks.map(code)
