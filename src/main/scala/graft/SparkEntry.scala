@@ -87,6 +87,7 @@ object SparkEntry {
     "q_abandon" -> (Relational.cartAbandonment _),
     "q_containment" -> (TextOps.containment _),
     "q_lm_score" -> (TextOps.lmScore _),
+    "q_ccnet_buckets" -> (TextOps.ccnetBuckets _),
     "q_winnow" -> (TextOps.winnow _),
     "q_islands" -> (Relational.activityIslands _),
     "q_bitmap_distinct" -> (Scale.bitmapDistinctQuery _),
@@ -179,6 +180,7 @@ object SparkEntry {
     "q_jw" -> (TextOps.jaroWinklerPairs _),
     "q_triangles" -> (TextOps.triangleCensus _),
     "q_mix" -> (TextOps.mixRates _),
+    "q_temp_mix" -> (TextOps.tempMix _),
     "q_interleave" -> (TextOps.interleave _),
     "q_wsample" -> (TextOps.weightedSample _),
     "q_pack" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
@@ -193,6 +195,7 @@ object SparkEntry {
     "q_nms_dominance" -> (Nms.dominanceQuery _),
     "q_quantiles" -> (Relational.quantiles _),
     "q_stratified" -> (Curation.stratifiedExact _),
+    "q_domain_cap" -> (Curation.domainCap _),
     "q_ks" -> (Analytics.ksTest _),
     "q_cusum" -> (Analytics.cusum _),
     "q_mad" -> (Analytics.madOutliers _),
@@ -876,6 +879,22 @@ object SparkEntry {
         |SELECT source, rn, doc_id, n_stratum
         |FROM r WHERE rn * 10 <= n_stratum + 9
         |ORDER BY source, rn""".stripMargin,
+    // q_domain_cap: the aggregator's (−h desc, id asc) order ≡ this
+    // window's (h asc, doc_id asc); the hash is the q_wsample integer
+    // form, exact in BIGINT on both engines
+    "q_domain_cap" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ((((doc_id % 2147483647) + 2147483647) % 2147483647)
+        |      * 2654435761) % 1000003 AS hkey
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id, n_chars, hkey,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY hkey, doc_id) AS BIGINT) AS rank
+        |  FROM h)
+        |SELECT source, rank, doc_id, hkey, n_chars
+        |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
     // q_ks: the max runs over exact integer cross-products; the one double
     // division happens after the max on both engines
     "q_ks" ->
@@ -2493,6 +2512,42 @@ object SparkEntry {
         |    s -> -s.tf * ln((s.c + 1) / CAST(n + v AS DOUBLE)))) / n_tokens, 4)
         |    AS lm_score
         |FROM per CROSS JOIN nv ORDER BY doc_id""".stripMargin,
+    // q_ccnet_buckets: the rank key is exact-rational (tf·(N+V)/(c+1)
+    // terms, one correctly-rounded division each, summed token-sorted),
+    // so tercile cuts cannot sit on the ln 1-ulp boundary; ntile hands
+    // the n mod 3 extra rows to the first buckets on both engines (the
+    // q_interleave precedent)
+    "q_ccnet_buckets" ->
+      """WITH occ AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, lang, tok, count(*) AS tf FROM occ GROUP BY 1, 2, 3
+        |), cf AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+        |), nv AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cf
+        |), per AS (
+        |  SELECT doc_id, lang,
+        |    list_sort(list(struct_pack(tok := tok,
+        |      term := tf * (CAST(n + v AS DOUBLE) / (c + 1))))) AS l,
+        |    CAST(sum(tf) AS BIGINT) AS n_tokens
+        |  FROM tf JOIN cf USING (tok) CROSS JOIN nv GROUP BY doc_id, lang
+        |), sc AS (
+        |  SELECT doc_id, lang,
+        |    list_sum(list_transform(l, s -> s.term)) / n_tokens AS rarity
+        |  FROM per
+        |), bk AS (
+        |  SELECT lang, rarity,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY rarity, doc_id) AS b
+        |  FROM sc)
+        |SELECT lang,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS bucket,
+        |  count(*) AS n_docs,
+        |  round(min(rarity), 4) AS min_rarity,
+        |  round(max(rarity), 4) AS max_rarity
+        |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "q_bitmap_distinct" ->
       """SELECT event_type,
         |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
@@ -2878,6 +2933,30 @@ object SparkEntry {
         |  round(CASE WHEN n_wedges > 0
         |    THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 4) AS clustering
         |FROM e CROSS JOIN w CROSS JOIN t""".stripMargin,
+    // q_temp_mix: p is one double division of exact integer counts; the
+    // pow(·, 0.3) sits on the documented cross-libm 1-ulp boundary
+    // (display-rounded); Z folds the lang-sorted pa list (q_entropy
+    // discipline) so the normalizer adds in the same order both sides
+    "q_temp_mix" ->
+      """WITH per AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang
+        |), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM per),
+        |wp AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
+        |    pow(CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE),
+        |      CAST(0.3 AS DOUBLE)) AS pa
+        |  FROM per CROSS JOIN tot),
+        |z AS (
+        |  SELECT list_sum(list_transform(
+        |    list_sort(list(struct_pack(lang := lang, pa := pa))),
+        |    s -> s.pa)) AS z
+        |  FROM wp)
+        |SELECT lang, n_docs, n_tokens, round(p, 4) AS p_raw,
+        |  round(pa / z, 4) AS p_temp, round(pa / z / p, 4) AS boost
+        |FROM wp CROSS JOIN z ORDER BY lang""".stripMargin,
     "q_mix" ->
       // mixing plan: named shares sum to 0.8, remainder 0.2 split evenly
       // over unlisted sources; budget = half the corpus tokens; rate <= 1

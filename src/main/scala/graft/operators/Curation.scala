@@ -360,6 +360,56 @@ object Curation {
       .orderBy("source", "rn")
   }
 
+  /** q_domain_cap: absolute per-domain document cap — the RefinedWeb /
+    * C4-style composition rule (Penedo et al. 2023): no source may
+    * contribute more than K documents, the kept K drawn UNIFORMLY by a
+    * deterministic hash (not "first K seen", which at corpus scale means
+    * "whatever crawl shard arrived first"). Complements
+    * [[stratifiedExact]]: that keeps a PROPORTIONAL 10% per stratum;
+    * this clamps an ABSOLUTE ceiling, the anti-head-domain rule (a 10%
+    * sample of a 10⁹-doc domain is still 10⁸ docs).
+    *
+    * Scale shape — and why this is NOT the window form: row_number over
+    * (partition by source) sorts every hot domain's full document list
+    * on one reducer. The cap here runs as [[graft.functions
+    * .TopKAggregator]] (score = −hash, so top-k desc ≡ k smallest
+    * hashes): each map partition keeps at most K rows per source before
+    * the shuffle, so the exchange carries O(|sources|·K) rows no matter
+    * how hot the domain — the q_topk_agg sketch-not-fact discipline.
+    * Survivors (a |sources|·K-row frame) broadcast back onto the fact
+    * scan to hydrate payload columns.
+    *
+    * Determinism: the selection key is the q_wsample integer hash
+    * ((fold(doc_id)·Knuth) mod 1000003 — exact in long on both engines);
+    * hash ties break by doc_id ascending, mirroring the aggregator's
+    * (score desc, id asc) order. The hash value round-trips through the
+    * Scored.score double losslessly (< 2²⁰ ≪ 2⁵³). */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val sess = spark
+    import sess.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val K = 10
+    val docs = Tables.documents(spark, dir)
+    val topk = TopKAggregator(K)
+    val kept = docs
+      .select(col("source"), col("doc_id"),
+        pmod(knuthFold(col("doc_id")) * SplitMult, lit(1000003L)).as("h"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => Scored(-r._3.toDouble, r._2))
+      .agg(topk.toColumn)
+      .flatMap { case (src, top) =>
+        top.zipWithIndex.map { case (s, i) =>
+          (src, (i + 1).toLong, s.id, (-s.score).toLong)
+        }
+      }
+      .toDF("source", "rank", "doc_id", "hkey")
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(broadcast(kept), Seq("doc_id"))
+      .select(col("source"), col("rank"), col("doc_id"), col("hkey"), col("n_chars"))
+      .orderBy("source", "rank")
+  }
+
   /** q_dsir: data-selection importance weights (the DSIR recipe, Xie et
     * al. 2023, with unigram features): every document is scored by the
     * average per-token log-likelihood ratio between a TARGET corpus

@@ -1108,6 +1108,48 @@ object TextOps {
       .orderBy("source", "rank")
   }
 
+  /** q_temp_mix: temperature-rebalanced language mixture — the mT5 /
+    * XLM-R multilingual sampling rule (Xue et al. 2021 §3.1; Conneau et
+    * al. 2020 §3): sample language l with probability q_l ∝ p_l^α,
+    * p_l = its raw token share, α = 0.3 — flattening the distribution so
+    * low-resource languages are upsampled without letting any single
+    * language dominate. Complements [[mixRates]]: that plans NAMED
+    * per-source shares against a token budget; this DERIVES the shares
+    * from the data by exponent rebalancing over the language axis.
+    * Output per language: raw share, temperature share, and the boost
+    * factor q_l/p_l a sampler applies on top of natural frequency.
+    *
+    * Determinism: p_l is one correctly-rounded double division of two
+    * exact integer token counts (identical across engines); pow sits on
+    * the documented cross-libm 1-ulp boundary (the q_wsample precedent —
+    * display-rounded, and a flip needs the true value within ~1e-16 of a
+    * 1e-4 grid line); the normalizer Z folds the p^α terms over the
+    * LANG-SORTED list (q_entropy discipline) so addition order is a
+    * total order on both engines.
+    *
+    * Scale shape: one map-side-combinable token-count aggregation over
+    * the corpus; everything after runs on a |languages|-row frame with
+    * two 1-row broadcasts — no fact-sized window, sort, or second scan. */
+  def tempMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("n_total"))
+    val withP = per.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens") / col("n_total").cast("double"))
+      .withColumn("pa", pow(col("p"), lit(0.3)))
+    val z = withP
+      .agg(array_sort(collect_list(struct(col("lang"), col("pa")))).as("l"))
+      .select(aggregate(col("l"), lit(0.0), (a, s) => a + s.getField("pa")).as("z"))
+    withP.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("p"), 4).as("p_raw"),
+        round(col("pa") / col("z"), 4).as("p_temp"),
+        round(col("pa") / col("z") / col("p"), 4).as("boost"))
+      .orderBy("lang")
+  }
+
   /** q_interleave: deterministic stride-scheduled source interleaving —
     * the EXECUTABLE training order that [[mixRates]]'s weights only plan.
     * Classic stride scheduling (weighted round-robin): each source
@@ -1268,6 +1310,64 @@ object TextOps {
           aggregate(col("l"), lit(0.0), (acc, s) => acc - s.getField("term"))
             / col("n_tokens"), 4).as("lm_score"))
       .orderBy("doc_id")
+  }
+
+  /** q_ccnet_buckets: CCNet-style per-language quality buckets (Wenzek
+    * et al. 2020 §4.3): score every document under a corpus unigram
+    * model, then cut EACH LANGUAGE independently into head/middle/tail
+    * terciles — per-language calibration is the paper's signature move
+    * (a global cutoff would junk whole low-resource languages whose
+    * scores sit in another language's tail). Downstream pipelines keep
+    * head+middle and drop or down-weight tail.
+    *
+    * DEVIATION from the paper, by design: CCNet ranks by Kneser–Ney
+    * 5-gram perplexity; the engine-neutral rank key here is mean inverse
+    * unigram probability (add-1 smoothed) — monotone in "rare/surprising
+    * tokens" like perplexity, but EXACT-RATIONAL end to end (each term
+    * is tf·(N+V)/(c+1): integer ratios under one correctly-rounded
+    * division, summed in token-sorted order — the q_entropy fold
+    * discipline). [[lmScore]]'s ln-based surprisal would put the tercile
+    * CUTS on the documented cross-libm 1-ulp boundary, where one flipped
+    * rank moves a whole bucket row; a rank key must be bit-stable, a
+    * display column only needs to round stably.
+    *
+    * Scale shape: the model frames are vocabulary-sized partial
+    * aggregates and the per-doc join is tf⋈vocab on the token key — the
+    * exact shape q_lm_score benches; the tercile is ntile(3) over a
+    * LANGUAGE-partitioned window (CCNet's own per-language cutoffs),
+    * never an unpartitioned fact-sized frame. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("tok").agg(sum("tf").as("c"))
+    val nv = cf.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    // term stays in a codegen'd projection (the lmScore lesson: HOF
+    // lambdas evaluate interpreted — only the order-pinned ADD lives in
+    // the fold); tok is per-doc-unique, so the struct sort is total
+    val per = tf.join(cf, "tok")
+      .crossJoin(broadcast(nv))
+      .withColumn("term",
+        col("tf") * ((col("n") + col("v")).cast("double") / (col("c") + 1)))
+      .groupBy("doc_id", "lang")
+      .agg(array_sort(collect_list(struct(col("tok"), col("term")))).as("l"),
+        sum("tf").as("n_tokens"))
+      .select(col("doc_id"), col("lang"),
+        (aggregate(col("l"), lit(0.0), (a, s) => a + s.getField("term"))
+          / col("n_tokens")).as("rarity"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("rarity"), col("doc_id"))
+    per.withColumn("b", ntile(3).over(w))
+      .groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min("rarity"), 4).as("min_rarity"),
+        round(max("rarity"), 4).as("max_rarity"))
+      .select(col("lang"),
+        when(col("b") === 1, "head")
+          .when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_docs"), col("min_rarity"), col("max_rarity"))
+      .orderBy("lang", "bucket")
   }
 
   /** Winnowing fingerprints (the MOSS local-match scheme, Schleimer et

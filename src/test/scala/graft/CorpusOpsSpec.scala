@@ -232,6 +232,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(est <= total / 2 * 1.01, "plan cannot exceed the half-corpus budget")
   }
 
+  test("temperature mix: flattens toward uniform without reordering languages") {
+    val rows = TextOps.tempMix(spark, sf).collect()
+    val nLangs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(rows.length == nLangs, "no language silently dropped")
+    val (pRaw, pTemp) = (rows.map(_.getDouble(3)), rows.map(_.getDouble(4)))
+    assert(math.abs(pRaw.sum - 1.0) < 0.01, s"raw shares sum to ${pRaw.sum}")
+    assert(math.abs(pTemp.sum - 1.0) < 0.01, s"temp shares sum to ${pTemp.sum}")
+    // α < 1 flattens: every below-uniform language is boosted, every
+    // above-uniform language is shrunk — and strictly so away from 1/L
+    val u = 1.0 / nLangs
+    rows.foreach { r =>
+      val (p, q, boost) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      if (p < u - 1e-9) assert(q > p && boost > 1.0, s"${r.getString(0)} not upsampled")
+      if (p > u + 1e-9) assert(q < p && boost < 1.0, s"${r.getString(0)} not downsampled")
+    }
+    // monotone: rebalancing must not swap the rank order of languages
+    val byP = rows.sortBy(_.getDouble(3)).map(_.getString(0)).toSeq
+    val byQ = rows.sortBy(_.getDouble(4)).map(_.getString(0)).toSeq
+    assert(byP == byQ, "x ↦ x^α is increasing; order must be preserved")
+  }
+
+  test("ccnet buckets: 3 terciles per language, sizes within 1, cutoffs nested") {
+    val rows = TextOps.ccnetBuckets(spark, sf).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    val perLang = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == perLang.keySet, "every language bucketed")
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_.getString(1)).sorted.toSeq == Seq("head", "middle", "tail"),
+        s"$lang buckets")
+      // ntile: bucket sizes differ by at most 1 and sum to the doc count
+      val sizes = rs.map(_.getLong(2))
+      assert(sizes.sum == perLang(lang), s"$lang docs conserved")
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+      // per-language score ranges must be disjoint and ordered
+      // head ≤ middle ≤ tail (rarity ascending = quality descending)
+      val m = rs.map(r => r.getString(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+      assert(m("head")._2 <= m("middle")._1 && m("middle")._2 <= m("tail")._1,
+        s"$lang cutoffs not nested: $m")
+    }
+  }
+
   test("bm25: three ranked terms per doc, scores non-increasing, length-normalized") {
     val rows = TextOps.bm25(spark, sf).collect()
     val byDoc = rows.groupBy(_.getLong(0))

@@ -39,6 +39,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("domain cap: ≤K per source, hash-uniform selection ≡ window form, no WindowExec") {
+    val K = 10
+    val rows = Curation.domainCap(spark, sfDir).collect()
+    val perSource = Tables.documents(spark, sfDir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = rows.groupBy(_.getString(0))
+    assert(kept.keySet == perSource.keySet, "no source silently dropped")
+    kept.foreach { case (src, rs) =>
+      assert(rs.length == math.min(K.toLong, perSource(src)), s"$src cap")
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq, s"$src ranks")
+    }
+    // the aggregator must select the SAME documents as the window
+    // formulation (k smallest hashes per source, ties by doc_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("hkey"), col("doc_id"))
+    val windowForm = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        pmod(pmod(col("doc_id"), lit(2147483647L)) * 2654435761L, lit(1000003L)).as("hkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).toSet == windowForm)
+    // scale pin: the cap runs as a bounded aggregation, not a per-domain
+    // window sort (the whole point — map-side K rows per source)
+    val plan = Curation.domainCap(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "domainCap must not sort domains under a window")
+  }
+
   test("contamination reports train docs only, with positive gram counts") {
     val rows = Curation.contamination(spark, sfDir).collect()
     assert(rows.nonEmpty)
