@@ -132,7 +132,17 @@ object Curation {
     // suites, not a 5% hash slice of the corpus like this fixture demo.)
     val estGrams = math.max(1000L, math.min(100000000L,
       Tables.parquetRowCount(spark, dir, "documents") * 10L))
-    val bf = hashed.stat.bloomFilter("gk", expectedNumItems = estGrams, fpp = 0.01)
+    // a sentinel row keeps the build side non-empty: an empty test-gram
+    // set (tiny corpus whose 5% hash slice caught no docs, or an empty
+    // fixture) NPEs Spark's bloomFilter aggregate on a null buffer
+    // (empty-input sweep). The phantom key only adds its fpp worth of
+    // false positives, which the exact equi-join behind the bloom clears
+    // like every other false positive — no extra job, no emptiness probe
+    // in the hot path (xxhash64 output can collide with the sentinel,
+    // harmlessly, for the same reason).
+    val buildIn = hashed.unionByName(
+      spark.range(1).select(lit(Long.MinValue).as("gk")))
+    val bf = buildIn.stat.bloomFilter("gk", expectedNumItems = estGrams, fpp = 0.01)
     grams.filter(splitOf(col("doc_id")) === "train")
       .filter(graft.functions.MightContainLong.mightContainLong(
         col("gram"), bf))

@@ -2010,6 +2010,15 @@ object Relational {
       // time, so not unpersistable here; harness clearCache reclaims)
       .persist()
     val n = per.count() // per-user scalar (same license as the CC fixpoint)
+    // no purchasers: quintile boundaries b/n would be NaN and the NaN
+    // would reach percentile_approx's SQL text as an unresolvable
+    // identifier (empty-input sweep) — the segmentation of nobody is the
+    // empty frame, shaped like the scored output
+    if (n == 0)
+      return per.select(col("user_id"), col("recency"), col("frequency"),
+        round(col("monetary_dec"), 2).cast("double").as("monetary"),
+        lit(0L).as("r_score"), lit(0L).as("f_score"), lit(0L).as("m_score"),
+        lit("regular").as("segment"))
     val (q5, r5) = (n / 5L, n % 5L)
     // cumulative bucket-end ranks: b_i = i·q + min(i, r)
     val bounds = (1 to 4).map(i => i * q5 + math.min(i.toLong, r5))

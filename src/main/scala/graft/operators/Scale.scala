@@ -118,12 +118,20 @@ object Scale {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sized from the actual build-side count: same driver pass that a
     // broadcast build would do anyway; fpp 1% keeps the sketch a few
-    // hundred KB per million keys
-    val bf = hot.stat.bloomFilter("o_orderkey",
-      expectedNumItems = math.max(1000L, hot.count()), fpp = 0.01)
-    val pruned = Tables.lineitem(spark, dir)
+    // hundred KB per million keys. Zero hot keys: Spark's bloomFilter
+    // aggregate NPEs on an empty frame (null buffer) — and nothing can
+    // match anyway, so short-circuit the probe side instead of building
+    // a sketch of nothing (empty-input sweep)
+    val nHot = hot.count()
+    val base = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_quantity", "l_returnflag")
-      .filter(graft.functions.MightContainLong.mightContainLong(col("l_orderkey"), bf))
+    val pruned =
+      if (nHot == 0) base.where(lit(false))
+      else {
+        val bf = hot.stat.bloomFilter("o_orderkey",
+          expectedNumItems = math.max(1000L, nHot), fpp = 0.01)
+        base.filter(graft.functions.MightContainLong.mightContainLong(col("l_orderkey"), bf))
+      }
     pruned.join(hot, pruned("l_orderkey") === hot("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),

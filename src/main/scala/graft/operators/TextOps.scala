@@ -595,6 +595,11 @@ object TextOps {
       .repartition(col("src"))
       .localCheckpoint(true)
     val n = nodes.count() // dim-sized scalar (same license as the CC fixpoint)
+    // empty graph: no nodes means no ranks — return the (empty) node
+    // frame shaped like the loop's output instead of dividing by zero in
+    // the teleport term (empty-input sweep: an empty corpus slice is a
+    // no-op, not a driver ArithmeticException)
+    if (n == 0) return nodes.select(col("doc_id"), lit(1000000000000L).as("pr"))
     val scale = 1000000000000L
     val teleport = (scale / n) * 15 / 100
     var ranks = nodes.select(col("doc_id"), lit(scale / n).as("pr"))
