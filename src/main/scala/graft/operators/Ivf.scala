@@ -82,9 +82,18 @@ object Ivf {
     val sig = contentSig(dir)
     val model = modelCache.compute(dir, (_, prev) =>
       if (prev != null && prev._1 == sig) prev
-      else (sig, new LazyModel(() => new KMeans()
-        .setK(K).setSeed(42L).setMaxIter(10)
-        .fit(emb))))._2.model
+      else (sig, new LazyModel(() => {
+        // fit-time guard (offline path — the count is one pass over the
+        // training frame the fit scans anyway): fewer vectors than cells
+        // makes MLlib return < K centroids and every downstream
+        // centers(i) lookup an opaque AIOOBE; name the caller error
+        val n = emb.count()
+        require(n >= K,
+          s"IVF quantizer needs at least K=$K training vectors, got $n")
+        new KMeans()
+          .setK(K).setSeed(42L).setMaxIter(10)
+          .fit(emb)
+      })))._2.model
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("nemb"),
         col("prediction").as("list"))

@@ -81,10 +81,18 @@ object Pq {
     val sig = contentSig(dir)
     val models = modelCache.compute(dir, (_, prev) =>
       if (prev != null && prev._1 == sig) prev
-      else (sig, new LazyModels(() => (0 until M).map(m =>
-        new KMeans().setK(K).setSeed(42L + m).setMaxIter(10)
-          .setFeaturesCol(s"f$m").setPredictionCol(s"c$m")
-          .fit(withSubs)).toArray)))._2.models
+      else (sig, new LazyModels(() => {
+        // fit-time guard (offline path, same rationale as Ivf.assign):
+        // fewer vectors than codewords makes MLlib return < K centroids
+        // per subspace and downstream code lookups an opaque AIOOBE
+        val n = withSubs.count()
+        require(n >= K,
+          s"PQ codebooks need at least K=$K training vectors per subspace, got $n")
+        (0 until M).map(m =>
+          new KMeans().setK(K).setSeed(42L + m).setMaxIter(10)
+            .setFeaturesCol(s"f$m").setPredictionCol(s"c$m")
+            .fit(withSubs)).toArray
+      })))._2.models
     val coded = models.foldLeft(withSubs)((df, mo) => mo.transform(df))
       .select(col("vec_id") +: col("nemb") +: (0 until M).map(m => col(s"c$m")): _*)
     (coded, models.map(_.clusterCenters.map(_.toArray)))
