@@ -401,7 +401,17 @@ object Curation {
     val K = 10
     val docs = Tables.documents(spark, dir)
     val topk = TopKAggregator(K)
+    // null cap keys fail LOUDLY with a named error (the GreedyNmsPlan
+    // null-geometry discipline): the typed tuple encoder would reject a
+    // null doc_id anyway, but with a generic NOT_NULL_ASSERT_VIOLATION
+    // that names neither the operator nor the remedy. Coalesce is lazy,
+    // so raise_error evaluates only on an actually-null key.
+    def keyed(c: Column, what: String, tpe: String): Column = coalesce(c,
+      raise_error(lit(s"domainCap: null $what — cap keys must be non-null " +
+        "(filter or impute upstream)")).cast(tpe))
     val kept = docs
+      .select(keyed(col("source"), "source", "string").as("source"),
+        keyed(col("doc_id"), "doc_id", "bigint").as("doc_id"))
       .select(col("source"), col("doc_id"),
         pmod(knuthFold(col("doc_id")) * SplitMult, lit(1000003L)).as("h"))
       .as[(String, Long, Long)]

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One detection box (shape from `main.py:98-122`: accumulated
@@ -98,7 +98,19 @@ object Nms {
     * covered by NmsSpec (reference impl + laws). */
   def greedyQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dets = detectionsFromEvents(spark, dir).as[Detection]
+    // named loud failure on null inputs, matching the GreedyNmsExec
+    // null-geometry guard word for word — the typed twin must not fail
+    // with a DIFFERENT (generic encoder) error on the same dirty input.
+    // Only the three source columns can be null: x/y/w/h/class_id derive
+    // from event_id, so a null there raises via det_id first.
+    def req(c: Column, tpe: String): Column = coalesce(c, raise_error(
+      lit("GreedyNms: null frame_id/x/y/w/h in input — NMS geometry " +
+        "must be non-null (filter or impute upstream)")).cast(tpe))
+    val dets = detectionsFromEvents(spark, dir)
+      .withColumn("det_id", req(col("det_id"), "bigint"))
+      .withColumn("frame_id", req(col("frame_id"), "bigint"))
+      .withColumn("conf", req(col("conf"), "double"))
+      .as[Detection]
     nmsPerFrame(dets, 0.3).toDF()
       .select("frame_id", "det_id", "conf")
       .orderBy("frame_id", "det_id")

@@ -246,8 +246,18 @@ object Relational {
     import spark.implicits._
     import graft.functions.{Scored, TopKAggregator}
     val topk = TopKAggregator(3)
+    // null key/score/id fail LOUDLY with a named error (the GreedyNmsPlan
+    // null-geometry discipline) instead of the tuple encoder's generic
+    // NOT_NULL_ASSERT_VIOLATION; a null score cannot rank and a null key
+    // cannot group — filter or impute upstream. (The window twin
+    // q_win_topk keeps SQL null semantics, like every SQL-form operator.)
+    def req(c: Column, what: String, tpe: String): Column = coalesce(c,
+      raise_error(lit(s"topkAggregator: null $what — inputs must be " +
+        "non-null (filter or impute upstream)")).cast(tpe))
     Tables.orders(spark, dir)
-      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .select(req(col("o_custkey"), "o_custkey", "bigint"),
+        req(col("o_totalprice"), "o_totalprice", "double"),
+        req(col("o_orderkey"), "o_orderkey", "bigint"))
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues(r => Scored(r._2, r._3))

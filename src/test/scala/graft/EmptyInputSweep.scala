@@ -3,12 +3,16 @@ package graft
 import org.apache.spark.sql.Row
 
 /** Degenerate-input sweeps: every registered query runs against (a)
-  * ZERO-ROW and (b) SINGLE-ROW copies of the fixture tables. At 100 TB
-  * both are routine — a date filter matching nothing, a fresh partition,
-  * a one-document crawl delta — and an operator that throws turns a
-  * no-op into a pipeline page. Contract: a query either returns rows
-  * (global aggregates legitimately emit an all-null/zero row) or returns
-  * empty — it must not throw.
+  * ZERO-ROW, (b) SINGLE-ROW, and (c) NULL-ROW copies of the fixture
+  * tables (the declared schemas are all-nullable, so dirty rows are
+  * inside the contract). At 100 TB all three are routine — a date filter
+  * matching nothing, a one-document crawl delta, a corrupt ingest row —
+  * and an operator that throws OPAQUELY turns a no-op into an
+  * undiagnosable pipeline page. Contract: a query either handles the
+  * input (SQL-form operators follow SQL null semantics) or rejects it
+  * with a NAMED error telling the caller what to filter or impute
+  * (object-boundary operators: typed NMS, typed top-k aggregators, the
+  * NMS plan node — the GreedyNmsPlan discipline).
   *
   * First run of this sweep (r11) caught six real defects, all fixed:
   * Spark's `stat.bloomFilter` NPEs on an empty build frame (q_bloom_join
@@ -61,6 +65,32 @@ class EmptyInputSweep extends SparkSpec {
     dir
   }
 
+  private lazy val nullRowDir: String = {
+    // three real rows plus one row that is null in EVERY column
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullrow").toString
+    for (t <- tables) {
+      val src = spark.read.parquet(s"$sf/$t.parquet")
+      val nullRow = Row.fromSeq(src.schema.map(_ => null))
+      src.limit(3)
+        .unionByName(spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(nullRow), 1), src.schema))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  /** Object-boundary operators REJECT null keys/geometry with a named
+    * error (plus the two index fits, which reject a < K corpus). The
+    * expected marker pins the error to the NAMED guard — a regression
+    * back to the generic encoder NOT_NULL_ASSERT_VIOLATION fails here. */
+  private val loudOnNull: Map[String, String] = Map(
+    "q_nms_greedy" -> "GreedyNms",
+    "q_nms_exec" -> "GreedyNms",
+    "q_domain_cap" -> "domainCap",
+    "q_topk_agg" -> "topkAggregator",
+    "q_ivf_topk" -> "IVF quantizer",
+    "q_pq_topk" -> "PQ codebooks")
+
   private def sweep(label: String, dirOf: () => String, fitRequired: Set[String]): Unit =
     SparkEntry.queries.foreach { case (name, fn) =>
       if (fitRequired(name))
@@ -77,4 +107,23 @@ class EmptyInputSweep extends SparkSpec {
 
   sweep("empty", () => emptyDir, fitRequiredEmpty)
   sweep("single-row", () => oneRowDir, fitRequiredOneRow)
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    loudOnNull.get(name) match {
+      case Some(marker) =>
+        test(s"$name rejects a null row with its named guard") {
+          val e = try intercept[Throwable] { fn(spark, nullRowDir).count() }
+          finally spark.catalog.clearCache()
+          val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .map(t => String.valueOf(t.getMessage)).mkString("\n")
+          assert(msgs.contains(marker),
+            s"expected the named '$marker' guard, got: ${msgs.take(300)}")
+        }
+      case None =>
+        test(s"$name tolerates a null row") {
+          try fn(spark, nullRowDir).count()
+          finally spark.catalog.clearCache()
+        }
+    }
+  }
 }
