@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Text analysis + deduplication family (SURVEY E-TEXT, E-DEDUP, E-STR;
   * BASELINE.json LLM-pipeline mandate) over the `documents` fixture.
@@ -478,25 +479,32 @@ object TextOps {
   private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOver(shingleCodeFrame(spark, dir))
 
-  /** LSH band join over a (doc_id, cs) shingle-code frame. Split out so
-    * [[containment]] can feed its PERSISTED code frame through and share
-    * the one documents scan between the signature and verify stages. */
-  private[graft] def minhashPairsOver(codeFrame: DataFrame): DataFrame = {
-    // One vectorized pass per doc: shingle codes once (codegen'd
-    // TokenCode), then ALL 16 minhash permutations in a single codegen'd
-    // sweep over the code array (MinHashSig — the HOF array_min-per-
-    // permutation twin interpreted 32 lambdas/row). No shingle explode, no
-    // 16× cross join, zero shuffle before the band-key self-join. At
-    // 100 TB the signature stage is a pure narrow projection.
+  /** (doc_id, band, key) LSH band keys of a (doc_id, cs) shingle-code
+    * frame — the signature stage shared by [[minhashPairsOver]] (batch
+    * self-join) and [[dedupIncrement]] (delta-vs-index join). One
+    * vectorized pass per doc: shingle codes once (codegen'd TokenCode),
+    * then ALL 16 minhash permutations in a single codegen'd sweep over
+    * the code array (MinHashSig — the HOF array_min-per-permutation twin
+    * interpreted 32 lambdas/row). No shingle explode, no 16× cross join,
+    * zero shuffle. At 100 TB the signature stage is a pure narrow
+    * projection. */
+  private[graft] def bandKeyFrame(codeFrame: DataFrame): DataFrame = {
     def bandKey(band: Int): Column =
       concat_ws(",", (0 until 8)
         .map(i => element_at(col("mins"), band * 8 + i + 1).cast("string")): _*)
-    val sigs = codeFrame
+    codeFrame
       .select(col("doc_id"),
         graft.functions.MinHashSig.minhashSig(col("cs"), MinhashParams, MinhashPrime).as("mins"))
       .select(col("doc_id"),
         posexplode(array(bandKey(0), bandKey(1))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+  }
+
+  /** LSH band join over a (doc_id, cs) shingle-code frame. Split out so
+    * [[containment]] can feed its PERSISTED code frame through and share
+    * the one documents scan between the signature and verify stages. */
+  private[graft] def minhashPairsOver(codeFrame: DataFrame): DataFrame = {
+    val sigs = bandKeyFrame(codeFrame)
       // materialize once: the band self-join would otherwise recompute the
       // whole signature pipeline for each side (same strategy a 100 TB run
       // would use — persist/checkpoint signatures before candidate join)
@@ -538,6 +546,72 @@ object TextOps {
     val out = connectedComponents(nodes, pairs).orderBy("doc_id")
     pairs.unpersist()
     out
+  }
+
+  /** Incremental near-dup admission — the daily-crawl-delta loop of
+    * [[minhashLsh]]: a NEW batch of documents (doc_id, text) is checked
+    * against a PERSISTED band-key index of every batch seen so far,
+    * survivors are returned, and the batch's keys are folded into the
+    * index. At 100 TB dedup is not one batch job: deltas arrive forever,
+    * and re-running the corpus-wide self-join per delta re-shuffles the
+    * world — the index join touches only the delta's buckets.
+    *
+    * Admission: a doc is REJECTED iff any of its band keys was already
+    * seen — in the index, or on a smaller-doc_id document of the same
+    * batch (pure LSH band grain: bucket collision = duplicate, the
+    * bucket-dedup policy; the exact-Jaccard verify stage of the batch
+    * path needs the stored corpus' shingles, and an index stores
+    * sketches, not corpora). Docs too short to shingle carry no keys and
+    * are admitted. The index remembers keys of EVERY seen doc, admitted
+    * or not ("this content neighborhood has been observed"), which makes
+    * admission EXACTLY composable: increments over doc_id-ascending
+    * slices ≡ one batch under the same rule (IncrementalDedupSpec pins
+    * it); for unordered slices, arrival order is the admission order —
+    * the semantics a crawl actually wants.
+    *
+    * State discipline = [[graft.operators.Scale.maintainAggState]]'s:
+    * staged write + atomic swap (crash leaves the old index readable),
+    * SINGLE-WRITER per indexPath, each delta folded exactly once. The
+    * rejected-id set (batch-bounded) is eagerly localCheckpoint'ed
+    * BEFORE the swap — the returned frame must not lazily re-read index
+    * files the swap is about to replace. */
+  def dedupIncrement(spark: SparkSession, indexPath: String, docs: DataFrame): DataFrame = {
+    val keys = bandKeyFrame(
+      docs.select(col("doc_id"), array_distinct(shingleCodes(col("text"))).as("cs"))
+        .filter(size(col("cs")) > 0))
+      .persist() // three consumers below; unpersisted before return
+    val idxSchema = StructType(Seq(
+      StructField("band", IntegerType), StructField("key", StringType),
+      StructField("min_doc", LongType)))
+    val idx = new java.io.File(indexPath)
+    val seen =
+      if (idx.exists()) spark.read.schema(idxSchema).parquet(indexPath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
+    val batchMin = keys.groupBy("band", "key").agg(min("doc_id").as("min_doc"))
+    // eager + lineage-truncated: consumed by the returned frame AFTER the
+    // index swap below invalidates `seen`'s files
+    val rejected = keys
+      .join(seen.select("band", "key"), Seq("band", "key"), "left_semi")
+      .select("doc_id")
+      .unionByName(keys.join(batchMin, Seq("band", "key"))
+        .filter(col("doc_id") > col("min_doc"))
+        .select("doc_id"))
+      .distinct()
+      .localCheckpoint(true)
+    val merged = seen.unionByName(batchMin)
+      .groupBy("band", "key").agg(min("min_doc").as("min_doc"))
+    if (!idx.exists()) {
+      batchMin.write.parquet(indexPath)
+    } else {
+      val nonce = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+      val tmp = new java.io.File(indexPath + s".maintain_$nonce")
+      merged.write.parquet(tmp.getPath)
+      graft.sources.Writers.swapIn(idx, tmp,
+        new java.io.File(indexPath + s".old_$nonce"))
+    }
+    keys.unpersist()
+    docs.join(rejected, Seq("doc_id"), "left_anti")
   }
 
   /** Link-analysis centrality over the near-dup pair graph: PageRank with
