@@ -574,7 +574,15 @@ object TextOps {
     * SINGLE-WRITER per indexPath, each delta folded exactly once. The
     * rejected-id set (batch-bounded) is eagerly localCheckpoint'ed
     * BEFORE the swap — the returned frame must not lazily re-read index
-    * files the swap is about to replace. */
+    * files the swap is about to replace.
+    *
+    * Scale note: the index side of the semi-join is corpus-sized while
+    * the delta is small, so at production scale the index should be
+    * written BUCKETED by key (saveAsTable + bucketBy — the BucketingSpec
+    * no-Exchange discipline) so the delta probe co-locates instead of
+    * shuffling the whole index per day; the flat parquet here keeps the
+    * path-addressed fixture simple, and the merge fold is unchanged
+    * either way. */
   def dedupIncrement(spark: SparkSession, indexPath: String, docs: DataFrame): DataFrame = {
     val keys = bandKeyFrame(
       docs.select(col("doc_id"), array_distinct(shingleCodes(col("text"))).as("cs"))
