@@ -165,6 +165,7 @@ object SparkEntry {
     "q_dedup_exact" -> (TextOps.dedupExact _),
     "q_jaccard_pairs" -> (TextOps.jaccardPairs _),
     "q_minhash_lsh" -> (TextOps.minhashLsh _),
+    "q_dedup_admit" -> (TextOps.dedupAdmissions _),
     "q_neardup_clusters" -> (TextOps.nearDupClusters _),
     "q_pagerank" -> (TextOps.pageRank _),
     "q_corpus_prep" -> (TextOps.corpusPrep _),
@@ -2386,6 +2387,15 @@ object SparkEntry {
       s"""WITH $minhashPairCtes
         |SELECT d1, d2 FROM pairs
         |ORDER BY d1, d2""".stripMargin,
+    // q_dedup_admit: bucket-mates ARE the pair listing, so "no smaller
+    // bucket-mate" ≡ "not a d2 of any pair" — the shared CTE chain makes
+    // the two oracles definitionally consistent
+    "q_dedup_admit" ->
+      s"""WITH $minhashPairCtes,
+        |rej AS (SELECT DISTINCT d2 AS doc_id FROM pairs)
+        |SELECT d.doc_id, d.source, r.doc_id IS NULL AS admitted
+        |FROM documents d LEFT JOIN rej r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // q_source_overlap: exact integer vocab counts, one division per pair
     "q_source_overlap" ->
       """WITH vocab AS (

@@ -548,6 +548,38 @@ object TextOps {
     out
   }
 
+  /** q_dedup_admit: the batch-grain form of [[dedupIncrement]]'s
+    * admission policy as a PURE, oracle-checkable query — every document
+    * flagged admitted iff it has no smaller-doc_id band-bucket mate
+    * (pure LSH bucket grain; bucket-mates are exactly the minhashLsh
+    * pair listing, so the oracle is `doc_id ∉ d2 column of the shared
+    * pairs CTE`). This pins the stateful verb's policy under the
+    * row/hash gate; IncrementalDedupSpec separately pins that a fresh
+    * one-batch increment admits exactly this set. Differs from the
+    * cluster-min keep rule (q_dedup_decisions): on a chain 1–5, 3–5 the
+    * bucket rule keeps 3 (no smaller MATE) while cluster-min keeps only
+    * the component minimum 1 — the incremental policy is the local one,
+    * because an index lookup cannot see components that form later.
+    *
+    * Scale shape: signature projection (narrow) → bucket-min partial
+    * agg → self-equi-join on bucket → anti-join; nothing fact-quadratic
+    * (the minhashPairs discipline). */
+  def dedupAdmissions(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: feeds both the bucket-min agg and the join probe (the
+    // minhashPairsOver lifecycle — consumed at the caller's action time,
+    // Bench/Verify clearCache per query)
+    val keys = bandKeyFrame(shingleCodeFrame(spark, dir)).persist()
+    val bucketMin = keys.groupBy("band", "key").agg(min("doc_id").as("min_doc"))
+    val rejected = keys.join(bucketMin, Seq("band", "key"))
+      .filter(col("doc_id") > col("min_doc"))
+      .select("doc_id").distinct()
+      .withColumn("rej", lit(true))
+    Tables.documents(spark, dir).select("doc_id", "source")
+      .join(rejected, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("rej").isNull.as("admitted"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental near-dup admission — the daily-crawl-delta loop of
     * [[minhashLsh]]: a NEW batch of documents (doc_id, text) is checked
     * against a PERSISTED band-key index of every batch seen so far,

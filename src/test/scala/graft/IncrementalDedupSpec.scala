@@ -24,6 +24,15 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(all -- admitted == d2s)
   }
 
+  test("a fresh one-batch increment admits exactly the oracle-checked q_dedup_admit set") {
+    val incr = TextOps.dedupIncrement(spark, freshIndex(), docs())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val query = TextOps.dedupAdmissions(spark, sfDir)
+      .filter(col("admitted")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(incr == query)
+  }
+
   test("doc_id-ordered slices compose: two increments ≡ one batch") {
     val ids = docs().select("doc_id").collect().map(_.getLong(0)).sorted
     val mid = ids(ids.length / 2)
