@@ -433,25 +433,31 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val df = batch.toDF()
-        // "table exists" must mean a COMMITTED data file, not a bare
-        // directory: an empty or crashed first batch leaves a directory
-        // holding only _SUCCESS / _temporary, and mergeUpsert's read of it
-        // dies on schema inference — permanently, since replay repeats the
-        // probe. Until a data file is committed, (re)write the initial
-        // layout; an empty batch before that is skipped outright (nothing
-        // to upsert, no schema worth pinning).
-        def hasDataFile(f: java.io.File): Boolean = {
-          val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
-            kids.exists(hasDataFile)
-        }
-        if (hasDataFile(new java.io.File(path)))
-          graft.sources.Writers.mergeUpsert(df.sparkSession, path, df, key, partitionCols)
-        else if (!df.isEmpty)
-          graft.sources.Writers.writePartitioned(df, path, partitionCols)
+        upsertSinkBatch(batch.toDF(), path, key, partitionCols)
       }
       .start()
+
+  /** One micro-batch of [[upsertSink]] (visible so the first-batch and
+    * empty-batch contracts are directly testable — the jdbcSinkBatch
+    * precedent). "Table exists" must mean a COMMITTED data file, not a
+    * bare directory: an empty or crashed first batch leaves a directory
+    * holding only _SUCCESS / _temporary, and mergeUpsert's read of it
+    * dies on schema inference — permanently, since replay repeats the
+    * probe. Until a data file is committed, (re)write the initial
+    * layout; an empty batch before that is skipped outright (nothing
+    * to upsert, no schema worth pinning). */
+  private[graft] def upsertSinkBatch(df: DataFrame, path: String, key: String,
+                                     partitionCols: Seq[String]): Unit = {
+    def hasDataFile(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
+        kids.exists(hasDataFile)
+    }
+    if (hasDataFile(new java.io.File(path)))
+      graft.sources.Writers.mergeUpsert(df.sparkSession, path, df, key, partitionCols)
+    else if (!df.isEmpty)
+      graft.sources.Writers.writePartitioned(df, path, partitionCols)
+  }
 
   /** One micro-batch of [[jdbcSink]] (visible so the replay contract is
     * directly testable): clear this batchId's rows, then append stamped.

@@ -204,4 +204,29 @@ class WritersSpec extends SparkSpec {
     val back = spark.read.parquet(out).as[(Long, Int)].collect().toSet
     assert(back == src.as[(Long, Int)].collect().toSet)
   }
+
+  test("upsertSinkBatch: empty first batch skipped; crashed-first-batch dir recovered") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_writers").toString + "/upsert"
+    val schema = Seq.empty[(Long, String, Double)].toDF("id", "day", "v")
+    // 1) empty batch before any committed data file: no layout written —
+    //    an empty frame carries no schema worth pinning
+    graft.streaming.StreamOps.upsertSinkBatch(schema, out, "id", Seq("day"))
+    assert(!new java.io.File(out).exists() || parquetFiles(new java.io.File(out)).isEmpty)
+    // 2) crashed first batch: a directory with only _SUCCESS (no data
+    //    file) must be treated as ABSENT — the layout (re)write path, not
+    //    the mergeUpsert read that would die on schema inference
+    new java.io.File(out).mkdirs()
+    new java.io.File(out, "_SUCCESS").createNewFile()
+    val first = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0)).toDF("id", "day", "v")
+    graft.streaming.StreamOps.upsertSinkBatch(first, out, "id", Seq("day"))
+    assert(spark.read.parquet(out).count() == 2)
+    // 3) committed data present: the next batch goes through mergeUpsert
+    //    (update row 2, insert row 3; replaying it changes nothing)
+    val second = Seq((2L, "2024-01-02", 20.0), (3L, "2024-01-03", 3.0)).toDF("id", "day", "v")
+    graft.streaming.StreamOps.upsertSinkBatch(second, out, "id", Seq("day"))
+    graft.streaming.StreamOps.upsertSinkBatch(second, out, "id", Seq("day"))
+    val back = spark.read.parquet(out).select("id", "v").as[(Long, Double)].collect().toMap
+    assert(back == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0))
+  }
 }
