@@ -79,6 +79,33 @@ class EmptyInputSweep extends SparkSpec {
     dir
   }
 
+  private lazy val weirdTextDir: String = {
+    // adversarial CONTENT (not shape): empty text, whitespace runs, a
+    // single char, a 5000-token single-vocab doc, CJK, tabs/newlines,
+    // accented repeats, odd lang/source values — every text operator
+    // must process these, not page (first run: zero defects; kept as
+    // regression cover for future text operators)
+    val dir = java.nio.file.Files.createTempDirectory("graft-weird").toString
+    for (t <- tables.filterNot(_ == "documents"))
+      spark.read.parquet(s"$sf/$t.parquet")
+        .limit(5).coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+    val weird = Seq(
+      Row(800001L, "", "en", "srcW", 0L),
+      Row(800002L, "   ", "en", "srcW", 3L),
+      Row(800003L, "x", "en", "srcW", 1L),
+      Row(800004L, ("tok " * 5000).trim, "en", "srcW", 20000L),
+      Row(800005L, "日本語 テキスト 漢字 ひらがな カタカナ", "ja", "srcW", 20L),
+      Row(800006L, "a\tb\nc  d", "en", "srcW", 9L),
+      Row(800007L, "ünïcödé tökens éverywhere ünïcödé", "de", "srcW", 33L),
+      Row(800008L, (1 to 300).map(i => s"w$i").mkString(" "), "zz", "s.w", 2000L))
+    src.limit(5)
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(weird, 1), src.schema))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   /** Object-boundary operators REJECT null keys/geometry with a named
     * error (plus the two index fits, which reject a < K corpus). The
     * expected marker pins the error to the NAMED guard — a regression
@@ -107,6 +134,8 @@ class EmptyInputSweep extends SparkSpec {
 
   sweep("empty", () => emptyDir, fitRequiredEmpty)
   sweep("single-row", () => oneRowDir, fitRequiredOneRow)
+  // 5-row fixtures: the index fits reject < K vectors, same named guard
+  sweep("adversarial-text", () => weirdTextDir, fitRequiredOneRow)
 
   SparkEntry.queries.foreach { case (name, fn) =>
     loudOnNull.get(name) match {
