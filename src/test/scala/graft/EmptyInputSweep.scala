@@ -106,6 +106,34 @@ class EmptyInputSweep extends SparkSpec {
     dir
   }
 
+  private lazy val weirdEventsDir: String = {
+    // adversarial events: negative/zero/huge values, an exact duplicate
+    // row (same event_id), epoch and far-future timestamps, an odd and
+    // an empty event_type, corrupt/truncated JSON props (first run:
+    // zero defects; kept as regression cover — the q_corrupt/benford/
+    // cents-arithmetic class is the one this would catch)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wev").toString
+    for (t <- tables.filterNot(_ == "events"))
+      spark.read.parquet(s"$sf/$t.parquet")
+        .limit(5).coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    val src = spark.read.parquet(s"$sf/events.parquet")
+    def ts(s: String) = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    val weird = Seq(
+      Row(900001L, ts("2024-01-02 00:00:00"), 7L, "click", -42.5, "{}"),
+      Row(900002L, ts("2024-01-02 00:00:00"), 7L, "view", 0.0, "{}"),
+      Row(900003L, ts("2024-01-02 00:00:01"), 7L, "purchase", 1.0e15, "{}"),
+      Row(900003L, ts("2024-01-02 00:00:01"), 7L, "purchase", 1.0e15, "{}"),
+      Row(900004L, ts("1970-01-01 00:00:00"), 8L, "click", 1.0, "{}"),
+      Row(900005L, ts("2099-12-31 23:59:59"), 8L, "view", 2.0, "{}"),
+      Row(900006L, ts("2024-01-03 12:00:00"), 9L, "weird type", 3.0, "not json"),
+      Row(900007L, ts("2024-01-03 12:00:00"), 9L, "", 0.001, "{\"k\":"))
+    src.limit(10)
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(weird, 1), src.schema))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
   /** Object-boundary operators REJECT null keys/geometry with a named
     * error (plus the two index fits, which reject a < K corpus). The
     * expected marker pins the error to the NAMED guard — a regression
@@ -136,6 +164,7 @@ class EmptyInputSweep extends SparkSpec {
   sweep("single-row", () => oneRowDir, fitRequiredOneRow)
   // 5-row fixtures: the index fits reject < K vectors, same named guard
   sweep("adversarial-text", () => weirdTextDir, fitRequiredOneRow)
+  sweep("adversarial-events", () => weirdEventsDir, fitRequiredOneRow)
 
   SparkEntry.queries.foreach { case (name, fn) =>
     loudOnNull.get(name) match {
