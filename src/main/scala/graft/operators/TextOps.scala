@@ -1249,11 +1249,17 @@ object TextOps {
     * Scale shape: one map-side-combinable token-count aggregation over
     * the corpus; everything after runs on a |languages|-row frame with
     * two 1-row broadcasts — no fact-sized window, sort, or second scan. */
-  def tempMix(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.documents(spark, dir)
+  def tempMix(spark: SparkSession, dir: String): DataFrame =
+    tempMixOver(Tables.documents(spark, dir)
       .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens")))
+
+  /** The rebalancing math of [[tempMix]] over a prepared
+    * (lang, n_docs, n_tokens) frame — separated (the pageRankOnGraph
+    * pattern) so distributions the fixture can't produce (hundreds of
+    * languages, extreme skew) are property-testable. */
+  private[graft] def tempMixOver(per: DataFrame): DataFrame = {
     val tot = per.agg(sum("n_tokens").as("n_total"))
     val withP = per.crossJoin(broadcast(tot))
       .withColumn("p", col("n_tokens") / col("n_total").cast("double"))

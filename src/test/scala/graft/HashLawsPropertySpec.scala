@@ -137,4 +137,40 @@ class HashLawsPropertySpec extends SparkSpec {
         agg.finish(mergedReversed) == want
     }
   }
+
+  test("tempMix rebalancing laws hold on random language distributions") {
+    // distributions the 5-language fixture can't produce: up to 40
+    // languages, token masses spanning 1 .. 1e12 (extreme skew)
+    val genDist: Gen[List[Long]] = for {
+      n <- Gen.choose(1, 40)
+      ts <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(1L, 1000L), Gen.choose(1L, 1000000000000L)))
+    } yield ts
+    forAllSamples(genDist, n = 25) { tokens =>
+      val rows = tokens.zipWithIndex.map { case (t, i) =>
+        Row(f"l$i%02d", 1L, t)
+      }
+      val schema = StructType(Seq(StructField("lang", StringType),
+        StructField("n_docs", LongType), StructField("n_tokens", LongType)))
+      val per = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      val got = graft.operators.TextOps.tempMixOver(per)
+        .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4))).toList
+      // independent recompute (q = p^α / Σp^α), compared at the 1e-4
+      // display grid the operator rounds to
+      val total = tokens.map(BigInt(_)).sum.toDouble
+      val want = tokens.zipWithIndex.map { case (t, i) =>
+        (f"l$i%02d", t / total, math.pow(t / total, 0.3))
+      }
+      val z = want.map(_._3).sum
+      got.sortBy(_._1).zip(want.sortBy(_._1)).forall { case ((lg, p, q), (lw, pw, qw)) =>
+        lg == lw && math.abs(p - pw) < 5e-4 && math.abs(q - qw / z) < 5e-4
+      } && {
+        // flattening: rebalanced shares are never MORE skewed — the max
+        // share can only shrink, the min share can only grow
+        val (ps, qs) = (got.map(_._2), got.map(_._3))
+        qs.max <= ps.max + 5e-4 && qs.min >= ps.min - 5e-4
+      }
+    }
+  }
 }
