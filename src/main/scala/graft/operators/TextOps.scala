@@ -1456,11 +1456,34 @@ object TextOps {
     * rank moves a whole bucket row; a rank key must be bit-stable, a
     * display column only needs to round stably.
     *
-    * Scale shape: the model frames are vocabulary-sized partial
-    * aggregates and the per-doc join is tf⋈vocab on the token key — the
-    * exact shape q_lm_score benches; the tercile is ntile(3) over a
-    * LANGUAGE-partitioned window (CCNet's own per-language cutoffs),
-    * never an unpartitioned fact-sized frame. */
+    * Scale shape (r12 reshape, r11 verdict task #3): the model frames
+    * are vocabulary-sized partial aggregates and the per-doc join is
+    * tf⋈vocab on the token key — the exact shape q_lm_score benches.
+    * The tercile CUT is NOT a per-language ntile window (a hot
+    * language's whole corpus on one reducer at 100×); it is the r8
+    * q_rfm/q_histogram_eq two-level recipe, reproducing ntile(3)'s rank
+    * rule bit for bit:
+    *
+    *  1. Per-language (n, min, max) fix the ntile boundary RANKS
+    *     b_i = i·⌊n/3⌋ + min(i, n mod 3) (first n mod 3 buckets get the
+    *     extra row — the q_interleave precedent, same rule in DuckDB).
+    *  2. Docs land in 1024 equal-width rarity CELLS per language (the
+    *     cell id is a monotone function of the rarity double, so equal
+    *     rarities — ntile's tie groups — never split across cells). A
+    *     (lang, cell) count+min+max histogram plus a prefix sum over the
+    *     ≤1024-row-per-language cell frame gives every cell its global
+    *     rank range [start+1, start+cnt].
+    *  3. A cell whose rank range sits inside one tercile assigns ALL its
+    *     docs (and its min/max rarity) by arithmetic — no per-doc work.
+    *     Only the ≤2 cells per language that STRADDLE a boundary rank
+    *     resolve exactly: row_number over a (lang, cell)-PARTITIONED
+    *     window — hash-distributed, ~n/1024 docs per cell — recovers
+    *     rank = start + row_number, which equals ntile's (rarity,
+    *     doc_id) rank because cells are rarity-monotone.
+    *
+    * Residual skew: a single rarity value carrying a macroscopic tie
+    * mass puts that one cell's tie group in one task (the documented rfm
+    * residual); every other frame is dimension- or cell-bounded. */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
@@ -1480,13 +1503,60 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         (aggregate(col("l"), lit(0.0), (a, s) => a + s.getField("term"))
           / col("n_tokens")).as("rarity"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("rarity"), col("doc_id"))
-    per.withColumn("b", ntile(3).over(w))
-      .groupBy(col("lang"), col("b"))
-      .agg(count(lit(1)).as("n_docs"),
-        round(min("rarity"), 4).as("min_rarity"),
-        round(max("rarity"), 4).as("max_rarity"))
+      // three consumers (lang stats, cell histogram, straddle probe) at
+      // the caller's action time — Bench/Verify clearCache reclaims
+      .persist()
+    val K = 1024L
+    val stats = per.groupBy("lang").agg(
+        count(lit(1)).as("n"), min("rarity").as("mn"), max("rarity").as("mx"))
+      .withColumn("q3", expr("n div 3"))
+      .withColumn("r3", pmod(col("n"), lit(3L)))
+      // ntile bucket-end ranks: b_i = i·q + min(i, r)
+      .withColumn("b1", col("q3") + least(lit(1L), col("r3")))
+      .withColumn("b2", lit(2L) * col("q3") + least(lit(2L), col("r3")))
+    // cell id: monotone in rarity ((x−mn)/(mx−mn) is IEEE-monotone for
+    // mx>mn, floor/least preserve it), so equal rarities share a cell and
+    // cross-cell order is strict — rank composes as start + in-cell rank
+    val cells = per.join(broadcast(stats.select("lang", "mn", "mx")), "lang")
+      .withColumn("k",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("rarity") - col("mn")) / (col("mx") - col("mn")) * K)
+              .cast("long"),
+            lit(K - 1L))))
+      .select("doc_id", "lang", "rarity", "k")
+    val hist = cells.groupBy("lang", "k")
+      .agg(count(lit(1)).as("cnt"),
+        min("rarity").as("min_r"), max("rarity").as("max_r"))
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    def bkt(rk: Column): Column =
+      when(rk <= col("b1"), 1).when(rk <= col("b2"), 2).otherwise(3)
+    val ranges = hist
+      .withColumn("start", coalesce(sum("cnt").over(wH), lit(0L)))
+      .join(broadcast(stats.select("lang", "b1", "b2")), "lang")
+      .withColumn("blo", bkt(col("start") + 1))
+      .withColumn("bhi", bkt(col("start") + col("cnt")))
+    val whole = ranges.filter(col("blo") === col("bhi"))
+      .select(col("lang"), col("blo").as("b"),
+        col("cnt"), col("min_r"), col("max_r"))
+    // ≤2 straddling cells per language (the ones holding ranks b1, b2)
+    val straddle = ranges.filter(col("blo") =!= col("bhi"))
+      .select("lang", "k", "start", "b1", "b2")
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "k").orderBy("rarity", "doc_id")
+    val resolved = cells.join(broadcast(straddle), Seq("lang", "k"))
+      .withColumn("rk", col("start") + row_number().over(wS))
+      .withColumn("b", bkt(col("rk")))
+      .groupBy("lang", "b")
+      .agg(count(lit(1)).as("cnt"),
+        min("rarity").as("min_r"), max("rarity").as("max_r"))
+    whole.unionByName(resolved)
+      .groupBy("lang", "b")
+      .agg(sum("cnt").as("n_docs"),
+        round(min("min_r"), 4).as("min_rarity"),
+        round(max("max_r"), 4).as("max_rarity"))
       .select(col("lang"),
         when(col("b") === 1, "head")
           .when(col("b") === 2, "middle")

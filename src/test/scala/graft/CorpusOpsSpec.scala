@@ -274,6 +274,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("ccnet buckets plan: windows are cell-partitioned or dimension-grained, no ntile") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWin}
+    val qe = TextOps.ccnetBuckets(spark, sf).queryExecution
+    // the r12 reshape removed the per-language fact-sized ntile window;
+    // a reintroduction is a one-reducer sort of a hot language at 100×
+    assert(!qe.optimizedPlan.toString.toLowerCase.contains("ntile"),
+      "ccnetBuckets must not rank with ntile over a per-document frame")
+    val wins = qe.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty, "two-level recipe still uses bounded windows")
+    wins.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(keys.nonEmpty, s"unpartitioned window in ccnetBuckets:\n$w")
+      // (lang, cell)-partitioned straddle resolution is cell-bounded;
+      // anything else must sit over a GROUPING aggregate (the ≤1024-row
+      // per-language cell histogram), never the raw per-document frame
+      val cellKeyed = keys.contains("k")
+      lazy val overAgg = w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.nonEmpty => a
+      }.isDefined
+      assert(cellKeyed || overAgg,
+        s"window partitioned by $keys over a raw per-document frame:\n$w")
+    }
+  }
+
   test("bm25: three ranked terms per doc, scores non-increasing, length-normalized") {
     val rows = TextOps.bm25(spark, sf).collect()
     val byDoc = rows.groupBy(_.getLong(0))
