@@ -601,57 +601,172 @@ object TextOps {
     * it); for unordered slices, arrival order is the admission order —
     * the semantics a crawl actually wants.
     *
-    * State discipline = [[graft.operators.Scale.maintainAggState]]'s:
-    * staged write + atomic swap (crash leaves the old index readable),
-    * SINGLE-WRITER per indexPath, each delta folded exactly once. The
+    * Index layout (r12, r11 verdict task #2): an EXTERNAL BUCKETED table
+    * at indexPath — `bucketBy(band, key)` via saveAsTable, re-registered
+    * from the files by DDL when a fresh session lacks the catalog entry
+    * (the data outlives the in-memory catalog). Bucketing is the whole
+    * point at 100 TB: the daily probe semi-join and the fold's anti-join
+    * both cluster on (band, key), so the corpus-sized index side plans
+    * NO Exchange — only the delta shuffles, into the index's bucket
+    * count (IncrementalDedupSpec pins the plan). The fold is APPEND-ONLY:
+    * each delta appends just its NOVEL keys (anti-join against the
+    * table), so folding is delta-sized, naturally idempotent under
+    * replay (replayed keys are no longer novel), and crash-safe — an
+    * uncommitted append is invisible to scans, and re-running appends
+    * exactly the missing keys. A key therefore keeps its FIRST-arrival
+    * min_doc (admission reads key existence only; min_doc is
+    * provenance). Appends accumulate files per bucket;
+    * [[compactDedupIndex]] is the maintenance verb — a per-bucket
+    * exchange-free rewrite under the maintainAggState staged-swap
+    * discipline. SINGLE-WRITER per indexPath, as before. The
     * rejected-id set (batch-bounded) is eagerly localCheckpoint'ed
-    * BEFORE the swap — the returned frame must not lazily re-read index
-    * files the swap is about to replace.
-    *
-    * Scale note: the index side of the semi-join is corpus-sized while
-    * the delta is small, so at production scale the index should be
-    * written BUCKETED by key (saveAsTable + bucketBy — the BucketingSpec
-    * no-Exchange discipline) so the delta probe co-locates instead of
-    * shuffling the whole index per day; the flat parquet here keeps the
-    * path-addressed fixture simple, and the merge fold is unchanged
-    * either way. */
+    * BEFORE the fold — the returned frame must not lazily re-scan the
+    * table after the batch's own keys land in it. */
   def dedupIncrement(spark: SparkSession, indexPath: String, docs: DataFrame): DataFrame = {
-    val keys = bandKeyFrame(
+    val keys = batchBandKeys(docs)
+      .persist() // three consumers below; unpersisted before return
+    val batchMin = batchMinOf(keys)
+    val rejected = dedupRejected(spark, indexPath, keys, batchMin)
+    dedupFold(spark, indexPath, batchMin)
+    keys.unpersist()
+    docs.join(rejected, Seq("doc_id"), "left_anti")
+  }
+
+  /** Band keys of one delta batch: shingle (docs too short carry no
+    * keys) → 16-permutation minhash → 2 band keys per doc. Shared by
+    * [[dedupIncrement]] and the streaming sink's per-batch body. */
+  private[graft] def batchBandKeys(docs: DataFrame): DataFrame =
+    bandKeyFrame(
       docs.select(col("doc_id"), array_distinct(shingleCodes(col("text"))).as("cs"))
         .filter(size(col("cs")) > 0))
-      .persist() // three consumers below; unpersisted before return
-    val idxSchema = StructType(Seq(
-      StructField("band", IntegerType), StructField("key", StringType),
-      StructField("min_doc", LongType)))
-    val idx = new java.io.File(indexPath)
-    val seen =
-      if (idx.exists()) spark.read.schema(idxSchema).parquet(indexPath)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
-    val batchMin = keys.groupBy("band", "key").agg(min("doc_id").as("min_doc"))
-    // eager + lineage-truncated: consumed by the returned frame AFTER the
-    // index swap below invalidates `seen`'s files
-    val rejected = keys
-      .join(seen.select("band", "key"), Seq("band", "key"), "left_semi")
+
+  /** Per-(band, key) first-document of a batch-keys frame. */
+  private[graft] def batchMinOf(keys: DataFrame): DataFrame =
+    keys.groupBy("band", "key").agg(min("doc_id").as("min_doc"))
+
+  /** The admission decision of one batch against the CURRENT index:
+    * doc_ids rejected because a band key is already in the index, or on
+    * a smaller-doc_id document of the same batch. Eager and
+    * lineage-truncated (localCheckpoint) so callers can fold the batch
+    * into the index and still evaluate the decision afterwards. */
+  private[graft] def dedupRejected(spark: SparkSession, indexPath: String,
+                                   keys: DataFrame, batchMin: DataFrame): DataFrame = {
+    val seen = ensureIndexTable(spark, indexPath)
+      .map(t => spark.table(t).select("band", "key"))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("band", IntegerType), StructField("key", StringType)))))
+    keys
+      .join(seen, Seq("band", "key"), "left_semi")
       .select("doc_id")
       .unionByName(keys.join(batchMin, Seq("band", "key"))
         .filter(col("doc_id") > col("min_doc"))
         .select("doc_id"))
       .distinct()
       .localCheckpoint(true)
-    val merged = seen.unionByName(batchMin)
-      .groupBy("band", "key").agg(min("min_doc").as("min_doc"))
-    if (!idx.exists()) {
-      batchMin.write.parquet(indexPath)
-    } else {
-      val nonce = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
-      val tmp = new java.io.File(indexPath + s".maintain_$nonce")
-      merged.write.parquet(tmp.getPath)
-      graft.sources.Writers.swapIn(idx, tmp,
-        new java.io.File(indexPath + s".old_$nonce"))
+  }
+
+  /** Fold one batch's (band, key, min_doc) partials into the persisted
+    * index: create the external bucketed table on first contact, append
+    * only the NOVEL keys afterwards (anti-join on the bucket keys — the
+    * index side co-locates, the delta shuffles). Idempotent: replaying
+    * a folded batch finds nothing novel and appends nothing. */
+  private[graft] def dedupFold(spark: SparkSession, indexPath: String,
+                               batchMin: DataFrame): Unit =
+    ensureIndexTable(spark, indexPath) match {
+      case Some(t) =>
+        batchMin
+          .join(spark.table(t).select("band", "key"), Seq("band", "key"), "left_anti")
+          .write.format("parquet").mode("append")
+          .bucketBy(DedupIndexBuckets, "band", "key").sortBy("band", "key")
+          .saveAsTable(t)
+      case None =>
+        val dir = new java.io.File(indexPath)
+        // only uncommitted garbage can be here (a crashed first append's
+        // _temporary) — committed data would have registered above
+        if (dir.exists()) graft.sources.Writers.deleteRecursively(dir)
+        batchMin.write.format("parquet")
+          .bucketBy(DedupIndexBuckets, "band", "key").sortBy("band", "key")
+          .option("path", dir.getAbsolutePath)
+          .saveAsTable(dedupIndexTable(indexPath))
     }
-    keys.unpersist()
-    docs.join(rejected, Seq("doc_id"), "left_anti")
+
+  /** Compact the persisted index: appends leave one file set per folded
+    * delta, so a long-running loop periodically rewrites the table to
+    * one file per bucket. The rewrite's groupBy sits ON the bucket keys
+    * — a bucketed scan aggregates exchange-free, so compaction is
+    * per-bucket local however large the index. Staged-swap discipline
+    * (maintainAggState): the merged copy lands beside the live dir, one
+    * rename pair swaps it in, crash leaves the old index readable. */
+  def compactDedupIndex(spark: SparkSession, indexPath: String): Unit =
+    ensureIndexTable(spark, indexPath).foreach { t =>
+      val merged = spark.table(t)
+        .groupBy("band", "key").agg(min("min_doc").as("min_doc"))
+      val nonce = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+      val stage = s"${t}_stage"
+      val tmp = new java.io.File(indexPath + s".maintain_$nonce")
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      merged.write.format("parquet")
+        .bucketBy(DedupIndexBuckets, "band", "key").sortBy("band", "key")
+        .option("path", tmp.getAbsolutePath)
+        .saveAsTable(stage)
+      spark.sql(s"DROP TABLE $stage") // external: the staged files survive
+      graft.sources.Writers.swapIn(new java.io.File(indexPath), tmp,
+        new java.io.File(indexPath + s".old_$nonce"))
+      spark.catalog.refreshTable(t)
+    }
+
+  /** Bucket count of the persisted index layout — fixed at table
+    * creation (appends must match it). 16 suits the local fixture; a
+    * production 100 TB index would size this near its cluster's
+    * shuffle-partition count once, at first creation. */
+  private[graft] val DedupIndexBuckets = 16
+
+  /** Catalog name of the index table for a path: content-addressed from
+    * the canonical path so every distinct indexPath gets its own entry
+    * and re-registration is deterministic across sessions. */
+  private[graft] def dedupIndexTable(indexPath: String): String = {
+    val canonical = new java.io.File(indexPath).getAbsolutePath
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_dedup_idx_$md5"
+  }
+
+  /** The index table for indexPath, re-registering from on-disk files if
+    * this session's catalog has never seen it (external bucketed DDL —
+    * the files were bucket-written, so declaring CLUSTERED BY over them
+    * is sound); None when no committed index data exists yet. */
+  private[graft] def ensureIndexTable(spark: SparkSession,
+                                      indexPath: String): Option[String] = {
+    val t = dedupIndexTable(indexPath)
+    if (spark.catalog.tableExists(t)) Some(t)
+    else if (indexHasCommittedData(indexPath)) {
+      val loc = new java.io.File(indexPath).getAbsolutePath
+      // loc reaches SQL text (the rfm interpolation audit): temp/fixture
+      // paths are quote-free; refuse rather than mis-quote
+      require(!loc.contains("'"), s"index path must not contain quotes: $loc")
+      spark.sql(
+        s"""CREATE TABLE $t (band INT, `key` STRING, min_doc BIGINT)
+           |USING parquet
+           |CLUSTERED BY (band, `key`) SORTED BY (band, `key`)
+           |INTO $DedupIndexBuckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+      Some(t)
+    } else None
+  }
+
+  /** True iff indexPath holds COMMITTED parquet data — files under an
+    * in-flight append's _temporary staging don't count (the
+    * upsertSinkBatch bare-directory lesson). */
+  private def indexHasCommittedData(indexPath: String): Boolean = {
+    def rec(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.exists(k => k.isFile && k.getName.endsWith(".parquet")
+        && !k.getName.startsWith(".") && !k.getName.startsWith("_")) ||
+        kids.exists(k => k.isDirectory && k.getName != "_temporary" && rec(k))
+    }
+    rec(new java.io.File(indexPath))
   }
 
   /** Link-analysis centrality over the near-dup pair graph: PageRank with

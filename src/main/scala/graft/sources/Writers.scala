@@ -21,7 +21,7 @@ object Writers {
   /** Recursive local-FS delete (staging dirs, parked table copies).
     * `listFiles` returns null for non-directories AND on I/O errors, so
     * the null is absorbed rather than thrown mid-cleanup. */
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
     f.delete()

@@ -63,6 +63,168 @@ class IncrementalDedupSpec extends SparkSpec {
       s"planted near-dup $d2 of $d1 must be rejected by the index")
   }
 
+  test("probe and fold co-locate: no Exchange above the bucketed index side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val idx = freshIndex()
+    TextOps.dedupIncrement(spark, idx, docs())
+    val t = TextOps.ensureIndexTable(spark, idx).get
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // at fixture scale Catalyst would happily broadcast the index; the
+      // production index is corpus-sized, so pin the shuffle-join path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def indexSideShuffles(df: org.apache.spark.sql.DataFrame): Seq[ShuffleExchangeExec] =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec if e.exists {
+            case s: FileSourceScanExec => s.tableIdentifier.exists(_.table == t)
+            case _ => false
+          } => e
+        }
+      val keys = TextOps.batchBandKeys(docs())
+      val probe = keys.join(spark.table(t).select("band", "key"),
+        Seq("band", "key"), "left_semi")
+      assert(indexSideShuffles(probe).isEmpty,
+        s"probe semi-join shuffles the corpus-sized index side:\n${probe.queryExecution.executedPlan}")
+      val fold = TextOps.batchMinOf(keys)
+        .join(spark.table(t).select("band", "key"), Seq("band", "key"), "left_anti")
+      assert(indexSideShuffles(fold).isEmpty,
+        s"fold anti-join shuffles the corpus-sized index side:\n${fold.queryExecution.executedPlan}")
+      // the delta side DOES shuffle (into the index's bucket layout)
+      assert(probe.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.nonEmpty,
+        "expected the delta side to shuffle into the bucket layout")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("index data outlives the catalog: a fresh session's probe re-registers from files") {
+    val ids = docs().select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val idx = freshIndex()
+    val a1 = TextOps.dedupIncrement(spark, idx, docs().filter(col("doc_id") < mid))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // simulate a NEW session: the in-memory catalog entry is gone, the
+    // bucket-written files remain (external table — drop keeps data)
+    spark.sql(s"DROP TABLE ${TextOps.dedupIndexTable(idx)}")
+    val a2 = TextOps.dedupIncrement(spark, idx, docs().filter(col("doc_id") >= mid))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = TextOps.dedupIncrement(spark, freshIndex(), docs())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((a1 ++ a2) == batch,
+      "re-registered index must give the same admissions as an unbroken session")
+  }
+
+  test("compaction: one file set per bucket, admissions and index content unchanged") {
+    def committedFiles(p: String): Seq[java.io.File] = {
+      def rec(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids.filter(k => k.isFile && k.getName.endsWith(".parquet")
+          && !k.getName.startsWith("_") && !k.getName.startsWith(".")) ++
+          kids.filter(k => k.isDirectory && k.getName != "_temporary").flatMap(rec)
+      }
+      rec(new java.io.File(p))
+    }
+    val ids = docs().select("doc_id").collect().map(_.getLong(0)).sorted
+    val (t1, t2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val idx = freshIndex()
+    TextOps.dedupIncrement(spark, idx, docs().filter(col("doc_id") < t1))
+    TextOps.dedupIncrement(spark, idx,
+      docs().filter(col("doc_id") >= t1 && col("doc_id") < t2))
+    TextOps.dedupIncrement(spark, idx, docs().filter(col("doc_id") >= t2))
+    val t = TextOps.ensureIndexTable(spark, idx).get
+    val keysBefore = spark.table(t).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val before = committedFiles(idx).size
+    assert(before > TextOps.DedupIndexBuckets,
+      s"three appends should leave more file sets than buckets (got $before)")
+    TextOps.compactDedupIndex(spark, idx)
+    val after = committedFiles(idx).size
+    assert(after <= TextOps.DedupIndexBuckets,
+      s"compaction must leave at most one file per bucket (got $after)")
+    val keysAfter = spark.table(t).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(keysAfter == keysBefore, "compaction must not change the key set")
+    assert(TextOps.dedupIncrement(spark, idx, docs()).count() == 0,
+      "a replayed corpus must still be fully rejected after compaction")
+  }
+
+  test("streaming sink: two micro-batches of slices ≡ one batch increment") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = docs().as[(Long, String)].collect().sortBy(_._1)
+    val (s1, s2) = all.splitAt(all.length / 2)
+    val idx = freshIndex()
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-sink").toString
+    val out = base + "/admitted"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.dedupIncrementSink(
+      input.toDF().toDF("doc_id", "text"), idx, out, base + "/ckpt")
+    try Seq(s1, s2).foreach { s => input.addData(s.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = TextOps.dedupIncrement(spark, freshIndex(), docs())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      "doc_id-ascending micro-batches must admit exactly the one-batch set")
+  }
+
+  test("streaming sink replay: a folded batch neither loses nor re-admits documents") {
+    import graft.streaming.StreamOps
+    val sess = spark
+    import sess.implicits._
+    val idx = freshIndex()
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-replay").toString
+    val out = base + "/admitted"
+    val batch = docs()
+    StreamOps.dedupIncrementSinkBatch(batch, idx, out, 0L)
+    val first = spark.read.parquet(s"$out/batch_id=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first.nonEmpty)
+    // duplicate delivery of the SAME batch id: decisions were committed
+    // before the fold, so the replay must keep them verbatim — a naive
+    // recompute against the post-fold index would emit the empty set
+    StreamOps.dedupIncrementSinkBatch(batch, idx, out, 0L)
+    val replayed = spark.read.parquet(s"$out/batch_id=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replayed == first, "replay of a committed batch must not change its output")
+    // the same docs as a NEW batch id: every key is in the index now
+    StreamOps.dedupIncrementSinkBatch(batch, idx, out, 1L)
+    assert(spark.read.parquet(s"$out/batch_id=1").count() == 0,
+      "a later duplicate delta admits nothing")
+  }
+
+  test("streaming sink crash window: committed decisions survive, the fold still lands") {
+    import graft.streaming.StreamOps
+    val sess = spark
+    import sess.implicits._
+    val idx = freshIndex()
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-crash").toString
+    val out = base + "/admitted"
+    // simulate "crash after output commit, before fold": the batch dir is
+    // committed with decisions, but the index never saw the keys
+    val batch = docs()
+    val keys = TextOps.batchBandKeys(batch).persist()
+    val rejected = TextOps.dedupRejected(spark, idx, keys, TextOps.batchMinOf(keys))
+    batch.join(rejected, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$out/batch_id=0")
+    keys.unpersist()
+    val committed = spark.read.parquet(s"$out/batch_id=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // replay the batch: it must keep the committed output and fold the keys
+    StreamOps.dedupIncrementSinkBatch(batch, idx, out, 0L)
+    val after = spark.read.parquet(s"$out/batch_id=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == committed, "replay must not rewrite a committed decision set")
+    assert(TextOps.dedupIncrement(spark, idx, batch).count() == 0,
+      "the replayed fold must have landed every key in the index")
+  }
+
   test("docs too short to shingle carry no keys and always pass") {
     val sess = spark
     import sess.implicits._
