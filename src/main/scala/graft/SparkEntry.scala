@@ -65,6 +65,7 @@ object SparkEntry {
     "q_session_replay" -> (Relational.sessionReplay _),
     "q_attr_replay" -> (Relational.attrReplay _),
     "q_funnel_replay" -> (Relational.funnelReplay _),
+    "q_join_outer_replay" -> (Relational.joinOuterReplay _),
     "q_validate" -> (Relational.validationDispatch _),
     "q_auth" -> (Relational.authenticate _),
     "q_corr_subq" -> (Relational.correlatedSubqueries _),
@@ -273,6 +274,7 @@ object SparkEntry {
       "q_semdedup" -> (VectorOps.semDedupCore _),
       "q_attr_replay" -> (Relational.attrReplayCore _),
       "q_funnel_replay" -> (Relational.funnelReplayCore _),
+      "q_join_outer_replay" -> (Relational.joinOuterReplayCore _),
       "q_latch_replay" -> (Relational.latchReplayCore _),
       "q_session_replay" -> (Relational.sessionReplayCore _),
       "q_interleave" -> (TextOps.interleaveCore _),
@@ -1972,6 +1974,57 @@ object SparkEntry {
         |FROM cb
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // q_join_outer_replay: the stream-stream LEFT OUTER join under the
+    // same replay — global watermark = min(per-side running max over
+    // strictly earlier arrivals) − 2 h (sentinel −1e12 for an unseen
+    // side, the Spark epoch-floor twin); purchases at/below it drop at
+    // input; a pair emits iff c_sec > W − 3600 AND p_sec > W with W the
+    // max of the two arrival watermarks; an admitted never-matched
+    // purchase null-extends iff the FINAL watermark passed p_sec
+    "q_join_outer_replay" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      + ((((event_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 3600 - 1800 AS arr
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), w AS (
+        |  SELECT *, least(
+        |    coalesce(max(CASE WHEN event_type = 'click' THEN sec END)
+        |      OVER (ORDER BY arr, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -1000000000000),
+        |    coalesce(max(CASE WHEN event_type = 'purchase' THEN sec END)
+        |      OVER (ORDER BY arr, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -1000000000000)) - 7200 AS wm
+        |  FROM e
+        |), p AS (
+        |  SELECT user_id, event_id AS purchase_id, sec AS p_sec, wm AS p_wm
+        |  FROM w WHERE event_type = 'purchase' AND sec > wm
+        |), c AS (
+        |  SELECT user_id, event_id AS click_id, sec AS c_sec, wm AS c_wm
+        |  FROM w WHERE event_type = 'click'
+        |), f AS (
+        |  SELECT least(
+        |    coalesce(max(CASE WHEN event_type = 'click' THEN sec END), -1000000000000),
+        |    coalesce(max(CASE WHEN event_type = 'purchase' THEN sec END), -1000000000000))
+        |    - 7200 AS fwm
+        |  FROM e
+        |), m AS (
+        |  SELECT p.user_id, p.purchase_id, c.click_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_sec BETWEEN p.p_sec - 3600 AND p.p_sec
+        |    AND c.c_sec > greatest(c.c_wm, p.p_wm) - 3600
+        |    AND p.p_sec > greatest(c.c_wm, p.p_wm)
+        |)
+        |SELECT user_id, purchase_id, click_id FROM m
+        |UNION ALL
+        |SELECT p.user_id, p.purchase_id, CAST(NULL AS BIGINT) AS click_id
+        |FROM p CROSS JOIN f
+        |WHERE p.p_sec <= f.fwm
+        |  AND p.purchase_id NOT IN (SELECT purchase_id FROM m)
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin,
     "q_validate" ->
       """SELECT status, count(*) AS n FROM (
         |  SELECT CASE

@@ -791,6 +791,128 @@ object Relational {
         col("view_sec"), col("click_sec"), col("buy_sec"))
   }
 
+  /** q_join_outer_replay: the batch twin of [[graft.streaming.StreamOps
+    * .clickPurchaseJoinOuter]]'s stream-stream LEFT OUTER join under the
+    * q_watermark deterministic replay — the LAST stateful operator with
+    * spec-only coverage to gain a DuckDB-checked row (r11 verdict task
+    * #8). q_join_outer answers the event-time outer join; this answers
+    * what the bounded-state streaming join actually EMITS when the two
+    * feeds are out of order: which pairs form, which purchases
+    * null-extend, which drop or stay withheld.
+    *
+    * Replay model (pinned against the real operator in ReplayTwinsSpec,
+    * boundary cases probed empirically): clicks and purchases replay
+    * one-per-micro-batch in the shared [[replayArrival]] permutation
+    * over the click/purchase substream. The GLOBAL watermark in force at
+    * each arrival is min(max click sec, max purchase sec over STRICTLY
+    * earlier arrivals) − delay (Spark's multi-source min policy; an
+    * unseen side pins the min at the epoch floor, which no 2024 fixture
+    * second can undercut). The operator's one-sided rules, all
+    * observed non-strict at equality:
+    *  - a purchase arriving at or below the watermark is dropped at
+    *    input — no state entry, so no match and NO null row, ever;
+    *  - a stored click is gone once the watermark reaches c_sec + 1 h,
+    *    a stored purchase once it reaches p_sec; with a monotone
+    *    watermark both admission-at-own-arrival and survival-at-the-
+    *    later-arrival collapse into ONE pair rule: a (click, purchase)
+    *    pair in the hour window EMITS iff c_sec > W − 3600 and
+    *    p_sec > W, where W = max of the two arrival watermarks;
+    *  - an admitted purchase that never emitted a pair null-extends
+    *    exactly when the FINAL watermark passes p_sec (eviction =
+    *    emission, the sessionReplay rule); above it, the purchase is
+    *    withheld at end of stream — no row.
+    *
+    * Scale shape: the two-sided running max is the q_auc two-level
+    * prefix recipe (unpartitioned windows only over the arrival-day
+    * block frame); the pair join is a user-keyed equi-join with the
+    * range and watermark tests as residual predicates; the final
+    * watermark is a one-row broadcast. No per-user or global fact-sized
+    * window at all. */
+  def joinOuterReplay(spark: SparkSession, dir: String): DataFrame =
+    joinOuterReplayUnsorted(spark, dir)
+      .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+
+  /** Bench shape: pair-cardinality output, global sort oracle-only. */
+  def joinOuterReplayCore(spark: SparkSession, dir: String): DataFrame =
+    joinOuterReplayUnsorted(spark, dir)
+      .sortWithinPartitions(col("purchase_id"), col("click_id").asc_nulls_first)
+
+  private def joinOuterReplayUnsorted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("arr", replayArrival(col("sec"), col("event_id")))
+    joinOuterReplayOn(ev, delaySec = 7200L, windowSec = 3600L)
+  }
+
+  /** Core of [[joinOuterReplay]] on a prepared (event_id, user_id,
+    * event_type, sec, arr) click/purchase frame — separated so
+    * ReplayTwinsSpec can drive the SAME formulation over a synthetic
+    * replay and diff it against a real clickPurchaseJoinOuter run. */
+  private[graft] def joinOuterReplayOn(ev: DataFrame, delaySec: Long,
+                                       windowSec: Long): DataFrame = {
+    val withWm = runningJoinWatermarkOn(ev, delaySec)
+    val c = withWm.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("sec").as("c_sec"), col("wm").as("c_wm"))
+    val p = withWm.filter(col("event_type") === "purchase")
+      // late-input drop: at or below the watermark at arrival (STRICT
+      // survival — the probe pinned that p_sec == wm vanishes silently)
+      .filter(col("sec") > col("wm"))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("sec").as("p_sec"), col("wm").as("p_wm"))
+    // a side that never produced pins the min at the sentinel (Spark's
+    // watermark node stays at the epoch floor) — least() would SKIP a
+    // null side and wrongly evict on the other side's clock alone
+    val noWm = -1000000000000L
+    val fw = ev.agg((least(
+      coalesce(max(when(col("event_type") === "click", col("sec"))), lit(noWm)),
+      coalesce(max(when(col("event_type") === "purchase", col("sec"))), lit(noWm)))
+      - delaySec).as("fwm"))
+    val pairs = p.join(c, Seq("user_id"))
+      .filter(col("c_sec").between(col("p_sec") - windowSec, col("p_sec")))
+      .filter(col("c_sec") > greatest(col("c_wm"), col("p_wm")) - windowSec
+        && col("p_sec") > greatest(col("c_wm"), col("p_wm")))
+    val matched = pairs.select("user_id", "purchase_id", "click_id")
+    val unmatched = p
+      .join(pairs.select("purchase_id"), Seq("purchase_id"), "left_anti")
+      .crossJoin(broadcast(fw))
+      // eviction = emission: only purchases the final watermark evicted
+      // ever null-extend; later ones are withheld at end of stream
+      .filter(col("p_sec") <= col("fwm"))
+      .select(col("user_id"), col("purchase_id"),
+        lit(null).cast("long").as("click_id"))
+    matched.unionByName(unmatched)
+  }
+
+  /** The two-sided running watermark of the stream-stream join replay:
+    * min over sides of (max event time over STRICTLY earlier arrivals)
+    * − delay. Same q_auc two-level shape as [[runningWatermarkOn]], with
+    * per-side conditional maxima carried through one block pass. */
+  private[graft] def runningJoinWatermarkOn(ev: DataFrame, delaySec: Long): DataFrame = {
+    val noWm = -1000000000000L
+    val blocked = ev.withColumn("blk", expr("arr div 86400"))
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = blocked.groupBy("blk").agg(
+        max(when(col("event_type") === "click", col("sec"))).as("bc"),
+        max(when(col("event_type") === "purchase", col("sec"))).as("bp"))
+      .withColumn("oc", max(col("bc")).over(wBlk))
+      .withColumn("op", max(col("bp")).over(wBlk))
+      .select("blk", "oc", "op")
+    val wIn = Window.partitionBy("blk").orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    blocked
+      .withColumn("ic", max(when(col("event_type") === "click", col("sec"))).over(wIn))
+      .withColumn("ip", max(when(col("event_type") === "purchase", col("sec"))).over(wIn))
+      .join(broadcast(offsets), "blk")
+      .withColumn("wm", least(
+        greatest(coalesce(col("ic"), lit(noWm)), coalesce(col("oc"), lit(noWm))),
+        greatest(coalesce(col("ip"), lit(noWm)), coalesce(col("op"), lit(noWm)))) - delaySec)
+      .drop("blk", "ic", "ip", "oc", "op")
+  }
+
   /** E-SCAN partition pruning: daily totals for one queried week over the
     * date-partitioned events layout (Tables.eventsByDate). The event_date
     * predicate resolves against directory names (scan `PartitionFilters`),

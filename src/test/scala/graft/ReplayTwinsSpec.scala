@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   * watermark-boundary row, an idle-timeout split (fresh session after
   * eviction), and an open session withheld at end of stream.
   */
+/** One side's event for the outer-join replay (top-level for the
+  * MemoryStream encoder). */
+case class JEv(event_id: Long, ts: Timestamp, user_id: Long)
+
 class ReplayTwinsSpec extends SparkSpec {
 
   private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
@@ -272,5 +276,60 @@ class ReplayTwinsSpec extends SparkSpec {
       s"streamed=$streamed batch=$batch")
     assert(streamed == Seq((1L, 3), (2L, 3), (3L, 1), (4L, 2), (5L, 2)),
       s"fold branches drifted: $streamed")
+  }
+
+  test("outer-join replay twin: watermark-pair formulation ≡ clickPurchaseJoinOuter on replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (side, user, sec) in ARRIVAL order; ids = arrival index. Probes
+    // every observed branch of the streaming join (delay 2 h, window
+    // 1 h; wm = min(side maxima over earlier arrivals) − 7200):
+    //  u1: plain match with the purchase side's watermark still unseen;
+    //  u2: out-of-window gap inside the hour — matches;
+    //  u3: purchase admitted, its click arrives BELOW the click bound
+    //      (20000 < wm 32800 − 3600) → dropped, purchase null-extends;
+    //  u4: click at exactly wm − 3600 and purchase at exactly wm — the
+    //      purchase drops AT INPUT (non-strict boundary), so neither a
+    //      match nor a null row ever appears;
+    //  u5: admitted, unmatched, evicted by the final watermark → null;
+    //  u6: admitted, unmatched, ABOVE the final watermark → withheld;
+    //  u9/u99: same-second click/purchase pairs across a watermark jump.
+    val script = Seq(
+      ("C", 1L, 10000L), ("P", 1L, 10500L),
+      ("C", 2L, 20000L), ("P", 2L, 23500L),
+      ("P", 3L, 20000L),
+      ("C", 9L, 40000L), ("P", 9L, 40000L),
+      ("C", 3L, 20000L),
+      ("C", 4L, 29200L), ("P", 4L, 32800L),
+      ("P", 5L, 32801L),
+      ("C", 99L, 50000L), ("P", 99L, 50000L),
+      ("P", 6L, 49000L))
+    val clicks = MemoryStream[JEv]
+    val purchases = MemoryStream[JEv]
+    val q = StreamOps.clickPurchaseJoinOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("join_outer_replay_out").start()
+    try script.zipWithIndex.foreach { case ((side, u, s), i) =>
+      if (side == "C") clicks.addData(JEv(i.toLong, ts(s), u))
+      else purchases.addData(JEv(i.toLong, ts(s), u))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("join_outer_replay_out")
+      .select("user_id", "purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+
+    val ev = script.zipWithIndex
+      .map { case ((side, u, s), i) =>
+        (i.toLong, u, if (side == "C") "click" else "purchase", s, i.toLong) }
+      .toDF("event_id", "user_id", "event_type", "sec", "arr")
+    val batch = Relational.joinOuterReplayOn(ev, delaySec = 7200L, windowSec = 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed=$streamed batch=$batch")
+    assert(streamed == Seq((1L, 1L, 0L), (2L, 3L, 2L), (3L, 4L, -1L),
+      (5L, 10L, -1L), (9L, 6L, 5L), (99L, 12L, 11L)),
+      s"join branches drifted: $streamed")
   }
 }
