@@ -72,18 +72,38 @@ object StreamSource {
     * DATA_SOURCE_NOT_FOUND failure mode the missing jar produces. */
   def kafka(spark: SparkSession, bootstrapServers: String, topic: String,
             schema: StructType): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .load()
+    kafkaProject(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .load(),
+      schema)
+
+  /** The Spark-side half of [[kafka]], split at the connector boundary
+    * (r11 verdict task #5): everything after `.load()` is plain
+    * DataFrame logic over the connector's FIXED record shape (key/value
+    * binary, topic, partition, offset, timestamp, timestampType), so it
+    * runs — and is spec-run, streaming, on a canned record batch —
+    * without the jar. Only the transport itself stays deploy-time. */
+  private[graft] def kafkaProject(records: DataFrame, schema: StructType): DataFrame = {
+    // corrupt-record contract, pinned by the canned-batch spec: a
+    // tombstone (null value) casts to a NULL string and from_json yields
+    // a NULL struct — but a MALFORMED payload under PERMISSIVE parsing
+    // yields a NON-null struct whose every field is null (an isNotNull
+    // check on the struct alone shipped for four rounds and let poison
+    // messages through as all-null rows; one such row crash-loops any
+    // downstream typed op with non-nullable fields, since the offset
+    // replays on restart). Drop both shapes at the boundary: the struct
+    // must exist AND carry at least one parsed field.
+    val anyField = schema.fieldNames
+      .map(f => col("e").getField(f).isNotNull)
+      .reduce(_ || _)
+    records
       .select(from_json(col("value").cast("string"), schema).as("e"))
-      // from_json yields a NULL struct for an unparseable payload; e.* on
-      // it would emit an all-null row, and one poison message would then
-      // crash-loop any downstream typed op with non-nullable fields (the
-      // offset replays on restart). Drop corrupt records at the boundary.
-      .filter(col("e").isNotNull)
+      .filter(col("e").isNotNull && anyField)
       .select(col("e.*"))
+  }
 
   /** Multi-camera fan-in: N per-camera streams union into one logical
     * stream (paper p.3). Union of streaming sources is a narrow op — each

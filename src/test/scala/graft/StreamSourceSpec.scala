@@ -3,6 +3,13 @@ package graft
 import graft.sources.StreamSource
 import org.apache.spark.sql.functions._
 
+/** One record in the kafka connector's fixed output shape (top-level for
+  * the MemoryStream encoder): key/value binary, topic, partition, offset,
+  * timestamp, timestampType — what `.load()` yields with the jar. */
+case class KafkaRec(key: Array[Byte], value: Array[Byte], topic: String,
+                    partition: Int, offset: Long,
+                    timestamp: java.sql.Timestamp, timestampType: Int)
+
 /** S1 source matrix (SURVEY §2.2): the rate source drives a live
   * multi-camera union with no external broker; the Kafka wiring is present
   * behind the same surface and fails loudly (not silently) when the
@@ -38,6 +45,45 @@ class StreamSourceSpec extends SparkSpec {
     assert(df.isStreaming)
     assert(df.columns.toSeq ==
       Seq("event_id", "ts", "user_id", "event_type", "value", "camera_id"))
+  }
+
+  test("kafka projection: a canned record batch parses end-to-end, poison and tombstones drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def rec(off: Long, payload: String): KafkaRec =
+      KafkaRec(null, if (payload == null) null else payload.getBytes("UTF-8"),
+        "events", 0, off, new java.sql.Timestamp(1704100000000L + off), 0)
+    val records = Seq(
+      rec(0, """{"event_id":1,"ts":"2024-01-01T08:00:00.000Z","user_id":7,""" +
+        """"event_type":"click","value":12.5,"props":"{}"}"""),
+      rec(1, """{"event_id":2,"ts":"2024-01-01T08:30:00.000Z","user_id":8,""" +
+        """"event_type":"purchase","value":99.0,"props":"{\"k\":1}"}"""),
+      rec(2, "not json at all"), // poison message: dropped, not all-null
+      rec(3, null),              // tombstone: null value, dropped
+      rec(4, """{"event_id":3,"ts":"2024-01-01T09:00:00.000Z","user_id":7,""" +
+        """"event_type":"view","value":0.0,"props":"{}"}"""))
+    val input = MemoryStream[KafkaRec]
+    val q = StreamSource.kafkaProject(input.toDF(), Schemas.events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kafka_project_out").start()
+    // two micro-batches, like two polls of the broker
+    try Seq(records.take(3), records.drop(3)).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("kafka_project_out")
+    assert(out.columns.toSeq == Schemas.events.fieldNames.toSeq,
+      "projection must land exactly on the declared events schema")
+    val rows = out
+      .select(col("event_id"), unix_timestamp(col("ts")), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .as[(Long, Long, Long, String, Double, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (1L, 1704096000L, 7L, "click", 12.5, "{}"),
+      (2L, 1704097800L, 8L, "purchase", 99.0, "{\"k\":1}"),
+      (3L, 1704099600L, 7L, "view", 0.0, "{}")),
+      s"parsed rows drifted: $rows")
   }
 
   test("kafka wiring: parses to the events schema with the connector jar, fails loudly without it") {
