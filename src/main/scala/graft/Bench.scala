@@ -62,6 +62,46 @@ object Bench {
       "q_wau", "q_benford", "q_bigram_lm", "q_repeated_grams",
       "q_xcorr", "q_moments")
 
+  private[graft] def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** The finalize gate (r11 verdict task #1): should this measurement be
+    * recorded, or re-taken? Returns the trip reason, None when clean.
+    *
+    *  A. 2× GATE BREACH — some query's median is ≥ 2× its BASELINE.md
+    *     row. r11 committed exactly this (q_cond_entropy 2.065× on code
+    *     untouched since r8, two of five raw samples AT baseline) as the
+    *     final artifact; a breach now forces one automatic re-run and is
+    *     recorded only if it survives quiet re-measurement.
+    *  B. UNIFORM DRIFT — vs the PREVIOUS run's medians (same sf), the
+    *     cross-query ratio median exceeds 1.15 with its p10 above 1.0:
+    *     every query slower at once is the degrading-host signature (the
+    *     r11 back-to-back runs moved uniformly 1.09× on a scaladoc-only
+    *     diff); a code regression moves specific queries, not the fleet.
+    *     Needs ≥ 20 common queries — a subset re-baseline must not trip.
+    */
+  private[graft] def guardVerdict(worstRatio: Double, worstQuery: String,
+                                  vsPrev: Seq[Double]): Option[String] = {
+    if (worstRatio >= 2.0)
+      Some(s"2x gate breach: $worstQuery at " +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(worstRatio)) +
+        "x of baseline")
+    else if (vsPrev.size >= 20) {
+      val s = vsPrev.sorted
+      val med = medianOf(vsPrev)
+      val p10 = s(((s.size - 1) * 0.1).toInt)
+      if (med > 1.15 && p10 > 1.0)
+        Some("uniform drift vs previous run: median ratio " +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(med)) +
+          " with p10 " +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(p10)) +
+          " (every query slower — host window, not code)")
+      else None
+    } else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -165,17 +205,89 @@ object Bench {
       }
       passLog += ((l0, (System.nanoTime() - p0) / 1e9))
     }
-    for (_ <- 1 to repeats) pass(names)
-    // extra interleaved passes over just the watchlist (still round-robin
-    // within the pass, so one stall can't take out a query's whole tail)
-    for (_ <- (repeats + 1) to watchRepeats) pass(names.filter(watchlist))
+    // Baseline per-query rows from BASELINE.md ("| q_x | 0.1 | 1.21 | date |");
+    // first matching row wins (first-correct-run record policy). Rows are
+    // filtered to THIS run's scale factor (the sf token in the dir name) —
+    // without the filter, a baseline file carrying rows for several sfs
+    // would silently ratio a sf1 run against a sf0.1 row (an ~10× phantom
+    // regression, or a masked real one). Parsed leniently — a missing or
+    // reshaped file degrades worst_ratio to -1, it never fails the bench.
+    val sfToken = """sf([\d.]+)""".r.findFirstMatchIn(sfDir).map(_.group(1))
+    val baseline: Map[String, Double] = try {
+      val row = """\|\s*(q_\w+)\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|""".r
+      scala.io.Source.fromFile(baselinePath)("UTF-8").getLines()
+        .flatMap { l => row.findFirstMatchIn(l)
+          .filter(m => sfToken.forall(_ == m.group(2)))
+          .map(m => m.group(1) -> m.group(3).toDouble) }
+        .foldLeft(Map.empty[String, Double]) { (acc, kv) =>
+          if (acc.contains(kv._1)) acc else acc + kv }
+    } catch { case _: Throwable => Map.empty }
 
-    val results = names.map { name =>
-      val attempts = samples(name)
-      val ok = attempts.collect { case (t, None) => t }
-      val firstErr = attempts.collectFirst { case (_, Some(e)) => e }
-      (name, if (ok.nonEmpty) Some(median(ok)) else None, firstErr,
-        attempts.map { case (t, e) => if (e.isEmpty) t else -1.0 })
+    // Previous run's medians, read BEFORE this run overwrites the file:
+    // the reference frame for the uniform-drift guard (r11 verdict task
+    // #1 — the r11 fleet artifact was committed out of a degrading host
+    // window, every query uniformly ~1.2× its prior-run self, one over
+    // the 2× gate on untouched code). Same-sf only; absent file → no
+    // drift reference, guard A (gate breach) still applies.
+    val prevMedians: Map[String, Double] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(mediansOut)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (txt.contains("\"sf\":\"" + sfDir + "\""))
+        """"(q_\w+)":(-?[\d.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0).toMap
+      else Map.empty
+    } catch { case _: Throwable => Map.empty }
+
+    // Measure, guard, and (at most once) automatically re-measure: a run
+    // whose artifact would record a 2× gate breach or the every-query-
+    // slower drift signature is a measurement of the HOST, not the code —
+    // re-settle and take one fresh set of passes instead of committing
+    // it. A second trip records the run with the trip reason in the
+    // audit (a genuine regression must surface, not loop forever).
+    var results = Seq.empty[(String, Option[Double], Option[String], Vector[Double])]
+    var worstQuery = ""
+    var worstRatio = -1.0
+    val guardLog = scala.collection.mutable.ArrayBuffer.empty[String]
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      samples.clear()
+      for (_ <- 1 to repeats) pass(names)
+      // extra interleaved passes over just the watchlist (still round-robin
+      // within the pass, so one stall can't take out a query's whole tail)
+      for (_ <- (repeats + 1) to watchRepeats) pass(names.filter(watchlist))
+      results = names.map { name =>
+        val attempts = samples(name)
+        val ok = attempts.collect { case (t, None) => t }
+        val firstErr = attempts.collectFirst { case (_, Some(e)) => e }
+        (name, if (ok.nonEmpty) Some(median(ok)) else None, firstErr,
+          attempts.map { case (t, e) => if (e.isEmpty) t else -1.0 })
+      }
+      val ratios = results.flatMap { case (name, med, _, _) =>
+        for (m <- med; b <- baseline.get(name) if b > 0) yield (name, m / b) }
+      val (wq, wr) = if (ratios.isEmpty) ("", -1.0) else ratios.maxBy(_._2)
+      worstQuery = wq; worstRatio = wr
+      val vsPrev = results.flatMap { case (name, med, _, _) =>
+        for (m <- med; p <- prevMedians.get(name)) yield m / p }
+      guardVerdict(worstRatio, worstQuery, vsPrev) match {
+        case Some(reason) if attempt == 1 =>
+          guardLog += s"attempt 1: $reason — re-settling and re-measuring"
+          System.err.println(s"[bench-guard] $reason — automatic re-run")
+          var waited = 0L
+          while (load1() > nCores * 0.5 && waited < 120000L) {
+            Thread.sleep(5000L); waited += 5000L
+          }
+        case Some(reason) =>
+          guardLog += s"attempt $attempt: $reason — persisted after re-run, recording"
+          System.err.println(s"[bench-guard] $reason persisted — recording this run")
+          done = true
+        case None =>
+          if (attempt > 1) guardLog += s"attempt $attempt: clean — recorded"
+          done = true
+      }
     }
     // control chars below 0x20 (ANSI ESC in wrapped tool errors, NULs
     // from binary payloads in messages) must not reach the JSON — \s+
@@ -196,34 +308,13 @@ object Bench {
     val nFailed = results.count(_._2.isEmpty)          // every repeat failed
     val nFlaky = results.count(r => r._2.nonEmpty && r._3.nonEmpty) // some repeats failed
 
-    // Baseline per-query rows from BASELINE.md ("| q_x | 0.1 | 1.21 | date |");
-    // first matching row wins (first-correct-run record policy). Rows are
-    // filtered to THIS run's scale factor (the sf token in the dir name) —
-    // without the filter, a baseline file carrying rows for several sfs
-    // would silently ratio a sf1 run against a sf0.1 row (an ~10× phantom
-    // regression, or a masked real one). Parsed leniently — a missing or
-    // reshaped file degrades worst_ratio to -1, it never fails the bench.
-    val sfToken = """sf([\d.]+)""".r.findFirstMatchIn(sfDir).map(_.group(1))
-    val baseline: Map[String, Double] = try {
-      val row = """\|\s*(q_\w+)\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|""".r
-      scala.io.Source.fromFile(baselinePath)("UTF-8").getLines()
-        .flatMap { l => row.findFirstMatchIn(l)
-          .filter(m => sfToken.forall(_ == m.group(2)))
-          .map(m => m.group(1) -> m.group(3).toDouble) }
-        .foldLeft(Map.empty[String, Double]) { (acc, kv) =>
-          if (acc.contains(kv._1)) acc else acc + kv }
-    } catch { case _: Throwable => Map.empty }
-    val ratios = results.flatMap { case (name, med, _, _) =>
-      for (m <- med; b <- baseline.get(name) if b > 0) yield (name, m / b) }
-    val (worstQuery, worstRatio) =
-      if (ratios.isEmpty) ("", -1.0) else ratios.maxBy(_._2)
-
     // Full audit record → file (this is what overflowed stdout in round 5).
     val passesJson = passLog.map { case (l, s) =>
       s"""{"load1":${num(l)},"secs":${num(s)}}""" }.mkString("[", ",", "]")
     val settleJson = settle.map(num).mkString("[", ",", "]")
+    val guardJson = guardLog.map(jsonStr).mkString("[", ",", "]")
     val audit =
-      s"""{"samples":$raw,"errors":$errs,"repeats":$repeats,"watch_repeats":$watchRepeats,"watchlist":${watchlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"passes":$passesJson,"settle_load1":$settleJson,"n_cores":${num(nCores)},"sf":"$sfDir"}"""
+      s"""{"samples":$raw,"errors":$errs,"repeats":$repeats,"watch_repeats":$watchRepeats,"watchlist":${watchlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"passes":$passesJson,"settle_load1":$settleJson,"n_cores":${num(nCores)},"attempts":$attempt,"guard":$guardJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(samplesOut),
       audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable => System.err.println(s"samples file write failed: $t") }
