@@ -852,7 +852,12 @@ object Relational {
     * replay and diff it against a real clickPurchaseJoinOuter run. */
   private[graft] def joinOuterReplayOn(ev: DataFrame, delaySec: Long,
                                        windowSec: Long): DataFrame = {
-    val withWm = runningJoinWatermarkOn(ev, delaySec)
+    // persisted: the watermarked frame feeds the click side, the
+    // purchase side's pair join AND its unmatched anti-join — without it
+    // the two-window prefix computation runs three times (lifecycle:
+    // consumed at the caller's action time; Bench/Verify clearCache per
+    // query — the minhashPairsOver note)
+    val withWm = runningJoinWatermarkOn(ev, delaySec).persist()
     val c = withWm.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("sec").as("c_sec"), col("wm").as("c_wm"))
@@ -870,20 +875,22 @@ object Relational {
       coalesce(max(when(col("event_type") === "click", col("sec"))), lit(noWm)),
       coalesce(max(when(col("event_type") === "purchase", col("sec"))), lit(noWm)))
       - delaySec).as("fwm"))
-    val pairs = p.join(c, Seq("user_id"))
-      .filter(col("c_sec").between(col("p_sec") - windowSec, col("p_sec")))
-      .filter(col("c_sec") > greatest(col("c_wm"), col("p_wm")) - windowSec
-        && col("p_sec") > greatest(col("c_wm"), col("p_wm")))
-    val matched = pairs.select("user_id", "purchase_id", "click_id")
-    val unmatched = p
-      .join(pairs.select("purchase_id"), Seq("purchase_id"), "left_anti")
-      .crossJoin(broadcast(fw))
-      // eviction = emission: only purchases the final watermark evicted
-      // ever null-extend; later ones are withheld at end of stream
-      .filter(col("p_sec") <= col("fwm"))
-      .select(col("user_id"), col("purchase_id"),
-        lit(null).cast("long").as("click_id"))
-    matched.unionByName(unmatched)
+    // ONE user-keyed left outer join carries both arms: the range and
+    // watermark tests ride the ON clause, so they screen pairs BEFORE
+    // null-extension — a purchase none of whose clicks survive them
+    // null-extends, exactly the streaming rule (a pairs+anti-join
+    // formulation computed the join twice; this is the same result in
+    // one pass). Eviction = emission: only purchases the final watermark
+    // evicted ever null-extend; later ones are withheld at end of stream.
+    p.crossJoin(broadcast(fw))
+      .join(c.withColumnRenamed("user_id", "c_user"),
+        col("user_id") === col("c_user")
+          && col("c_sec").between(col("p_sec") - windowSec, col("p_sec"))
+          && col("c_sec") > greatest(col("c_wm"), col("p_wm")) - windowSec
+          && col("p_sec") > greatest(col("c_wm"), col("p_wm")),
+        "left_outer")
+      .filter(col("click_id").isNotNull || col("p_sec") <= col("fwm"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
   /** The two-sided running watermark of the stream-stream join replay:
