@@ -1618,9 +1618,14 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         (aggregate(col("l"), lit(0.0), (a, s) => a + s.getField("term"))
           / col("n_tokens")).as("rarity"))
-      // three consumers (lang stats, cell histogram, straddle probe) at
-      // the caller's action time — Bench/Verify clearCache reclaims
-      .persist()
+      // EAGER, not persist(): the three consumers (lang stats, cell
+      // histogram, straddle probe) sit under separate broadcast
+      // exchanges, and Spark submits broadcast jobs concurrently — with
+      // a lazy cache each of them raced to materialize it and the whole
+      // tf⋈vocab fold ran three times (measured 3× the subtree cost at
+      // local[32]). localCheckpoint materializes the doc-sized frame
+      // once, before any consumer plans against it.
+      .localCheckpoint(true)
     val K = 1024L
     val stats = per.groupBy("lang").agg(
         count(lit(1)).as("n"), min("rarity").as("mn"), max("rarity").as("mx"))
