@@ -134,4 +134,120 @@ object Ivf {
       .select(col("probe_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
       .orderBy("probe_id", "rank")
   }
+
+  // ---- Incremental index maintenance (r12) ----
+  //
+  // A 100 TB embedding corpus is not indexed once: vectors arrive in
+  // crawl deltas forever, and refitting + reassigning the world per
+  // delta re-shuffles the corpus. The persisted index is therefore a
+  // [[graft.sources.BucketedState]] posting table CLUSTERED BY list —
+  // the same append-only bucketed discipline as the dedup band index —
+  // plus a sidecar parquet of the frozen coarse-quantizer centers. The
+  // quantizer fits ONCE, on the first batch (standard IVF practice:
+  // centroids are trained on a sample and frozen; recall drifts only if
+  // the data distribution does, and that is a re-index decision, not a
+  // per-delta one). Later deltas assign against the stored centers — a
+  // broadcast argmin, no MLlib fit — and append only NOVEL (list,
+  // vec_id) rows, so folds are delta-sized and replay-idempotent.
+  //
+  // Write order on first contact: centers FIRST, then postings. A crash
+  // between the two leaves centers without postings — the next append
+  // assigns with the stored quantizer and (re)appends, converging; the
+  // reverse order could strand postings assigned under a LOST quantizer.
+  // SINGLE-WRITER per indexPath, like every state path here.
+
+  /** Bucket count of the posting layout — fixed at creation; production
+    * sizes this near the cluster's shuffle-partition count. */
+  private[graft] val PostingBuckets = 16
+
+  private[graft] def postingState(indexPath: String): graft.sources.BucketedState =
+    graft.sources.BucketedState(indexPath, "graft_ivf_idx_",
+      "list INT, vec_id BIGINT, embedding ARRAY<FLOAT>", Seq("list"), PostingBuckets)
+
+  private def centroidsPath(indexPath: String): String = indexPath + ".centroids"
+
+  private def readCenters(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.schema("list INT, center ARRAY<DOUBLE>")
+      .parquet(centroidsPath(indexPath))
+
+  /** Nearest stored center per vector (normalized space — the fit
+    * metric), ties to the lowest list id. Zero-norm vectors are dropped
+    * ([[Pq.normalized]]): they are unsearchable under cosine. */
+  private def assignWith(centers: DataFrame, vectors: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("list"))
+    Pq.normalized(vectors)
+      .crossJoin(broadcast(centers))
+      .withColumn("dist", aggregate(
+        zip_with(col("nemb"), col("center"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("list"), col("vec_id"), col("embedding"))
+  }
+
+  /** Fold one delta of (vec_id, embedding) vectors into the persisted
+    * index at indexPath. First contact fits the quantizer on the batch
+    * (≥ K vectors required) and freezes its centers; every later call
+    * is fit-free. Replaying a folded delta appends nothing. */
+  def ivfAppend(spark: SparkSession, indexPath: String, vectors: DataFrame): Unit = {
+    import spark.implicits._
+    val st = postingState(indexPath)
+    val cdir = new java.io.File(centroidsPath(indexPath))
+    val centers: DataFrame =
+      if (cdir.exists()) readCenters(spark, indexPath)
+      else {
+        val emb = Pq.normalized(vectors)
+          .withColumn("features", array_to_vector(col("nemb")))
+        val n = emb.count()
+        require(n >= K,
+          s"IVF quantizer needs at least K=$K vectors in the first batch, got $n")
+        val model = new KMeans().setK(K).setSeed(42L).setMaxIter(10).fit(emb)
+        model.clusterCenters.zipWithIndex
+          .map { case (c, i) => (i, c.toArray) }.toSeq
+          .toDF("list", "center")
+          .coalesce(1).write.parquet(centroidsPath(indexPath))
+        readCenters(spark, indexPath)
+      }
+    val assigned = assignWith(centers, vectors)
+    val novel = st.ensure(spark) match {
+      case Some(t) => assigned.join(
+        spark.table(t).select("list", "vec_id"), Seq("list", "vec_id"), "left_anti")
+      case None => assigned
+    }
+    st.append(spark, novel)
+  }
+
+  /** Top-k cosine neighbors of (vec_id, embedding) probes against the
+    * persisted index: rank the stored centers per probe, search only
+    * the NProbe nearest posting lists. The posting side is a bucketed
+    * scan joined on its cluster key, so the corpus-sized index never
+    * re-shuffles — only probe-list candidates move. */
+  def ivfSearch(spark: SparkSession, indexPath: String, probes: DataFrame,
+                k: Int = 3): DataFrame = {
+    val t = postingState(indexPath).ensure(spark).getOrElse(
+      throw new IllegalStateException(s"no committed IVF index at $indexPath"))
+    val centers = readCenters(spark, indexPath)
+    val np = Pq.normalized(probes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nemb").as("p_nemb"))
+    val wc = Window.partitionBy("probe_id").orderBy(col("dist"), col("list"))
+    val probeLists = np.crossJoin(broadcast(centers))
+      .withColumn("dist", aggregate(
+        zip_with(col("p_nemb"), col("center"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= NProbe)
+      .select(col("probe_id"), col("p_emb"), col("list"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    spark.table(t)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("list"))
+      .join(broadcast(probeLists), Seq("list"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosineSim(col("p_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
 }

@@ -673,49 +673,26 @@ object TextOps {
     * index side co-locates, the delta shuffles). Idempotent: replaying
     * a folded batch finds nothing novel and appends nothing. */
   private[graft] def dedupFold(spark: SparkSession, indexPath: String,
-                               batchMin: DataFrame): Unit =
-    ensureIndexTable(spark, indexPath) match {
+                               batchMin: DataFrame): Unit = {
+    val st = dedupIndexState(indexPath)
+    st.ensure(spark) match {
       case Some(t) =>
-        batchMin
-          .join(spark.table(t).select("band", "key"), Seq("band", "key"), "left_anti")
-          .write.format("parquet").mode("append")
-          .bucketBy(DedupIndexBuckets, "band", "key").sortBy("band", "key")
-          .saveAsTable(t)
+        st.append(spark, batchMin
+          .join(spark.table(t).select("band", "key"), Seq("band", "key"), "left_anti"))
       case None =>
-        val dir = new java.io.File(indexPath)
-        // only uncommitted garbage can be here (a crashed first append's
-        // _temporary) — committed data would have registered above
-        if (dir.exists()) graft.sources.Writers.deleteRecursively(dir)
-        batchMin.write.format("parquet")
-          .bucketBy(DedupIndexBuckets, "band", "key").sortBy("band", "key")
-          .option("path", dir.getAbsolutePath)
-          .saveAsTable(dedupIndexTable(indexPath))
+        st.append(spark, batchMin)
     }
+  }
 
   /** Compact the persisted index: appends leave one file set per folded
     * delta, so a long-running loop periodically rewrites the table to
     * one file per bucket. The rewrite's groupBy sits ON the bucket keys
     * — a bucketed scan aggregates exchange-free, so compaction is
-    * per-bucket local however large the index. Staged-swap discipline
-    * (maintainAggState): the merged copy lands beside the live dir, one
-    * rename pair swaps it in, crash leaves the old index readable. */
+    * per-bucket local however large the index ([[graft.sources
+    * .BucketedState.compact]]'s staged-swap discipline). */
   def compactDedupIndex(spark: SparkSession, indexPath: String): Unit =
-    ensureIndexTable(spark, indexPath).foreach { t =>
-      val merged = spark.table(t)
-        .groupBy("band", "key").agg(min("min_doc").as("min_doc"))
-      val nonce = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
-      val stage = s"${t}_stage"
-      val tmp = new java.io.File(indexPath + s".maintain_$nonce")
-      spark.sql(s"DROP TABLE IF EXISTS $stage")
-      merged.write.format("parquet")
-        .bucketBy(DedupIndexBuckets, "band", "key").sortBy("band", "key")
-        .option("path", tmp.getAbsolutePath)
-        .saveAsTable(stage)
-      spark.sql(s"DROP TABLE $stage") // external: the staged files survive
-      graft.sources.Writers.swapIn(new java.io.File(indexPath), tmp,
-        new java.io.File(indexPath + s".old_$nonce"))
-      spark.catalog.refreshTable(t)
-    }
+    dedupIndexState(indexPath).compact(spark)(
+      _.groupBy("band", "key").agg(min("min_doc").as("min_doc")))
 
   /** Bucket count of the persisted index layout — fixed at table
     * creation (appends must match it). 16 suits the local fixture; a
@@ -723,51 +700,23 @@ object TextOps {
     * shuffle-partition count once, at first creation. */
   private[graft] val DedupIndexBuckets = 16
 
-  /** Catalog name of the index table for a path: content-addressed from
-    * the canonical path so every distinct indexPath gets its own entry
-    * and re-registration is deterministic across sessions. */
-  private[graft] def dedupIndexTable(indexPath: String): String = {
-    val canonical = new java.io.File(indexPath).getAbsolutePath
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"graft_dedup_idx_$md5"
-  }
+  /** The band-key index as a [[graft.sources.BucketedState]] — the
+    * shared append-only bucketed-table discipline (also behind the IVF
+    * posting lists), clustered on the (band, key) probe keys. */
+  private[graft] def dedupIndexState(indexPath: String): graft.sources.BucketedState =
+    graft.sources.BucketedState(indexPath, "graft_dedup_idx_",
+      "band INT, `key` STRING, min_doc BIGINT", Seq("band", "key"), DedupIndexBuckets)
 
-  /** The index table for indexPath, re-registering from on-disk files if
-    * this session's catalog has never seen it (external bucketed DDL —
-    * the files were bucket-written, so declaring CLUSTERED BY over them
-    * is sound); None when no committed index data exists yet. */
+  /** Catalog name of the index table for a path (spec hook). */
+  private[graft] def dedupIndexTable(indexPath: String): String =
+    dedupIndexState(indexPath).table
+
+  /** The index table for indexPath, re-registering from on-disk files
+    * when this session's catalog has never seen it; None when no
+    * committed index data exists yet (spec hook). */
   private[graft] def ensureIndexTable(spark: SparkSession,
-                                      indexPath: String): Option[String] = {
-    val t = dedupIndexTable(indexPath)
-    if (spark.catalog.tableExists(t)) Some(t)
-    else if (indexHasCommittedData(indexPath)) {
-      val loc = new java.io.File(indexPath).getAbsolutePath
-      // loc reaches SQL text (the rfm interpolation audit): temp/fixture
-      // paths are quote-free; refuse rather than mis-quote
-      require(!loc.contains("'"), s"index path must not contain quotes: $loc")
-      spark.sql(
-        s"""CREATE TABLE $t (band INT, `key` STRING, min_doc BIGINT)
-           |USING parquet
-           |CLUSTERED BY (band, `key`) SORTED BY (band, `key`)
-           |INTO $DedupIndexBuckets BUCKETS
-           |LOCATION '$loc'""".stripMargin)
-      Some(t)
-    } else None
-  }
-
-  /** True iff indexPath holds COMMITTED parquet data — files under an
-    * in-flight append's _temporary staging don't count (the
-    * upsertSinkBatch bare-directory lesson). */
-  private def indexHasCommittedData(indexPath: String): Boolean = {
-    def rec(f: java.io.File): Boolean = {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      kids.exists(k => k.isFile && k.getName.endsWith(".parquet")
-        && !k.getName.startsWith(".") && !k.getName.startsWith("_")) ||
-        kids.exists(k => k.isDirectory && k.getName != "_temporary" && rec(k))
-    }
-    rec(new java.io.File(indexPath))
-  }
+                                      indexPath: String): Option[String] =
+    dedupIndexState(indexPath).ensure(spark)
 
   /** Link-analysis centrality over the near-dup pair graph: PageRank with
     * 5 fixed power iterations and damping 0.85 — "which documents sit at
