@@ -50,30 +50,57 @@ class WindowLintSpec extends SparkSpec {
     "q_wau" -> "per-day delta aggregate frame (calendar-bounded)")
 
   test("every unpartitioned Window in the fleet is allowlisted and sits over an aggregated frame") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     val offenders = Seq.newBuilder[String]
     val stale = scala.collection.mutable.Set(allowed.keySet.toSeq: _*)
     SparkEntry.benchShapes.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf)
-      val unpart = df.queryExecution.optimizedPlan.collect {
-        case w: LWin if w.partitionSpec.isEmpty => w
+      // (description, has-a-GROUPING-aggregate-below) per unpartitioned
+      // window. Two collection surfaces: the logical plan, and — the r12
+      // blind-spot fix — the PHYSICAL plans cached inside
+      // InMemoryRelation nodes: a persist() between an operator's
+      // windows and its output used to hide them from this sweep
+      // entirely (q_join_outer_replay's block-prefix windows vanished
+      // when its watermark frame gained a persist).
+      val logical = df.queryExecution.optimizedPlan.collect {
+        case w: LWin if w.partitionSpec.isEmpty =>
+          (w.toString, w.child.collectFirst {
+            case a: Aggregate if a.groupingExpressions.nonEmpty => a
+          }.nonEmpty)
       }
+      val cached = df.queryExecution.optimizedPlan.collect {
+        case imr: InMemoryRelation =>
+          // under AQE the cached plan is an AdaptiveSparkPlanExec whose
+          // collect() sees only itself — unwrap to the input plan
+          val plan = imr.cachedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.inputPlan
+            case p => p
+          }
+          plan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty =>
+              (w.toString, w.child.collectFirst {
+                case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => a
+              }.nonEmpty)
+          }
+      }.flatten
+      val unpart = logical ++ cached
       if (unpart.nonEmpty) {
         if (!allowed.contains(name))
           offenders += s"$name plans ${unpart.size} unpartitioned Window(s) " +
             "but is not allowlisted — a fact-sized frame here is a " +
             "single-task sort at scale; fix the plan or justify an entry"
         stale -= name
-        unpart.foreach { w =>
+        unpart.foreach { case (desc, grouped) =>
           // the Aggregate must GROUP (nonempty grouping expressions): a
           // grouping-less scalar aggregate cross-joined onto a raw fact
           // stream (the lmScore/dsir broadcast-nv shape) does not bound
           // the windowed frame and must not satisfy the check
-          val grouped = w.child.collectFirst {
-            case a: Aggregate if a.groupingExpressions.nonEmpty => a
-          }
-          if (grouped.isEmpty)
+          if (!grouped)
             offenders += s"$name has an unpartitioned Window with no " +
-              s"GROUPING Aggregate below it (raw-stream global window):\n$w"
+              s"GROUPING Aggregate below it (raw-stream global window):\n$desc"
         }
       }
     }
