@@ -473,6 +473,27 @@ object StreamOps {
     } finally keys.unpersist()
   }
 
+  /** Streaming face of the incremental IVF index ([[graft.operators.Ivf
+    * .ivfAppend]]): a stream of (vec_id, embedding) deltas folds into
+    * the persisted posting lists per micro-batch. No per-batch output
+    * to protect (the sink is fold-only), so replay safety is inherited
+    * directly from the fold's novel-only appends — a redelivered batch
+    * appends nothing. The FIRST batch fits the quantizer, so it must
+    * carry ≥ Ivf.K vectors; size the initial backfill accordingly. */
+  def ivfAppendSink(vectors: DataFrame, indexPath: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // an empty micro-batch folds nothing — and before the quantizer
+        // exists it would fail the ≥ K first-fit guard, wedging the
+        // query on a no-data trigger
+        if (!batch.isEmpty)
+          graft.operators.Ivf.ivfAppend(batch.sparkSession, indexPath, batch.toDF())
+      }
+      .start()
+
   def upsertSink(stream: DataFrame, path: String, key: String,
                  partitionCols: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream

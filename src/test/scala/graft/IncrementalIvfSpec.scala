@@ -72,6 +72,31 @@ class IncrementalIvfSpec extends SparkSpec {
       "re-registered postings + sidecar centers must answer identically")
   }
 
+  test("streaming sink: two micro-batches of deltas build the same index as one batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = vectors().as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (s1, s2) = all.splitAt(all.length / 2)
+    val idx = freshIndex()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-sink").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamOps.ivfAppendSink(
+      input.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try Seq(s1, s2).foreach { s => input.addData(s.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = searchRows(idx)
+    // reference: one-shot append to a fresh index, but with the SAME
+    // quantizer lifecycle (fit on the first slice), so rebuild it the
+    // same way: slice 1 fits, slice 2 assigns
+    val ref = freshIndex()
+    graft.operators.Ivf.ivfAppend(spark, ref, vectors().filter(col("vec_id") < s2.head._1))
+    graft.operators.Ivf.ivfAppend(spark, ref, vectors().filter(col("vec_id") >= s2.head._1))
+    assert(streamed == searchRows(ref) && streamed.nonEmpty,
+      "streamed deltas must build the same index as direct appends")
+  }
+
   test("compaction: at most one file set per bucket, search unchanged") {
     def committedFiles(p: String): Int = {
       def rec(f: java.io.File): Seq[java.io.File] = {
