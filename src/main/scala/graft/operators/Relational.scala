@@ -1642,11 +1642,14 @@ object Relational {
     val sets = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("pks"))
-      // feeds pairs, supports, and the order count — persist the
-      // order-cardinality frame instead of re-aggregating per consumer
-      // (lifecycle: caller's-action-time consumer, reclaimed by the
-      // harness clearCache — the bloomSemiJoin note)
-      .persist()
+      // EAGER (the r12 ccnet lesson): three of the consumers — the two
+      // broadcast(supp) builds and the broadcast order count — are
+      // broadcast exchanges, and Spark submits broadcast jobs
+      // concurrently; with a lazy persist they raced to materialize the
+      // cache and the per-order collect_set aggregation ran up to four
+      // times. localCheckpoint materializes the order-grain frame once,
+      // before any consumer plans against it.
+      .localCheckpoint(true)
     val nOrders = sets.select(count(lit(1)).as("n_orders"))
     val supp = sets.select(explode(col("pks")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("supp"))
