@@ -565,10 +565,11 @@ object TextOps {
     * agg → self-equi-join on bucket → anti-join; nothing fact-quadratic
     * (the minhashPairs discipline). */
   def dedupAdmissions(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: feeds both the bucket-min agg and the join probe (the
-    // minhashPairsOver lifecycle — consumed at the caller's action time,
-    // Bench/Verify clearCache per query)
-    val keys = bandKeyFrame(shingleCodeFrame(spark, dir)).persist()
+    // EAGER (the r12 broadcast-race lint): both the bucket-min build and
+    // the rejected-id build end up broadcast, and two concurrent
+    // broadcast jobs over a lazy persist would each run the whole
+    // signature pipeline
+    val keys = bandKeyFrame(shingleCodeFrame(spark, dir)).localCheckpoint(true)
     val bucketMin = keys.groupBy("band", "key").agg(min("doc_id").as("min_doc"))
     val rejected = keys.join(bucketMin, Seq("band", "key"))
       .filter(col("doc_id") > col("min_doc"))
@@ -1187,9 +1188,10 @@ object TextOps {
     * [[connectedComponents]]) so known graph shapes — a closed triangle
     * with a pendant, a pure star — are unit-testable. */
   private[graft] def triangleCensusOnEdges(pairs: DataFrame): DataFrame = {
-    // joined 3x + degree scan (lifecycle: caller's-action-time consumer,
-    // reclaimed by the harness clearCache — the bloomSemiJoin note)
-    val edges = pairs.persist()
+    // EAGER (the r12 broadcast-race lint): the degree build and one
+    // triangle-join side both broadcast over this frame — joined 3x +
+    // degree scan, materialized once up front
+    val edges = pairs.localCheckpoint(true)
     val deg = edges.select(col("d1").as("v")).unionByName(edges.select(col("d2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // wedge terms stay EXACT integers: deg widens to DECIMAL(38,0)
@@ -1857,8 +1859,12 @@ object TextOps {
     // containment/dedupCurve reuse pattern; the old form ran the
     // tokenize→shingle→TokenCode pipeline three times. Signature mins
     // are unaffected by the frame's code dedup (shingleCodeFrame doc).
-    val codes = shingleCodeFrame(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER (the r12 broadcast-race lint): four of the consumers'
+    // broadcast builds scan this frame, and concurrent broadcast jobs
+    // over a lazy persist each re-ran the tokenize→shingle→TokenCode
+    // pipeline (checkpointing only the pair frame moved nothing — the
+    // race was here, one level down)
+    val codes = shingleCodeFrame(spark, dir).localCheckpoint(true)
     val sig = codes.select(col("doc_id"),
       graft.functions.MinHashSig.minhashSig(col("cs"), MinhashParams, MinhashPrime).as("mins"))
     val docCodes = codes.select(col("doc_id"), explode(col("cs")).as("code"))
