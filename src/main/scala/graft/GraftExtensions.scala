@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BitmapAndCount, BitmapFromBits, CosineSimilarity, Iou, JaroWinkler, MinHashSig, SimHash16, SqDistance, TokenCode, WalshBandKeys}
+import graft.functions.{BitmapAndCount, BitmapFromBits, CondEntropySum, CosineSimilarity, DecaySum, Iou, JaroWinkler, MinHashSig, PlogpSum, SimHash16, SortedTermSum, SqDistance, TokenCode, WalshBandKeys}
 import graft.operators.{TextOps, VectorOps}
 
 /** SQL-surface registration for the engine's custom Catalyst expressions
@@ -66,7 +66,15 @@ object GraftExtensions {
       WalshBandKeys(exprs(0), VectorOps.MultibandPlanes)),
     "bitmap_from_bits" -> arity("bitmap_from_bits", 1)(exprs => BitmapFromBits(exprs(0))),
     "bitmap_and_count" -> arity("bitmap_and_count", 2)(exprs => BitmapAndCount(exprs(0), exprs(1))),
-    "jaro_winkler" -> arity("jaro_winkler", 2)(exprs => JaroWinkler(exprs(0), exprs(1))))
+    "jaro_winkler" -> arity("jaro_winkler", 2)(exprs => JaroWinkler(exprs(0), exprs(1))),
+    // the order-pinned fold kernels (functions/SortedFolds.scala); the
+    // negated lm_score fold is Column-API-only (SortedFolds.sortedTermSumNeg)
+    "sorted_term_sum" -> arity("sorted_term_sum", 1)(exprs =>
+      SortedTermSum(exprs(0), negate = false)),
+    "plogp_sum" -> arity("plogp_sum", 2)(exprs => PlogpSum(exprs(0), exprs(1))),
+    "cond_entropy_sum" -> arity("cond_entropy_sum", 2)(exprs =>
+      CondEntropySum(exprs(0), exprs(1))),
+    "decay_sum" -> arity("decay_sum", 2)(exprs => DecaySum(exprs(0), exprs(1))))
 
   /** Late registration on an existing session: functions + the planner
     * strategy for graft's custom logical operators.

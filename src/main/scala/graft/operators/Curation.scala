@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.SortedFolds
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -469,10 +470,10 @@ object Curation {
     // lns per (doc, tok) row), not inside the array fold — the lmScore
     // r11 lesson: HOF lambdas evaluate interpreted, so leaving the
     // ln/divide/multiply in the fold charges the whole importance-model
-    // math to the interpreter. The fold below only adds, in the same
-    // token-sorted order over the same doubles (struct(tok, term) sorts
-    // by the per-group-unique tok exactly like struct(tok, tf, ct, c)
-    // did), so avg_llr stays bit-identical to the oracle.
+    // math to the interpreter. The order-pinned ADD is the compiled
+    // SortedTermSum kernel (token-sorted, same struct natural order the
+    // r11 array_sort used — per-group-unique tok makes the sort total),
+    // so avg_llr stays bit-identical to the oracle.
     tf.join(vocab, "tok")
       .crossJoin(broadcast(scalars))
       .withColumn("term",
@@ -480,11 +481,11 @@ object Curation {
           (log((col("ct") + 1) / (col("nt") + col("v")).cast("double"))
             - log((col("c") + 1) / (col("n") + col("v")).cast("double"))))
       .groupBy("doc_id", "lang")
-      .agg(array_sort(collect_list(struct(col("tok"), col("term")))).as("l"),
+      .agg(collect_list(struct(col("tok"), col("term"))).as("l"),
         sum("tf").as("n_tokens"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         round(
-          aggregate(col("l"), lit(0.0), (acc, s) => acc + s.getField("term"))
+          SortedFolds.sortedTermSum(col("l"))
             / col("n_tokens"), 4).as("avg_llr"))
   }
 

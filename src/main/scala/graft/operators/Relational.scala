@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.SortedFolds
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1441,11 +1442,13 @@ object Relational {
     Tables.events(spark, dir)
       .select(col("user_id"), unix_timestamp(col("ts")).as("t"))
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"), array_sort(collect_list(col("t"))).as("tss"))
+      .agg(count(lit(1)).as("n_events"), collect_list(col("t")).as("tss"))
       .crossJoin(broadcast(ref))
       .select(col("user_id"), col("n_events"),
-        round(aggregate(col("tss"), lit(0.0),
-          (acc, t) => acc + pow(lit(2.0), (t - col("t_ref")).cast("double") / 604800.0)), 4)
+        // compiled DecaySum ≡ the interpreted time-ascending pow fold,
+        // bit for bit (SortedFoldsSpec — StrictMath.pow, Catalyst Pow's
+        // delegate; Math.pow flipped 4 of 51 terms by 1 ulp)
+        round(SortedFolds.decaySum(col("tss"), col("t_ref")), 4)
           .as("score"))
       .orderBy("user_id")
   }
@@ -2317,10 +2320,9 @@ object Relational {
           struct(col("src"), ((col("pi") * col("n")) / col("tot")).as("term"))
             .as("c"))
         .groupBy("dst")
-        .agg(array_sort(collect_list(col("c"))).as("l"))
+        .agg(collect_list(col("c")).as("l"))
         .select(col("dst").as("state"),
-          aggregate(col("l"), lit(0.0), (acc, x) => acc + x.getField("term"))
-            .as("pi"))
+          SortedFolds.sortedTermSum(col("l")).as("pi"))
     }
     pi.join(broadcast(totals.select(col("src").as("state"), col("tot"))), "state")
       .select(col("state"), col("tot").as("n_out"), round(col("pi"), 6).as("pi"))

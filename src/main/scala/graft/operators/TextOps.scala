@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.SortedFolds
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
@@ -1082,15 +1083,15 @@ object TextOps {
     counts.groupBy("source")
       .agg(
         sum("c").as("n_tokens"),
-        array_sort(collect_list(col("c"))).as("cs"))
+        collect_list(col("c")).as("cs"))
       .select(
         col("source"),
         col("n_tokens"),
         size(col("cs")).cast("long").as("n_terms"),
-        round(aggregate(col("cs"), lit(0.0), (acc, c) => {
-          val p = c.cast("double") / col("n_tokens")
-          acc - p * log(p)
-        }), 4).as("entropy"))
+        // compiled PlogpSum ≡ the interpreted
+        // aggregate(array_sort(cs), 0, acc - p·ln p) twin, bit for bit
+        // (SortedFoldsSpec) — count-ascending fold order pins the sum
+        round(SortedFolds.plogpSum(col("cs"), col("n_tokens")), 4).as("entropy"))
       .orderBy("source")
   }
 
@@ -1331,8 +1332,8 @@ object TextOps {
       .withColumn("p", col("n_tokens") / col("n_total").cast("double"))
       .withColumn("pa", pow(col("p"), lit(0.3)))
     val z = withP
-      .agg(array_sort(collect_list(struct(col("lang"), col("pa")))).as("l"))
-      .select(aggregate(col("l"), lit(0.0), (a, s) => a + s.getField("pa")).as("z"))
+      .agg(collect_list(struct(col("lang"), col("pa"))).as("l"))
+      .select(SortedFolds.sortedTermSum(col("l")).as("z"))
     withP.crossJoin(broadcast(z))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         round(col("p"), 4).as("p_raw"),
@@ -1485,21 +1486,22 @@ object TextOps {
     // projection (one ln per (doc, tok) row), not inside the array fold —
     // HOF lambdas evaluate interpreted, so keeping the ln/divide/multiply
     // in the fold charged the whole corpus-model math to the interpreter
-    // (~0.2 s/run at sf0.1). The fold below only subtracts, in the same
-    // token-sorted order over the same doubles (struct(tok, term) sorts
-    // by the per-doc-unique tok exactly like struct(tok, tf, c) did), so
-    // the result stays bit-identical to the oracle's recurrence.
+    // (~0.2 s/run at sf0.1). The order-pinned subtraction fold is the
+    // compiled SortedTermSum kernel (functions/SortedFolds.scala): it
+    // sorts by the per-doc-unique tok with array_sort's struct natural
+    // order and subtracts in that order, bit-identical to the oracle's
+    // recurrence — without the two interpreted HOF passes (array_sort's
+    // comparator + aggregate's lambda) of the r11 formulation.
     tf.join(cf, "tok")
       .crossJoin(broadcast(nv))
       .withColumn("term",
         col("tf") * log((col("c") + 1) / (col("n") + col("v")).cast("double")))
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("tok"), col("term")))).as("l"),
+      .agg(collect_list(struct(col("tok"), col("term"))).as("l"),
         sum("tf").as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        round(
-          aggregate(col("l"), lit(0.0), (acc, s) => acc - s.getField("term"))
-            / col("n_tokens"), 4).as("lm_score"))
+        round(SortedFolds.sortedTermSumNeg(col("l")) / col("n_tokens"), 4)
+          .as("lm_score"))
       .orderBy("doc_id")
   }
 
@@ -1557,17 +1559,18 @@ object TextOps {
     val cf = tf.groupBy("tok").agg(sum("tf").as("c"))
     val nv = cf.agg(sum("c").as("n"), count(lit(1)).as("v"))
     // term stays in a codegen'd projection (the lmScore lesson: HOF
-    // lambdas evaluate interpreted — only the order-pinned ADD lives in
-    // the fold); tok is per-doc-unique, so the struct sort is total
+    // lambdas evaluate interpreted); the order-pinned ADD is the compiled
+    // SortedTermSum kernel — tok is per-doc-unique, so the struct sort is
+    // total and the fold order matches the oracle's recurrence exactly
     val per = tf.join(cf, "tok")
       .crossJoin(broadcast(nv))
       .withColumn("term",
         col("tf") * ((col("n") + col("v")).cast("double") / (col("c") + 1)))
       .groupBy("doc_id", "lang")
-      .agg(array_sort(collect_list(struct(col("tok"), col("term")))).as("l"),
+      .agg(collect_list(struct(col("tok"), col("term"))).as("l"),
         sum("tf").as("n_tokens"))
       .select(col("doc_id"), col("lang"),
-        (aggregate(col("l"), lit(0.0), (a, s) => a + s.getField("term"))
+        (SortedFolds.sortedTermSum(col("l"))
           / col("n_tokens")).as("rarity"))
       // EAGER, not persist(): the three consumers (lang stats, cell
       // histogram, straddle probe) sit under separate broadcast
@@ -2099,12 +2102,13 @@ object TextOps {
     val cu = cuv.groupBy("u").agg(sum("cuv").as("cu"))
     cuv.join(cu, "u")
       .agg(sum("cuv").as("n"), count(lit(1)).as("n_bigram_types"),
-        array_sort(collect_list(struct(col("u"), col("v"),
-          col("cuv").as("c"), col("cu")))).as("l"))
+        collect_list(struct(col("u"), col("v"),
+          col("cuv").as("c"), col("cu"))).as("l"))
       .select(col("n").as("n_bigrams"), col("n_bigram_types"),
-        round(aggregate(col("l"), lit(0.0), (acc, e) =>
-          acc - (e.getField("c").cast("double") / col("n"))
-            * log(e.getField("c").cast("double") / e.getField("cu"))), 4)
+        // compiled CondEntropySum ≡ the interpreted (u,v)-sorted
+        // aggregate twin, bit for bit (SortedFoldsSpec) — this single
+        // bigram-type-sized array fold was the whole interpreted cost
+        round(SortedFolds.condEntropySum(col("l"), col("n")), 4)
           .as("cond_entropy"))
   }
 

@@ -88,17 +88,22 @@ class PlansSpec extends SparkSpec {
   test("q_basket plan: one fact exchange, pairs expanded in-array, top-k not a sort") {
     val qe = operators.Relational.basketPairs(spark, sf).queryExecution
     val plan = qe.executedPlan.toString
-    // pairs are expanded in-array off the cached per-order sets: there
-    // is no order-key JOIN anywhere — every join in the plan is a
-    // broadcast of a dim-sized support/count frame. (The l_orderkey
-    // grouping exchange prints once per cache consumer in the string,
-    // but runs once through the InMemoryRelation.)
+    // pairs are expanded in-array off the materialized per-order sets:
+    // there is no order-key JOIN anywhere — every join in the plan is a
+    // broadcast of a dim-sized support/count frame.
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"fact-sized shuffle join in the basket plan:\n${plan.take(1500)}")
     assert(plan.contains("TakeOrderedAndProject"),
       "top-100 should be TakeOrderedAndProject, not a global Sort")
-    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
-      "per-order set frame should be persisted, not re-aggregated per consumer")
+    // the per-order collect_set frame is an EAGER localCheckpoint (the
+    // r12 broadcast-race fix, Relational.scala basketPairs): consumers
+    // must scan the checkpointed RDD, and the expensive order-grain
+    // aggregation must not appear anywhere in the executed plan — with
+    // the old lazy persist each racing broadcast build re-ran it.
+    assert(plan.contains("Scan ExistingRDD"),
+      "per-order set frame should be an eager localCheckpoint scan")
+    assert(!plan.contains("collect_set"),
+      "order-grain collect_set must be materialized before consumers plan")
     spark.catalog.clearCache()
   }
 
