@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+
+/** Fleet-wide interpreted-HOF lint (r12 fourth sitting): every Catalyst
+  * higher-order function (`transform`/`aggregate`/`array_sort`-with-
+  * comparator/`zip_with`/`filter`/`exists`…) evaluates its lambda
+  * INTERPRETED — one expression-tree walk per element — and the
+  * enclosing projection is CodegenFallback, so it also drops out of
+  * whole-stage codegen. On a fact-grain frame that is a silent
+  * multiplier the oracles can't see (q_lm_score carried ~0.3 s of it
+  * for two rounds; the SortedFolds kernels removed it). This sweep
+  * walks every bench shape's executed plan (AQE off, cached subtrees
+  * included — the WindowLint blind-spot lesson) and pins the surviving
+  * HOF inventory to an explicit allowlist: a NEW query that plans a
+  * HOF, or a new HOF in an old query, fails here and must either be
+  * compiled (the functions/SortedFolds or SqDistance pattern) or be
+  * allowlisted with a boundedness note.
+  *
+  * Blind spot, by construction: subtrees materialized by an eager
+  * localCheckpoint at build time (q_basket sets, q_ccnet_buckets
+  * rarity) are gone from the plan, so their HOFs are invisible here —
+  * those operators' plan shapes are pinned by their own specs.
+  *
+  * The allowlist below records WHY each survivor stays interpreted:
+  * bounded arrays (embedding dim ≤ 64, day grids, per-order parts ≤ 7)
+  * where the lambda cost is a rounding error, or once-per-group
+  * dimension-sized folds.
+  */
+class HofLintSpec extends SparkSpec {
+
+  /** prettyName multiset of HOFs in the executed plan, cached subtrees
+    * unwrapped. */
+  private def hofInventory(df: DataFrame): Seq[String] = {
+    val sess = df.sparkSession
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
+    try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      def scan(p: SparkPlan): Seq[String] = {
+        val own = p.flatMap(op => op.expressions.flatMap(_.collect {
+          case h: HigherOrderFunction => h.prettyName
+        }))
+        val cached = p.collect { case s: InMemoryTableScanExec =>
+          scan(s.relation.cachedPlan)
+        }.flatten
+        own ++ cached
+      }
+      scan(df.queryExecution.executedPlan)
+    } finally sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("positive control: the detector sees an interpreted fold in a projection") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10)
+      .select(aggregate(array(col("id"), col("id") + 1), lit(0L), (a, x) => a + x).as("s"))
+    assert(hofInventory(df).contains("aggregate"))
+  }
+
+  test("no bench query plans an unallowlisted interpreted HOF") {
+    val offenders = Seq.newBuilder[String]
+    SparkEntry.benchShapes.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val inv = hofInventory(fn(spark, sf)).groupBy(identity).view.mapValues(_.size).toMap
+      val allowed = HofLintSpec.allowlist.getOrElse(name, Map.empty)
+      val extra = inv.filter { case (h, n) => n > allowed.getOrElse(h, 0) }
+      if (extra.nonEmpty)
+        offenders += s"$name: interpreted HOFs beyond allowlist: " +
+          extra.map { case (h, n) => s"$h x$n (allowed ${allowed.getOrElse(h, 0)})" }
+            .mkString(", ") +
+          " — compile it (functions/SortedFolds pattern) or allowlist with a boundedness note"
+      spark.catalog.clearCache()
+    }
+    assert(offenders.result().isEmpty, offenders.result().mkString("\n"))
+  }
+}
+
+object HofLintSpec {
+  /** query -> (hof prettyName -> max allowed count in the plan).
+    *
+    * Every entry is a REVIEWED survivor, grouped by why the interpreted
+    * lambda is harmless there:
+    *  - EMB: lambda over a ≤64-element embedding (or PQ sub-vector /
+    *    int8 code) array — work per row is bounded by the vector dim,
+    *    and the ANN paths do it only on bucket/shortlist candidates.
+    *  - SIG: lambda over a shingle/minhash-signature/band array
+    *    (≤ ~128 elements, often ≤ 16 bands) on the dedup paths.
+    *  - GRID: lambda over a dimension-bounded grid collected to few
+    *    rows (day grids, threshold grids, vocab-sized one-row report
+    *    frames — the q_entropy boundedness class).
+    *  - TOK: lambda over one document's token/chunk array — bounded by
+    *    doc length, the same grain the tokenizer scan already pays.
+    * Fact-grain order-pinned folds do NOT belong here — compile them
+    * (functions/SortedFolds.scala); that family was removed in r12. */
+  val allowlist: Map[String, Map[String, Int]] = Map(
+    // EMB — vector-dim lambdas on ANN/quantization paths
+    "q_ivf_topk" -> Map("zip_with" -> 1, "aggregate" -> 7, "transform" -> 2),
+    "q_pq_topk" -> Map("zip_with" -> 2, "aggregate" -> 15, "array_sort" -> 1, "transform" -> 4),
+    "q_quantized_topk" -> Map("aggregate" -> 2, "transform" -> 4),
+    "q_vec_norm" -> Map("aggregate" -> 2),
+    "q_arr" -> Map("zip_with" -> 1, "aggregate" -> 2, "array_sort" -> 1, "filter" -> 1),
+    "q_series_match" -> Map("zip_with" -> 1, "aggregate" -> 1),
+    "q_ml_risk" -> Map("aggregate" -> 1, "filter" -> 3, "transform" -> 5),
+    "q_pipeline" -> Map("filter" -> 1, "transform" -> 5),
+    // SIG — shingle/signature/band lambdas on the dedup family
+    "q_minhash_lsh" -> Map("zip_with" -> 6, "transform" -> 6),
+    "q_minhash_est" -> Map("zip_with" -> 1, "filter" -> 1),
+    "q_leakage" -> Map("zip_with" -> 6, "transform" -> 6),
+    "q_containment" -> Map("zip_with" -> 9, "transform" -> 9),
+    "q_dedup_curve" -> Map("zip_with" -> 9, "transform" -> 9),
+    "q_edit_sim" -> Map("zip_with" -> 6, "transform" -> 6),
+    "q_jw" -> Map("zip_with" -> 6, "transform" -> 6),
+    "q_degree_dist" -> Map("zip_with" -> 6, "transform" -> 6),
+    "q_winnow" -> Map("zip_with" -> 6, "transform" -> 14),
+    "q_signature" -> Map("array_sort" -> 1),
+    "q_simhash" -> Map("transform" -> 1),
+    // GRID — day/threshold/vocab-report grids (one-row or few-row frames)
+    "q_chi2" -> Map("aggregate" -> 1, "array_sort" -> 1),
+    "q_coverage" -> Map("aggregate" -> 1, "array_sort" -> 1),
+    "q_zipf" -> Map("aggregate" -> 1, "array_sort" -> 1),
+    "q_drift" -> Map("aggregate" -> 1, "array_sort" -> 1),
+    "q_ema" -> Map("aggregate" -> 1, "array_sort" -> 1),
+    "q_holt" -> Map("aggregate" -> 1, "array_sort" -> 1),
+    "q_range_count" -> Map("filter" -> 3),
+    // TOK (via langPredictions): per-document lambdas over the bounded
+    // per-language n-gram profile arrays, repeated once per profile —
+    // q_langid's own count times the confusion pipeline's plan reuse
+    "q_eval_metrics" -> Map("filter" -> 38),
+    "q_kappa" -> Map("filter" -> 43),
+    // TOK — per-document token/chunk/n-gram lambdas
+    "q_basket" -> Map("transform" -> 2),
+    "q_bigram_lm" -> Map("zip_with" -> 2),
+    "q_bpe_merges" -> Map("zip_with" -> 1),
+    "q_chunk_dedup" -> Map("transform" -> 2),
+    "q_chunk_overlap" -> Map("transform" -> 1),
+    "q_cond_entropy" -> Map("zip_with" -> 1),
+    "q_contamination" -> Map("transform" -> 1),
+    "q_langid" -> Map("filter" -> 5),
+    "q_ngram" -> Map("zip_with" -> 1),
+    "q_novelty" -> Map("transform" -> 2),
+    "q_overlap_frac" -> Map("transform" -> 3),
+    "q_pmi" -> Map("zip_with" -> 2),
+    "q_postings" -> Map("transform" -> 1),
+    "q_repetition" -> Map("zip_with" -> 3),
+    "q_text_quality" -> Map("filter" -> 1))
+}
