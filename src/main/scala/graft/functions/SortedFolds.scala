@@ -42,7 +42,38 @@ import org.apache.spark.sql.types._
   * object — per-ROW boxing only, per-ELEMENT work stays in tight
   * compiled loops, and whole-stage codegen spans the projection again.
   */
-private[graft] trait SortedStructKernel { self: Expression =>
+/** Shared plumbing for the fold kernels: the codegen call-back template
+  * (per-ROW boxed Double, null-propagating) and the null-checked
+  * extract+sort prologue for long-array folds. */
+private[graft] trait FoldKernelBase { self: Expression =>
+  /** Generated-code body: call the compiled kernel through `ref`, map a
+    * null result to SQL null. */
+  protected def kernelCall(ctx: CodegenContext, ref: String, args: String,
+      ev: ExprCode): String = {
+    val r = ctx.freshName("r")
+    s"""
+       |java.lang.Double $r = $ref.kernel($args);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+     """.stripMargin
+  }
+
+  /** Ascending copy of an ARRAY<BIGINT>; null on a null element (the
+    * HOF twin's null arithmetic). */
+  protected def sortedLongs(v: ArrayData): Array[Long] = {
+    val m = v.numElements()
+    val xs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      if (v.isNullAt(i)) return null
+      xs(i) = v.getLong(i)
+      i += 1
+    }
+    java.util.Arrays.sort(xs)
+    xs
+  }
+}
+
+private[graft] trait SortedStructKernel extends FoldKernelBase { self: Expression =>
   def arrayChild: Expression
 
   protected lazy val elemType: StructType = arrayChild.dataType
@@ -147,13 +178,7 @@ case class SortedTermSum(child: Expression, negate: Boolean)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("sortedTermSum", this, classOf[SortedTermSum].getName)
-    nullSafeCodeGen(ctx, ev, a => {
-      val r = ctx.freshName("r")
-      s"""
-         |java.lang.Double $r = $ref.kernel($a);
-         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, a => kernelCall(ctx, ref, a, ev))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -164,7 +189,8 @@ case class SortedTermSum(child: Expression, negate: Boolean)
   * `aggregate(array_sort(cs), 0.0, (acc, c) -> acc - p·ln p)` with
   * `p = c / n` — the q_entropy discipline, compiled. Non-positive `p`
   * → null (Catalyst `Log`'s asymptote rule). */
-case class PlogpSum(left: Expression, right: Expression) extends BinaryExpression {
+case class PlogpSum(left: Expression, right: Expression)
+  extends BinaryExpression with FoldKernelBase {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "plogp_sum"
@@ -176,19 +202,12 @@ case class PlogpSum(left: Expression, right: Expression) extends BinaryExpressio
   }
 
   def kernel(v: ArrayData, nTok: Long): java.lang.Double = {
-    val m = v.numElements()
-    val xs = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      if (v.isNullAt(i)) return null
-      xs(i) = v.getLong(i)
-      i += 1
-    }
-    java.util.Arrays.sort(xs)
+    val xs = sortedLongs(v)
+    if (xs == null) return null
     val nd = nTok.toDouble
     var acc = 0.0
-    i = 0
-    while (i < m) {
+    var i = 0
+    while (i < xs.length) {
       val p = xs(i).toDouble / nd
       if (p <= 0.0) return null
       acc = acc - p * java.lang.StrictMath.log(p)
@@ -202,13 +221,7 @@ case class PlogpSum(left: Expression, right: Expression) extends BinaryExpressio
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("plogpSum", this, classOf[PlogpSum].getName)
-    nullSafeCodeGen(ctx, ev, (a, n) => {
-      val r = ctx.freshName("r")
-      s"""
-         |java.lang.Double $r = $ref.kernel($a, $n);
-         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, n) => kernelCall(ctx, ref, s"$a, $n", ev))
   }
 
   override protected def withNewChildrenInternal(
@@ -257,13 +270,7 @@ case class CondEntropySum(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("condEntropySum", this, classOf[CondEntropySum].getName)
-    nullSafeCodeGen(ctx, ev, (a, n) => {
-      val r = ctx.freshName("r")
-      s"""
-         |java.lang.Double $r = $ref.kernel($a, $n);
-         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, n) => kernelCall(ctx, ref, s"$a, $n", ev))
   }
 
   override protected def withNewChildrenInternal(
@@ -275,7 +282,8 @@ case class CondEntropySum(left: Expression, right: Expression)
   * `acc + 2^((t − t_ref) / 604800)` per timestamp — the q_decay
   * discipline, compiled (`java.lang.StrictMath.pow`, Catalyst `Pow`'s
   * delegate). */
-case class DecaySum(left: Expression, right: Expression) extends BinaryExpression {
+case class DecaySum(left: Expression, right: Expression)
+  extends BinaryExpression with FoldKernelBase {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "decay_sum"
@@ -287,18 +295,11 @@ case class DecaySum(left: Expression, right: Expression) extends BinaryExpressio
   }
 
   def kernel(v: ArrayData, tRef: Long): java.lang.Double = {
-    val m = v.numElements()
-    val xs = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      if (v.isNullAt(i)) return null
-      xs(i) = v.getLong(i)
-      i += 1
-    }
-    java.util.Arrays.sort(xs)
+    val xs = sortedLongs(v)
+    if (xs == null) return null
     var acc = 0.0
-    i = 0
-    while (i < m) {
+    var i = 0
+    while (i < xs.length) {
       acc = acc + java.lang.StrictMath.pow(2.0, (xs(i) - tRef).toDouble / 604800.0)
       i += 1
     }
@@ -310,13 +311,7 @@ case class DecaySum(left: Expression, right: Expression) extends BinaryExpressio
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("decaySum", this, classOf[DecaySum].getName)
-    nullSafeCodeGen(ctx, ev, (a, n) => {
-      val r = ctx.freshName("r")
-      s"""
-         |java.lang.Double $r = $ref.kernel($a, $n);
-         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, n) => kernelCall(ctx, ref, s"$a, $n", ev))
   }
 
   override protected def withNewChildrenInternal(

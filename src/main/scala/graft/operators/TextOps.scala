@@ -1069,13 +1069,15 @@ object TextOps {
 
   /** E-TEXT/E-AGG: per-source unigram Shannon entropy (corpus diversity
     * profiling). Double-summation order differs between engines, so the
-    * term distribution is folded DETERMINISTICALLY: per-source term counts
-    * are collected into a SORTED array and `aggregate` folds it
-    * left-to-right — both engines reduce the identical sequence, so the
-    * doubles match bit-for-bit before the final display rounding. The
-    * collected array is vocabulary-sized (distinct terms per source), not
-    * corpus-sized — safe while vocabularies are dim-like (they are: text
-    * vocab, not document count, bounds it). */
+    * term distribution is folded DETERMINISTICALLY: the compiled
+    * [[graft.functions.PlogpSum]] kernel sorts the collected per-source
+    * counts ascending and folds `acc − p·ln p` left-to-right — the same
+    * sequence the oracle reduces, so the doubles match bit-for-bit
+    * before the final display rounding (the r12 compiled twin of the
+    * old `aggregate(array_sort(cs), …)` form). The collected array is
+    * vocabulary-sized (distinct terms per source), not corpus-sized —
+    * safe while vocabularies are dim-like (they are: text vocab, not
+    * document count, bounds it). */
   def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))

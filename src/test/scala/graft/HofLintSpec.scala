@@ -44,7 +44,15 @@ class HofLintSpec extends SparkSpec {
           case h: HigherOrderFunction => h.prettyName
         }))
         val cached = p.collect { case s: InMemoryTableScanExec =>
-          scan(s.relation.cachedPlan)
+          // the cached plan was compiled when persist() ran — with the
+          // session's AQE still ON, so it is an AdaptiveSparkPlanExec
+          // whose collect() sees only itself; unwrap to the input plan
+          // (the WindowLintSpec blind-spot fix, same shape)
+          scan(s.relation.cachedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.inputPlan
+            case other => other
+          })
         }.flatten
         own ++ cached
       }
@@ -59,17 +67,43 @@ class HofLintSpec extends SparkSpec {
     assert(hofInventory(df).contains("aggregate"))
   }
 
-  test("no bench query plans an unallowlisted interpreted HOF") {
+  test("positive control: a HOF hidden behind a persist (AQE-compiled cache) is still seen") {
+    import org.apache.spark.sql.functions._
+    val cached = spark.range(10)
+      .select(aggregate(array(col("id"), col("id") + 1), lit(0L), (a, x) => a + x).as("s"))
+      .persist()
+    try {
+      val df = cached.select(col("s") + 1)
+      // force the scan to go through InMemoryTableScanExec
+      assert(df.queryExecution.executedPlan.toString.contains("InMemory") ||
+        hofInventory(df).contains("aggregate"))
+      assert(hofInventory(df).contains("aggregate"),
+        "HOF inside an AQE-wrapped cached subtree must be visible:\n" +
+          df.queryExecution.executedPlan)
+    } finally cached.unpersist()
+  }
+
+  test("the allowlist EXACTLY pins every bench query's interpreted-HOF inventory") {
     val offenders = Seq.newBuilder[String]
     SparkEntry.benchShapes.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val inv = hofInventory(fn(spark, sf)).groupBy(identity).view.mapValues(_.size).toMap
       val allowed = HofLintSpec.allowlist.getOrElse(name, Map.empty)
-      val extra = inv.filter { case (h, n) => n > allowed.getOrElse(h, 0) }
-      if (extra.nonEmpty)
-        offenders += s"$name: interpreted HOFs beyond allowlist: " +
-          extra.map { case (h, n) => s"$h x$n (allowed ${allowed.getOrElse(h, 0)})" }
-            .mkString(", ") +
-          " — compile it (functions/SortedFolds pattern) or allowlist with a boundedness note"
+      // exact pin, both directions (the WindowLint stale-entry lesson):
+      // beyond-allowance = new unreviewed interpreted work; below-
+      // allowance = the entry rotted and would mask the next addition
+      if (inv != allowed) {
+        val over = inv.filter { case (h, n) => n > allowed.getOrElse(h, 0) }
+        val under = allowed.filter { case (h, n) => n > inv.getOrElse(h, 0) }
+        if (over.nonEmpty)
+          offenders += s"$name: interpreted HOFs beyond allowlist: " +
+            over.map { case (h, n) => s"$h x$n (allowed ${allowed.getOrElse(h, 0)})" }
+              .mkString(", ") +
+            " — compile it (functions/SortedFolds pattern) or allowlist with a boundedness note"
+        if (under.nonEmpty)
+          offenders += s"$name: stale allowance (plan now has fewer): " +
+            under.map { case (h, n) => s"$h allowed $n, observed ${inv.getOrElse(h, 0)}" }
+              .mkString(", ") + " — shrink the entry so it can't mask a new HOF"
+      }
       spark.catalog.clearCache()
     }
     assert(offenders.result().isEmpty, offenders.result().mkString("\n"))
@@ -135,7 +169,7 @@ object HofLintSpec {
     "q_chunk_dedup" -> Map("transform" -> 2),
     "q_chunk_overlap" -> Map("transform" -> 1),
     "q_cond_entropy" -> Map("zip_with" -> 1),
-    "q_contamination" -> Map("transform" -> 1),
+    "q_contamination" -> Map("transform" -> 2), // 2nd behind the Bloom-side persist
     "q_langid" -> Map("filter" -> 5),
     "q_ngram" -> Map("zip_with" -> 1),
     "q_novelty" -> Map("transform" -> 2),
