@@ -720,6 +720,107 @@ object TextOps {
                                       indexPath: String): Option[String] =
     dedupIndexState(indexPath).ensure(spark)
 
+  // ------------------------------------------------------------------
+  // Incremental unigram corpus model (r12) — the third leg of the
+  // incremental-state family (dedup band index, IVF posting lists):
+  // the daily-crawl loop behind [[lmScore]]/CCNet-style scoring keeps
+  // the corpus unigram counts in a persisted model and scores each
+  // delta under it, instead of rescanning the whole corpus per day.
+  // ------------------------------------------------------------------
+
+  /** Bucket count of the persisted model layout — fixed at creation
+    * (appends must match it). 16 suits the local fixture; production
+    * sizes this near the cluster's shuffle-partition count once. */
+  private[graft] val LmModelBuckets = 16
+
+  /** The unigram model as a [[graft.sources.BucketedState]]: APPEND-ONLY
+    * (tok, c, batch_id) count partials, CLUSTERED BY tok — the per-token
+    * total is an exchange-free bucketed aggregate, and the scoring join
+    * tf⋈model clusters on tok so only the (day-sized) delta shuffles,
+    * never the vocabulary-sized model. */
+  private[graft] def lmModelState(modelPath: String): graft.sources.BucketedState =
+    graft.sources.BucketedState(modelPath, "graft_lm_model_",
+      "tok STRING, c BIGINT, batch_id BIGINT", Seq("tok"), LmModelBuckets)
+
+  /** Catalog name of the model table for a path (spec hook). */
+  private[graft] def lmModelTable(modelPath: String): String =
+    lmModelState(modelPath).table
+
+  /** One batch's (tok, c, batch_id) count partials. */
+  private def lmBatchPartials(docs: DataFrame, batchId: Long): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("batch_id", lit(batchId))
+
+  /** Fold one delta of documents into the persisted model at modelPath.
+    *
+    * CONTRACT: batch ids are strictly increasing per modelPath (a crawl
+    * loop's day number; a streaming sink's micro-batch id). The replay
+    * guard is `batchId > max(batch_id in table)` — appends are atomic
+    * (an uncommitted append is invisible, the BucketedState discipline),
+    * so after a crash either the batch is fully absent (replay re-folds
+    * it) or fully present (replay skips it); count partials can never
+    * double-fold. Out-of-order ids are refused by the same rule, as a
+    * no-op — exact count sums make slices compose to the one-shot model
+    * under ANY slicing, so ordering only matters for the replay guard.
+    * SINGLE-WRITER per modelPath, like the dedup index. */
+  def lmModelAppend(spark: SparkSession, modelPath: String, docs: DataFrame,
+                    batchId: Long): Unit = {
+    val st = lmModelState(modelPath)
+    st.ensure(spark) match {
+      case Some(t) =>
+        val maxId = spark.table(t).agg(max("batch_id")).head()
+        if (maxId.isNullAt(0) || maxId.getLong(0) < batchId)
+          st.append(spark, lmBatchPartials(docs, batchId))
+      case None =>
+        st.append(spark, lmBatchPartials(docs, batchId))
+    }
+  }
+
+  /** Score a delta of documents under the CURRENT persisted model —
+    * [[lmScore]]'s formula (mean add-1-smoothed surprisal, order-pinned
+    * by the compiled SortedTermSum fold) with the corpus counts read
+    * from the model table instead of recomputed: when the model holds
+    * exactly the scored corpus, the output is BIT-identical to
+    * [[lmScore]] (IncrementalLmSpec pins it). Out-of-vocabulary tokens
+    * take the same add-1 path with c = 0 — the natural frozen-model
+    * semantics for scoring tomorrow's crawl under today's model.
+    *
+    * Scale shape: per-token totals are an exchange-free bucketed
+    * aggregate over the vocabulary-sized table; the scoring join
+    * clusters on tok, so only the delta's tf frame shuffles. */
+  def lmScoreDelta(spark: SparkSession, modelPath: String,
+                   docs: DataFrame): DataFrame = {
+    val t = lmModelState(modelPath).ensure(spark).getOrElse(
+      throw new IllegalStateException(s"no committed LM model at $modelPath"))
+    val cf = spark.table(t).groupBy("tok").agg(sum("c").as("c"))
+    val nv = cf.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    tf.join(cf, Seq("tok"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("term",
+        col("tf") * log((coalesce(col("c"), lit(0L)) + 1)
+          / (col("n") + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("tok"), col("term"))).as("l"),
+        sum("tf").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(SortedFolds.sortedTermSumNeg(col("l")) / col("n_tokens"), 4)
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Compact the persisted model: appends leave one partial row set per
+    * folded batch; the rewrite merges to one (tok, c) row each, keeping
+    * max(batch_id) so the replay guard survives compaction (the global
+    * max lives on some token's row). Per-bucket exchange-free under the
+    * staged-swap discipline. */
+  def compactLmModel(spark: SparkSession, modelPath: String): Unit =
+    lmModelState(modelPath).compact(spark)(
+      _.groupBy("tok").agg(sum("c").as("c"), max("batch_id").as("batch_id")))
+
   /** Link-analysis centrality over the near-dup pair graph: PageRank with
     * 5 fixed power iterations and damping 0.85 — "which documents sit at
     * the center of a duplication neighborhood", the ranking complement of

@@ -494,6 +494,27 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming face of the incremental unigram corpus model
+    * ([[graft.operators.TextOps.lmModelAppend]]): a stream of
+    * (doc_id, text) crawl deltas folds its token-count partials into
+    * the bucketed model table per micro-batch. Fold-only (no per-batch
+    * output to protect); replay safety comes from the model's monotone
+    * batch-id guard — micro-batch ids are strictly increasing, appends
+    * are atomic, so a redelivered batch is either fully present
+    * (skipped by the guard) or fully absent (re-folded) and counts can
+    * never double. Empty micro-batches are skipped outright. */
+  def lmModelSink(docs: DataFrame, modelPath: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.TextOps.lmModelAppend(
+            batch.sparkSession, modelPath, batch.toDF(), id)
+      }
+      .start()
+
   def upsertSink(stream: DataFrame, path: String, key: String,
                  partitionCols: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream

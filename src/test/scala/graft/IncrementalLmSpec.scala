@@ -1,0 +1,167 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** TextOps.lmModelAppend / lmScoreDelta — the persisted unigram corpus
+  * model behind the daily scoring loop: slice-exact model folds,
+  * bit-equality with the oracle-checked q_lm_score when the model holds
+  * the scored corpus, frozen-model OOV semantics, monotone-batch replay
+  * rejection, exchange-free plan shapes, compaction, catalog-loss
+  * self-heal, and the streaming face. */
+class IncrementalLmSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private def freshModel(): String =
+    java.nio.file.Files.createTempDirectory("graft-lm-model").toString + "/model.parquet"
+  private def docs() = Tables.documents(spark, sfDir).select("doc_id", "text")
+
+  private def totals(modelPath: String): Map[String, Long] = {
+    val t = TextOps.lmModelTable(modelPath)
+    spark.table(t).groupBy("tok").agg(sum("c").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("model folded in slices ≡ the one-shot corpus counts, exactly") {
+    val ids = docs().select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val m = freshModel()
+    TextOps.lmModelAppend(spark, m, docs().filter(col("doc_id") < mid), 0L)
+    TextOps.lmModelAppend(spark, m, docs().filter(col("doc_id") >= mid), 1L)
+    val direct = docs()
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals(m) == direct)
+  }
+
+  test("scoring under the full model ≡ q_lm_score, bit for bit") {
+    val m = freshModel()
+    TextOps.lmModelAppend(spark, m, docs(), 0L)
+    val delta = TextOps.lmScoreDelta(spark, m, docs()).collect()
+    val oracleQ = TextOps.lmScore(spark, sfDir).collect()
+    assert(delta.length == oracleQ.length && delta.length > 0)
+    delta.zip(oracleQ).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+      assert(java.lang.Double.doubleToRawLongBits(a.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(b.getDouble(2)),
+        s"lm_score bit mismatch for doc ${a.getLong(0)}: $a vs $b")
+    }
+  }
+
+  test("frozen-model OOV: unseen tokens take the add-1 path with c = 0") {
+    import spark.implicits._
+    val m = freshModel()
+    TextOps.lmModelAppend(spark, m,
+      Seq((1L, "alpha beta alpha")).toDF("doc_id", "text"), 0L)
+    // model: alpha=2, beta=1 → n=3, v=2; score a doc with OOV "gamma"
+    val row = TextOps.lmScoreDelta(spark, m,
+      Seq((9L, "alpha gamma")).toDF("doc_id", "text")).head()
+    val n = 3.0 + 2.0
+    val expected = BigDecimal(
+      -(StrictMath.log((2 + 1) / n) + StrictMath.log((0 + 1) / n)) / 2.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(1) == 2L)
+    assert(math.abs(row.getDouble(2) - expected) < 1e-12,
+      s"got ${row.getDouble(2)}, expected $expected")
+  }
+
+  test("replay and out-of-order folds are no-ops (monotone batch-id guard)") {
+    val m = freshModel()
+    TextOps.lmModelAppend(spark, m, docs(), 3L)
+    val before = totals(m)
+    TextOps.lmModelAppend(spark, m, docs(), 3L) // replay
+    assert(totals(m) == before, "replayed batch must not double-count")
+    TextOps.lmModelAppend(spark, m, docs(), 1L) // out of order
+    assert(totals(m) == before, "out-of-order batch must be refused")
+    TextOps.lmModelAppend(spark, m,
+      docs().limit(0), 4L) // empty later batch is fine (appends no rows)
+    assert(totals(m) == before)
+  }
+
+  test("compaction preserves totals AND the replay guard; catalog loss self-heals") {
+    val m = freshModel()
+    TextOps.lmModelAppend(spark, m, docs(), 0L)
+    TextOps.lmModelAppend(spark, m, docs().limit(10), 1L)
+    val before = totals(m)
+    TextOps.compactLmModel(spark, m)
+    assert(totals(m) == before, "compaction must not change per-token totals")
+    // one partial row set per token now
+    val t = TextOps.lmModelTable(m)
+    val dup = spark.table(t).groupBy("tok").agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1).count()
+    assert(dup == 0, "compaction must merge to one row per token")
+    // replay of a pre-compaction batch still skips (max batch_id kept)
+    TextOps.lmModelAppend(spark, m, docs(), 1L)
+    assert(totals(m) == before)
+    // catalog loss: drop the table entry, state re-registers from files
+    spark.sql(s"DROP TABLE $t")
+    assert(TextOps.lmScoreDelta(spark, m, docs().limit(5)).count() == 5)
+  }
+
+  test("scoring plan: no Exchange above the bucketed model side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val m = freshModel()
+    TextOps.lmModelAppend(spark, m, docs(), 0L)
+    val t = TextOps.lmModelTable(m)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // at fixture scale Catalyst would broadcast the model; production
+      // models are vocabulary-sized — pin the shuffle-join path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val scored = TextOps.lmScoreDelta(spark, m, docs())
+      val plan = scored.queryExecution.executedPlan
+      def scansModel(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p.exists {
+        case s: FileSourceScanExec => s.tableIdentifier.exists(_.table == t)
+        case _ => false
+      }
+      // the tf⋈cf join's MODEL-side child must plan no Exchange between
+      // the bucketed scan, its per-token aggregate, and the join — only
+      // the delta side and the post-join doc_id regroup may shuffle
+      // (delta-grain), and the one-row (n, v) scalar subtree is exempt
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if scansModel(j.right) || scansModel(j.left) => j
+      }
+      assert(joins.nonEmpty, s"expected a sort-merge scoring join:\n$plan")
+      joins.foreach { j =>
+        val modelSide = if (scansModel(j.right)) j.right else j.left
+        assert(modelSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"scoring shuffles the model side of the join:\n$modelSide")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("streaming face: micro-batch slices ≡ one batch; duplicate delivery folds once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = freshModel()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lm-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamOps.lmModelSink(
+      input.toDF().toDF("doc_id", "text"), m, ckpt)
+    try {
+      val rows = docs().limit(40).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(20).toSeq); query.processAllAvailable()
+      input.addData(rows.drop(20).toSeq); query.processAllAvailable()
+    } finally query.stop()
+    val oneShot = freshModel()
+    TextOps.lmModelAppend(spark, oneShot,
+      docs().limit(40), 0L)
+    assert(totals(m) == totals(oneShot),
+      "two micro-batches must fold to the one-batch model")
+    // duplicate delivery: re-running lmModelAppend with an already-seen
+    // micro-batch id (the crash-redelivery shape) folds nothing
+    val before = totals(m)
+    TextOps.lmModelAppend(spark, m, docs().limit(40), 1L)
+    assert(totals(m) == before)
+  }
+}
