@@ -791,8 +791,7 @@ object TextOps {
     * clusters on tok, so only the delta's tf frame shuffles. */
   def lmScoreDelta(spark: SparkSession, modelPath: String,
                    docs: DataFrame): DataFrame = {
-    val t = lmModelState(modelPath).ensure(spark).getOrElse(
-      throw new IllegalStateException(s"no committed LM model at $modelPath"))
+    val t = lmModelTableNonEmpty(spark, modelPath)
     val cf = spark.table(t).groupBy("tok").agg(sum("c").as("c"))
     val nv = cf.agg(sum("c").as("n"), count(lit(1)).as("v"))
     val tf = docs
@@ -820,6 +819,72 @@ object TextOps {
   def compactLmModel(spark: SparkSession, modelPath: String): Unit =
     lmModelState(modelPath).compact(spark)(
       _.groupBy("tok").agg(sum("c").as("c"), max("batch_id").as("batch_id")))
+
+  /** The model table, failing LOUDLY when it is absent or empty: an
+    * all-null score column from an accidentally-empty model (n = null
+    * poisons every term) must not look like a successful scoring run. */
+  private def lmModelTableNonEmpty(spark: SparkSession, modelPath: String): String = {
+    val t = lmModelState(modelPath).ensure(spark).getOrElse(
+      throw new IllegalStateException(s"no committed LM model at $modelPath"))
+    require(!spark.table(t).isEmpty,
+      s"LM model at $modelPath is empty — fold a non-empty batch first")
+    t
+  }
+
+  /** Per-language tercile CUTS of a corpus snapshot — (lang, cut1,
+    * cut2) with the EXACT (unrounded) rarity values at [[ccnetBuckets]]'
+    * head/middle upper boundaries. Freeze these beside the [[lmModelState
+    * unigram model]] of the same snapshot and [[ccnetBucketDelta]] buckets
+    * every later crawl delta against them. A language too small to fill
+    * all three terciles carries null for the missing cut(s). */
+  def ccnetCuts(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketFrames(spark, dir)
+      .groupBy("lang")
+      .agg(max(when(col("b") === 1, col("max_r"))).as("cut1"),
+        max(when(col("b") === 2, col("max_r"))).as("cut2"))
+
+  /** Bucket a delta of documents into FROZEN per-language terciles: the
+    * CCNet daily loop's scoring face — rarity under the frozen unigram
+    * model at modelPath ([[lmScoreDelta]]'s join shape; OOV tokens take
+    * add-1 with c = 0), compared against the frozen `cuts` (from
+    * [[ccnetCuts]] on the model's snapshot).
+    *
+    * Semantics vs the batch query, documented: [[ccnetBuckets]]' ntile
+    * rule splits an equal-rarity TIE GROUP straddling a boundary rank
+    * across buckets by doc_id; a frozen-cut comparison is value-
+    * deterministic, so the whole group lands in the LOWER bucket
+    * (rarity ≤ cut). Every other document buckets identically
+    * (CcnetDeltaSpec pins both arms). Languages absent from `cuts`
+    * report "uncalibrated" — per-language calibration is the paper's
+    * point, so an unseen language must not silently ride another
+    * language's cuts. */
+  def ccnetBucketDelta(spark: SparkSession, modelPath: String,
+                       cuts: DataFrame, docs: DataFrame): DataFrame = {
+    val t = lmModelTableNonEmpty(spark, modelPath)
+    val cf = spark.table(t).groupBy("tok").agg(sum("c").as("c"))
+    val nv = cf.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val tf = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
+    tf.join(cf, Seq("tok"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("term",
+        col("tf") * ((col("n") + col("v")).cast("double")
+          / (coalesce(col("c"), lit(0L)) + 1)))
+      .groupBy("doc_id", "lang")
+      .agg(collect_list(struct(col("tok"), col("term"))).as("l"),
+        sum("tf").as("n_tokens"))
+      .select(col("doc_id"), col("lang"),
+        (SortedFolds.sortedTermSum(col("l")) / col("n_tokens")).as("rarity"))
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("cut1").isNull && col("cut2").isNull, "uncalibrated")
+          .when(col("rarity") <= col("cut1"), "head")
+          .when(col("rarity") <= col("cut2"), "middle")
+          .otherwise("tail").as("bucket"),
+        round(col("rarity"), 4).as("rarity"))
+      .orderBy("doc_id")
+  }
 
   /** Link-analysis centrality over the near-dup pair graph: PageRank with
     * 5 fixed power iterations and damping 0.85 — "which documents sit at
@@ -1655,7 +1720,23 @@ object TextOps {
     * Residual skew: a single rarity value carrying a macroscopic tie
     * mass puts that one cell's tie group in one task (the documented rfm
     * residual); every other frame is dimension- or cell-bounded. */
-  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketFrames(spark, dir)
+      .select(col("lang"),
+        when(col("b") === 1, "head")
+          .when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_docs"),
+        round(col("min_r"), 4).as("min_rarity"),
+        round(col("max_r"), 4).as("max_rarity"))
+      .orderBy("lang", "bucket")
+
+  /** Unrounded per-(lang, tercile) frame behind [[ccnetBuckets]] —
+    * (lang, b ∈ {1,2,3}, n_docs, min_r, max_r) — shared with
+    * [[ccnetCuts]], whose frozen cut values must be the EXACT rarity
+    * doubles (the display query rounds to 4dp; a cut compared at 4dp
+    * would misbucket everything between the true cut and its rounding). */
+  private[graft] def ccnetBucketFrames(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
@@ -1732,14 +1813,8 @@ object TextOps {
     whole.unionByName(resolved)
       .groupBy("lang", "b")
       .agg(sum("cnt").as("n_docs"),
-        round(min("min_r"), 4).as("min_rarity"),
-        round(max("max_r"), 4).as("max_rarity"))
-      .select(col("lang"),
-        when(col("b") === 1, "head")
-          .when(col("b") === 2, "middle")
-          .otherwise("tail").as("bucket"),
-        col("n_docs"), col("min_rarity"), col("max_rarity"))
-      .orderBy("lang", "bucket")
+        min("min_r").as("min_r"),
+        max("max_r").as("max_r"))
   }
 
   /** Winnowing fingerprints (the MOSS local-match scheme, Schleimer et
