@@ -88,6 +88,7 @@ object SparkEntry {
     "q_abandon" -> (Relational.cartAbandonment _),
     "q_containment" -> (TextOps.containment _),
     "q_lm_score" -> (TextOps.lmScore _),
+    "q_lm_delta" -> (TextOps.lmScoreDeltaQuery _),
     "q_ccnet_buckets" -> (TextOps.ccnetBuckets _),
     "q_winnow" -> (TextOps.winnow _),
     "q_islands" -> (Relational.activityIslands _),
@@ -235,6 +236,11 @@ object SparkEntry {
     "q_quantiles_approx" -> (Relational.quantilesApprox _),
     "q_sample" -> (TextOps.stratifiedSample _),
     "q_ivf_topk" -> (Ivf.ivfTopK _),
+    // rows-only like q_ivf_topk (MLlib k-means has no SQL twin): the
+    // same search over a PERSISTED BucketedState index — exercises the
+    // production exchange-free posting join; IncrementalIvfSpec pins
+    // result ≡ q_ivf_topk exactly, IvfSpec pins the recall floor
+    "q_ivf_delta" -> (Ivf.ivfDeltaQuery _),
     // rows-only: int8 round/clamp arithmetic has no portable SQL twin at
     // hash precision; QuantizeSpec bounds reconstruction + recall
     "q_quantized_topk" -> (VectorOps.quantizedTopK _),
@@ -279,6 +285,31 @@ object SparkEntry {
       "q_session_replay" -> (Relational.sessionReplayCore _),
       "q_interleave" -> (TextOps.interleaveCore _),
     )
+
+  /** Shared oracle of q_lm_score AND q_lm_delta (the delta query scores
+    * the same corpus under a persisted model of it, bit-identically —
+    * IncrementalLmSpec). q_entropy's determinism discipline: per-doc
+    * fold over a token-sorted list, every ln input an exact integer
+    * ratio. */
+  private val lmScoreOracle: String =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM occ GROUP BY 1, 2
+      |), cf AS (
+      |  SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+      |), nv AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cf
+      |), per AS (
+      |  SELECT doc_id,
+      |    list_sort(list(struct_pack(tok := tok, tf := tf, c := c))) AS l,
+      |    CAST(sum(tf) AS BIGINT) AS n_tokens
+      |  FROM tf JOIN cf USING (tok) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  round(list_sum(list_transform(l,
+      |    s -> -s.tf * ln((s.c + 1) / CAST(n + v AS DOUBLE)))) / n_tokens, 4)
+      |    AS lm_score
+      |FROM per CROSS JOIN nv ORDER BY doc_id""".stripMargin
 
   /** SQL twin of Curation.splitOf — Knuth multiplicative hash, 90/5/5. */
   private val splitCaseSql: String =
@@ -859,7 +890,9 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01')
         |ORDER BY c_custkey""".stripMargin,
     // q_quantiles: Spark `percentile` and DuckDB `quantile_cont` share the
     // exact linear-interpolation definition over integer inputs
@@ -2554,27 +2587,11 @@ object SparkEntry {
         |JOIN dsz sb ON sb.doc_id = d2
         |WHERE i = sa.sz OR i = sb.sz
         |ORDER BY d1, d2""".stripMargin,
-    "q_lm_score" ->
-      // q_entropy's determinism discipline: per-doc fold over a
-      // token-sorted list, every ln input an exact integer ratio
-      """WITH occ AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), tf AS (
-        |  SELECT doc_id, tok, count(*) AS tf FROM occ GROUP BY 1, 2
-        |), cf AS (
-        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
-        |), nv AS (
-        |  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cf
-        |), per AS (
-        |  SELECT doc_id,
-        |    list_sort(list(struct_pack(tok := tok, tf := tf, c := c))) AS l,
-        |    CAST(sum(tf) AS BIGINT) AS n_tokens
-        |  FROM tf JOIN cf USING (tok) GROUP BY doc_id)
-        |SELECT doc_id, n_tokens,
-        |  round(list_sum(list_transform(l,
-        |    s -> -s.tf * ln((s.c + 1) / CAST(n + v AS DOUBLE)))) / n_tokens, 4)
-        |    AS lm_score
-        |FROM per CROSS JOIN nv ORDER BY doc_id""".stripMargin,
+    "q_lm_score" -> lmScoreOracle,
+    // q_lm_delta scores the SAME corpus under a persisted model holding
+    // exactly that corpus's counts — bit-identical to q_lm_score
+    // (IncrementalLmSpec), so the oracle is shared verbatim
+    "q_lm_delta" -> lmScoreOracle,
     // q_ccnet_buckets: the rank key is exact-rational (tf·(N+V)/(c+1)
     // terms, one correctly-rounded division each, summed token-sorted),
     // so tercile cuts cannot sit on the ln 1-ulp boundary; ntile hands

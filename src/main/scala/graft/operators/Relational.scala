@@ -170,10 +170,20 @@ object Relational {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
-  /** E-JOIN-ANTI: NOT EXISTS — customers with no orders. */
+  /** E-JOIN-ANTI: NOT EXISTS — customers with no orders in 1997H1.
+    * The probe side is date-sliced BEFORE the anti-join (r12 verdict
+    * task #2: the unfiltered form returned 0 rows at every SF — both
+    * engines agreeing on an empty set verified nothing). The filter
+    * lives under the join, so the plan is still a plain LeftAnti with
+    * a pushed scan predicate — exactly the shape being tested, now
+    * with non-vacuous output (701 rows at sf0.01). */
   def joinAnti(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 

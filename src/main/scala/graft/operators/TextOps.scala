@@ -760,21 +760,77 @@ object TextOps {
     * (an uncommitted append is invisible, the BucketedState discipline),
     * so after a crash either the batch is fully absent (replay re-folds
     * it) or fully present (replay skips it); count partials can never
-    * double-fold. Out-of-order ids are refused by the same rule, as a
-    * no-op — exact count sums make slices compose to the one-shot model
-    * under ANY slicing, so ordering only matters for the replay guard.
-    * SINGLE-WRITER per modelPath, like the dedup index. */
+    * double-fold. `batchId == max` is the legitimate replay shape (the
+    * redelivered last batch) and skips silently; `batchId < max` is ID
+    * REGRESSION and FAILS LOUDLY (r12 advice): it means a streaming
+    * checkpoint was deleted/replaced (micro-batch ids restarted at 0) or
+    * a crawl loop rewound its day counter — silently no-opping those
+    * folds is data loss with no error, so the caller must either keep
+    * the checkpoint for the lifetime of the modelPath or start a fresh
+    * modelPath. Exact count sums make slices compose to the one-shot
+    * model under ANY slicing, so ordering only matters for these guards.
+    *
+    * SINGLE-WRITER per modelPath, like the dedup index. The guard's
+    * read-then-append is non-atomic, so violation detection (r12
+    * advice) is two-layer: same-JVM appends serialize on a per-path
+    * lock (making the race impossible where it can actually occur in
+    * this runtime), and cross-process appends are detected by an
+    * in-flight marker file holding the writer's pid — a second writer
+    * seeing a marker whose pid is still alive fails loudly instead of
+    * silently double-folding. A crash leaves a stale marker with a
+    * dead pid; the next writer reclaims it. Cross-HOST single-writer
+    * remains contract-only (pid liveness is host-local). */
   def lmModelAppend(spark: SparkSession, modelPath: String, docs: DataFrame,
-                    batchId: Long): Unit = {
-    val st = lmModelState(modelPath)
-    st.ensure(spark) match {
-      case Some(t) =>
-        val maxId = spark.table(t).agg(max("batch_id")).head()
-        if (maxId.isNullAt(0) || maxId.getLong(0) < batchId)
-          st.append(spark, lmBatchPartials(docs, batchId))
-      case None =>
-        st.append(spark, lmBatchPartials(docs, batchId))
+                    batchId: Long): Unit =
+    pathLocks.computeIfAbsent(new java.io.File(modelPath).getAbsolutePath,
+      _ => new Object).synchronized {
+      val marker = new java.io.File(modelPath + ".writer_inflight")
+      claimWriterMarker(marker)
+      try {
+        val st = lmModelState(modelPath)
+        st.ensure(spark) match {
+          case Some(t) =>
+            val maxId = spark.table(t).agg(max("batch_id")).head()
+            if (maxId.isNullAt(0) || maxId.getLong(0) < batchId)
+              st.append(spark, lmBatchPartials(docs, batchId))
+            else if (maxId.getLong(0) > batchId)
+              throw new IllegalStateException(
+                s"batch id regression on $modelPath: fold $batchId arrived " +
+                  s"after ${maxId.getLong(0)} — a restarted stream with a " +
+                  "new/deleted checkpoint restarts ids at 0 and every fold " +
+                  "would be silently lost; keep the checkpoint for the " +
+                  "lifetime of the modelPath or start a fresh modelPath")
+          // == max: the redelivered last batch — replay, skip silently
+          case None =>
+            st.append(spark, lmBatchPartials(docs, batchId))
+        }
+      } finally marker.delete()
     }
+
+  /** Same-JVM append serialization points, one per canonical state path. */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Claim the cross-process in-flight marker: atomically create it with
+    * our pid, or fail loudly if a LIVE other process holds it. A marker
+    * whose pid is dead (crashed writer) or unparseable is reclaimed. */
+  private def claimWriterMarker(marker: java.io.File): Unit = {
+    def write(): Unit = java.nio.file.Files.write(marker.toPath,
+      ProcessHandle.current().pid().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (marker.createNewFile()) { write(); return }
+    val held = try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    catch { case _: Throwable => -1L }
+    val self = ProcessHandle.current().pid()
+    val alive = held >= 0 && held != self &&
+      ProcessHandle.of(held).map[Boolean](_.isAlive).orElse(false)
+    if (alive)
+      throw new IllegalStateException(
+        s"concurrent writer detected on ${marker.getPath}: pid $held is " +
+          "mid-append — two writers on one state path can double-fold " +
+          "counts; this path is SINGLE-WRITER")
+    write() // stale (dead pid / garbage) or our own: reclaim
   }
 
   /** Score a delta of documents under the CURRENT persisted model —
@@ -820,6 +876,39 @@ object TextOps {
     lmModelState(modelPath).compact(spark)(
       _.groupBy("tok").agg(sum("c").as("c"), max("batch_id").as("batch_id")))
 
+  /** q_lm_delta (r12 verdict task #4): [[lmScoreDelta]] as a benched,
+    * oracle-checked SparkEntry shape — score the documents table under a
+    * PERSISTED model of the same corpus, exercising the production
+    * frozen-model join (tf ⋈ bucketed model table, delta-side-only
+    * shuffle) end-to-end so the executed-plan lints sweep it and a
+    * BASELINE row tracks its cost. The model builds ONCE per fixture
+    * content into a tmp-dir path keyed by (dir hash, content signature)
+    * — index-built-offline/score-per-query, the q_ml_risk lifecycle —
+    * and a regenerated fixture gets a fresh path instead of a stale
+    * model. Because the model holds exactly the scored corpus, the
+    * output is bit-identical to [[lmScore]] (IncrementalLmSpec), so the
+    * oracle is q_lm_score's SQL verbatim. */
+  def lmScoreDeltaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val modelPath = fixtureStatePath("graft_lm_delta", dir, "documents")
+    if (lmModelState(modelPath).ensure(spark).isEmpty)
+      lmModelAppend(spark, modelPath, Tables.documents(spark, dir), 1L)
+    lmScoreDelta(spark, modelPath, Tables.documents(spark, dir))
+  }
+
+  /** Deterministic per-fixture state path under java.io.tmpdir: dir hash
+    * keeps two fixtures apart, the content signature retires the state
+    * when the fixture is regenerated in place. Shared with
+    * [[graft.operators.Ivf.ivfDeltaQuery]]. */
+  private[graft] def fixtureStatePath(prefix: String, dir: String,
+                                      table: String): String = {
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"${prefix}_${dirHash}_${graft.Tables.parquetContentSig(dir, table)}")
+      .getAbsolutePath
+  }
+
   /** The model table, failing LOUDLY when it is absent or empty: an
     * all-null score column from an accidentally-empty model (n = null
     * poisons every term) must not look like a successful scoring run. */
@@ -854,10 +943,15 @@ object TextOps {
     * across buckets by doc_id; a frozen-cut comparison is value-
     * deterministic, so the whole group lands in the LOWER bucket
     * (rarity ≤ cut). Every other document buckets identically
-    * (CcnetDeltaSpec pins both arms). Languages absent from `cuts`
-    * report "uncalibrated" — per-language calibration is the paper's
-    * point, so an unseen language must not silently ride another
-    * language's cuts. */
+    * (CcnetDeltaSpec pins both arms). Languages absent from `cuts`, or
+    * present with ANY null cut, report "uncalibrated" — per-language
+    * calibration is the paper's point, so an unseen language must not
+    * silently ride another language's cuts, and a language whose
+    * snapshot was too small to fill all three terciles (cut2 null from
+    * [[ccnetCuts]]) has no defensible head/middle/tail boundary either:
+    * the earlier shape silently sent every rarity > cut1 to 'tail' with
+    * 'middle' unreachable (r12 advice), which looked calibrated but
+    * wasn't. */
   def ccnetBucketDelta(spark: SparkSession, modelPath: String,
                        cuts: DataFrame, docs: DataFrame): DataFrame = {
     val t = lmModelTableNonEmpty(spark, modelPath)
@@ -878,7 +972,7 @@ object TextOps {
         (SortedFolds.sortedTermSum(col("l")) / col("n_tokens")).as("rarity"))
       .join(broadcast(cuts), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"),
-        when(col("cut1").isNull && col("cut2").isNull, "uncalibrated")
+        when(col("cut1").isNull || col("cut2").isNull, "uncalibrated")
           .when(col("rarity") <= col("cut1"), "head")
           .when(col("rarity") <= col("cut2"), "middle")
           .otherwise("tail").as("bucket"),

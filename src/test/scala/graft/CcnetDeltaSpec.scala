@@ -99,6 +99,28 @@ class CcnetDeltaSpec extends SparkSpec {
     assert(r10 == 12.0, s"OOV rarity must be (n+v)/1 = 12.0, got $r10")
   }
 
+  test("a language with ANY null cut reports uncalibrated (single-tercile case)") {
+    import spark.implicits._
+    // r12 advice: with cut1 non-null and cut2 null, the pre-r13 shape
+    // sent every rarity > cut1 to 'tail' ('middle' unreachable via the
+    // null comparison falling through to otherwise) — a silently
+    // half-calibrated language. The contract is now: any null cut →
+    // 'uncalibrated', same as an unseen language.
+    val m = freshModel()
+    TextOps.lmModelAppend(spark, m,
+      Seq((1L, "en", "alpha beta alpha")).toDF("doc_id", "lang", "text"), 0L)
+    val cuts = Seq(("en", Some(2.0), None: Option[Double]))
+      .toDF("lang", "cut1", "cut2")
+    val out = TextOps.ccnetBucketDelta(spark, m, cuts,
+      Seq((1L, "en", "alpha alpha"), (2L, "en", "zzz zzz"))
+        .toDF("doc_id", "lang", "text")).collect()
+    out.foreach { r =>
+      assert(r.getString(2) == "uncalibrated",
+        s"single-tercile language must be uncalibrated for EVERY doc " +
+          s"(low and high rarity alike): $r")
+    }
+  }
+
   test("scoring under an empty or absent model fails loudly") {
     import spark.implicits._
     val cuts = Seq(("en", 1.0, 2.0)).toDF("lang", "cut1", "cut2")

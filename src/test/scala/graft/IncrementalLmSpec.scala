@@ -66,17 +66,44 @@ class IncrementalLmSpec extends SparkSpec {
       s"got ${row.getDouble(2)}, expected $expected")
   }
 
-  test("replay and out-of-order folds are no-ops (monotone batch-id guard)") {
+  test("replay skips silently; batch-id REGRESSION fails loudly (r12 advice)") {
     val m = freshModel()
     TextOps.lmModelAppend(spark, m, docs(), 3L)
     val before = totals(m)
-    TextOps.lmModelAppend(spark, m, docs(), 3L) // replay
+    TextOps.lmModelAppend(spark, m, docs(), 3L) // replay of the last batch
     assert(totals(m) == before, "replayed batch must not double-count")
-    TextOps.lmModelAppend(spark, m, docs(), 1L) // out of order
-    assert(totals(m) == before, "out-of-order batch must be refused")
+    // id < max is not a replay — it is a restarted stream with a
+    // new/deleted checkpoint (ids back at 0) or a rewound day counter;
+    // silently no-opping it (the pre-r13 shape) is data loss with no
+    // error, so it must throw and name the cause
+    val ex = intercept[IllegalStateException] {
+      TextOps.lmModelAppend(spark, m, docs(), 1L)
+    }
+    assert(ex.getMessage.contains("regression"), ex.getMessage)
+    assert(totals(m) == before, "a refused fold must not touch the model")
     TextOps.lmModelAppend(spark, m,
       docs().limit(0), 4L) // empty later batch is fine (appends no rows)
     assert(totals(m) == before)
+  }
+
+  test("a LIVE concurrent writer on the same modelPath is detected loudly") {
+    val m = freshModel()
+    TextOps.lmModelAppend(spark, m, docs(), 1L)
+    val before = totals(m)
+    val marker = new java.io.File(m + ".writer_inflight")
+    // simulate another live process mid-append: a marker holding a pid
+    // that is alive and not ours (pid 1 — the container init)
+    java.nio.file.Files.write(marker.toPath, "1".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      TextOps.lmModelAppend(spark, m, docs(), 2L)
+    }
+    assert(ex.getMessage.contains("concurrent writer"), ex.getMessage)
+    assert(totals(m) == before, "a refused fold must not touch the model")
+    // a STALE marker (dead pid — a crashed writer) is reclaimed, not fatal
+    java.nio.file.Files.write(marker.toPath, "999999999".getBytes("UTF-8"))
+    TextOps.lmModelAppend(spark, m, docs(), 2L)
+    assert(totals(m) != before, "a stale marker must not block folds")
+    assert(!marker.exists(), "the marker must be released after the fold")
   }
 
   test("compaction preserves totals AND the replay guard; catalog loss self-heals") {
