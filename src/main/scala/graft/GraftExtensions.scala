@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // check rules cannot be late-registered on a live session, so
     // register(spark) below does NOT install it.
     e.injectCheckRule(spark => graft.plans.CartesianGuard(spark))
+    // 100 TB guardrail #2 (r12 verdict task #7): reject plans that build
+    // ≥ 2 distinct broadcast exchanges over one lazy cached frame — the
+    // correctness-invisible materialization race the r12 profiling pass
+    // found five times (plans/BroadcastRaceGuard.scala). Query-stage-prep
+    // scope: runs on the whole initial physical plan under AQE.
+    e.injectQueryStagePrepRule(spark => graft.plans.BroadcastRaceGuard(spark))
   }
 }
 

@@ -217,6 +217,17 @@ object Ivf {
     st.append(spark, novel)
   }
 
+  /** Policy-driven maintenance of the posting table — the shared
+    * [[graft.sources.BucketedState.maintain]] knob (compact when the
+    * committed file count exceeds N sets per bucket); call after each
+    * fold in a long-running loop. Posting rows are unique by
+    * construction (novel-only appends), so the merge is identity —
+    * pure file-count compaction. Returns whether a rewrite ran. */
+  def maintainIvfIndex(spark: SparkSession, indexPath: String,
+                       maxFileSetsPerBucket: Int =
+                         graft.sources.BucketedState.DefaultMaxFileSetsPerBucket): Boolean =
+    postingState(indexPath).maintain(spark, maxFileSetsPerBucket)(identity)
+
   /** q_ivf_delta (r12 verdict task #4): [[ivfSearch]] over a PERSISTED
     * BucketedState index as a benched SparkEntry shape — the production
     * search join (probe lists ⋈ bucketed posting table, index side

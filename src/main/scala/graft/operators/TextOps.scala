@@ -693,8 +693,19 @@ object TextOps {
     * per-bucket local however large the index ([[graft.sources
     * .BucketedState.compact]]'s staged-swap discipline). */
   def compactDedupIndex(spark: SparkSession, indexPath: String): Unit =
-    dedupIndexState(indexPath).compact(spark)(
-      _.groupBy("band", "key").agg(min("min_doc").as("min_doc")))
+    dedupIndexState(indexPath).compact(spark)(dedupIndexMerge)
+
+  /** Policy-driven maintenance of the dedup index — the shared
+    * [[graft.sources.BucketedState.maintain]] knob (compact when the
+    * committed file count exceeds N sets per bucket); call after each
+    * fold in a long-running loop. Returns whether a rewrite ran. */
+  def maintainDedupIndex(spark: SparkSession, indexPath: String,
+                         maxFileSetsPerBucket: Int =
+                           graft.sources.BucketedState.DefaultMaxFileSetsPerBucket): Boolean =
+    dedupIndexState(indexPath).maintain(spark, maxFileSetsPerBucket)(dedupIndexMerge)
+
+  private def dedupIndexMerge(df: DataFrame): DataFrame =
+    df.groupBy("band", "key").agg(min("min_doc").as("min_doc"))
 
   /** Bucket count of the persisted index layout — fixed at table
     * creation (appends must match it). 16 suits the local fixture; a
@@ -873,8 +884,18 @@ object TextOps {
     * max lives on some token's row). Per-bucket exchange-free under the
     * staged-swap discipline. */
   def compactLmModel(spark: SparkSession, modelPath: String): Unit =
-    lmModelState(modelPath).compact(spark)(
-      _.groupBy("tok").agg(sum("c").as("c"), max("batch_id").as("batch_id")))
+    lmModelState(modelPath).compact(spark)(lmModelMerge)
+
+  /** Policy-driven maintenance of the model table — the shared
+    * [[graft.sources.BucketedState.maintain]] knob; call after each
+    * fold in a long-running loop. Returns whether a rewrite ran. */
+  def maintainLmModel(spark: SparkSession, modelPath: String,
+                      maxFileSetsPerBucket: Int =
+                        graft.sources.BucketedState.DefaultMaxFileSetsPerBucket): Boolean =
+    lmModelState(modelPath).maintain(spark, maxFileSetsPerBucket)(lmModelMerge)
+
+  private def lmModelMerge(df: DataFrame): DataFrame =
+    df.groupBy("tok").agg(sum("c").as("c"), max("batch_id").as("batch_id"))
 
   /** q_lm_delta (r12 verdict task #4): [[lmScoreDelta]] as a benched,
     * oracle-checked SparkEntry shape — score the documents table under a

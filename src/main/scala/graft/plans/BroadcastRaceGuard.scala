@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+
+/** 100 TB guardrail, promoted from bench lint to planning-time guard
+  * (r12 verdict task #7): REJECT a plan that builds two or more DISTINCT
+  * broadcast exchanges over one not-yet-materialized cached frame.
+  *
+  * Why this is a defect class and not a style nit: Spark submits
+  * broadcast-exchange build jobs CONCURRENTLY, and a lazy `persist()`
+  * only promises each partition computes once PER materialization —
+  * broadcast builds racing before any materialization finishes each run
+  * the cached frame's whole upstream pipeline. The waste is
+  * correctness-invisible (results are identical) and was found FIVE
+  * times in one r12 sitting by profiling alone (q_ccnet_buckets paid
+  * 3× its tf⋈vocab fold, q_basket 4× its order-grain collect_set…).
+  * The BroadcastRaceLintSpec sweep pins the BENCH fleet, but new
+  * non-bench code paths — streaming sink bodies, future operators —
+  * got no sweep; this rule closes that gap at planning time.
+  *
+  * Precondition, checked mechanically on the physical plan:
+  *   - ≥ 2 broadcast exchanges whose subtrees scan the SAME
+  *     InMemoryRelation cache builder,
+  *   - the exchanges are DISTINCT builds (different canonicalized
+  *     subtrees) — identical builds are deduplicated by ReuseExchange /
+  *     AQE stage reuse and cannot race,
+  *   - the cache is NOT yet materialized (`isCachedColumnBuffersLoaded`
+  *     is false) — broadcasts over an already-loaded cache just read it.
+  * The fix at the offending call site is an EAGER materialization
+  * (localCheckpoint, or the up-front count the operator needs anyway)
+  * before the consumers plan — never a lazy persist.
+  *
+  * Registered via `SparkSessionExtensions.injectQueryStagePrepRule`
+  * (runs on the WHOLE initial physical plan under AQE — the default
+  * everywhere in this engine; non-AQE sessions are covered by the spec
+  * harness calling [[BroadcastRaceGuard.check]] directly, and by the
+  * fleet lint). `spark.graft.broadcastRaceGuard=false` opts a session
+  * out — same explicit-intent escape hatch as the cartesian guard.
+  * The rule only ever inspects and throws; it never rewrites the plan.
+  */
+case class BroadcastRaceGuard(spark: SparkSession) extends Rule[SparkPlan] {
+  override def apply(plan: SparkPlan): SparkPlan = {
+    // fail-safe conf read (the CartesianGuard policy): only a parseable
+    // literal false disables the guard — a typo keeps it active
+    val disabled = spark.conf.get("spark.graft.broadcastRaceGuard", "true")
+      .trim.equalsIgnoreCase("false")
+    if (!disabled) BroadcastRaceGuard.check(plan)
+    plan
+  }
+}
+
+object BroadcastRaceGuard {
+
+  /** Cache builders at risk: builder (opaque — `CachedRDDBuilder` is
+    * private[sql], reached through GraftBridge) → count of distinct
+    * broadcast builds scanning it, for builders with ≥ 2 cold builds. */
+  private[graft] def racyCaches(plan: SparkPlan): Map[AnyRef, Int] = {
+    // (cacheBuilder, canonicalized broadcast subtree) pairs — the
+    // canonical form identifies a BUILD; identical builds collapse to
+    // one stage at execution (ReuseExchange statically, AQE stage reuse
+    // at runtime) and therefore cannot race each other
+    val pairs = plan.collect {
+      case b: BroadcastExchangeExec =>
+        b.collect { case s: InMemoryTableScanExec => GraftBridge.cacheBuilderOf(s) }
+          .distinct.map(cb => (cb, b.canonicalized))
+    }.flatten.distinct
+    pairs.groupBy(_._1).view.mapValues(_.size).toMap
+      .filter { case (cb, n) => n >= 2 && !GraftBridge.cacheLoaded(cb) }
+  }
+
+  /** Throw on any racy cache in `plan` (shared by the injected rule and
+    * the spec harness, so non-AQE plans can be swept with the exact
+    * production predicate). */
+  def check(plan: SparkPlan): Unit = {
+    val racy = racyCaches(plan)
+    if (racy.nonEmpty) {
+      val worst = racy.values.max
+      throw new SparkException(
+        s"graft broadcast-race guard: $worst distinct broadcast builds " +
+          "scan one not-yet-materialized cached frame — concurrent " +
+          "broadcast jobs will race to materialize it and each re-runs " +
+          "the frame's whole pipeline (correctness-invisible, up to " +
+          "N-fold wasted work). Materialize eagerly (localCheckpoint or an " +
+          "up-front count) before the broadcast consumers plan, or set " +
+          "spark.graft.broadcastRaceGuard=false.")
+    }
+  }
+}

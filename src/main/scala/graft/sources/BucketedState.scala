@@ -124,6 +124,35 @@ final case class BucketedState(path: String, prefix: String, schemaDdl: String,
       spark.catalog.refreshTable(t)
     }
 
+  /** The ONE maintenance policy for every BucketedState consumer (r12
+    * verdict task #8 — dedup index, IVF postings, and LM model each
+    * hand-rolled compaction cadence; a long-running loop needs a single
+    * knob): compact through `merge` iff the committed file count
+    * exceeds `maxFileSetsPerBucket` files per bucket. Each fold appends
+    * roughly one file set per bucket, so the threshold reads as "at
+    * most N folds of debris before a rewrite"; between rewrites, scans
+    * pay at most N× the file-open overhead of the compacted form.
+    * Returns whether a compaction ran. Serialize with folds — same
+    * SINGLE-WRITER rule as [[compact]]. */
+  def maintain(spark: SparkSession,
+               maxFileSetsPerBucket: Int = BucketedState.DefaultMaxFileSetsPerBucket)
+              (merge: DataFrame => DataFrame): Boolean = {
+    val over = committedFileCount > nBuckets.toLong * maxFileSetsPerBucket
+    if (over) compact(spark)(merge)
+    over
+  }
+
+  /** Count of committed data files at the path (the maintain trigger). */
+  private[graft] def committedFileCount: Long = {
+    def rec(f: java.io.File): Long = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.count(k => k.isFile && k.getName.endsWith(".parquet")
+        && !k.getName.startsWith(".") && !k.getName.startsWith("_")).toLong +
+        kids.filter(k => k.isDirectory && k.getName != "_temporary").map(rec).sum
+    }
+    rec(new java.io.File(path))
+  }
+
   /** True iff the path holds COMMITTED parquet data — files under an
     * in-flight append's _temporary staging don't count (the
     * upsertSinkBatch bare-directory lesson). */
@@ -136,4 +165,11 @@ final case class BucketedState(path: String, prefix: String, schemaDdl: String,
     }
     rec(new java.io.File(path))
   }
+}
+
+object BucketedState {
+  /** Default file-sets-per-bucket tolerance before [[BucketedState
+    * .maintain]] rewrites: 4 bounds scan overhead at ~4× the compacted
+    * file count while amortizing the rewrite over ~4 folds. */
+  val DefaultMaxFileSetsPerBucket = 4
 }

@@ -515,6 +515,69 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming face of the frozen-model SCORING leg (r12 verdict task
+    * #3 — the daily-crawl loop's other half: [[lmModelSink]] folds
+    * counts, this scores deltas under the frozen result): each
+    * micro-batch of (doc_id, text) runs [[graft.operators.TextOps
+    * .lmScoreDelta]] against the UNCHANGING model at modelPath and
+    * commits the scores to `outPath/batch_id=<id>/`. Replay-idempotent
+    * by the dedupIncrementSink discipline: a batch directory carrying
+    * _SUCCESS is a committed decision — duplicate delivery keeps it
+    * verbatim and writes nothing. Scoring mutates no state, so unlike
+    * the dedup sink there is no fold ordering to protect; and because
+    * the model is frozen, scoring any slicing of the docs equals
+    * scoring them in one batch doc-for-doc (IncrementalLmSpec pins
+    * both properties). */
+  def lmScoreSink(docs: DataFrame, modelPath: String, outPath: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        lmScoreSinkBatch(batch.toDF(), modelPath, outPath, id)
+      }
+      .start()
+
+  /** One micro-batch of [[lmScoreSink]] (visible so the replay contract
+    * is directly testable — the jdbcSinkBatch precedent). */
+  private[graft] def lmScoreSinkBatch(batch: DataFrame, modelPath: String,
+                                      outPath: String, batchId: Long): Unit = {
+    val dir = new java.io.File(s"$outPath/batch_id=$batchId")
+    if (new java.io.File(dir, "_SUCCESS").isFile) return // committed: replay keeps it
+    graft.operators.TextOps.lmScoreDelta(batch.sparkSession, modelPath, batch)
+      .write.mode("overwrite").parquet(dir.getPath) // _SUCCESS = commit
+  }
+
+  /** Streaming face of frozen-tercile bucketing ([[graft.operators
+    * .TextOps.ccnetBucketDelta]]): each micro-batch of (doc_id, lang,
+    * text) buckets against the frozen unigram model and the frozen
+    * per-language `cuts`, committed to `outPath/batch_id=<id>/` under
+    * the same committed-dir replay discipline as [[lmScoreSink]]. The
+    * cuts frame is captured once at sink construction — that is the
+    * point: the CCNet daily loop scores every delta under ONE snapshot's
+    * calibration until the operator re-freezes it. */
+  def ccnetBucketSink(docs: DataFrame, modelPath: String, cuts: DataFrame,
+                      outPath: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ccnetBucketSinkBatch(batch.toDF(), modelPath, cuts, outPath, id)
+      }
+      .start()
+
+  /** One micro-batch of [[ccnetBucketSink]]. */
+  private[graft] def ccnetBucketSinkBatch(batch: DataFrame, modelPath: String,
+                                          cuts: DataFrame, outPath: String,
+                                          batchId: Long): Unit = {
+    val dir = new java.io.File(s"$outPath/batch_id=$batchId")
+    if (new java.io.File(dir, "_SUCCESS").isFile) return // committed: replay keeps it
+    graft.operators.TextOps.ccnetBucketDelta(
+      batch.sparkSession, modelPath, cuts, batch)
+      .write.mode("overwrite").parquet(dir.getPath) // _SUCCESS = commit
+  }
+
   def upsertSink(stream: DataFrame, path: String, key: String,
                  partitionCols: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream

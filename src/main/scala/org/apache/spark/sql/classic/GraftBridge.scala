@@ -23,4 +23,18 @@ object GraftBridge {
   /** Analyzed logical plan of a DataFrame (`queryExecution` is classic-side). */
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[Dataset[_]].queryExecution.analyzed
+
+  /** Cache-builder identity of an in-memory scan, as an opaque key
+    * (`CachedRDDBuilder` is private[sql]) — the broadcast-race guard
+    * groups broadcast builds by which cached frame they scan. */
+  def cacheBuilderOf(
+      s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec): AnyRef =
+    s.relation.cacheBuilder
+
+  /** Whether that cached frame's buffers are already materialized —
+    * broadcasts over a loaded cache read it instead of racing to build. */
+  def cacheLoaded(cacheBuilder: AnyRef): Boolean =
+    cacheBuilder.asInstanceOf[
+      org.apache.spark.sql.execution.columnar.CachedRDDBuilder]
+      .isCachedColumnBuffersLoaded
 }

@@ -63,14 +63,82 @@ class BroadcastRaceLintSpec extends SparkSpec {
   test("no query plans two broadcast exchanges over the same cached frame") {
     val offenders = Seq.newBuilder[String]
     SparkEntry.benchShapes.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val n = racyBroadcasts(fn(spark, sf))
+      val df = fn(spark, sf)
+      val n = racyBroadcasts(df)
       if (n >= 2)
         offenders += s"$name: $n broadcast exchanges scan one cached frame " +
           "— concurrent broadcast jobs will race to materialize it; " +
           "replace the lazy persist with an eager localCheckpoint " +
           "(the q_ccnet_buckets/q_basket fix)"
+      // the PRODUCTION guard predicate over the same plan (r13: the lint
+      // logic was promoted to a planning-time rule — sweeping the fleet
+      // with guard.check keeps the two predicates from drifting apart)
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        graft.plans.BroadcastRaceGuard.check(df.queryExecution.executedPlan)
+      } catch { case e: org.apache.spark.SparkException =>
+        offenders += s"$name: production broadcast-race guard fired: ${e.getMessage}"
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.catalog.clearCache()
     }
     assert(offenders.result().isEmpty, offenders.result().mkString("\n"))
+  }
+
+  test("guard positive control: a cold racy plan throws; materialized or reused builds pass") {
+    import graft.plans.BroadcastRaceGuard
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val cached = (1 to 100).map(i => (i % 7, i.toLong)).toDF("k", "v").persist()
+    try {
+      val agg1 = cached.groupBy("k").agg(sum("v").as("s1"))
+      val agg2 = cached.groupBy("k").agg(max("v").as("m2"))
+      val racy = cached
+        .join(broadcast(agg1), "k")
+        .join(broadcast(agg2), "k")
+      val e = intercept[org.apache.spark.SparkException] {
+        BroadcastRaceGuard.check(racy.queryExecution.executedPlan)
+      }
+      assert(e.getMessage.contains("broadcast-race guard"), e.getMessage)
+      // IDENTICAL builds collapse to one exchange + ReusedExchange and
+      // cannot race — the guard must not cry wolf on them
+      val reused = cached
+        .join(broadcast(agg1), "k")
+        .join(broadcast(agg1.as("again")), "k")
+      BroadcastRaceGuard.check(reused.queryExecution.executedPlan)
+      // a MATERIALIZED cache cannot race — broadcasts just read it
+      cached.count()
+      BroadcastRaceGuard.check(racy.queryExecution.executedPlan)
+    } finally {
+      cached.unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("guard end-to-end: fires inside AQE planning via the injected rule; opt-out works") {
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    // the production registration path is injectQueryStagePrepRule; a
+    // live session cannot late-register one, so apply the rule exactly
+    // where Spark would — on the pre-stage physical plan, AQE on
+    val guard = graft.plans.BroadcastRaceGuard(spark)
+    val cached = (1 to 100).map(i => (i % 7, i.toLong)).toDF("k", "v").persist()
+    try {
+      val racy = cached
+        .join(broadcast(cached.groupBy("k").agg(sum("v").as("s1"))), "k")
+        .join(broadcast(cached.groupBy("k").agg(max("v").as("m2"))), "k")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = try racy.queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      intercept[org.apache.spark.SparkException] { guard(plan) }
+      spark.conf.set("spark.graft.broadcastRaceGuard", "false")
+      try guard(plan) // explicit opt-out: inspect nothing, rewrite nothing
+      finally spark.conf.unset("spark.graft.broadcastRaceGuard")
+    } finally cached.unpersist()
   }
 }

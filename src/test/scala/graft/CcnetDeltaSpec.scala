@@ -121,6 +121,46 @@ class CcnetDeltaSpec extends SparkSpec {
     }
   }
 
+  test("streaming bucket sink: slices under frozen cuts ≡ one batch; replay writes once") {
+    import graft.streaming.StreamOps
+    val sess = spark
+    import sess.implicits._
+    val m = freshModel()
+    val corpus = Seq(
+      (1L, "en", "alpha beta alpha"), (2L, "en", "beta beta gamma"),
+      (3L, "en", "alpha gamma gamma"), (4L, "en", "alpha beta gamma"))
+      .toDF("doc_id", "lang", "text")
+    TextOps.lmModelAppend(spark, m, corpus, 0L)
+    // every corpus token occurs 4× → per-occurrence term (n+v)/(c+1) =
+    // 15/5 = 3.0, so corpus docs have rarity 3.0; the delta adds an
+    // all-OOV doc at rarity 15.0 — cuts (3.5, 10.0) put them in
+    // different buckets so the compose check isn't vacuous
+    val delta = corpus.unionByName(
+      Seq((5L, "en", "zzz zzz")).toDF("doc_id", "lang", "text"))
+    val cuts = Seq(("en", 3.5, 10.0)).toDF("lang", "cut1", "cut2")
+    val base = java.nio.file.Files.createTempDirectory("graft-ccnet-sink").toString
+    val out = base + "/buckets"
+    // two slices through the per-batch body (the sink's exact code path)
+    StreamOps.ccnetBucketSinkBatch(delta.filter(col("doc_id") <= 2), m, cuts, out, 0L)
+    StreamOps.ccnetBucketSinkBatch(delta.filter(col("doc_id") > 2), m, cuts, out, 1L)
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    val oneShot = TextOps.ccnetBucketDelta(spark, m, cuts, delta).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("bucket")).toSet
+    assert(streamed == oneShot,
+      "bucketing under frozen model+cuts must compose over any slicing")
+    assert(streamed.map(_._2).size > 1, "fixture should straddle a cut")
+    // duplicate delivery: the committed batch dir is kept verbatim
+    val dir = new java.io.File(s"$out/batch_id=0")
+    def fileSet() = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val first = fileSet()
+    StreamOps.ccnetBucketSinkBatch(delta.filter(col("doc_id") <= 2), m, cuts, out, 0L)
+    assert(fileSet() == first, "replay of a committed batch must write nothing")
+  }
+
   test("scoring under an empty or absent model fails loudly") {
     import spark.implicits._
     val cuts = Seq(("en", 1.0, 2.0)).toDF("lang", "cut1", "cut2")

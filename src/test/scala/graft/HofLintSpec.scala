@@ -54,7 +54,13 @@ class HofLintSpec extends SparkSpec {
             case other => other
           })
         }.flatten
-        own ++ cached
+        // subquery plans ride inside EXPRESSIONS (ScalarSubquery /
+        // InSubqueryExec), not children — TreeNode traversal never
+        // visits them, so a HOF inside one would evade the allowlist
+        // (r12 advice). QueryPlan.subqueries surfaces each node's
+        // PlanExpression plans; recurse into every one.
+        val sub = p.flatMap(op => op.subqueries.flatMap(scan))
+        own ++ cached ++ sub
       }
       scan(df.queryExecution.executedPlan)
     } finally sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -81,6 +87,16 @@ class HofLintSpec extends SparkSpec {
         "HOF inside an AQE-wrapped cached subtree must be visible:\n" +
           df.queryExecution.executedPlan)
     } finally cached.unpersist()
+  }
+
+  test("positive control: a HOF inside a scalar subquery is still seen") {
+    val df = spark.sql(
+      """SELECT id FROM range(10)
+        |WHERE id > (SELECT aggregate(array(1L, 2L), 0L, (a, x) -> a + x)
+        |            FROM range(1))""".stripMargin)
+    assert(hofInventory(df).contains("aggregate"),
+      "HOF inside a subquery plan must be visible:\n" +
+        df.queryExecution.executedPlan)
   }
 
   test("the allowlist EXACTLY pins every bench query's interpreted-HOF inventory") {
@@ -130,6 +146,10 @@ object HofLintSpec {
   val allowlist: Map[String, Map[String, Int]] = Map(
     // EMB — vector-dim lambdas on ANN/quantization paths
     "q_ivf_topk" -> Map("zip_with" -> 1, "aggregate" -> 7, "transform" -> 2),
+    // probe-only search over the persisted index: the centroid-ranking
+    // lambdas (probes × K=32 centers, dim ≤ 64) and the cosine re-rank —
+    // the index build's HOFs are offline (warmup), not in this plan
+    "q_ivf_delta" -> Map("zip_with" -> 1, "aggregate" -> 4, "transform" -> 1),
     "q_pq_topk" -> Map("zip_with" -> 2, "aggregate" -> 15, "array_sort" -> 1, "transform" -> 4),
     "q_quantized_topk" -> Map("aggregate" -> 2, "transform" -> 4),
     "q_vec_norm" -> Map("aggregate" -> 2),

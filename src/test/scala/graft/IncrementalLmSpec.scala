@@ -86,6 +86,52 @@ class IncrementalLmSpec extends SparkSpec {
     assert(totals(m) == before)
   }
 
+  test("streaming scoring sink: two micro-batch slices ≡ one batch, doc for doc") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = freshModel()
+    TextOps.lmModelAppend(spark, m, docs(), 0L) // freeze the model
+    val all = docs().as[(Long, String)].collect().sortBy(_._1)
+    val (s1, s2) = all.splitAt(all.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft-lm-sink").toString
+    val out = base + "/scores"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.lmScoreSink(
+      input.toDF().toDF("doc_id", "text"), m, out, base + "/ckpt")
+    try Seq(s1, s2).foreach { s => input.addData(s.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_tokens", "lm_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = TextOps.lmScoreDelta(spark, m, docs()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == oneShot,
+      "scoring under a frozen model must compose over any slicing")
+  }
+
+  test("streaming scoring sink replay: a committed batch is kept verbatim") {
+    import graft.streaming.StreamOps
+    val m = freshModel()
+    TextOps.lmModelAppend(spark, m, docs(), 0L)
+    val base = java.nio.file.Files.createTempDirectory("graft-lm-replay").toString
+    val out = base + "/scores"
+    val batch = docs().limit(20)
+    StreamOps.lmScoreSinkBatch(batch, m, out, 0L)
+    val dir = new java.io.File(s"$out/batch_id=0")
+    def fileSet() = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val first = fileSet()
+    assert(first.nonEmpty)
+    // duplicate delivery of the SAME batch id: the committed directory
+    // must be kept byte-for-byte — not recomputed and rewritten
+    StreamOps.lmScoreSinkBatch(batch, m, out, 0L)
+    assert(fileSet() == first,
+      "replay of a committed scoring batch must write nothing")
+  }
+
   test("a LIVE concurrent writer on the same modelPath is detected loudly") {
     val m = freshModel()
     TextOps.lmModelAppend(spark, m, docs(), 1L)
