@@ -195,10 +195,14 @@ object Bench {
     if (names.contains("q_ml_risk"))
       try graft.pipeline.MlScoring.fitCrowdRisk(spark, sfDir)
       catch { case _: Throwable => () }
-    // Persisted-state warmup (q_lm_delta / q_ivf_delta): their contract is
-    // index-built-offline/score-per-query — the one-time model/index build
-    // is warmup, same reasoning as the q_ml_risk fit.
-    for (q <- Seq("q_lm_delta", "q_ivf_delta") if names.contains(q))
+    // Offline-build warmup (q_lm_delta / q_ivf_delta / q_pq_topk /
+    // q_ivf_topk): their contract is index-built-offline/probe-per-query —
+    // the one-time model/index/codebook build is warmup, same reasoning
+    // as the q_ml_risk fit (a quiet 7-repeat r13 subset run showed
+    // q_pq_topk's first sample absorbing a 33.9 s codebook fit that the
+    // median then has to discard).
+    for (q <- Seq("q_lm_delta", "q_ivf_delta", "q_pq_topk", "q_ivf_topk")
+         if names.contains(q))
       try { SparkEntry.benchShapes(q)(spark, sfDir).write
         .format("noop").mode("overwrite").save(); spark.catalog.clearCache() }
       catch { case _: Throwable => () }
