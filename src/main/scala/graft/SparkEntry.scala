@@ -111,6 +111,8 @@ object SparkEntry {
     "q_reachable" -> (TextOps.reachable _),
     "q_dedup_decisions" -> (TextOps.dedupDecisions _),
     "q_repeated_grams" -> (TextOps.repeatedGrams _),
+    "q_dup_spans" -> (TextOps.dupSpans _),
+    "q_dup_strip" -> (TextOps.dupStrip _),
     "q_xcorr" -> (Analytics.xcorr _),
     "q_gap_stats" -> (Analytics.gapStats _),
     "q_gini" -> (Analytics.gini _),
@@ -3300,6 +3302,83 @@ object SparkEntry {
         |  count(*) AS n_occurrences, min(doc_id) AS min_doc
         |FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY df DESC, g LIMIT 50""".stripMargin,
+    "q_dup_spans" ->
+      // maximal duplicated-span islands: positions of cross-document
+      // 6-grams (min(doc)<>max(doc) ≡ df>=2, no DISTINCT agg), merged
+      // when starts are within 6 of each other (overlap or adjacency);
+      // gram identity = the token tuple, matching the engine's xxhash64
+      // tuple keys modulo the documented 64-bit collision bound
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS j
+        |  FROM toks WHERE len(t) >= 6
+        |), grams AS (
+        |  SELECT doc_id, j, t[j:j+5] AS g FROM pos
+        |), dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)
+        |), hits AS (
+        |  SELECT doc_id, j FROM grams JOIN dup USING (g)
+        |), flag AS (
+        |  SELECT doc_id, j, CASE WHEN j > coalesce(lag(j)
+        |      OVER (PARTITION BY doc_id ORDER BY j), -10) + 6
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM hits
+        |), isl AS (
+        |  SELECT doc_id, j,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY j) AS island
+        |  FROM flag)
+        |SELECT doc_id, min(j) AS span_start, max(j) + 5 AS span_end,
+        |  max(j) + 5 - min(j) + 1 AS span_tokens
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+    "q_dup_strip" ->
+      // the cleaned corpus: tokens inside any duplicated span removed,
+      // remainder reassembled in position order (both engines rebuild
+      // from tokens, so whitespace normalization cancels); span-free and
+      // too-short docs flow through with n_dup_tokens = 0
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS j
+        |  FROM toks WHERE len(t) >= 6
+        |), grams AS (
+        |  SELECT doc_id, j, t[j:j+5] AS g FROM pos
+        |), dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)
+        |), hits AS (
+        |  SELECT doc_id, j FROM grams JOIN dup USING (g)
+        |), flag AS (
+        |  SELECT doc_id, j, CASE WHEN j > coalesce(lag(j)
+        |      OVER (PARTITION BY doc_id ORDER BY j), -10) + 6
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM hits
+        |), isl AS (
+        |  SELECT doc_id, j,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY j) AS island
+        |  FROM flag
+        |), spans AS (
+        |  SELECT doc_id, min(j) AS s, max(j) + 5 AS e
+        |  FROM isl GROUP BY doc_id, island
+        |), covered AS (
+        |  SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans
+        |), alltoks AS (
+        |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+        |  FROM toks
+        |), kept AS (
+        |  SELECT a.doc_id, a.p, a.tok
+        |  FROM alltoks a LEFT JOIN covered c
+        |    ON a.doc_id = c.doc_id AND a.p = c.p
+        |  WHERE c.p IS NULL
+        |), rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.t) AS n_tokens,
+        |  len(t.t) - coalesce(r.n_kept, 0) AS n_dup_tokens,
+        |  coalesce(r.text_clean, '') AS text_clean
+        |FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_xcorr" ->
       // Pearson r from six exact sums (never the engine's double-summing
       // corr aggregate); doubles only in the closing ratio

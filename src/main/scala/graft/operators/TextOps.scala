@@ -2139,6 +2139,110 @@ object TextOps {
         col("df"), col("n_occurrences"), col("min_doc"))
   }
 
+  /** Positions (doc_id, j) of every word 6-gram that also appears in at
+    * least one OTHER document — the hit set under [[dupSpans]] and
+    * [[dupStrip]]. Same 8-byte-key discipline as [[repeatedGrams]]: the
+    * wide stream carries only codegen'd xxhash64 token-tuple codes, never
+    * a gram string; cross-doc duplication is decided by min(doc) ≠
+    * max(doc) — ONE plain hash agg, no count(DISTINCT doc) Expand — and
+    * the hit positions come back via a key semi-join (candidate-sized
+    * build at fixture scale, AQE-decided at corpus scale: left unhinted
+    * for the same reason as repeatedGrams' candidate join). */
+  private def dupGramHits(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 6)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - 5)).as("j"),
+        col("t"))
+      .select(col("doc_id"), col("j"),
+        xxhash64((0 to 5).map(k => element_at(col("t"), col("j") + k)): _*)
+          .as("k"))
+    val dupKeys = pos.groupBy("k")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select("k")
+    pos.join(dupKeys, Seq("k"), "left_semi")
+      .select(col("doc_id"), col("j").cast("long").as("j"))
+  }
+
+  /** q_dup_spans: MAXIMAL duplicated token spans per document — the
+    * removal units of exact-substring training-data dedup (Lee et al.
+    * 2022 strip repeated spans, not whole documents). A 6-gram starting
+    * at j covers tokens [j, j+5]; overlapping/adjacent covered intervals
+    * merge into islands (a new island starts when j > prev_j + 6, the
+    * gaps-and-islands recipe q_islands pins), and each island reports its
+    * first token, last token, and width.
+    *
+    * Scale shape: the gram/key stages are narrow + one partial-agg'd
+    * hash agg (dupGramHits); the island merge is a per-document window
+    * (lag + running sum over ONE partition-local sort — doc-bounded
+    * state, never corpus-wide). Oracle: identical islands arithmetic in
+    * DuckDB with gram identity as the raw token tuple. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    islandSpans(dupGramHits(spark, dir))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+
+  /** Gaps-and-islands merge of 6-gram hit positions: (doc_id, j) →
+    * (doc_id, span_start, span_end) with span_end = last covered token.
+    * Both window functions share one (doc_id, j) sort. */
+  private def islandSpans(hits: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("j")
+    hits
+      // j ≥ 1 always, so -10 makes the first row in each doc a new island
+      .withColumn("nw",
+        when(col("j") > coalesce(lag("j", 1).over(w), lit(-10L)) + 6, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("nw").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("j").as("span_start"), (max("j") + 5L).as("span_end"))
+  }
+
+  /** q_dup_strip: the cleaned corpus — every token inside a duplicated
+    * span ([[dupSpans]]) removed, untouched documents passed through.
+    * This is the face a training pipeline actually consumes: Lee et al.
+    * strip the repeated substring and KEEP the remainder, preserving the
+    * novel prose around boilerplate instead of dropping whole near-dup
+    * documents.
+    *
+    * Shape: covered positions explode from the (few, disjoint) spans —
+    * no distinct needed; the keep decision is a left-anti join on
+    * (doc_id, pos); reconstruction is one per-doc sort_array over the
+    * kept (pos, tok) structs. Everything is doc-bounded: the explode is
+    * linear in tokens, the anti join keys are (doc, pos), and the
+    * collect_list group is one document's tokens — the same per-doc
+    * bound every tokenize pass here already carries. Short docs (< 6
+    * tokens, no grams) and span-free docs flow through the same
+    * reconstruction, so the output is deterministic full-corpus
+    * cardinality; a fully-covered doc keeps an empty string. */
+  def dupStrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val covered = islandSpans(dupGramHits(spark, dir))
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("p"))
+    val kept = docs
+      .select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1L).as("p"), col("col").as("tok"))
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("text_clean"))
+    docs.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dup_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   /** q_minhash_est: sketch calibration audit — for every LSH candidate
     * pair, the MinHash Jaccard ESTIMATE (matching signature coordinates
     * / 16) against the EXACT shingle-code Jaccard, with the absolute

@@ -526,4 +526,70 @@ class CorpusOpsSpec extends SparkSpec {
       assert(trig(code("ab"), code("ac"), code(w)) != trig(code("ae"), code("ab"), code(w)),
         s"alias class must not collide under the polynomial hash (w=$w)")
   }
+
+  /** Shared local recompute under the two dup-span tests: per-doc maximal
+    * islands of cross-document duplicated 6-gram coverage, gram identity
+    * = the raw token tuple (the engine's xxhash64 keys, sans collisions). */
+  private def localSpans(sfDir: String)
+      : (Map[Long, Seq[String]], Map[Long, Seq[(Long, Long)]]) = {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val docsOf = scala.collection.mutable.Map.empty[Seq[String], Set[Long]]
+      .withDefaultValue(Set.empty)
+    docs.foreach { case (id, toks) =>
+      toks.sliding(6).filter(_.size == 6).foreach(g => docsOf(g) += id)
+    }
+    val spans = docs.map { case (id, toks) =>
+      val hits = toks.sliding(6).zipWithIndex
+        .collect { case (g, i) if g.size == 6 && (docsOf(g) - id).nonEmpty =>
+          (i + 1).toLong }
+        .toSeq
+      val islands = hits.foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc, j) if acc.nonEmpty && j <= acc.last._2 - 5 + 6 =>
+          acc.init :+ (acc.last._1, j + 5)
+        case (acc, j) => acc :+ (j, j + 5)
+      }
+      id -> islands
+    }
+    (docs, spans)
+  }
+
+  test("dup spans: values match an independent local recompute") {
+    val sfDir = "/root/testdata/sf0.01"
+    val (_, spans) = localSpans(sfDir)
+    val expect = spans.toSeq
+      .flatMap { case (id, ss) => ss.map { case (s, e) => (id, s, e, e - s + 1) } }
+      .sortBy { case (id, s, _, _) => (id, s) }
+    val got = TextOps.dupSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture must exercise the span path")
+    // islands are maximal: consecutive spans in one doc have a gap
+    got.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1, "adjacent spans must have merged")
+        case _ =>
+      }
+    }
+  }
+
+  test("dup strip: cleaned text drops exactly the covered tokens") {
+    val sfDir = "/root/testdata/sf0.01"
+    val (docs, spans) = localSpans(sfDir)
+    val expect = docs.toSeq.map { case (id, toks) =>
+      val covered = spans(id).flatMap { case (s, e) => s to e }.toSet
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !covered((i + 1).toLong) => t
+      }
+      (id, toks.size.toLong, toks.size.toLong - kept.size, kept.mkString(" "))
+    }.sortBy(_._1)
+    val got = TextOps.dupStrip(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expect)
+    assert(got.exists(_._3 > 0), "fixture must exercise the strip path")
+    assert(got.exists(r => r._3 == 0 && r._4.nonEmpty),
+      "untouched docs must pass through verbatim")
+  }
 }

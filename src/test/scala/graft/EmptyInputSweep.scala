@@ -34,8 +34,9 @@ class EmptyInputSweep extends SparkSpec {
     * require at fit), MlScoring's logistic regression needs a non-empty
     * frame. On ONE row ml_risk trains (a 1-point fit is degenerate but
     * valid); the index fits still lack K distinct points. */
-  private val fitRequiredEmpty = Set("q_ivf_topk", "q_pq_topk", "q_ml_risk")
-  private val fitRequiredOneRow = Set("q_ivf_topk", "q_pq_topk")
+  private val fitRequiredEmpty =
+    Set("q_ivf_topk", "q_pq_topk", "q_ml_risk", "q_ivf_delta", "q_lm_delta")
+  private val fitRequiredOneRow = Set("q_ivf_topk", "q_pq_topk", "q_ivf_delta")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -144,6 +145,7 @@ class EmptyInputSweep extends SparkSpec {
     "q_domain_cap" -> "domainCap",
     "q_topk_agg" -> "topkAggregator",
     "q_ivf_topk" -> "IVF quantizer",
+    "q_ivf_delta" -> "IVF quantizer",
     "q_pq_topk" -> "PQ codebooks")
 
   private def sweep(label: String, dirOf: () => String, fitRequired: Set[String]): Unit =

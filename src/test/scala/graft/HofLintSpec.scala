@@ -190,6 +190,7 @@ object HofLintSpec {
     "q_chunk_overlap" -> Map("transform" -> 1),
     "q_cond_entropy" -> Map("zip_with" -> 1),
     "q_contamination" -> Map("transform" -> 2), // 2nd behind the Bloom-side persist
+    "q_dup_strip" -> Map("transform" -> 1), // kept-token reassembly, one doc's array
     "q_langid" -> Map("filter" -> 5),
     "q_ngram" -> Map("zip_with" -> 1),
     "q_novelty" -> Map("transform" -> 2),
