@@ -113,6 +113,7 @@ object SparkEntry {
     "q_repeated_grams" -> (TextOps.repeatedGrams _),
     "q_dup_spans" -> (TextOps.dupSpans _),
     "q_dup_strip" -> (TextOps.dupStrip _),
+    "q_strip_delta" -> (TextOps.stripDeltaQuery _),
     "q_xcorr" -> (Analytics.xcorr _),
     "q_gap_stats" -> (Analytics.gapStats _),
     "q_gini" -> (Analytics.gini _),
@@ -3379,6 +3380,62 @@ object SparkEntry {
         |  coalesce(r.text_clean, '') AS text_clean
         |FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "q_strip_delta" ->
+      // keep-first frozen-index strip over a deterministic split: odd
+      // doc_ids probe an index of the even doc_ids' 6-grams — a position
+      // strips iff its gram appears in ANY even doc or in a SMALLER odd
+      // doc; islands + reconstruction as in q_dup_strip, odd docs only
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS j
+        |  FROM toks WHERE len(t) >= 6
+        |), grams AS (
+        |  SELECT doc_id, j, t[j:j+5] AS g FROM pos
+        |), seen AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0
+        |), oddmin AS (
+        |  SELECT g, min(doc_id) AS md FROM grams
+        |  WHERE doc_id % 2 = 1 GROUP BY g
+        |), hits AS (
+        |  SELECT gr.doc_id, gr.j
+        |  FROM grams gr
+        |  JOIN oddmin m ON gr.g = m.g
+        |  LEFT JOIN seen s ON gr.g = s.g
+        |  WHERE gr.doc_id % 2 = 1 AND (s.g IS NOT NULL OR gr.doc_id > m.md)
+        |), flag AS (
+        |  SELECT doc_id, j, CASE WHEN j > coalesce(lag(j)
+        |      OVER (PARTITION BY doc_id ORDER BY j), -10) + 6
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM hits
+        |), isl AS (
+        |  SELECT doc_id, j,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY j) AS island
+        |  FROM flag
+        |), spans AS (
+        |  SELECT doc_id, min(j) AS s, max(j) + 5 AS e
+        |  FROM isl GROUP BY doc_id, island
+        |), covered AS (
+        |  SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans
+        |), odd AS (
+        |  SELECT doc_id, t FROM toks WHERE doc_id % 2 = 1
+        |), alltoks AS (
+        |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+        |  FROM odd
+        |), kept AS (
+        |  SELECT a.doc_id, a.p, a.tok
+        |  FROM alltoks a LEFT JOIN covered c
+        |    ON a.doc_id = c.doc_id AND a.p = c.p
+        |  WHERE c.p IS NULL
+        |), rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT o.doc_id, len(o.t) AS n_tokens,
+        |  len(o.t) - coalesce(r.n_kept, 0) AS n_dup_tokens,
+        |  coalesce(r.text_clean, '') AS text_clean
+        |FROM odd o LEFT JOIN rebuilt r ON o.doc_id = r.doc_id
+        |ORDER BY o.doc_id""".stripMargin,
     "q_xcorr" ->
       // Pearson r from six exact sums (never the engine's double-summing
       // corr aggregate); doubles only in the closing ratio

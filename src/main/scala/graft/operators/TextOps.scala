@@ -2149,7 +2149,23 @@ object TextOps {
     * build at fixture scale, AQE-decided at corpus scale: left unhinted
     * for the same reason as repeatedGrams' candidate join). */
   private def dupGramHits(spark: SparkSession, dir: String): DataFrame = {
-    val pos = Tables.documents(spark, dir)
+    val pos = gramKeyFrame(Tables.documents(spark, dir))
+    val dupKeys = pos.groupBy("k")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select("k")
+    pos.join(dupKeys, Seq("k"), "left_semi")
+      .select(col("doc_id"), col("j").cast("long").as("j"))
+  }
+
+  /** 6-gram position keys of a (doc_id, text) frame: (doc_id, j, k) with
+    * j the 1-based start token and k the codegen'd xxhash64 token-tuple
+    * code — the shared wide stream under the batch hit set
+    * ([[dupGramHits]]) and the incremental substring leg
+    * ([[substringStrip]]/[[substringIncrement]]). Narrow
+    * (scan → explode → hash), no shuffle. */
+  private[graft] def gramKeyFrame(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 6)
       .select(col("doc_id"),
@@ -2158,13 +2174,6 @@ object TextOps {
       .select(col("doc_id"), col("j"),
         xxhash64((0 to 5).map(k => element_at(col("t"), col("j") + k)): _*)
           .as("k"))
-    val dupKeys = pos.groupBy("k")
-      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-      .filter(col("lo") =!= col("hi"))
-      .select("k")
-    pos.join(dupKeys, Seq("k"), "left_semi")
-      .select(col("doc_id"), col("j").cast("long").as("j"))
-  }
 
   /** q_dup_spans: MAXIMAL duplicated token spans per document — the
     * removal units of exact-substring training-data dedup (Lee et al.
@@ -2219,13 +2228,26 @@ object TextOps {
     * tokens, no grams) and span-free docs flow through the same
     * reconstruction, so the output is deterministic full-corpus
     * cardinality; a fully-covered doc keeps an empty string. */
-  def dupStrip(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val covered = islandSpans(dupGramHits(spark, dir))
+  def dupStrip(spark: SparkSession, dir: String): DataFrame =
+    stripSpans(Tables.documents(spark, dir),
+      islandSpans(dupGramHits(spark, dir)))
+
+  /** Remove the tokens covered by `spans` from `docs` and reassemble the
+    * remainder in position order — the shared reconstruction under
+    * [[dupStrip]] (batch, strip-every-copy) and [[substringStrip]]
+    * (incremental, keep-first). Covered positions explode from the
+    * (few, disjoint) islands so no distinct is needed; the keep decision
+    * is a (doc_id, pos) anti join; reassembly is one per-doc sort_array
+    * over kept (pos, tok) structs. Every stage is doc-bounded or linear
+    * in tokens. Docs outside the span set (short, span-free, or
+    * null-text) flow through the same reconstruction; a fully-covered
+    * doc keeps an empty string. */
+  private def stripSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val covered = spans
       .select(col("doc_id"),
         explode(sequence(col("span_start"), col("span_end"))).as("p"))
-    val kept = docs
+    val kept = toks
       .select(col("doc_id"), posexplode(col("t")))
       .select(col("doc_id"), (col("pos") + 1L).as("p"), col("col").as("tok"))
       .join(covered, Seq("doc_id", "p"), "left_anti")
@@ -2235,12 +2257,136 @@ object TextOps {
           transform(sort_array(collect_list(struct(col("p"), col("tok")))),
             x => x.getField("tok")),
           " ").as("text_clean"))
-    docs.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dup_tokens"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
       .orderBy("doc_id")
+  }
+
+  /** The duplicated-gram index as a [[graft.sources.BucketedState]] —
+    * the substring leg of the incremental family (dedup band index, IVF
+    * postings, LM model): one row per DISTINCT 6-gram key ever seen,
+    * with the first document that carried it. Clustered on k so the
+    * probe semi-join and the fold anti-join plan no Exchange on the
+    * index side — only the delta's gram stream moves. State size is
+    * O(distinct 6-grams) ≈ O(corpus tokens) — the same order as the
+    * suffix array Lee et al. build for exact-substring dedup, but
+    * bucketed + append-only instead of monolithic. */
+  private[graft] def substringIndexState(indexPath: String): graft.sources.BucketedState =
+    graft.sources.BucketedState(indexPath, "graft_substr_idx_",
+      "k BIGINT, min_doc BIGINT", Seq("k"), DedupIndexBuckets)
+
+  /** Keep-first span stripping of a delta against the FROZEN gram index
+    * at indexPath — the scoring face of incremental exact-substring
+    * dedup ([[lmScoreDelta]]'s role in the LM leg): a token position is
+    * stripped iff its 6-gram was seen in an earlier batch (key in the
+    * index) or earlier in THIS batch on a smaller doc_id; covered
+    * positions merge into maximal islands and [[stripSpans]] reassembles
+    * the remainder. Unlike the batch [[dupStrip]] (an audit that strips
+    * EVERY copy), the incremental form keeps the first occurrence — the
+    * Lee et al. semantics for a corpus that is written once and only
+    * grows. An ABSENT or empty index means "nothing seen yet" and is
+    * legal (day-1 crawl): intra-batch duplication still strips — unlike
+    * the LM model, where an empty denominator poisons the formula and
+    * absence fails loudly.
+    *
+    * Mutates nothing: probe-only, so bench repeats and oracle runs are
+    * idempotent. doc_id-ordered batches compose: two slices through
+    * [[substringIncrement]] produce exactly the one-batch decisions
+    * (IncrementalSubstringSpec). */
+  def substringStrip(spark: SparkSession, indexPath: String,
+                     docs: DataFrame): DataFrame = {
+    val pos = gramKeyFrame(docs)
+    stripSpans(docs, islandSpans(substringHits(spark, indexPath, pos)))
+  }
+
+  /** The keep-first hit positions of one batch's gram stream against the
+    * CURRENT index: (doc_id, j) rows to strip. Eager and lineage-
+    * truncated (localCheckpoint) so callers can fold the batch into the
+    * index and still evaluate the decision afterwards — the
+    * [[dedupRejected]] discipline. */
+  private def substringHits(spark: SparkSession, indexPath: String,
+                            pos: DataFrame): DataFrame = {
+    val seen = substringIndexState(indexPath).ensure(spark)
+      .map(t => spark.table(t).select("k"))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("k", LongType)))))
+    val batchMin = pos.groupBy("k").agg(min("doc_id").as("min_doc"))
+    pos.join(seen, Seq("k"), "left_semi")
+      .select("doc_id", "j")
+      .unionByName(pos.join(batchMin, Seq("k"))
+        .filter(col("doc_id") > col("min_doc"))
+        .select("doc_id", "j"))
+      .distinct()
+      .select(col("doc_id"), col("j").cast("long").as("j"))
+      .localCheckpoint(true)
+  }
+
+  /** Fold one batch's distinct gram keys into the persisted index:
+    * append only the NOVEL keys (anti-join on the bucket key — the
+    * index side co-locates, the delta shuffles). Idempotent: replaying
+    * a folded batch finds nothing novel and appends nothing. */
+  private[graft] def substringFold(spark: SparkSession, indexPath: String,
+                                   batchMin: DataFrame): Unit = {
+    val st = substringIndexState(indexPath)
+    st.ensure(spark) match {
+      case Some(t) =>
+        st.append(spark, batchMin
+          .join(spark.table(t).select("k"), Seq("k"), "left_anti"))
+      case None => st.append(spark, batchMin)
+    }
+  }
+
+  /** One increment of the substring-dedup loop: strip the batch
+    * keep-first against the current index ([[substringStrip]]'s
+    * decision, computed and materialized BEFORE the fold), then fold
+    * the batch's novel gram keys in. Returns the stripped batch.
+    * Single-delivery contract like [[dedupIncrement]]: replaying a
+    * folded batch through the RAW api finds every key already indexed
+    * and strips all covered text — the streaming face
+    * ([[graft.streaming.StreamOps.substringIncrementSink]]) is the
+    * replay-safe entry (committed batch dirs are kept verbatim). */
+  def substringIncrement(spark: SparkSession, indexPath: String,
+                         docs: DataFrame): DataFrame = {
+    val pos = gramKeyFrame(docs)
+      .persist() // hit decision + fold partials; unpersisted before return
+    val hits = substringHits(spark, indexPath, pos)
+    substringFold(spark, indexPath,
+      pos.groupBy("k").agg(min("doc_id").as("min_doc")))
+    pos.unpersist()
+    stripSpans(docs, islandSpans(hits))
+  }
+
+  /** Policy-driven maintenance of the gram index — the shared
+    * [[graft.sources.BucketedState.maintain]] knob; call after each
+    * fold in a long-running loop. Returns whether a rewrite ran. */
+  def maintainSubstringIndex(spark: SparkSession, indexPath: String,
+                             maxFileSetsPerBucket: Int =
+                               graft.sources.BucketedState.DefaultMaxFileSetsPerBucket): Boolean =
+    substringIndexState(indexPath).maintain(spark, maxFileSetsPerBucket)(
+      _.groupBy("k").agg(min("min_doc").as("min_doc")))
+
+  /** q_strip_delta: [[substringStrip]] as a benched, oracle-checked
+    * SparkEntry shape — a persisted gram index of the EVEN doc_ids
+    * (built once per fixture content signature, the q_lm_delta
+    * lifecycle), probed by the ODD doc_ids as one frozen-index delta.
+    * Keep-first over a deterministic split is exactly expressible in
+    * SQL (a position strips iff its gram appears in any even doc, or in
+    * a smaller odd doc), so unlike the spec-only incremental legs this
+    * one is hash-checked end to end. Probe-only: repeats never mutate
+    * the index. */
+  def stripDeltaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = fixtureStatePath("graft_substr_delta", dir, "documents")
+    val docs = Tables.documents(spark, dir)
+    if (substringIndexState(indexPath).ensure(spark).isEmpty)
+      substringFold(spark, indexPath,
+        gramKeyFrame(docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+          .groupBy("k").agg(min("doc_id").as("min_doc")))
+    substringStrip(spark, indexPath,
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
   }
 
   /** q_minhash_est: sketch calibration audit — for every LSH candidate

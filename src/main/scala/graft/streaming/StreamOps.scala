@@ -473,6 +473,46 @@ object StreamOps {
     } finally keys.unpersist()
   }
 
+  /** Streaming face of the incremental exact-substring dedup loop
+    * ([[graft.operators.TextOps.substringIncrement]]): a stream of
+    * (doc_id, text) crawl deltas is span-stripped keep-first against
+    * the persisted gram index per micro-batch — cleaned docs land under
+    * `outPath/batch_id=<id>/`, every batch's novel gram keys fold into
+    * the bucketed index at `indexPath`. Same exactly-once-by-order
+    * discipline as [[dedupIncrementSink]]: the decision is computed
+    * against the PRE-fold index and committed to the batch directory
+    * FIRST, the fold runs second — a crash before the output commit
+    * replays to the identical decision set; a crash after it keeps the
+    * committed dir verbatim and re-runs only the (novel-keys-only,
+    * idempotent) fold. */
+  def substringIncrementSink(docs: DataFrame, indexPath: String, outPath: String,
+                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        substringIncrementSinkBatch(batch.toDF(), indexPath, outPath, id)
+      }
+      .start()
+
+  /** One micro-batch of [[substringIncrementSink]] (visible so the
+    * replay contract is directly testable — the jdbcSinkBatch
+    * precedent). */
+  private[graft] def substringIncrementSinkBatch(batch: DataFrame, indexPath: String,
+                                                 outPath: String, batchId: Long): Unit = {
+    import graft.operators.TextOps
+    val spark = batch.sparkSession
+    val dir = new java.io.File(s"$outPath/batch_id=$batchId")
+    val committed = new java.io.File(dir, "_SUCCESS").isFile
+    if (!committed)
+      TextOps.substringStrip(spark, indexPath, batch)
+        .write.mode("overwrite").parquet(dir.getPath) // _SUCCESS = commit
+    // fold AFTER the decision commit — idempotent (novel keys only)
+    TextOps.substringFold(spark, indexPath,
+      TextOps.gramKeyFrame(batch).groupBy("k")
+        .agg(org.apache.spark.sql.functions.min("doc_id").as("min_doc")))
+  }
+
   /** Streaming face of the incremental IVF index ([[graft.operators.Ivf
     * .ivfAppend]]): a stream of (vec_id, embedding) deltas folds into
     * the persisted posting lists per micro-batch. No per-batch output

@@ -4,13 +4,14 @@ import graft.operators.{Ivf, TextOps}
 import org.apache.spark.sql.functions._
 
 /** The daily-crawl loop END-TO-END: three day-slices of the fixture run
-  * through all four incremental legs TOGETHER — dedup-admit the day's
-  * documents, fold the ADMITTED set into the unigram corpus model,
-  * bucket under frozen cuts, index the day's embeddings — with the
-  * shared maintenance policy forcing real mid-loop compactions. The
-  * per-leg specs (IncrementalDedupSpec / IncrementalLmSpec /
-  * IncrementalIvfSpec / CcnetDeltaSpec / BucketedStateSpec) pin each leg
-  * in isolation; this is the COMPOSITION a production loop actually
+  * through all five incremental legs TOGETHER — dedup-admit the day's
+  * documents, span-strip the admitted text keep-first, fold the
+  * ADMITTED set into the unigram corpus model, bucket under frozen
+  * cuts, index the day's embeddings — with the shared maintenance
+  * policy forcing real mid-loop compactions. The per-leg specs
+  * (IncrementalDedupSpec / IncrementalSubstringSpec / IncrementalLmSpec
+  * / IncrementalIvfSpec / CcnetDeltaSpec / BucketedStateSpec) pin each
+  * leg in isolation; this is the COMPOSITION a production loop actually
   * runs: the model sees only what dedup admitted, state compacts while
   * later days still fold into it, and the end state must equal the
   * one-shot build on every leg. */
@@ -42,16 +43,23 @@ class DailyCrawlSpec extends SparkSpec {
     // frozen calibration: cuts from the snapshot, reused for every day
     val cuts = TextOps.ccnetCuts(spark, sfDir).localCheckpoint(true)
 
+    val substrIdx = tmp("crawl-substr") + "/index.parquet"
     var admitted = Set.empty[Long]
+    var stripped = Seq.empty[(Long, Long, Long, String)]
     for ((day, i) <- slices.zipWithIndex) {
       val adm = TextOps.dedupIncrement(spark, dedupIdx, day)
-        .localCheckpoint(true) // consumed by the fold below AND collected
+        .localCheckpoint(true) // consumed by the folds below AND collected
       TextOps.lmModelAppend(spark, modelPath, adm, batchId = i + 1L)
+      // substring leg runs AFTER doc-level dedup: admitted docs are
+      // span-stripped keep-first against text seen on earlier days
+      stripped ++= TextOps.substringIncrement(spark, substrIdx, adm)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       Ivf.ivfAppend(spark, ivfIdx, embSlices(i))
       // threshold 1 forces real rewrites INSIDE the loop (days 2 and 3
       // fold into already-compacted state), not just a final cleanup
       TextOps.maintainDedupIndex(spark, dedupIdx, maxFileSetsPerBucket = 1)
       TextOps.maintainLmModel(spark, modelPath, maxFileSetsPerBucket = 1)
+      TextOps.maintainSubstringIndex(spark, substrIdx, maxFileSetsPerBucket = 1)
       Ivf.maintainIvfIndex(spark, ivfIdx, maxFileSetsPerBucket = 1)
       admitted ++= adm.select("doc_id").collect().map(_.getLong(0))
     }
@@ -73,6 +81,14 @@ class DailyCrawlSpec extends SparkSpec {
     val refScores = TextOps.lmScoreDelta(spark, refModel, admDocs).collect().toSeq
     assert(gotScores == refScores)
     assert(gotScores.size == admitted.size)
+
+    // substring leg: the per-day keep-first strips over admitted docs
+    // compose to the one-shot strip of the admitted corpus (slices are
+    // doc_id-ordered because the day cuts are)
+    val oneShotStrip = TextOps.substringIncrement(spark,
+        tmp("crawl-substr-ref") + "/index.parquet", admDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(stripped.sortBy(_._1) == oneShotStrip.sortBy(_._1))
 
     // ccnet leg: frozen-cut bucketing under the loop model ≡ under the
     // reference model, doc-for-doc

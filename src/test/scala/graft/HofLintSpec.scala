@@ -191,6 +191,7 @@ object HofLintSpec {
     "q_cond_entropy" -> Map("zip_with" -> 1),
     "q_contamination" -> Map("transform" -> 2), // 2nd behind the Bloom-side persist
     "q_dup_strip" -> Map("transform" -> 1), // kept-token reassembly, one doc's array
+    "q_strip_delta" -> Map("transform" -> 1), // same reassembly, delta side only
     "q_langid" -> Map("filter" -> 5),
     "q_ngram" -> Map("zip_with" -> 1),
     "q_novelty" -> Map("transform" -> 2),
