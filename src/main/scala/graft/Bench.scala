@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   *    watchlist keeps FIVE (r12's per-query medians showed fleet CoV
   *    well under 10%, so a median of 3 defends the stable rows and the
   *    extra passes go only where history says they're needed);
-  *  - a WALL BUDGET (SPARK_GRAFT_BUDGET_SECS, default 1200) bounds the
+  *  - a WALL BUDGET (SPARK_GRAFT_BUDGET_SECS, default 1500) bounds the
   *    whole run: passes stop early when the budget is spent (whatever
   *    samples exist are the artifact, flagged "partial":true), and the
   *    guard's automatic re-measure runs only if a full re-attempt fits
@@ -69,7 +69,8 @@ import org.apache.spark.sql.SparkSession
   * samples file's "errors", and the process exits nonzero. A query with
   * NO samples at all (budget/SIGTERM cut the run before its first pass)
   * is "unmeasured", not failed — it is absent from the medians map and
-  * counted only by n_queries − measured. */
+  * counted only by n_queries − measured; a query whose every TAKEN
+  * repeat failed stays in the map as -1.0. */
 object Bench {
   /** Queries whose driver-run medians have shown contention bimodality —
     * the r6 set (q_basket 1.93×, q_funnel 1.79×, q_contamination 1.66×,
@@ -201,7 +202,8 @@ object Bench {
     // as the q_ml_risk fit (a quiet 7-repeat r13 subset run showed
     // q_pq_topk's first sample absorbing a 33.9 s codebook fit that the
     // median then has to discard).
-    for (q <- Seq("q_lm_delta", "q_ivf_delta", "q_pq_topk", "q_ivf_topk")
+    for (q <- Seq("q_lm_delta", "q_ivf_delta", "q_pq_topk", "q_ivf_topk",
+                  "q_strip_delta")
          if names.contains(q))
       try { SparkEntry.benchShapes(q)(spark, sfDir).write
         .format("noop").mode("overwrite").save(); spark.catalog.clearCache() }
@@ -282,7 +284,10 @@ object Bench {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(mediansOut)),
         java.nio.charset.StandardCharsets.UTF_8)
-      if (txt.contains("\"sf\":\"" + sfDir + "\""))
+      if (txt.contains("\"sf\":\"" + sfDir + "\"")
+          // a budget/SIGTERM-cut artifact holds single-sample medians —
+          // too noisy to anchor the uniform-drift test (r13 review)
+          && !txt.contains("\"partial\":true"))
         """"(q_\w+)":(-?[\d.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter(_._2 > 0).toMap
@@ -320,7 +325,10 @@ object Bench {
     def emit(partial: Boolean): Unit = if (emitted.compareAndSet(false, true)) {
       val results = resultsNow()
       val (worstQuery, worstRatio) = worstOf(results)
-      val qs = results.collect { case (k, Some(v), _, _) => "\"" + k + "\":" + num(v) }
+      // all-repeats-failed queries stay IN the map as -1.0 so "failed"
+      // and "unmeasured (budget cut)" stay distinguishable (r13 review)
+      val qs = results.map { case (k, med, _, _) =>
+        "\"" + k + "\":" + num(med.getOrElse(-1.0)) }
         .mkString("{", ",", "}")
       val raw = results.map { case (k, _, _, ts) =>
         "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]") }

@@ -824,24 +824,47 @@ object TextOps {
 
   /** Claim the cross-process in-flight marker: atomically create it with
     * our pid, or fail loudly if a LIVE other process holds it. A marker
-    * whose pid is dead (crashed writer) or unparseable is reclaimed. */
+    * whose pid is dead (crashed writer) or unparseable is reclaimed.
+    * Creation and content are ONE atomic step (the classic lock-file
+    * recipe: write a private temp, hard-LINK it into place — link(2)
+    * atomically fails if the marker exists, and a marker that exists
+    * always carries its full pid): the earlier createNewFile()-then-
+    * write() left a window where a second process read an EMPTY marker,
+    * parsed no pid, and "reclaimed" a live writer's claim (r13 review).
+    * The reclaim path deletes then re-races the atomic create, so of
+    * two processes reclaiming one stale marker exactly one wins. */
   private def claimWriterMarker(marker: java.io.File): Unit = {
-    def write(): Unit = java.nio.file.Files.write(marker.toPath,
-      ProcessHandle.current().pid().toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    if (marker.createNewFile()) { write(); return }
+    val pidBytes = ProcessHandle.current().pid().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def tryCreate(): Boolean = {
+      val tmp = new java.io.File(marker.getParentFile,
+        s".${marker.getName}.${ProcessHandle.current().pid()}")
+      java.nio.file.Files.write(tmp.toPath, pidBytes)
+      try {
+        java.nio.file.Files.createLink(marker.toPath, tmp.toPath); true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally tmp.delete()
+    }
+    if (tryCreate()) return
     val held = try new String(java.nio.file.Files.readAllBytes(marker.toPath),
       java.nio.charset.StandardCharsets.UTF_8).trim.toLong
     catch { case _: Throwable => -1L }
     val self = ProcessHandle.current().pid()
-    val alive = held >= 0 && held != self &&
-      ProcessHandle.of(held).map[Boolean](_.isAlive).orElse(false)
-    if (alive)
+    def concurrent(pid: Any): Nothing =
       throw new IllegalStateException(
-        s"concurrent writer detected on ${marker.getPath}: pid $held is " +
+        s"concurrent writer detected on ${marker.getPath}: pid $pid is " +
           "mid-append — two writers on one state path can double-fold " +
           "counts; this path is SINGLE-WRITER")
-    write() // stale (dead pid / garbage) or our own: reclaim
+    val alive = held >= 0 && held != self &&
+      ProcessHandle.of(held).map[Boolean](_.isAlive).orElse(false)
+    if (alive) concurrent(held)
+    // a marker we can't parse a pid from is mid-create by ANOTHER process
+    // (our own create is atomic): treat as live rather than reclaim it
+    if (held < 0 && marker.exists()) concurrent("unknown (marker mid-create)")
+    // stale (dead pid) or our own: reclaim by re-racing the atomic create
+    marker.delete()
+    if (!tryCreate()) concurrent("unknown (lost the reclaim race)")
   }
 
   /** Score a delta of documents under the CURRENT persisted model —
@@ -2298,8 +2321,13 @@ object TextOps {
     * (IncrementalSubstringSpec). */
   def substringStrip(spark: SparkSession, indexPath: String,
                      docs: DataFrame): DataFrame = {
-    val pos = gramKeyFrame(docs)
-    stripSpans(docs, islandSpans(substringHits(spark, indexPath, pos)))
+    // three consumers inside substringHits (seen-probe, batchMin, the
+    // batchMin join's probe side) — persist or the scan→explode→hash
+    // stream runs three times per call; safe to unpersist right after
+    // because substringHits is EAGER (localCheckpoint)
+    val pos = gramKeyFrame(docs).persist()
+    try stripSpans(docs, islandSpans(substringHits(spark, indexPath, pos)))
+    finally pos.unpersist()
   }
 
   /** The keep-first hit positions of one batch's gram stream against the

@@ -59,18 +59,34 @@ object BroadcastRaceGuard {
 
   /** Cache builders at risk: builder (opaque — `CachedRDDBuilder` is
     * private[sql], reached through GraftBridge) → count of distinct
-    * broadcast builds scanning it, for builders with ≥ 2 cold builds. */
+    * CONCURRENT broadcast builds scanning it, for builders with ≥ 2.
+    *
+    * Two prunings keep legitimate shapes out:
+    *  - identical builds (same canonicalized subtree) collapse to one
+    *    stage at execution (ReuseExchange statically, AQE stage reuse at
+    *    runtime) and cannot race — count one representative;
+    *  - NESTED builds are sequential, not concurrent: an enclosing
+    *    broadcast's build awaits every broadcast inside its own subtree
+    *    before its tasks can run, so the inner build materializes the
+    *    cache first and the outer one reads it warm. Only an ancestry
+    *    ANTICHAIN (sibling builds under a common parent) is submitted
+    *    concurrently — keep the innermost builds and count those. */
   private[graft] def racyCaches(plan: SparkPlan): Map[AnyRef, Int] = {
-    // (cacheBuilder, canonicalized broadcast subtree) pairs — the
-    // canonical form identifies a BUILD; identical builds collapse to
-    // one stage at execution (ReuseExchange statically, AQE stage reuse
-    // at runtime) and therefore cannot race each other
-    val pairs = plan.collect {
+    val byCache: Map[AnyRef, Seq[BroadcastExchangeExec]] = plan.collect {
       case b: BroadcastExchangeExec =>
         b.collect { case s: InMemoryTableScanExec => GraftBridge.cacheBuilderOf(s) }
-          .distinct.map(cb => (cb, b.canonicalized))
-    }.flatten.distinct
-    pairs.groupBy(_._1).view.mapValues(_.size).toMap
+          .distinct.map(cb => (cb, b))
+    }.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byCache.view
+      .mapValues { bs =>
+        val distinctBuilds = bs.groupBy(_.canonicalized).map(_._2.head).toSeq
+        // drop any build that ENCLOSES another counted build (reference
+        // identity — all nodes come from this one tree): what remains is
+        // the innermost antichain, the set that actually races
+        distinctBuilds.filterNot(b =>
+          distinctBuilds.exists(o => !(o eq b) && b.exists(_ eq o))).size
+      }
+      .toMap
       .filter { case (cb, n) => n >= 2 && !GraftBridge.cacheLoaded(cb) }
   }
 

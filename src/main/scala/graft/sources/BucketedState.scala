@@ -155,16 +155,12 @@ final case class BucketedState(path: String, prefix: String, schemaDdl: String,
 
   /** True iff the path holds COMMITTED parquet data — files under an
     * in-flight append's _temporary staging don't count (the
-    * upsertSinkBatch bare-directory lesson). */
-  private def hasCommittedData: Boolean = {
-    def rec(f: java.io.File): Boolean = {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      kids.exists(k => k.isFile && k.getName.endsWith(".parquet")
-        && !k.getName.startsWith(".") && !k.getName.startsWith("_")) ||
-        kids.exists(k => k.isDirectory && k.getName != "_temporary" && rec(k))
-    }
-    rec(new java.io.File(path))
-  }
+    * upsertSinkBatch bare-directory lesson). Derived from
+    * [[committedFileCount]] so the two callers (ensure, maintain) share
+    * ONE definition of "committed file" (r13 review: the hand-copied
+    * walk could drift). The full count instead of an early-exit exists
+    * is microseconds at any plausible file count. */
+  private def hasCommittedData: Boolean = committedFileCount > 0
 }
 
 object BucketedState {

@@ -109,6 +109,28 @@ class BroadcastRaceLintSpec extends SparkSpec {
         .join(broadcast(agg1), "k")
         .join(broadcast(agg1.as("again")), "k")
       BroadcastRaceGuard.check(reused.queryExecution.executedPlan)
+      // NESTED builds are sequential, not concurrent: the outer
+      // broadcast's build awaits the inner broadcast before its own
+      // tasks run, so the inner materializes the cache and the outer
+      // reads it warm — the guard must not reject the ancestry chain
+      val nested = cached
+        .join(broadcast(cached.join(broadcast(agg1), "k")
+          .groupBy("k").agg(count(lit(1)).as("c"))), "k")
+      assert(nested.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }.size >= 2, "premise: the nested shape must plan two broadcast builds")
+      BroadcastRaceGuard.check(nested.queryExecution.executedPlan)
+      // ...but a sibling pair UNDER an enclosing build still races: the
+      // ancestry pruning keeps the innermost antichain, not just roots
+      // (s1/m2 stay in the output — otherwise column pruning collapses
+      // both aggregates to distinct-k and ReuseExchange defuses the race)
+      val nestedRace = cached.join(
+        broadcast(cached.join(broadcast(agg1), "k").join(broadcast(agg2), "k")
+          .groupBy("k").agg(sum("s1").as("a"), sum("m2").as("b"))), "k")
+      val e2 = intercept[org.apache.spark.SparkException] {
+        BroadcastRaceGuard.check(nestedRace.queryExecution.executedPlan)
+      }
+      assert(e2.getMessage.contains("broadcast-race guard"), e2.getMessage)
       // a MATERIALIZED cache cannot race — broadcasts just read it
       cached.count()
       BroadcastRaceGuard.check(racy.queryExecution.executedPlan)
