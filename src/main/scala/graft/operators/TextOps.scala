@@ -2171,8 +2171,8 @@ object TextOps {
     * the hit positions come back via a key semi-join (candidate-sized
     * build at fixture scale, AQE-decided at corpus scale: left unhinted
     * for the same reason as repeatedGrams' candidate join). */
-  private def dupGramHits(spark: SparkSession, dir: String): DataFrame = {
-    val pos = gramKeyFrame(Tables.documents(spark, dir))
+  private[graft] def dupGramHitsOver(docs: DataFrame): DataFrame = {
+    val pos = gramKeyFrame(docs)
     val dupKeys = pos.groupBy("k")
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
       .filter(col("lo") =!= col("hi"))
@@ -2212,7 +2212,10 @@ object TextOps {
     * state, never corpus-wide). Oracle: identical islands arithmetic in
     * DuckDB with gram identity as the raw token tuple. */
   def dupSpans(spark: SparkSession, dir: String): DataFrame =
-    islandSpans(dupGramHits(spark, dir))
+    dupSpansOver(Tables.documents(spark, dir))
+
+  private[graft] def dupSpansOver(docs: DataFrame): DataFrame =
+    islandSpans(dupGramHitsOver(docs))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
       .orderBy("doc_id", "span_start")
@@ -2252,8 +2255,10 @@ object TextOps {
     * reconstruction, so the output is deterministic full-corpus
     * cardinality; a fully-covered doc keeps an empty string. */
   def dupStrip(spark: SparkSession, dir: String): DataFrame =
-    stripSpans(Tables.documents(spark, dir),
-      islandSpans(dupGramHits(spark, dir)))
+    dupStripOver(Tables.documents(spark, dir))
+
+  private[graft] def dupStripOver(docs: DataFrame): DataFrame =
+    stripSpans(docs, islandSpans(dupGramHitsOver(docs)))
 
   /** Remove the tokens covered by `spans` from `docs` and reassemble the
     * remainder in position order — the shared reconstruction under
