@@ -284,6 +284,38 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("span-family plans: no Expand over the gram stream, islands windows share one sort") {
+    // the dup-span family inherits repeatedGrams' disciplines: cross-doc
+    // detection is min≠max (one plain hash agg — no Expand doubling the
+    // exploded gram stream), and the gaps-and-islands lag + running sum
+    // must share ONE per-doc sort (same partition+order → Catalyst
+    // plans both in one window group, no second Exchange/Sort pair)
+    import org.apache.spark.sql.catalyst.plans.logical.{Expand, Window => LWindow}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // real exec tree
+    try for ((name, df) <- Seq(
+        "q_dup_spans" -> operators.TextOps.dupSpans(spark, sf),
+        "q_dup_strip" -> operators.TextOps.dupStrip(spark, sf),
+        "q_strip_delta" -> operators.TextOps.stripDeltaQuery(spark, sf))) {
+      val plan = df.queryExecution.optimizedPlan
+      val expands = plan.collect { case e: Expand => e }
+      assert(expands.isEmpty, s"$name plans an Expand:\n${expands.headOption}")
+      val wins = plan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$name: expected islands windows")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$name: unpartitioned window in the islands stage")
+      // both window nodes sit directly stacked (lag feeding the running
+      // sum) — an operator BETWEEN them would force a re-sort
+      val sortedExec = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sortedExec.size <= 2, // one per-doc sort + the output orderBy
+        s"$name: islands windows should share one sort, saw ${sortedExec.size}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q_watermark plan: prefix max is two-level, no unpartitioned fact window") {
     // the replay watermark is a running max over arrival order — a prefix
     // aggregation, so it must use the q_auc recipe: the only unpartitioned
