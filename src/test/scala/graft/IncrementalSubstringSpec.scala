@@ -119,6 +119,31 @@ class IncrementalSubstringSpec extends SparkSpec {
       spark.read.parquet(dir.getPath).agg(sum("n_dup_tokens")).head().getLong(0))
   }
 
+  test("streaming sink: two micro-batches of slices ≡ one batch increment, doc-for-doc") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = docs().select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (s1, s2) = all.splitAt(all.length / 2)
+    val idx = freshIndex()
+    val base = java.nio.file.Files.createTempDirectory("graft-substr-sink").toString
+    val out = base + "/cleaned"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.substringIncrementSink(
+      input.toDF().toDF("doc_id", "text"), idx, out, base + "/ckpt")
+    try Seq(s1, s2).foreach { s => input.addData(s.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_tokens", "n_dup_tokens", "text_clean").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val batch = rows(TextOps.substringIncrement(spark, freshIndex(),
+      docs().select("doc_id", "text"))).sortBy(_._1)
+    assert(streamed == batch,
+      "doc_id-ascending micro-batches must strip exactly the one-batch spans")
+  }
+
   test("probe and fold co-locate: no Exchange above the bucketed index side") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
