@@ -2184,7 +2184,7 @@ object TextOps {
   /** 6-gram position keys of a (doc_id, text) frame: (doc_id, j, k) with
     * j the 1-based start token and k the codegen'd xxhash64 token-tuple
     * code — the shared wide stream under the batch hit set
-    * ([[dupGramHits]]) and the incremental substring leg
+    * ([[dupGramHitsOver]]) and the incremental substring leg
     * ([[substringStrip]]/[[substringIncrement]]). Narrow
     * (scan → explode → hash), no shuffle. */
   private[graft] def gramKeyFrame(docs: DataFrame): DataFrame =
@@ -2207,7 +2207,7 @@ object TextOps {
     * first token, last token, and width.
     *
     * Scale shape: the gram/key stages are narrow + one partial-agg'd
-    * hash agg (dupGramHits); the island merge is a per-document window
+    * hash agg (dupGramHitsOver); the island merge is a per-document window
     * (lag + running sum over ONE partition-local sort — doc-bounded
     * state, never corpus-wide). Oracle: identical islands arithmetic in
     * DuckDB with gram identity as the raw token tuple. */

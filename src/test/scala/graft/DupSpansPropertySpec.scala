@@ -15,10 +15,17 @@ class DupSpansPropertySpec extends SparkSpec {
 
   private def forAllSamples[A](gen: Gen[A], n: Int = 25)(f: A => Boolean): Unit = {
     var seed = org.scalacheck.rng.Seed(13L)
+    var produced = 0
     (0 until n).foreach { i =>
-      gen.apply(Gen.Parameters.default, seed).foreach(a => assert(f(a), s"failed on sample $i: $a"))
+      gen.apply(Gen.Parameters.default, seed).foreach { a =>
+        produced += 1
+        assert(f(a), s"failed on sample $i: $a")
+      }
       seed = seed.next
     }
+    // a filtered generator returning None every time must not pass green
+    // having asserted nothing
+    assert(produced >= n / 2, s"generator produced only $produced/$n samples")
   }
 
   /** 2-8 docs over a ≤4-token vocabulary, lengths 0-24 — dup-gram
@@ -39,17 +46,12 @@ class DupSpansPropertySpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
-  /** Brute-force islands merge of hit starts (interval [j, j+5]). */
-  private def mergeIslands(hits: Seq[Long]): Seq[(Long, Long)] =
-    hits.sorted.foldLeft(Vector.empty[(Long, Long)]) {
-      case (acc, j) if acc.nonEmpty && j <= acc.last._2 + 1 =>
-        acc.init :+ (acc.last._1, j + 5)
-      case (acc, j) => acc :+ (j, j + 5)
-    }
-
   /** Reference strip under a pluggable hit rule: strip(doc, j) for each
-    * 6-gram start. NOTE the merge rule is shared with the engine: a new
-    * island starts when j > prev_j + 6 ⇔ j > prev_end + 1. */
+    * 6-gram start. Coverage is the PLAIN UNION of hit intervals — no
+    * island merge re-implemented here, so the reference stays
+    * independent of the engine's gaps-and-islands recipe (merging then
+    * expanding yields the identical covered set; the span-shape checks
+    * live in the dedicated spans test against the engine output). */
   private def refStrip(corpus: List[List[String]],
                        hit: (Long, List[String], Int) => Boolean): Seq[(Long, Long, Long, String)] =
     corpus.zipWithIndex.map { case (toks, i) =>
@@ -60,7 +62,7 @@ class DupSpansPropertySpec extends SparkSpec {
       val t = toks.mkString(" ").split(" ", -1).toSeq
       val hits = (0 to t.size - 6)
         .collect { case j0 if hit(id, t.slice(j0, j0 + 6).toList, j0) => (j0 + 1).toLong }
-      val covered = mergeIslands(hits).flatMap { case (s, e) => s to e }.toSet
+      val covered = hits.flatMap(j => j to j + 5).toSet
       val kept = t.zipWithIndex.collect { case (tk, ix) if !covered((ix + 1).toLong) => tk }
       (id, t.size.toLong, t.size.toLong - kept.size, kept.mkString(" "))
     }
