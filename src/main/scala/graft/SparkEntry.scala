@@ -275,6 +275,9 @@ object SparkEntry {
       // the oracle compare: at scale both are table-cardinality outputs
       // and the range-shuffle sort is not part of the production shape
       "q_scd2" -> (Relational.scd2Core _),
+      "q_dup_spans" -> (TextOps.dupSpansCore _),
+      "q_dup_strip" -> (TextOps.dupStripCore _),
+      "q_strip_delta" -> (TextOps.stripDeltaCore _),
       "q_pagerank" -> (TextOps.pageRankCore _),
       "q_alloc" -> (Relational.allocationCore _),
       "q_scrub" -> (TextOps.scrubCore _),

@@ -2215,10 +2215,20 @@ object TextOps {
     dupSpansOver(Tables.documents(spark, dir))
 
   private[graft] def dupSpansOver(docs: DataFrame): DataFrame =
+    dupSpansUnsorted(docs).orderBy("doc_id", "span_start")
+
+  private def dupSpansUnsorted(docs: DataFrame): DataFrame =
     islandSpans(dupGramHitsOver(docs))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
-      .orderBy("doc_id", "span_start")
+
+  /** Bench shape of q_dup_spans: the trailing global sort exists only
+    * for the oracle compare (corpus-proportional output) — the
+    * production form keeps partition-local order (the scrubCore
+    * policy). */
+  def dupSpansCore(spark: SparkSession, dir: String): DataFrame =
+    dupSpansUnsorted(Tables.documents(spark, dir))
+      .sortWithinPartitions("doc_id", "span_start")
 
   /** Gaps-and-islands merge of 6-gram hit positions: (doc_id, j) →
     * (doc_id, span_start, span_end) with span_end = last covered token.
@@ -2258,7 +2268,16 @@ object TextOps {
     dupStripOver(Tables.documents(spark, dir))
 
   private[graft] def dupStripOver(docs: DataFrame): DataFrame =
+    stripSpans(docs, islandSpans(dupGramHitsOver(docs))).orderBy("doc_id")
+
+  /** Bench shape of q_dup_strip: full-corpus-cardinality output whose
+    * global sort is verify-only — partition-local order suffices for
+    * the production rewrite (the scrubCore policy). */
+  def dupStripCore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
     stripSpans(docs, islandSpans(dupGramHitsOver(docs)))
+      .sortWithinPartitions("doc_id")
+  }
 
   /** Remove the tokens covered by `spans` from `docs` and reassemble the
     * remainder in position order — the shared reconstruction under
@@ -2290,7 +2309,6 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dup_tokens"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
-      .orderBy("doc_id")
   }
 
   /** The duplicated-gram index as a [[graft.sources.BucketedState]] —
@@ -2325,7 +2343,14 @@ object TextOps {
     * [[substringIncrement]] produce exactly the one-batch decisions
     * (IncrementalSubstringSpec). */
   def substringStrip(spark: SparkSession, indexPath: String,
-                     docs: DataFrame): DataFrame = {
+                     docs: DataFrame): DataFrame =
+    substringStripUnsorted(spark, indexPath, docs).orderBy("doc_id")
+
+  /** [[substringStrip]] without the trailing doc_id sort — the sink and
+    * bench form (batch dirs and noop sinks don't consume order; the
+    * sort is for callers comparing output row-for-row). */
+  private[graft] def substringStripUnsorted(spark: SparkSession, indexPath: String,
+                                            docs: DataFrame): DataFrame = {
     // three consumers inside substringHits (seen-probe, batchMin, the
     // batchMin join's probe side) — persist or the scan→explode→hash
     // stream runs three times per call; safe to unpersist right after
@@ -2390,7 +2415,7 @@ object TextOps {
     substringFold(spark, indexPath,
       pos.groupBy("k").agg(min("doc_id").as("min_doc")))
     pos.unpersist()
-    stripSpans(docs, islandSpans(hits))
+    stripSpans(docs, islandSpans(hits)).orderBy("doc_id")
   }
 
   /** Policy-driven maintenance of the gram index — the shared
@@ -2412,14 +2437,30 @@ object TextOps {
     * one is hash-checked end to end. Probe-only: repeats never mutate
     * the index. */
   def stripDeltaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = stripDeltaIndex(spark, dir)
+    substringStrip(spark, indexPath,
+      Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(2L)) === 1))
+  }
+
+  /** Bench shape of q_strip_delta: delta-cardinality cleaned output —
+    * the trailing global sort is verify-only (the scrubCore policy). */
+  def stripDeltaCore(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = stripDeltaIndex(spark, dir)
+    substringStripUnsorted(spark, indexPath,
+      Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(2L)) === 1))
+      .sortWithinPartitions("doc_id")
+  }
+
+  /** The even-docs gram index under q_strip_delta, built once per
+    * fixture content signature. */
+  private def stripDeltaIndex(spark: SparkSession, dir: String): String = {
     val indexPath = fixtureStatePath("graft_substr_delta", dir, "documents")
-    val docs = Tables.documents(spark, dir)
     if (substringIndexState(indexPath).ensure(spark).isEmpty)
       substringFold(spark, indexPath,
-        gramKeyFrame(docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+        gramKeyFrame(Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(2L)) === 0))
           .groupBy("k").agg(min("doc_id").as("min_doc")))
-    substringStrip(spark, indexPath,
-      docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+    indexPath
   }
 
   /** q_minhash_est: sketch calibration audit — for every LSH candidate

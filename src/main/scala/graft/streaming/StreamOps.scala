@@ -505,7 +505,7 @@ object StreamOps {
     val dir = new java.io.File(s"$outPath/batch_id=$batchId")
     val committed = new java.io.File(dir, "_SUCCESS").isFile
     if (!committed)
-      TextOps.substringStrip(spark, indexPath, batch)
+      TextOps.substringStripUnsorted(spark, indexPath, batch)
         .write.mode("overwrite").parquet(dir.getPath) // _SUCCESS = commit
     // fold AFTER the decision commit — idempotent (novel keys only)
     TextOps.substringFold(spark, indexPath,
