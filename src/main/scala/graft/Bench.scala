@@ -349,8 +349,13 @@ object Bench {
         audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case t: Throwable => System.err.println(s"samples file write failed: $t") }
       // Per-query medians → their own file (inlining them on the stdout line
-      // is what overflowed the round-6 capture).
-      val medians = s"""{"total":${num(total)},"queries":$qs,"partial":$partial,"sf":"$sfDir"}"""
+      // is what overflowed the round-6 capture). The -1.0 failure
+      // sentinels in `queries` are declared IN the artifact (a `failed`
+      // array + schema note) so external consumers that sum or ratio the
+      // map don't silently absorb negatives (r13 advice).
+      val failedArr = results.collect { case (k, None, _, _) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val medians = s"""{"total":${num(total)},"queries":$qs,"failed":$failedArr,"schema_note":"queries values <= 0 are all-repeats-failed sentinels (-1.0), not timings; their names are listed in failed","partial":$partial,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(mediansOut),
         medians.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case t: Throwable => System.err.println(s"medians file write failed: $t") }

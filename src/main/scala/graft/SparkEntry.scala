@@ -233,10 +233,12 @@ object SparkEntry {
     "q_pivot" -> (Relational.pivotQuery _),
     "q_unpivot" -> (Relational.unpivotQuery _),
     "q_group_stats" -> (Relational.groupStats _),
-    // rows-only driver checks: HLL estimates and Spark's per-row sampling
-    // draw are engine-specific, so deliberately no oracleSql entries
+    // rows-only driver checks: HLL estimates are engine-specific, so
+    // deliberately no oracleSql entries
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_quantiles_approx" -> (Relational.quantilesApprox _),
+    // oracle-checked since r14: the integer-hash Bernoulli draw replaced
+    // Spark's sampleBy XORShift stream (engine-neutral, same rates)
     "q_sample" -> (TextOps.stratifiedSample _),
     "q_ivf_topk" -> (Ivf.ivfTopK _),
     // rows-only like q_ivf_topk (MLlib k-means has no SQL twin): the
@@ -4115,6 +4117,17 @@ object SparkEntry {
         |  start_off // 2048 AS seq_id,
         |  ((start_off + n_tok - 1) // 2048) > (start_off // 2048) AS spans_cut
         |FROM s ORDER BY source, doc_id""".stripMargin,
+    "q_sample" ->
+      // stratified Bernoulli with the q_wsample integer-hash uniform;
+      // keep iff u <= fraction(lang). The CASE is generated from
+      // TextOps.SampleFractions so the two sides cannot drift.
+      s"""WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(((((doc_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000003.0 AS u,
+        |    ${TextOps.sampleFractionSql} AS f
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM d
+        |WHERE u <= f ORDER BY doc_id""".stripMargin,
     "q_wsample" ->
       // Efraimidis-Spirakis weighted top-5 per source with a deterministic
       // integer-hash uniform, so the draw is engine-neutral and checkable

@@ -831,8 +831,18 @@ object TextOps {
     * always carries its full pid): the earlier createNewFile()-then-
     * write() left a window where a second process read an EMPTY marker,
     * parsed no pid, and "reclaimed" a live writer's claim (r13 review).
-    * The reclaim path deletes then re-races the atomic create, so of
-    * two processes reclaiming one stale marker exactly one wins. */
+    *
+    * The RECLAIM of a stale marker is exclusive too (r13 advice): the
+    * reclaimer atomically RENAMEs the marker to a process-unique
+    * tombstone — rename(2) is first-wins, the loser's source is gone —
+    * then verifies the tombstone still carries the content it judged
+    * stale before discarding it. An unconditional delete-then-create
+    * let two reclaimers interleave (A delete+create, B's delete removes
+    * A's FRESH marker) and hand both the single-writer claim. Because
+    * creates are atomic-with-content, a marker whose content parses to
+    * no pid is by construction leftover garbage (old-version crash,
+    * truncated disk), never mid-create — it is reclaimed through the
+    * same exclusive path rather than wedging the state path forever. */
   private def claimWriterMarker(marker: java.io.File): Unit = {
     val pidBytes = ProcessHandle.current().pid().toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -847,9 +857,10 @@ object TextOps {
       } finally tmp.delete()
     }
     if (tryCreate()) return
-    val held = try new String(java.nio.file.Files.readAllBytes(marker.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    catch { case _: Throwable => -1L }
+    val raw = try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    catch { case _: Throwable => "" } // vanished mid-read: holder released
+    val held = try raw.toLong catch { case _: Throwable => -1L }
     val self = ProcessHandle.current().pid()
     def concurrent(pid: Any): Nothing =
       throw new IllegalStateException(
@@ -859,11 +870,39 @@ object TextOps {
     val alive = held >= 0 && held != self &&
       ProcessHandle.of(held).map[Boolean](_.isAlive).orElse(false)
     if (alive) concurrent(held)
-    // a marker we can't parse a pid from is mid-create by ANOTHER process
-    // (our own create is atomic): treat as live rather than reclaim it
-    if (held < 0 && marker.exists()) concurrent("unknown (marker mid-create)")
-    // stale (dead pid) or our own: reclaim by re-racing the atomic create
-    marker.delete()
+    // stale by observation: dead pid, our own leftover, or garbage
+    // (creates are atomic-with-content, so garbage is never mid-create).
+    // Reclaim EXCLUSIVELY: atomically rename the marker to a tombstone
+    // only we name — of N reclaimers exactly one rename succeeds.
+    val tomb = new java.io.File(marker.getParentFile,
+      s".${marker.getName}.reclaim.$self")
+    val renamed =
+      try {
+        java.nio.file.Files.move(marker.toPath, tomb.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!renamed) {
+      // lost the rename race (another reclaimer took it, or the holder
+      // released): re-race the atomic create; an existing marker is a
+      // LIVE claim by whoever won
+      if (tryCreate()) return
+      concurrent("unknown (lost the reclaim race)")
+    }
+    val tombRaw = try new String(java.nio.file.Files
+      .readAllBytes(tomb.toPath), java.nio.charset.StandardCharsets.UTF_8).trim
+    catch { case _: Throwable => "" }
+    if (tombRaw != raw) {
+      // the marker was REPLACED between our read and our rename — we
+      // just renamed away a fresh claim. Restore the rightful holder's
+      // marker (atomic link; if a third create snuck in while the path
+      // was empty, that claim stands and we still fail loudly) and bail.
+      try java.nio.file.Files.createLink(marker.toPath, tomb.toPath)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      tomb.delete()
+      concurrent(if (tombRaw.nonEmpty) tombRaw else "unknown")
+    }
+    tomb.delete()
     if (!tryCreate()) concurrent("unknown (lost the reclaim race)")
   }
 
@@ -1297,19 +1336,40 @@ object TextOps {
   }
 
   /** Stratified sampling (training-data rebalancing): per-language
-    * Bernoulli fractions via sampleBy — downsample the dominant strata,
-    * keep the rare ones whole. Seeded, so repeated runs agree within one
-    * Spark version; the driver check is rows-only since no other engine
-    * reproduces Spark's per-row hash draw. The spec asserts per-stratum
-    * rates and determinism instead. */
+    * Bernoulli fractions — downsample the dominant strata, keep the rare
+    * ones whole. The per-row uniform is the q_wsample integer-hash draw
+    * (knuthFold → Knuth multiply → mod-prime), NOT Spark's sampleBy
+    * (whose XORShift stream no other engine reproduces, which forced a
+    * rows-only driver check until r14): a doc is kept iff
+    * u(doc_id) ≤ fraction(lang), so the draw is engine-neutral,
+    * hash-checkable against DuckDB, deterministic across runs AND
+    * engines, and stateless — at 100 TB the sample membership is
+    * recomputed from the id wherever needed, the same property that
+    * makes [[graft.operators.Curation.splitOf]] a narrow projection.
+    * Strata absent from the map are dropped (sampleBy's contract). */
   val SampleFractions: Map[String, Double] =
     Map("en" -> 0.2, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.8, "zh" -> 1.0)
 
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+  /** The per-language fraction as a SQL CASE over the same literals —
+    * the oracle twin is GENERATED from [[SampleFractions]] (the zkey16Sql
+    * precedent) so the two sides cannot drift. */
+  def sampleFractionSql: String =
+    SampleFractions.toSeq.sorted
+      .map { case (l, f) => s"WHEN lang = '$l' THEN CAST($f AS DOUBLE)" }
+      .mkString("CASE ", " ", " ELSE CAST(-1.0 AS DOUBLE) END")
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    // the q_wsample uniform: (0, 1], identical arithmetic on both sides
+    val u = ((graft.operators.Curation.knuthFold(col("doc_id"))
+      * lit(2654435761L)) % 1000003L + 1L).cast("double") / 1000003.0
+    val f = SampleFractions.toSeq.sorted.foldLeft(lit(-1.0)) {
+      case (acc, (l, fr)) => when(col("lang") === l, lit(fr)).otherwise(acc)
+    }
     Tables.documents(spark, dir)
-      .stat.sampleBy("lang", SampleFractions, 42L)
+      .filter(u <= f)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
+  }
 
   /** Composed training-data prep pipeline (the mandate families working
     * together, not in isolation): quality gate (≥20 tokens) → exact dedup

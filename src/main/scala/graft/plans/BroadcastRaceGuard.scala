@@ -79,12 +79,36 @@ object BroadcastRaceGuard {
     }.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     byCache.view
       .mapValues { bs =>
-        val distinctBuilds = bs.groupBy(_.canonicalized).map(_._2.head).toSeq
-        // drop any build that ENCLOSES another counted build (reference
-        // identity — all nodes come from this one tree): what remains is
-        // the innermost antichain, the set that actually races
-        distinctBuilds.filterNot(b =>
-          distinctBuilds.exists(o => !(o eq b) && b.exists(_ eq o))).size
+        val groups = bs.groupBy(_.canonicalized)
+        // drop any build GROUP that ENCLOSES another counted group: the
+        // enclosing build's driver-side prepare awaits every broadcast
+        // inside its own subtree before its tasks run, so the inner
+        // build materializes the cache first and the two are serialized,
+        // not concurrent. Enclosure is tested CANONICALLY against every
+        // member of each group, not by reference identity against one
+        // pre-order representative — the inner group's representative
+        // may be a standalone sibling while an identical copy sits
+        // nested inside this build, either as a live duplicate or as a
+        // ReusedExchangeExec reference after ReuseExchange (r13 advice:
+        // the identity-vs-representative test spuriously counted that
+        // shape as a race).
+        def enclosesOtherGroup(canon: SparkPlan,
+                               g: Seq[BroadcastExchangeExec]): Boolean =
+          g.exists(b => b.exists {
+            case o: BroadcastExchangeExec if !(o eq b) =>
+              val oc = o.canonicalized
+              oc != canon && groups.contains(oc)
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+              r.child match {
+                case be: BroadcastExchangeExec =>
+                  val bc = be.canonicalized
+                  bc != canon && groups.contains(bc)
+                case _ => false
+              }
+            case _ => false
+          })
+        groups.filterNot { case (canon, g) => enclosesOtherGroup(canon, g) }
+          .size
       }
       .toMap
       .filter { case (cb, n) => n >= 2 && !GraftBridge.cacheLoaded(cb) }

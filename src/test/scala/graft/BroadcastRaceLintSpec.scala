@@ -131,6 +131,23 @@ class BroadcastRaceLintSpec extends SparkSpec {
         BroadcastRaceGuard.check(nestedRace.queryExecution.executedPlan)
       }
       assert(e2.getMessage.contains("broadcast-race guard"), e2.getMessage)
+      // a STANDALONE sibling with an IDENTICAL copy nested inside an
+      // outer build does not race either: ReuseExchange executes the
+      // inner group once and the outer build awaits it. Enclosure must
+      // be tested canonically against every group member — whichever
+      // instance stays live and whichever becomes the ReusedExchange
+      // reference (r13 advice: the representative-identity test
+      // spuriously counted this shape). s1 flows to both outputs so
+      // column pruning cannot make the two agg1 builds differ.
+      val innerReuse = cached.join(broadcast(agg1), "k")
+        .groupBy("k").agg(sum("s1").as("c"))
+      val siblingNested = cached.join(broadcast(agg1), "k")
+        .join(broadcast(innerReuse), "k")
+      val siblingPlan = siblingNested.queryExecution.executedPlan
+      assert(siblingPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }.size >= 2, "premise: the shape must plan two live broadcast builds")
+      BroadcastRaceGuard.check(siblingPlan)
       // a MATERIALIZED cache cannot race — broadcasts just read it
       cached.count()
       BroadcastRaceGuard.check(racy.queryExecution.executedPlan)

@@ -150,6 +150,18 @@ class IncrementalLmSpec extends SparkSpec {
     TextOps.lmModelAppend(spark, m, docs(), 2L)
     assert(totals(m) != before, "a stale marker must not block folds")
     assert(!marker.exists(), "the marker must be released after the fold")
+    // a GARBAGE marker (content parses to no pid) is by construction a
+    // leftover, never mid-create (creates are atomic-with-content):
+    // reclaimed like a dead pid rather than wedging the path (r13 advice)
+    val mid = totals(m)
+    java.nio.file.Files.write(marker.toPath, "not-a-pid".getBytes("UTF-8"))
+    TextOps.lmModelAppend(spark, m, docs(), 3L)
+    assert(totals(m) != mid, "a garbage marker must not block folds")
+    assert(!marker.exists(), "the marker must be released after the fold")
+    // no reclaim tombstones may leak next to the marker
+    val leftovers = Option(marker.getParentFile.listFiles()).getOrElse(Array())
+      .filter(_.getName.contains(".writer_inflight.reclaim."))
+    assert(leftovers.isEmpty, s"leaked tombstones: ${leftovers.mkString(",")}")
   }
 
   test("compaction preserves totals AND the replay guard; catalog loss self-heals") {

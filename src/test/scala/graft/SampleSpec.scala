@@ -4,8 +4,11 @@ import graft.operators.TextOps
 import org.apache.spark.sql.functions._
 
 /** Stratified sampling: per-stratum rates near their configured fractions
-  * and seed-determinism (the properties the rows-only driver check cannot
-  * see). */
+  * and determinism. Since r14 the draw is the engine-neutral integer-hash
+  * Bernoulli (u(doc_id) ≤ fraction(lang)) and q_sample is hash-checked
+  * against DuckDB — these laws guard the semantics the oracle compare
+  * takes for granted (rates actually track fractions; membership is a
+  * pure function of doc_id and lang). */
 class SampleSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.01"
@@ -31,5 +34,25 @@ class SampleSpec extends SparkSpec {
     val a = TextOps.stratifiedSample(spark, sfDir).select("doc_id").collect().map(_.getLong(0)).toSeq
     val b = TextOps.stratifiedSample(spark, sfDir).select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(a.nonEmpty && a == b)
+  }
+
+  test("membership is a pure function of (doc_id, lang) — the stateless draw") {
+    // recompute the engine's draw in plain Scala over the raw table and
+    // compare exact membership: proves the sample needs no sample-table
+    // join at 100 TB (recompute-from-id, the splitOf property) and that
+    // the arithmetic is the documented knuthFold → Knuth multiply →
+    // mod-prime chain, not an opaque engine stream
+    val raw = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = raw.collect { case (id, lang)
+      if TextOps.SampleFractions.get(lang).exists { f =>
+        val u = ((java.lang.Math.floorMod(id, 2147483647L) * 2654435761L)
+          % 1000003L + 1L).toDouble / 1000003.0
+        u <= f
+      } => id }.sorted.toSeq
+    val got = TextOps.stratifiedSample(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expected, "engine sample must equal the recomputed draw")
   }
 }
