@@ -844,6 +844,9 @@ object TextOps {
     * truncated disk), never mid-create — it is reclaimed through the
     * same exclusive path rather than wedging the state path forever. */
   private def claimWriterMarker(marker: java.io.File): Unit = {
+    // a brand-new state path may not exist yet (first fold creates the
+    // table); the claim must not require the fold to have run first
+    marker.getParentFile.mkdirs()
     val pidBytes = ProcessHandle.current().pid().toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def tryCreate(): Boolean = {

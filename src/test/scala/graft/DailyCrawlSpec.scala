@@ -107,4 +107,193 @@ class DailyCrawlSpec extends SparkSpec {
     assert(gotSearch == refSearch)
     assert(gotSearch.nonEmpty)
   }
+
+  /** r13 verdict task #1: the SAME coupled loop, but as chained REAL
+    * streaming queries — the reference's actual deployment shape (a
+    * long-lived streaming job). The head query dedup-admits crawl
+    * deltas from a MemoryStream; the model and substring legs are
+    * DOWNSTREAM streams tailing the head's committed batch directories
+    * through a file source; the IVF leg indexes an embedding stream.
+    * Two checkpoint restarts happen MID-LOOP, while the other legs keep
+    * folding — the composition failure mode the batch folds above
+    * cannot exhibit (leg A restarts while leg B's state has moved on):
+    *  - the model leg is killed for all of day 2 and restarted — it
+    *    must catch up on day-2 admitted files without refolding day 1
+    *    (file-source offsets + the model's monotone batch-id guard);
+    *  - the head is killed after day 2 and restarted before day 3 —
+    *    a redelivered head batch must keep its committed decisions
+    *    verbatim (the sink's decide-commit-then-fold order).
+    * Mid-loop compactions run between triggers on all four tables.
+    * End state must equal the one-shot build on every leg, and the
+    * frozen-model scoring + bucketing legs then run as streams over the
+    * final admitted output. */
+  test("the coupled loop as chained streaming queries ≡ one-shot across mid-loop restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.documents(spark, sfDir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val all = docs.select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val days = Seq(all.filter(_._1 < c1),
+      all.filter(t => t._1 >= c1 && t._1 < c2), all.filter(_._1 >= c2))
+    val emb = Tables.embeddings(spark, sfDir)
+    val vids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val (v1, v2) = (vids(vids.length / 3), vids(2 * vids.length / 3))
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val vdays = Seq(vecs.filter(_._1 < v1),
+      vecs.filter(v => v._1 >= v1 && v._1 < v2), vecs.filter(_._1 >= v2))
+
+    val base = tmp("crawl-streaming")
+    val dedupIdx = base + "/dedup/index.parquet"
+    val admittedOut = base + "/admitted"
+    val substrIdx = base + "/substr/index.parquet"
+    val strippedOut = base + "/stripped"
+    val modelPath = base + "/lm/model.parquet"
+    val ivfIdx = base + "/ivf/postings.parquet"
+
+    // head: crawl deltas → dedup decisions committed per batch dir,
+    // band keys folded into the bucketed index
+    val crawl = MemoryStream[(Long, String, String)]
+    def startHead() = StreamOps.dedupIncrementSink(
+      crawl.toDF().toDF("doc_id", "lang", "text"),
+      dedupIdx, admittedOut, base + "/ckpt-dedup")
+    // embeddings leg (first batch fits the quantizer: |day 1| ≥ Ivf.K)
+    val vecIn = MemoryStream[(Long, Array[Float])]
+    val ivfQ = StreamOps.ivfAppendSink(
+      vecIn.toDF().toDF("vec_id", "embedding"), ivfIdx, base + "/ckpt-ivf")
+
+    // downstream legs tail the head's committed batch dirs as a file
+    // source (the glob skips partition discovery; _SUCCESS is ignored)
+    val admSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def admittedStream() =
+      spark.readStream.schema(admSchema).parquet(admittedOut + "/batch_id=*")
+    def startLm() = StreamOps.lmModelSink(
+      admittedStream().select("doc_id", "text"), modelPath, base + "/ckpt-lm")
+    def startSub() = StreamOps.substringIncrementSink(
+      admittedStream().select("doc_id", "text"),
+      substrIdx, strippedOut, base + "/ckpt-sub")
+
+    def maintainAll(): Unit = {
+      TextOps.maintainDedupIndex(spark, dedupIdx, maxFileSetsPerBucket = 1)
+      TextOps.maintainLmModel(spark, modelPath, maxFileSetsPerBucket = 1)
+      TextOps.maintainSubstringIndex(spark, substrIdx, maxFileSetsPerBucket = 1)
+      Ivf.maintainIvfIndex(spark, ivfIdx, maxFileSetsPerBucket = 1)
+    }
+
+    var head = startHead()
+    var lmQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    var subQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      // ---- day 1: all legs live ----
+      crawl.addData(days(0).toSeq); head.processAllAvailable()
+      vecIn.addData(vdays(0).toSeq); ivfQ.processAllAvailable()
+      lmQ = startLm(); subQ = startSub()
+      lmQ.processAllAvailable(); subQ.processAllAvailable()
+      maintainAll() // compaction between triggers, queries still live
+
+      // ---- day 2: model leg DOWN for the whole day ----
+      lmQ.stop()
+      crawl.addData(days(1).toSeq); head.processAllAvailable()
+      subQ.processAllAvailable()
+      vecIn.addData(vdays(1).toSeq); ivfQ.processAllAvailable()
+      // restart from its checkpoint: catches up on day-2 admitted files
+      // without refolding day 1
+      lmQ = startLm(); lmQ.processAllAvailable()
+      maintainAll()
+
+      // ---- day 3: HEAD restarts from its checkpoint ----
+      head.stop()
+      head = startHead()
+      crawl.addData(days(2).toSeq); head.processAllAvailable()
+      lmQ.processAllAvailable(); subQ.processAllAvailable()
+      vecIn.addData(vdays(2).toSeq); ivfQ.processAllAvailable()
+      maintainAll()
+    } finally {
+      Seq(Option(head), Option(lmQ), Option(subQ), Option(ivfQ)).flatten
+        .foreach(q => if (q.isActive) q.stop())
+    }
+
+    // dedup leg: the streamed loop admits exactly the one-shot set
+    val admitted = spark.read.parquet(admittedOut + "/batch_id=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShotAdm = TextOps.dedupIncrement(spark,
+        tmp("crawl-sdedup-ref") + "/index.parquet", docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == oneShotAdm)
+    assert(admitted.size < ids.length, "fixture must exercise rejection")
+
+    val admDocs = docs.filter(col("doc_id").isInCollection(admitted))
+    val refModel = tmp("crawl-slm-ref") + "/model.parquet"
+    TextOps.lmModelAppend(spark, refModel, admDocs, batchId = 1L)
+
+    // model leg: the streamed model (folded across a mid-loop restart
+    // and compactions) scores bit-identically to the one-shot reference
+    val gotScores = TextOps.lmScoreDelta(spark, modelPath, admDocs).collect().toSeq
+    val refScores = TextOps.lmScoreDelta(spark, refModel, admDocs).collect().toSeq
+    assert(gotScores == refScores && gotScores.size == admitted.size)
+
+    // substring leg: streamed keep-first strips ≡ one-shot strip
+    val streamedStrip = spark.read.parquet(strippedOut + "/batch_id=*")
+      .select("doc_id", "n_tokens", "n_dup_tokens", "text_clean").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val oneShotStrip = TextOps.substringIncrement(spark,
+        tmp("crawl-ssub-ref") + "/index.parquet", admDocs)
+      .select("doc_id", "n_tokens", "n_dup_tokens", "text_clean").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(streamedStrip == oneShotStrip)
+
+    // frozen-model SCORING leg as a stream over the admitted output
+    val scoresOut = base + "/scores"
+    val scoreQ = StreamOps.lmScoreSink(
+      admittedStream().select("doc_id", "text"),
+      modelPath, scoresOut, base + "/ckpt-score")
+    try scoreQ.processAllAvailable() finally scoreQ.stop()
+    val streamedScores = spark.read.parquet(scoresOut + "/batch_id=*")
+      .select("doc_id", "n_tokens", "lm_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val refScoresS = refScores
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(streamedScores == refScoresS)
+
+    // frozen-cut BUCKETING leg as a stream under the loop's final model
+    val cuts = TextOps.ccnetCuts(spark, sfDir).localCheckpoint(true)
+    val bucketsOut = base + "/buckets"
+    val bucketQ = StreamOps.ccnetBucketSink(
+      admittedStream().select("doc_id", "lang", "text"),
+      modelPath, cuts, bucketsOut, base + "/ckpt-bucket")
+    try bucketQ.processAllAvailable() finally bucketQ.stop()
+    val streamedBuckets = spark.read.parquet(bucketsOut + "/batch_id=*")
+      .select("doc_id", "lang", "bucket", "rarity").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val refBuckets = TextOps.ccnetBucketDelta(spark, refModel, cuts, admDocs)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(streamedBuckets == refBuckets)
+
+    // ivf leg: the streamed index answers searches exactly like a
+    // two-append reference sharing the same day-1 quantizer fit
+    val refIvf = tmp("crawl-sivf-ref") + "/postings.parquet"
+    Ivf.ivfAppend(spark, refIvf, emb.filter(col("vec_id") < v1))
+    Ivf.ivfAppend(spark, refIvf, emb.filter(col("vec_id") >= v1))
+    val probes = emb.filter(col("vec_id") < 20)
+    val gotSearch = Ivf.ivfSearch(spark, ivfIdx, probes, k = 3).collect().toSeq
+    val refSearch = Ivf.ivfSearch(spark, refIvf, probes, k = 3).collect().toSeq
+    assert(gotSearch == refSearch && gotSearch.nonEmpty)
+  }
 }
