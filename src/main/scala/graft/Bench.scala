@@ -313,6 +313,19 @@ object Bench {
         for (m <- med; b <- baseline.get(name) if b > 0) yield (name, m / b) }
       if (ratios.isEmpty) ("", -1.0) else ratios.maxBy(_._2)
     }
+    // watchlist-entry predicate (r13 verdict task #5 — the absolute-delta
+    // noise floor): a row is a WATCH CANDIDATE only if its median is both
+    // ≥ 1.3× its BASELINE row AND ≥ 0.25 s over it. Sub-second rows
+    // whipsaw 1.3-1.5× on 100 ms of scheduler scatter (q_abtest read
+    // 1.46× on a 0.10 s delta in r13, 1.14× in r12) — ratio alone churns
+    // the watchlist with adjudication work that a delta floor retires.
+    // The driver's 2× gate and guard A are untouched; this only selects
+    // which rows DESERVE a quiet re-measure.
+    def watchCandidatesOf(rs: Seq[Res]): Seq[String] =
+      rs.flatMap { case (name, med, _, _) =>
+        for (m <- med; b <- baseline.get(name)
+             if b > 0 && m / b >= 1.3 && m - b >= 0.25) yield name
+      }.sorted
     // control chars below 0x20 (ANSI ESC in wrapped tool errors, NULs
     // from binary payloads in messages) must not reach the JSON — \s+
     // only covers the whitespace subset, and one raw ESC makes the
@@ -343,8 +356,10 @@ object Bench {
         s"""{"load1":${num(l)},"secs":${num(s)}}""" }.mkString("[", ",", "]") }
       val settleJson = settle.map(num).mkString("[", ",", "]")
       val guardJson = guardLog.synchronized { guardLog.map(jsonStr).mkString("[", ",", "]") }
+      val watchCandJson = watchCandidatesOf(results)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
       val audit =
-        s"""{"samples":$raw,"errors":$errs,"repeats":$repeats,"watch_repeats":$watchRepeats,"watchlist":${watchlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"passes":$passesJson,"settle_load1":$settleJson,"n_cores":${num(nCores)},"attempts":$attempt,"guard":$guardJson,"budget_secs":$budgetSecs,"elapsed_secs":${num(elapsedSecs())},"partial":$partial,"sf":"$sfDir"}"""
+        s"""{"samples":$raw,"errors":$errs,"repeats":$repeats,"watch_repeats":$watchRepeats,"watchlist":${watchlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"watch_candidates":$watchCandJson,"passes":$passesJson,"settle_load1":$settleJson,"n_cores":${num(nCores)},"attempts":$attempt,"guard":$guardJson,"budget_secs":$budgetSecs,"elapsed_secs":${num(elapsedSecs())},"partial":$partial,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(samplesOut),
         audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case t: Throwable => System.err.println(s"samples file write failed: $t") }

@@ -1,0 +1,236 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A minimal OFFSET-RANGED micro-batch source over an append-only
+  * file-backed log — the admissible half of the Kafka boundary (r13
+  * verdict task #4). The spark-sql-kafka connector jar is
+  * environment-blocked in this container (zero egress, not in any local
+  * cache — see [[StreamSource.kafka]]'s scaladoc), so this source
+  * implements, from the public DataSource V2 API alone, the exact
+  * source-progress surface that connector exercises:
+  *
+  *   - records live at offsets within partitions (`dir/p<N>.log`, one
+  *     record per line, offset = line index) — not at file grain, which
+  *     is what separates this from [[StreamSource.fileDrop]]'s
+  *     FileStreamSource semantics;
+  *   - [[MicroBatchStream.latestOffset]] reports current per-partition
+  *     line counts; the engine persists the consumed range in its
+  *     checkpoint offset log; [[MicroBatchStream.planInputPartitions]]
+  *     serves exactly the (start, end] range the engine asks for, one
+  *     [[InputPartition]] per log partition;
+  *   - replay is DETERMINISTIC: the same offset range always yields the
+  *     same lines, so a restarted query re-reads precisely its
+  *     uncommitted range and nothing else (StreamSourceSpec pins
+  *     no-reprocessing across a stop/restart);
+  *   - `commit(end)` is a no-op — the log retains data like a Kafka
+  *     topic under retention; `initialOffset` is all-partitions-at-0
+  *     (the `startingOffsets=earliest` contract).
+  *
+  * The record schema is the CONNECTOR'S fixed shape — (key, value,
+  * topic, partition, offset, timestamp, timestampType) — so
+  * [[StreamSource.kafkaProject]] (the Spark-side projection with the
+  * poison-message contract) runs on top of this source end-to-end,
+  * unchanged. Swapping in the real connector at deploy time changes
+  * ONLY the `.format(...)` line.
+  *
+  * Line format: `base64(key)\tbase64(value)\ttimestampMillis`, with `-`
+  * for a null key/value (a `-` value is a tombstone, which
+  * kafkaProject drops). The producer ([[FileLog.append]]) is a
+  * test/spec utility: single-writer, append-only, newline-terminated
+  * writes so a concurrent reader never sees a torn record.
+  */
+object FileLog {
+
+  /** The Kafka connector's record schema, verbatim. */
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Open the log at `dir` as a streaming DataFrame. */
+  def stream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .format(classOf[FileLogSourceProvider].getName)
+      .option("path", dir)
+      .load()
+
+  /** Append records (key, value, timestampMillis) to one log partition;
+    * null key/value allowed (tombstones). Spec-side producer. */
+  def append(dir: String, partition: Int,
+             records: Seq[(Array[Byte], Array[Byte], Long)]): Unit = {
+    val d = new File(dir); d.mkdirs()
+    val f = new File(d, s"p$partition.log")
+    def b64(a: Array[Byte]): String =
+      if (a == null) "-" else Base64.getEncoder.encodeToString(a)
+    val lines = records
+      .map { case (k, v, ts) => s"${b64(k)}\t${b64(v)}\t$ts\n" }.mkString
+    val out = new java.io.FileOutputStream(f, true)
+    try { out.write(lines.getBytes(UTF_8)); out.getFD.sync() }
+    finally out.close()
+  }
+
+  /** Convenience: append UTF-8 string payloads with null keys. */
+  def appendValues(dir: String, partition: Int, values: Seq[String],
+                   tsMillis: Long = 0L): Unit =
+    append(dir, partition,
+      values.map(v => (null: Array[Byte], Option(v).map(_.getBytes(UTF_8)).orNull, tsMillis)))
+
+  private[sources] def partitionFiles(dir: String): Map[Int, File] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val m = "^p(\\d+)\\.log$".r.findFirstMatchIn(f.getName)
+        m.map(g => g.group(1).toInt -> f)
+      }.toMap
+
+  private[sources] def lineCount(f: File): Long = {
+    // count TERMINATED lines only: a half-flushed final line (torn
+    // write) is invisible until its newline lands
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+    try {
+      var n = 0L; var c = in.read()
+      while (c >= 0) { if (c == '\n') n += 1; c = in.read() }
+      n
+    } finally in.close()
+  }
+}
+
+/** Per-partition consumed positions; `json()` is the engine's durable
+  * representation in the checkpoint offset log, so it must be
+  * deterministic — keys sorted. */
+case class FileLogOffset(counts: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    counts.toSeq.sorted
+      .map { case (p, n) => s""""$p":$n""" }.mkString("{", ",", "}")
+}
+
+object FileLogOffset {
+  def fromJson(s: String): FileLogOffset = {
+    val body = s.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) FileLogOffset(Map.empty)
+    else FileLogOffset(body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":").map(_.trim)
+      k.stripPrefix("\"").stripSuffix("\"").toInt -> v.toLong
+    }.toMap)
+  }
+}
+
+/** Zero-arg provider, addressed by class name:
+  * `spark.readStream.format(classOf[FileLogSourceProvider].getName)`. */
+class FileLogSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FileLog.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "filelog source requires .option(\"path\", <log dir>)")
+    new FileLogTable(path)
+  }
+}
+
+class FileLogTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"filelog($path)"
+  override def schema(): StructType = FileLog.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = FileLog.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new FileLogMicroBatchStream(path)
+    }
+}
+
+class FileLogMicroBatchStream(path: String) extends MicroBatchStream {
+  private def topicName = new File(path).getName
+
+  /** earliest: every partition present NOW starts at 0; partitions that
+    * appear later enter `latestOffset` and default to start 0 in
+    * `planInputPartitions` (Kafka's new-partition discovery contract). */
+  override def initialOffset(): Offset =
+    FileLogOffset(FileLog.partitionFiles(path).keys.map(_ -> 0L).toMap)
+
+  override def latestOffset(): Offset =
+    FileLogOffset(FileLog.partitionFiles(path)
+      .map { case (p, f) => p -> FileLog.lineCount(f) })
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileLogOffset].counts
+    val e = end.asInstanceOf[FileLogOffset].counts
+    val files = FileLog.partitionFiles(path)
+    e.toSeq.sorted.flatMap { case (p, endLine) =>
+      val startLine = s.getOrElse(p, 0L)
+      if (endLine > startLine)
+        files.get(p).map(f =>
+          FileLogInputPartition(f.getAbsolutePath, topicName, p, startLine, endLine))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FileLogReaderFactory
+
+  override def deserializeOffset(json: String): Offset = FileLogOffset.fromJson(json)
+  override def commit(end: Offset): Unit = () // retention: the log keeps data
+  override def stop(): Unit = ()
+}
+
+case class FileLogInputPartition(file: String, topic: String, partition: Int,
+                                 startLine: Long, endLine: Long) extends InputPartition
+
+class FileLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ip = p.asInstanceOf[FileLogInputPartition]
+    new PartitionReader[InternalRow] {
+      private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.io.FileInputStream(ip.file), UTF_8))
+      private var line: String = _
+      private var pos = 0L
+      // seek to startLine (offsets are line indexes; ranges are replayed
+      // deterministically — the exactly-once contract)
+      while (pos < ip.startLine && reader.readLine() != null) pos += 1
+
+      override def next(): Boolean = {
+        if (pos >= ip.endLine) return false
+        line = reader.readLine()
+        if (line == null) return false // torn tail: unreachable via lineCount
+        pos += 1
+        true
+      }
+
+      override def get(): InternalRow = {
+        val parts = line.split("\t", -1)
+        def bytes(s: String): Array[Byte] =
+          if (s == "-") null else Base64.getDecoder.decode(s)
+        val ts = if (parts.length > 2) parts(2).toLong else 0L
+        InternalRow(
+          bytes(parts(0)),
+          bytes(parts(1)),
+          UTF8String.fromString(ip.topic),
+          ip.partition,
+          pos - 1, // offset of the record just read
+          ts * 1000L, // millis → micros
+          0) // timestampType: CREATE_TIME, the connector's default
+      }
+
+      override def close(): Unit = reader.close()
+    }
+  }
+}

@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.StructType
   *     ships without it, so StreamSourceSpec asserts the wiring fails with
   *     the standard missing-data-source error rather than silently
   *     degrading.
+  *   - [[FileLog]]: an offset-ranged DSv2 micro-batch source over an
+  *     append-only file log, emitting the connector's EXACT record shape
+  *     — the admissible half of the Kafka boundary (r13 task #4). It
+  *     exercises the same source-progress surface (latestOffset →
+  *     planInputPartitions → checkpointed ranges → deterministic replay)
+  *     so [[kafkaProject]] and everything downstream runs end-to-end,
+  *     restartable, without the jar.
   */
 object StreamSource {
 
