@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -150,15 +150,21 @@ class FileLogTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = FileLog.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the kafka connector's maxOffsetsPerTrigger knob, record-grained:
+    // bounds how far one micro-batch may advance — the day-one
+    // production control for catch-up batch sizes after downtime
+    val maxPerTrigger = Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
     () => new Scan {
       override def readSchema(): StructType = FileLog.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new FileLogMicroBatchStream(path)
+        new FileLogMicroBatchStream(path, maxPerTrigger)
     }
+  }
 }
 
-class FileLogMicroBatchStream(path: String) extends MicroBatchStream {
+class FileLogMicroBatchStream(path: String, maxPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
   private def topicName = new File(path).getName
 
   /** earliest: every partition present NOW starts at 0; partitions that
@@ -170,6 +176,42 @@ class FileLogMicroBatchStream(path: String) extends MicroBatchStream {
   override def latestOffset(): Offset =
     FileLogOffset(FileLog.partitionFiles(path)
       .map { case (p, f) => p -> FileLog.lineCount(f) })
+
+  /** Admission control (the connector's maxOffsetsPerTrigger surface):
+    * when the engine passes a ReadMaxRows limit, the returned end offset
+    * advances at most `cap` records past `start`, allocated across
+    * partitions PROPORTIONALLY to their backlog (Kafka's rate-limit
+    * rule) with any rounding remainder dealt deterministically by
+    * ascending partition id — so a bounded catch-up after downtime
+    * drains every partition, not just the first listed. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val unbounded = latestOffset().asInstanceOf[FileLogOffset]
+    limit match {
+      case m: ReadMaxRows =>
+        val s = start.asInstanceOf[FileLogOffset].counts
+        val avail = unbounded.counts.map { case (p, end) =>
+          p -> (end - s.getOrElse(p, 0L)).max(0L) }
+        val total = avail.values.sum
+        val cap = m.maxRows()
+        if (total <= cap) unbounded
+        else {
+          val base = avail.map { case (p, a) => p -> cap * a / total }
+          var leftover = cap - base.values.sum
+          val counts = avail.toSeq.sorted.map { case (p, a) =>
+            val extra = if (leftover > 0 && base(p) < a) { leftover -= 1; 1L } else 0L
+            p -> (s.getOrElse(p, 0L) + math.min(a, base(p) + extra))
+          }.toMap
+          FileLogOffset(counts)
+        }
+      case _: ReadAllAvailable => unbounded
+      case _ => unbounded // composite/minRows: serve everything available
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FileLogOffset].counts

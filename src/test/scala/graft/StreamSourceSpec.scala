@@ -154,6 +154,46 @@ class StreamSourceSpec extends SparkSpec {
     assert(all.filter(t => t._2 == 4L || t._2 == 5L).forall(_._1 > 0L))
   }
 
+  test("filelog admission control: maxRecordsPerTrigger bounds every micro-batch, both partitions drain") {
+    import graft.sources.FileLog
+    val base = java.nio.file.Files.createTempDirectory("graft-filelog-cap").toString
+    val dir = base + "/events"
+    // 10 + 5 records appended BEFORE the query starts: an unbounded
+    // first batch would take all 15 at once (the catch-up hazard the
+    // knob exists for)
+    FileLog.appendValues(dir, 0, (1L to 10L).map(i => eventJson(i, 1)))
+    FileLog.appendValues(dir, 1, (11L to 15L).map(i => eventJson(i, 2)))
+    val batches = new scala.collection.mutable.ArrayBuffer[Seq[Long]]
+    val q = StreamSource.kafkaProject(
+      spark.readStream
+        .format(classOf[graft.sources.FileLogSourceProvider].getName)
+        .option("path", dir)
+        .option("maxRecordsPerTrigger", "6")
+        .load(), Schemas.events)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("event_id").collect().map(_.getLong(0)).toSeq
+        batches.synchronized { batches += ids }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.synchronized { batches.toSeq }
+    assert(got.flatten.sorted == (1L to 15L),
+      s"rate-limited catch-up must still drain everything exactly once: $got")
+    assert(got.filter(_.nonEmpty).forall(_.size <= 6),
+      s"no micro-batch may exceed the record cap: ${got.map(_.size)}")
+    assert(got.count(_.nonEmpty) >= 3, // ceil(15/6)
+      s"15 records under cap 6 need >= 3 batches: ${got.map(_.size)}")
+    // proportional allocation: the first capped batch must advance BOTH
+    // partitions (backlog 10 vs 5 → 4 + 2 under Kafka's rule), not
+    // drain the first-listed partition alone
+    val first = got.find(_.nonEmpty).get.toSet
+    assert(first.exists(_ <= 10) && first.exists(_ > 10),
+      s"first capped batch must take from both partitions: $first")
+  }
+
   test("kafka wiring: parses to the events schema with the connector jar, fails loudly without it") {
     // deploy-adaptive: the connector (spark-sql-kafka-0-10) is a
     // deploy-time jar. When a deployment ships it, building the source
