@@ -149,7 +149,7 @@ class FileLogTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"filelog($path)"
   override def schema(): StructType = FileLog.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // the kafka connector's maxOffsetsPerTrigger knob, record-grained:
     // bounds how far one micro-batch may advance — the day-one
@@ -159,6 +159,18 @@ class FileLogTable(path: String) extends Table with SupportsRead {
       override def readSchema(): StructType = FileLog.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new FileLogMicroBatchStream(path, maxPerTrigger)
+      // batch read: everything currently in the log — the connector's
+      // startingOffsets=earliest/endingOffsets=latest backfill shape
+      // (`spark.read.format("kafka")`), sharing the streaming reader
+      override def toBatch(): org.apache.spark.sql.connector.read.Batch =
+        new org.apache.spark.sql.connector.read.Batch {
+          private val stream = new FileLogMicroBatchStream(path)
+          override def planInputPartitions(): Array[InputPartition] =
+            stream.planInputPartitions(
+              FileLogOffset(Map.empty), stream.latestOffset())
+          override def createReaderFactory(): PartitionReaderFactory =
+            new FileLogReaderFactory
+        }
     }
   }
 }

@@ -154,6 +154,25 @@ class StreamSourceSpec extends SparkSpec {
     assert(all.filter(t => t._2 == 4L || t._2 == 5L).forall(_._1 > 0L))
   }
 
+  test("filelog batch read: the backfill twin sees exactly the streamed records") {
+    import graft.sources.FileLog
+    val dir = java.nio.file.Files.createTempDirectory("graft-filelog-batch").toString + "/events"
+    FileLog.appendValues(dir, 0, Seq(eventJson(1, 1), eventJson(2, 2)))
+    FileLog.appendValues(dir, 1, Seq(eventJson(3, 3)))
+    // the kafka backfill shape: spark.read over the same log — one
+    // pipeline definition serves live tailing AND historical reprocessing
+    val batch = spark.read
+      .format(classOf[graft.sources.FileLogSourceProvider].getName)
+      .option("path", dir).load()
+    assert(!batch.isStreaming)
+    val coords = batch.select("topic", "partition", "offset").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(coords == Seq(("events", 0, 0L), ("events", 0, 1L), ("events", 1, 0L)))
+    val parsed = StreamSource.kafkaProject(batch, Schemas.events)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(parsed == Seq(1L, 2L, 3L))
+  }
+
   test("filelog admission control: maxRecordsPerTrigger bounds every micro-batch, both partitions drain") {
     import graft.sources.FileLog
     val base = java.nio.file.Files.createTempDirectory("graft-filelog-cap").toString
