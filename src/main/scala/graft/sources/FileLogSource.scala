@@ -271,12 +271,23 @@ class FileLogReaderFactory extends PartitionReaderFactory {
 
       override def get(): InternalRow = {
         val parts = line.split("\t", -1)
+        // a corrupt frame (truncated disk, torn producer) degrades to a
+        // TOMBSTONE (null key/value) instead of throwing: a throw here
+        // wedges the stream forever — the offset range replays on every
+        // restart and re-hits the same bad line. Downstream drops null
+        // values at the kafkaProject boundary like any tombstone.
         def bytes(s: String): Array[Byte] =
-          if (s == "-") null else Base64.getDecoder.decode(s)
-        val ts = if (parts.length > 2) parts(2).toLong else 0L
+          if (s == "-") null
+          else try Base64.getDecoder.decode(s)
+          catch { case _: IllegalArgumentException => null }
+        val ok = parts.length >= 2
+        val ts =
+          if (parts.length > 2)
+            try parts(2).toLong catch { case _: NumberFormatException => 0L }
+          else 0L
         InternalRow(
-          bytes(parts(0)),
-          bytes(parts(1)),
+          if (ok) bytes(parts(0)) else null,
+          if (ok) bytes(parts(1)) else null,
           UTF8String.fromString(ip.topic),
           ip.partition,
           pos - 1, // offset of the record just read

@@ -152,6 +152,19 @@ class StreamSourceSpec extends SparkSpec {
       s"restart must process exactly the new valid records once: $all")
     // and the catch-up batch is a NEW batch id, not a redelivery of 0
     assert(all.filter(t => t._2 == 4L || t._2 == 5L).forall(_._1 > 0L))
+    // a CORRUPT FRAME (no tab separators — truncated disk / torn
+    // producer) must degrade to a tombstone, not wedge the stream: a
+    // reader throw here replays forever on the same offset range
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/p0.log"),
+      "totally corrupt frame no tabs\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    FileLog.appendValues(dir, 0, Seq(eventJson(6, 6)))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val after = seen.synchronized { seen.toSeq }
+    assert(after.map(_._2).sorted == Seq(1L, 2L, 4L, 5L, 6L),
+      s"a corrupt frame must be dropped, records after it still read: $after")
   }
 
   test("filelog batch read: the backfill twin sees exactly the streamed records") {
