@@ -249,4 +249,68 @@ class IncrementalLmSpec extends SparkSpec {
     TextOps.lmModelAppend(spark, m, docs().limit(40), 1L)
     assert(totals(m) == before)
   }
+
+  /** The harshest composition failure mode (r13 verdict): the query is
+    * killed while a fold is IN FLIGHT, not at a batch boundary. A gate
+    * UDF blocks the fold job's tasks once a task has entered; the test
+    * thread then stops the query mid-job. Whichever way the race lands
+    * — the cancelled job leaves only uncommitted files (job-level
+    * atomic append), or the fold squeaked through before the stop —
+    * the restart replays the batch from the checkpoint and the model's
+    * monotone batch-id guard makes the replay fold-once: end totals
+    * must equal the one-shot fold in BOTH arms. */
+  test("a stream killed MID-FOLD converges after restart: the interrupted fold replays whole") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = freshModel()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lm-midfold").toString
+    val all = docs().collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (s1, s2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[(Long, String)]
+    def start() = graft.streaming.StreamOps.lmModelSink(
+      input.toDF().toDF("doc_id", "text").filter(FoldGate.gate), m, ckpt)
+    var q = start()
+    try {
+      input.addData(s1.toSeq); q.processAllAvailable() // batch 0: clean fold
+      FoldGate.arm()
+      input.addData(s2.toSeq) // batch 1 starts on the stream thread
+      assert(FoldGate.entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "the fold job must be in flight before the kill")
+      q.stop() // kill while the fold job holds blocked tasks
+    } finally {
+      FoldGate.disarm()
+      if (q.isActive) q.stop()
+    }
+    q = start()
+    try q.processAllAvailable() finally q.stop()
+    val oneShot = freshModel()
+    TextOps.lmModelAppend(spark, oneShot, docs(), 0L)
+    assert(totals(m) == totals(oneShot),
+      "a mid-fold kill must leave no partial counts after the replay")
+  }
+}
+
+/** Blocking gate for the mid-fold kill test: once armed, the first row
+  * to pass signals `entered` and every row then parks on `release`
+  * (interruptible — a cancelled task's interrupt unblocks it; the 30 s
+  * cap keeps a scheduling anomaly from deadlocking the suite). */
+object FoldGate {
+  @volatile private var armed = false
+  @volatile var entered = new java.util.concurrent.CountDownLatch(1)
+  @volatile private var release = new java.util.concurrent.CountDownLatch(1)
+  def arm(): Unit = {
+    entered = new java.util.concurrent.CountDownLatch(1)
+    release = new java.util.concurrent.CountDownLatch(1)
+    armed = true
+  }
+  def disarm(): Unit = { armed = false; release.countDown() }
+  def gate: org.apache.spark.sql.Column =
+    udf((_: Long) => {
+      if (armed) {
+        entered.countDown()
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      true
+    }).asNondeterministic()(lit(0L))
 }
