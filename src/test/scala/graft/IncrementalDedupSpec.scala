@@ -225,6 +225,52 @@ class IncrementalDedupSpec extends SparkSpec {
       "the replayed fold must have landed every key in the index")
   }
 
+  /** Mid-fold kill on the composition HEAD (the lm twin lives in
+    * IncrementalLmSpec): the dedup sink's exactly-once relies on
+    * decision-commit-then-fold, and a kill can land in EITHER phase —
+    * before the batch dir's _SUCCESS (replay recomputes the identical
+    * decisions against the untouched index) or between the commit and
+    * the fold's end (replay keeps the dir verbatim, re-runs the
+    * idempotent novel-keys-only fold). Both arms must end at the
+    * one-shot admissions and index. */
+  test("the dedup sink killed MID-BATCH converges after restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = docs().as[(Long, String)].collect().sortBy(_._1)
+    val (s1, s2) = all.splitAt(all.length / 2)
+    val idx = freshIndex()
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-midkill").toString
+    val out = base + "/admitted"
+    val input = MemoryStream[(Long, String)]
+    def start() = graft.streaming.StreamOps.dedupIncrementSink(
+      input.toDF().toDF("doc_id", "text").filter(FoldGate.gate),
+      idx, out, base + "/ckpt")
+    var q = start()
+    try {
+      input.addData(s1.toSeq); q.processAllAvailable() // batch 0 clean
+      FoldGate.arm()
+      input.addData(s2.toSeq)
+      assert(FoldGate.entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "the batch must be in flight before the kill")
+      q.stop()
+    } finally {
+      FoldGate.disarm()
+      if (q.isActive) q.stop()
+    }
+    q = start()
+    try q.processAllAvailable() finally q.stop()
+    val admitted = spark.read.parquet(out + "/batch_id=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = TextOps.dedupIncrement(spark, freshIndex(), docs())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == oneShot,
+      "a mid-batch kill must not lose or re-admit documents")
+    // and the index absorbed everything: a full replay admits nothing
+    assert(TextOps.dedupIncrement(spark, idx, docs()).count() == 0)
+  }
+
   test("docs too short to shingle carry no keys and always pass") {
     val sess = spark
     import sess.implicits._
