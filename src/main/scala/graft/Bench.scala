@@ -86,7 +86,10 @@ object Bench {
   private val watchlist: Set[String] =
     Set("q_basket", "q_funnel", "q_contamination", "q_jaccard_pairs",
       "q_wau", "q_benford", "q_bigram_lm", "q_repeated_grams",
-      "q_xcorr", "q_moments", "q_pq_topk", "q_lm_score")
+      "q_xcorr", "q_moments", "q_pq_topk", "q_lm_score",
+      // r14 re-based rows (q_split-precedent): sample spreads 1.3-4.3×
+      // within one run — medians of 5+ keep the new rows honest
+      "q_dedup_curve", "q_ngram")
 
   private[graft] def medianOf(xs: Seq[Double]): Double = {
     val s = xs.sorted
