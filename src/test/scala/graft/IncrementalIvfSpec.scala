@@ -97,6 +97,52 @@ class IncrementalIvfSpec extends SparkSpec {
       "streamed deltas must build the same index as direct appends")
   }
 
+  /** Mid-kill during the FIRST streamed batch — the hardest IVF arm:
+    * the first fold FITS the quantizer (k-means sidecar) before any
+    * posting lands, so a kill can strand the index in three states
+    * (nothing, sidecar only, sidecar + partial postings). The replay
+    * must converge in all of them: a committed sidecar is reused frozen
+    * (the crash-convergent sidecar contract), an absent one is re-fit
+    * on the same deterministic slice, and posting folds are novel-only.
+    * End state must answer searches exactly like direct appends with
+    * the same first-slice fit. */
+  test("the ivf sink killed during the FIRST batch (quantizer fit in flight) converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = vectors().as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (s1, s2) = all.splitAt(all.length / 2)
+    val idx = freshIndex()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-midkill").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    def start() = graft.streaming.StreamOps.ivfAppendSink(
+      input.toDF().toDF("vec_id", "embedding")
+        .filter(FoldGate.gate.and(col("vec_id").isNotNull)), idx, ckpt)
+    var q = start()
+    try {
+      FoldGate.arm()
+      input.addData(s1.toSeq) // FIRST batch: quantizer fit + fold
+      assert(FoldGate.entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "the first fold must be in flight before the kill")
+      q.stop()
+    } finally {
+      FoldGate.disarm()
+      if (q.isActive) q.stop()
+    }
+    q = start()
+    try {
+      q.processAllAvailable() // replay batch 0
+      input.addData(s2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // reference: direct appends with the same first-slice quantizer fit
+    val ref = freshIndex()
+    Ivf.ivfAppend(spark, ref, vectors().filter(col("vec_id") < s2.head._1))
+    Ivf.ivfAppend(spark, ref, vectors().filter(col("vec_id") >= s2.head._1))
+    assert(searchRows(idx) == searchRows(ref) && searchRows(idx).nonEmpty,
+      "a kill during the first fit must not corrupt the index or the quantizer")
+  }
+
   test("compaction: at most one file set per bucket, search unchanged") {
     def committedFiles(p: String): Int = {
       def rec(f: java.io.File): Seq[java.io.File] = {

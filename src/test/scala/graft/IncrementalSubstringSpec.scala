@@ -144,6 +144,52 @@ class IncrementalSubstringSpec extends SparkSpec {
       "doc_id-ascending micro-batches must strip exactly the one-batch spans")
   }
 
+  /** Mid-batch kill on the substring leg — the third fold sink's arm of
+    * the convergence pair pinned for lm (IncrementalLmSpec) and dedup
+    * (IncrementalDedupSpec): the kill can land before the batch dir's
+    * _SUCCESS (replay recomputes identical strips against the untouched
+    * index) or between the commit and the fold (replay keeps the dir,
+    * re-runs the novel-keys-only fold). Both arms must end at the
+    * one-shot strip. */
+  test("the substring sink killed MID-BATCH converges after restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = docs().select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (s1, s2) = all.splitAt(all.length / 2)
+    val idx = freshIndex()
+    val base = java.nio.file.Files.createTempDirectory("graft-substr-midkill").toString
+    val out = base + "/stripped"
+    val input = MemoryStream[(Long, String)]
+    def start() = graft.streaming.StreamOps.substringIncrementSink(
+      input.toDF().toDF("doc_id", "text").filter(FoldGate.gate),
+      idx, out, base + "/ckpt")
+    var q = start()
+    try {
+      input.addData(s1.toSeq); q.processAllAvailable() // batch 0 clean
+      FoldGate.arm()
+      input.addData(s2.toSeq)
+      assert(FoldGate.entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "the batch must be in flight before the kill")
+      q.stop()
+    } finally {
+      FoldGate.disarm()
+      if (q.isActive) q.stop()
+    }
+    q = start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out + "/batch_id=*")
+      .select("doc_id", "n_tokens", "n_dup_tokens", "text_clean").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val oneShot = rows(TextOps.substringIncrement(spark, freshIndex(),
+      docs().select("doc_id", "text"))).sortBy(_._1)
+    assert(streamed == oneShot,
+      "a mid-batch kill must not change the stripped corpus")
+  }
+
   test("probe and fold co-locate: no Exchange above the bucketed index side") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
