@@ -155,10 +155,16 @@ class FileLogTable(path: String) extends Table with SupportsRead {
     // bounds how far one micro-batch may advance — the day-one
     // production control for catch-up batch sizes after downtime
     val maxPerTrigger = Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
+    // startingOffsets ∈ {earliest (default), latest}: latest begins a
+    // FRESH query at the current log end (live tailing without the
+    // backlog); like the connector, it only governs the first start —
+    // a checkpointed restart always resumes from its own offsets
+    val startLatest =
+      Option(options.get("startingOffsets")).exists(_.equalsIgnoreCase("latest"))
     () => new Scan {
       override def readSchema(): StructType = FileLog.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new FileLogMicroBatchStream(path, maxPerTrigger)
+        new FileLogMicroBatchStream(path, maxPerTrigger, startLatest)
       // batch read: everything currently in the log — the connector's
       // startingOffsets=earliest/endingOffsets=latest backfill shape
       // (`spark.read.format("kafka")`), sharing the streaming reader
@@ -175,15 +181,19 @@ class FileLogTable(path: String) extends Table with SupportsRead {
   }
 }
 
-class FileLogMicroBatchStream(path: String, maxPerTrigger: Option[Long] = None)
+class FileLogMicroBatchStream(path: String, maxPerTrigger: Option[Long] = None,
+                              startLatest: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl {
   private def topicName = new File(path).getName
 
-  /** earliest: every partition present NOW starts at 0; partitions that
-    * appear later enter `latestOffset` and default to start 0 in
-    * `planInputPartitions` (Kafka's new-partition discovery contract). */
+  /** earliest (default): every partition present NOW starts at 0;
+    * latest: at its current line count, so a fresh query tails only
+    * what arrives after start. Partitions that appear later enter
+    * `latestOffset` and default to start 0 in `planInputPartitions`
+    * (Kafka's new-partition discovery contract). */
   override def initialOffset(): Offset =
-    FileLogOffset(FileLog.partitionFiles(path).keys.map(_ -> 0L).toMap)
+    if (startLatest) latestOffset()
+    else FileLogOffset(FileLog.partitionFiles(path).keys.map(_ -> 0L).toMap)
 
   override def latestOffset(): Offset =
     FileLogOffset(FileLog.partitionFiles(path)

@@ -167,6 +167,41 @@ class StreamSourceSpec extends SparkSpec {
       s"a corrupt frame must be dropped, records after it still read: $after")
   }
 
+  test("filelog startingOffsets=latest: a fresh query tails only post-start records") {
+    import graft.sources.FileLog
+    val base = java.nio.file.Files.createTempDirectory("graft-filelog-latest").toString
+    val dir = base + "/events"
+    FileLog.appendValues(dir, 0, Seq(eventJson(1, 1), eventJson(2, 2))) // backlog
+    def stream() = spark.readStream
+      .format(classOf[graft.sources.FileLogSourceProvider].getName)
+      .option("path", dir)
+      .option("startingOffsets", "latest")
+      .load()
+    val seen = new scala.collection.mutable.ArrayBuffer[Long]
+    def start() = StreamSource.kafkaProject(stream(), Schemas.events)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized { seen ++= b.select("event_id").collect().map(_.getLong(0)) }
+        ()
+      }.start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(seen.synchronized(seen.isEmpty), "pre-start backlog must be skipped")
+      FileLog.appendValues(dir, 0, Seq(eventJson(3, 3)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.synchronized(seen.toSeq) == Seq(3L))
+    // latest only governs the FIRST start: a checkpointed restart
+    // resumes from its own offsets, not from a fresh log end
+    FileLog.appendValues(dir, 0, Seq(eventJson(4, 4))) // while down
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.synchronized(seen.toSeq.sorted) == Seq(3L, 4L),
+      "a restart must catch up from its checkpoint, not skip to latest")
+  }
+
   test("filelog batch read: the backfill twin sees exactly the streamed records") {
     import graft.sources.FileLog
     val dir = java.nio.file.Files.createTempDirectory("graft-filelog-batch").toString + "/events"
