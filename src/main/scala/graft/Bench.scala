@@ -40,14 +40,28 @@ import org.apache.spark.sql.SparkSession
   * passes hit one contention window, defeating a median of 3):
   *  - the watchlist keeps five interleaved passes — a median of 5
   *    survives two stalled passes, the exact failure mode observed;
-  *  - before the first pass a SETTLE GUARD waits (bounded, ≤ 2 min)
-  *    until the 1-minute load average drops under half the core count,
-  *    so the run doesn't start inside someone else's burst — it never
-  *    fails the bench, only delays and records what it saw;
   *  - every pass records its /proc/loadavg and wall time into the
-  *    samples file ("passes": [{"load1","secs"}…]), so a contended pass
-  *    is visible in the artifact instead of needing forensic
-  *    reconstruction from per-query bimodality.
+  *    samples file ("passes": [{"load1","secs","settle_wait"}…]), so a
+  *    contended pass is visible in the artifact instead of needing
+  *    forensic reconstruction from per-query bimodality.
+  *
+  * Round-15 settle + re-measure policy (r14 verdict task #2 — BENCH_r14
+  * STARTED at load1 2.47, inside the old half-the-cores gate of 16 on a
+  * 32-core box, and recorded an 18.3× gate breach with the guard's
+  * full-re-run budget already spent on the slow contended passes):
+  *  - a strict CO-TENANT GATE before the session/warmup refuses to
+  *    proceed while load1 > SPARK_GRAFT_SETTLE_LOAD1 (default 1.0 —
+  *    the box is otherwise idle) for up to 4 min, recording every
+  *    sample it saw ("settle_load1");
+  *  - every timed pass re-settles first (bounded ≤ 90 s, budget-aware):
+  *    post-warmup and post-pass load1 is mostly our OWN burst decaying,
+  *    and one decay decade is enough for it to drain on a quiet box;
+  *  - a 2× gate breach triggers a PER-QUERY re-measure — only the
+  *    breached rows re-run (watchRepeats fresh settled samples each,
+  *    replacing their sample sets; the replaced numbers stay in the
+  *    audit under "breach_reruns"), costing seconds instead of the
+  *    full-fleet re-run a depleted budget could forbid. Only a breach
+  *    that SURVIVES quiet re-measurement is recorded.
   *
   * Output contract (rounds 5 AND 6 both lost the driver parse to an
   * overlong line — r5 inlined samples, r6 still inlined 135 per-query
@@ -102,8 +116,13 @@ object Bench {
     *  A. 2× GATE BREACH — some query's median is ≥ 2× its BASELINE.md
     *     row. r11 committed exactly this (q_cond_entropy 2.065× on code
     *     untouched since r8, two of five raw samples AT baseline) as the
-    *     final artifact; a breach now forces one automatic re-run and is
-    *     recorded only if it survives quiet re-measurement.
+    *     final artifact; a breach now forces an automatic PER-QUERY
+    *     quiet re-measure (r14 verdict task #2 — the full-fleet re-run
+    *     cost ~6-9 min, so a budget depleted by slow contended passes
+    *     could force "recording" an unverified breach, exactly what
+    *     BENCH_r14 did at 18.3×; re-measuring only the breached rows
+    *     costs seconds and always fits) and is recorded only if it
+    *     survives that re-measurement.
     *  B. UNIFORM DRIFT — vs the PREVIOUS run's medians (same sf), the
     *     cross-query ratio median exceeds 1.15 with its p10 above 1.0:
     *     every query slower at once is the degrading-host signature (the
@@ -151,6 +170,27 @@ object Bench {
     val mediansOut = sys.env.getOrElse("SPARK_GRAFT_MEDIANS_OUT", "bench_medians.json")
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
     def elapsedSecs(): Double = (System.nanoTime() - wall0) / 1e9
+    // 1-minute load average (Linux /proc/loadavg; -1 when unreadable —
+    // never fails the bench)
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // settle threshold (r14 verdict task #2): on an otherwise-idle box a
+    // timed pass must not START while the 1-min load average exceeds ~1 —
+    // the r14 driver artifact began at load1 2.47 (under the old
+    // half-the-cores gate of 16) and recorded a contaminated run
+    val settleLoad1 = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD1", "1.0").toDouble
+    val settle = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var settleWaitMs = 0L
+    // Co-tenant gate, taken BEFORE the session/warmup so the reading is
+    // pure foreign load (our own warmup inflates load1 afterwards): wait
+    // out someone else's burst up to 4 min, recording every sample. The
+    // gate delays and records — it never fails or skips the bench.
+    while ({ val l = load1(); settle += l
+             l > settleLoad1 && settleWaitMs < 240000L }) {
+      Thread.sleep(5000L); settleWaitMs += 5000L
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -212,25 +252,24 @@ object Bench {
         .format("noop").mode("overwrite").save(); spark.catalog.clearCache() }
       catch { case _: Throwable => () }
 
-    // 1-minute load average (Linux /proc/loadavg; -1 when unreadable —
-    // never fails the bench)
-    def load1(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").getLines()
-        .next().split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     val nCores = Runtime.getRuntime.availableProcessors().toDouble
-    // settle guard: don't START measuring inside someone else's burst.
-    // Own load is near zero here (warmup only), so a high load1 is
-    // co-tenant work; wait it out up to 2 minutes, then proceed anyway
-    // (the guard delays and records — it never fails or skips).
-    val settle = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var settleWaitMs = 0L
-    while ({ val l = load1(); settle += l
-             l > nCores * 0.5 && settleWaitMs < 120000L }) {
-      Thread.sleep(5000L); settleWaitMs += 5000L
+    // Per-pass settle (r14 verdict task #2, the "refuse to start a timed
+    // pass while load1 > threshold" gate): before EVERY timed pass, wait
+    // (bounded, budget-aware) for the 1-min load to decay under the
+    // threshold — after warmup or a previous pass that decay is mostly
+    // our OWN burst load draining (load1 halves every ~42 s of idle), so
+    // the bound is sized to one decade of decay, not to co-tenant
+    // patience (the pre-session gate above owns that). Returns the wait.
+    def settlePass(maxWaitMs: Long): Long = {
+      var waited = 0L
+      while (load1() > settleLoad1 && waited < maxWaitMs &&
+             elapsedSecs() < budgetSecs) {
+        Thread.sleep(5000L); waited += 5000L
+      }
+      waited
     }
-    // per-pass audit: (load1 at pass start, pass wall seconds)
-    val passLog = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // per-pass audit: (load1 at pass start, pass wall seconds, settle wait)
+    val passLog = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -246,7 +285,13 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Vector[(Double, Option[String])]]
       .withDefaultValue(Vector.empty)
     val guardLog = scala.collection.mutable.ArrayBuffer.empty[String]
+    // audit trail of per-query breach re-measures: (query, replaced
+    // samples, fresh samples) — the replaced numbers stay visible in the
+    // artifact even though the medians are computed from the fresh ones
+    val rerunLog = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Vector[Double], Vector[Double])]
     def pass(qs: Seq[String]): Unit = {
+      val waited = settlePass(90000L)
       val l0 = load1()
       val p0 = System.nanoTime()
       for (name <- qs) {
@@ -257,7 +302,8 @@ object Bench {
           samples(name) = samples(name) :+ (((System.nanoTime() - t0) / 1e9, err))
         }
       }
-      passLog.synchronized { passLog += ((l0, (System.nanoTime() - p0) / 1e9)) }
+      passLog.synchronized {
+        passLog += ((l0, (System.nanoTime() - p0) / 1e9, waited / 1000.0)) }
     }
     // Baseline per-query rows from BASELINE.md ("| q_x | 0.1 | 1.21 | date |");
     // first matching row wins (first-correct-run record policy). Rows are
@@ -355,14 +401,18 @@ object Bench {
       val total = results.flatMap(_._2).sum
       val nFailed = results.count(_._2.isEmpty)          // every taken repeat failed
       val nFlaky = results.count(r => r._2.nonEmpty && r._3.nonEmpty) // some repeats failed
-      val passesJson = passLog.synchronized { passLog.map { case (l, s) =>
-        s"""{"load1":${num(l)},"secs":${num(s)}}""" }.mkString("[", ",", "]") }
+      val passesJson = passLog.synchronized { passLog.map { case (l, s, w) =>
+        s"""{"load1":${num(l)},"secs":${num(s)},"settle_wait":${num(w)}}""" }
+        .mkString("[", ",", "]") }
+      val rerunsJson = rerunLog.synchronized { rerunLog.map { case (q, old, nw) =>
+        s"""{"query":"$q","old":${old.map(num).mkString("[", ",", "]")},"new":${nw.map(num).mkString("[", ",", "]")}}""" }
+        .mkString("[", ",", "]") }
       val settleJson = settle.map(num).mkString("[", ",", "]")
       val guardJson = guardLog.synchronized { guardLog.map(jsonStr).mkString("[", ",", "]") }
       val watchCandJson = watchCandidatesOf(results)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val audit =
-        s"""{"samples":$raw,"errors":$errs,"repeats":$repeats,"watch_repeats":$watchRepeats,"watchlist":${watchlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"watch_candidates":$watchCandJson,"passes":$passesJson,"settle_load1":$settleJson,"n_cores":${num(nCores)},"attempts":$attempt,"guard":$guardJson,"budget_secs":$budgetSecs,"elapsed_secs":${num(elapsedSecs())},"partial":$partial,"sf":"$sfDir"}"""
+        s"""{"samples":$raw,"errors":$errs,"repeats":$repeats,"watch_repeats":$watchRepeats,"watchlist":${watchlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"watch_candidates":$watchCandJson,"passes":$passesJson,"settle_load1":$settleJson,"settle_threshold":${num(settleLoad1)},"breach_reruns":$rerunsJson,"n_cores":${num(nCores)},"attempts":$attempt,"guard":$guardJson,"budget_secs":$budgetSecs,"elapsed_secs":${num(elapsedSecs())},"partial":$partial,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(samplesOut),
         audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case t: Throwable => System.err.println(s"samples file write failed: $t") }
@@ -387,13 +437,27 @@ object Bench {
     val hook = new Thread(() => emit(partial = true), "bench-emit-on-term")
     Runtime.getRuntime.addShutdownHook(hook)
 
-    // Measure, guard, and (budget allowing, at most once) automatically
-    // re-measure: a run whose artifact would record a 2× gate breach or
-    // the every-query-slower drift signature is a measurement of the
-    // HOST, not the code — re-settle and take one fresh set of passes
-    // instead of committing it. A second trip records the run with the
-    // trip reason in the audit (a genuine regression must surface, not
-    // loop forever).
+    // Measure, guard, and automatically re-measure: a run whose artifact
+    // would record a 2× gate breach or the every-query-slower drift
+    // signature is a measurement of the HOST, not the code — re-settle
+    // and re-take it instead of committing it.
+    //  - a GATE BREACH triggers a PER-QUERY quiet re-measure (r14 task
+    //    #2): only the breached rows are re-taken (watchRepeats fresh
+    //    interleaved samples each, replacing their sample sets; the
+    //    replaced numbers stay in the audit's breach_reruns), so the
+    //    verification costs seconds and a depleted full-run budget can
+    //    never force recording an unverified breach;
+    //  - UNIFORM DRIFT still triggers one full-fleet re-run (everything
+    //    moved — no per-query subset is meaningful).
+    // A verdict that persists after re-measurement is recorded with its
+    // reason in the audit (a genuine regression must surface, not loop
+    // forever).
+    def breachedOf(rs: Seq[Res]): Seq[(String, Double)] =
+      rs.flatMap { case (name, med, _, _) =>
+        for (m <- med; b <- baseline.get(name) if b > 0 && m / b >= 2.0)
+          yield (name, m)
+      }.sortBy(_._1)
+    var breachReruns = 0
     var done = false
     var budgetCut = false
     while (!done) {
@@ -415,23 +479,68 @@ object Bench {
         guardLog.synchronized {
           guardLog += s"budget: stopped after pass $p/$watchRepeats at ${num(elapsedSecs())}s of ${budgetSecs}s" }
       }
+      val attemptCost = elapsedSecs() - attemptStart
+
+      // per-query breach re-measure, at most twice across the whole run:
+      // each round re-settles (the pass() gate), replaces the breached
+      // rows' samples with fresh quiet ones, and re-evaluates
+      var rerunning = true
+      while (rerunning) {
+        val breached = breachedOf(resultsNow())
+        // cost estimate: current medians × passes × slack + one settle
+        val est = breached.map(_._2).sum * watchRepeats * 1.5 + 95.0
+        if (breached.nonEmpty && breachReruns < 2 &&
+            elapsedSecs() + est < budgetSecs) {
+          breachReruns += 1
+          val qs = breached.map(_._1)
+          guardLog.synchronized {
+            guardLog += s"breach re-measure $breachReruns: ${qs.mkString(",")} ≥ 2x of baseline — re-settling and re-measuring per-query" }
+          System.err.println(
+            s"[bench-guard] per-query breach re-measure: ${qs.mkString(",")}")
+          val olds = samples.synchronized { qs.map(q => q -> samples(q)).toMap }
+          samples.synchronized { qs.foreach(q => samples(q) = Vector.empty) }
+          var rp = 0
+          while (rp < watchRepeats && elapsedSecs() < budgetSecs) {
+            pass(qs); rp += 1
+          }
+          // a re-measure the budget cut to ZERO fresh samples must not
+          // erase the original (breached) evidence — restore it
+          samples.synchronized {
+            qs.foreach(q => if (samples(q).isEmpty) samples(q) = olds(q)) }
+          rerunLog.synchronized {
+            rerunLog ++= qs.map { q =>
+              val nw = samples.synchronized { samples(q) }
+              (q, olds(q).map(se => if (se._2.isEmpty) se._1 else -1.0),
+                nw.map(se => if (se._2.isEmpty) se._1 else -1.0))
+            }
+          }
+        } else rerunning = false
+      }
+
       val results = resultsNow()
       val (worstQuery, worstRatio) = worstOf(results)
       val vsPrev = results.flatMap { case (name, med, _, _) =>
         for (m <- med; pm <- prevMedians.get(name)) yield m / pm }
-      val attemptCost = elapsedSecs() - attemptStart
       guardVerdict(worstRatio, worstQuery, vsPrev) match {
+        case Some(reason) if reason.startsWith("2x gate breach") =>
+          // the per-query re-measure above is the breach's re-run; if the
+          // breach is still standing here it either survived quiet
+          // re-measurement (a real regression — record it loudly) or the
+          // estimate genuinely couldn't fit the remaining budget
+          val how =
+            if (breachReruns > 0) s"persisted after $breachReruns per-query re-measure(s)"
+            else "per-query re-measure did not fit the remaining budget"
+          guardLog.synchronized {
+            guardLog += s"attempt $attempt: $reason — $how, recording" }
+          System.err.println(s"[bench-guard] $reason — $how, recording")
+          done = true
         case Some(reason) if attempt == 1 &&
             elapsedSecs() + attemptCost < budgetSecs =>
           guardLog.synchronized {
             guardLog += s"attempt 1: $reason — re-settling and re-measuring" }
           System.err.println(s"[bench-guard] $reason — automatic re-run")
           attempt += 1
-          var waited = 0L
-          while (load1() > nCores * 0.5 && waited < 120000L &&
-                 elapsedSecs() < budgetSecs) {
-            Thread.sleep(5000L); waited += 5000L
-          }
+          settlePass(240000L)
         case Some(reason) if attempt == 1 =>
           guardLog.synchronized {
             guardLog += s"attempt 1: $reason — re-run skipped (would exceed budget), recording" }
@@ -443,7 +552,7 @@ object Bench {
           System.err.println(s"[bench-guard] $reason persisted — recording this run")
           done = true
         case None =>
-          if (attempt > 1) guardLog.synchronized {
+          if (attempt > 1 || breachReruns > 0) guardLog.synchronized {
             guardLog += s"attempt $attempt: clean — recorded" }
           done = true
       }

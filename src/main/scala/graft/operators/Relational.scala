@@ -863,12 +863,13 @@ object Relational {
     * replay and diff it against a real clickPurchaseJoinOuter run. */
   private[graft] def joinOuterReplayOn(ev: DataFrame, delaySec: Long,
                                        windowSec: Long): DataFrame = {
-    // persisted: the watermarked frame feeds the click side, the
-    // purchase side's pair join AND its unmatched anti-join — without it
-    // the two-window prefix computation runs three times (lifecycle:
-    // consumed at the caller's action time; Bench/Verify clearCache per
-    // query — the minhashPairsOver note)
-    val withWm = runningJoinWatermarkOn(ev, delaySec).persist()
+    // EAGER (r14 lazy-persist sweep): the watermarked frame feeds the
+    // click side, the purchase side's pair join AND its unmatched
+    // anti-join — three distinct builds in one action, and concurrent
+    // stages over a lazy cache race to run the two-window prefix
+    // computation once each. localCheckpoint materializes it exactly
+    // once before the consumers plan; context cleaner reclaims blocks.
+    val withWm = runningJoinWatermarkOn(ev, delaySec).localCheckpoint(true)
     val c = withWm.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("sec").as("c_sec"), col("wm").as("c_wm"))

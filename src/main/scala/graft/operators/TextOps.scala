@@ -398,12 +398,14 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("bits"),
         graft.functions.Bitmap.bitmapFromBits(col("bits")).as("mm"),
         size(col("bits")).cast("long").as("sz"))
-      // feeds both candidate sides and the verify join — persist once (the
-      // checkpoint-signatures-before-candidate-join strategy a 100 TB run
-      // uses; same pattern as minhashPairs)
-      // (lifecycle: consumed at the CALLER'S action time, so not unpersistable
-      // here; Bench/Verify clearCache per query — the bloomSemiJoin note)
-      .persist()
+      // EAGER (r14 lazy-persist sweep): both candidate sides and the
+      // verify join plan distinct shuffle builds over this frame, and
+      // concurrent stages over a lazy cache race to re-run the whole
+      // tokenize→rank→bitmap pipeline per build. localCheckpoint
+      // materializes it exactly once before the consumers plan (the
+      // checkpoint-signatures-before-candidate-join strategy a 100 TB
+      // run uses); blocks reclaimed by the context cleaner.
+      .localCheckpoint(true)
     // prefix length p = sz - ceil(0.9*sz) + 1, via ceil(9x/10) =
     // floor((9x+9)/10) — exact in doubles because 10k/10 divides without
     // rounding, whereas a literal 0.9*sz can land on 18.000000000000004
@@ -506,12 +508,16 @@ object TextOps {
     * the one documents scan between the signature and verify stages. */
   private[graft] def minhashPairsOver(codeFrame: DataFrame): DataFrame = {
     val sigs = bandKeyFrame(codeFrame)
-      // materialize once: the band self-join would otherwise recompute the
-      // whole signature pipeline for each side (same strategy a 100 TB run
-      // would use — persist/checkpoint signatures before candidate join)
-      // (lifecycle: consumed at the CALLER'S action time, so not unpersistable
-      // here; Bench/Verify clearCache per query — the bloomSemiJoin note)
-      .persist()
+      // EAGER (r14 lazy-persist sweep): the self-join's two sides are
+      // DISTINCT shuffle builds, and concurrent stages over a lazy cache
+      // race to recompute the whole signature pipeline per side —
+      // localCheckpoint materializes it exactly once before either side
+      // plans (same strategy a 100 TB run uses: checkpoint signatures
+      // before the candidate join). Side benefit: when the caller passes
+      // a PERSISTED code frame (containment/dedupCurve), this eager scan
+      // is that frame's single first consumer, so its cache is warm
+      // before the verify joins fan out — single-consumer-first.
+      .localCheckpoint(true)
     sigs.as("x")
       .join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
@@ -543,6 +549,10 @@ object TextOps {
     * (min reachable doc_id ≡ component min). */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir).persist()
+    // eager (r14 lazy-persist sweep): CC's seeding action scans the pair
+    // frame twice (both union directions) — materialize the cache before
+    // any consumer so no two tasks/stages race to compute one partition
+    pairs.count()
     val nodes = Tables.documents(spark, dir).select(col("doc_id"))
     val out = connectedComponents(nodes, pairs).orderBy("doc_id")
     pairs.unpersist()
@@ -627,6 +637,10 @@ object TextOps {
   def dedupIncrement(spark: SparkSession, indexPath: String, docs: DataFrame): DataFrame = {
     val keys = batchBandKeys(docs)
       .persist() // three consumers below; unpersisted before return
+    // eager (r14 lazy-persist sweep): dedupRejected's single action plans
+    // three distinct builds over this frame (seen-probe, batchMin agg,
+    // the batchMin join's probe side) — materialize before they fan out
+    keys.count()
     val batchMin = batchMinOf(keys)
     val rejected = dedupRejected(spark, indexPath, keys, batchMin)
     dedupFold(spark, indexPath, batchMin)
@@ -897,12 +911,25 @@ object TextOps {
     catch { case _: Throwable => "" }
     if (tombRaw != raw) {
       // the marker was REPLACED between our read and our rename — we
-      // just renamed away a fresh claim. Restore the rightful holder's
-      // marker (atomic link; if a third create snuck in while the path
-      // was empty, that claim stands and we still fail loudly) and bail.
-      try java.nio.file.Files.createLink(marker.toPath, tomb.toPath)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      tomb.delete()
+      // just renamed away a FRESH claim. Put it back and bail loudly.
+      // Restore by MOVE, not hard link (r14 advice: createLink throws
+      // UnsupportedOperationException on link-less filesystems, and that
+      // escape deleted the displaced live claim). If a THIRD claimer
+      // created a marker while the path was empty, restoring must not
+      // destroy that claim either — POSIX rename silently replaces — so
+      // check first and, when one is there, LEAVE the tomb on disk for
+      // diagnosis (deleting it silently drops the displaced holder's
+      // live claim while it keeps folding) and name both claims.
+      if (marker.exists())
+        concurrent(s"${if (tombRaw.nonEmpty) tombRaw else "unknown"} " +
+          s"(displaced live claim preserved at ${tomb.getName}) and a newer claimer")
+      try java.nio.file.Files.move(tomb.toPath, marker.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // restore failed or raced yet another claim: keep the tomb — a
+        // preserved-on-disk claim beats a silently dropped one
+        case _: java.io.IOException => ()
+      }
       concurrent(if (tombRaw.nonEmpty) tombRaw else "unknown")
     }
     tomb.delete()
@@ -1813,7 +1840,10 @@ object TextOps {
     * engine's tightest-baselined dedup query. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     // (lifecycle: caller's-action-time consumer, reclaimed by the harness
-    // clearCache — the bloomSemiJoin note)
+    // clearCache — the bloomSemiJoin note). Lazy persist is SAFE here by
+    // single-consumer-first structure (r14 sweep): minhashPairsOver's
+    // eager band-key localCheckpoint is this cache's sole first consumer
+    // and loads it fully, so the two verify joins below read it warm.
     val codes = shingleCodeFrame(spark, dir).persist()
     minhashPairsOver(codes)
       .join(codes.select(col("doc_id").as("d1"), col("cs").as("cs1")), "d1")
@@ -2425,8 +2455,11 @@ object TextOps {
     // three consumers inside substringHits (seen-probe, batchMin, the
     // batchMin join's probe side) — persist or the scan→explode→hash
     // stream runs three times per call; safe to unpersist right after
-    // because substringHits is EAGER (localCheckpoint)
+    // because substringHits is EAGER (localCheckpoint). The count
+    // materializes the cache BEFORE the three builds fan out (r14
+    // lazy-persist sweep: concurrent stages over a lazy cache race).
     val pos = gramKeyFrame(docs).persist()
+    pos.count()
     try stripSpans(docs, islandSpans(substringHits(spark, indexPath, pos)))
     finally pos.unpersist()
   }
@@ -2482,6 +2515,7 @@ object TextOps {
                          docs: DataFrame): DataFrame = {
     val pos = gramKeyFrame(docs)
       .persist() // hit decision + fold partials; unpersisted before return
+    pos.count() // eager before substringHits' three builds fan out (r14 sweep)
     val hits = substringHits(spark, indexPath, pos)
     substringFold(spark, indexPath,
       pos.groupBy("k").agg(min("doc_id").as("min_doc")))
@@ -2937,7 +2971,10 @@ object TextOps {
     * broadcast 5-row frame. */
   def dedupCurve(spark: SparkSession, dir: String): DataFrame = {
     // (lifecycle: caller's-action-time consumer, reclaimed by the harness
-    // clearCache — the bloomSemiJoin note)
+    // clearCache — the bloomSemiJoin note). Lazy persist is SAFE here by
+    // single-consumer-first structure (r14 sweep): minhashPairsOver's
+    // eager band-key localCheckpoint is this cache's sole first consumer
+    // and loads it fully, so the two verify joins below read it warm.
     val codes = shingleCodeFrame(spark, dir).persist()
     val st = minhashPairsOver(codes)
       .join(codes.select(col("doc_id").as("d1"), col("cs").as("cs1")), "d1")

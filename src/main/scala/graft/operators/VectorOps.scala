@@ -187,12 +187,17 @@ object VectorOps {
   private def semDedupUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val assigned = seedAssign(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("cluster"), col("embedding"))
-      // consumed three times (both pair sides + the final report) and
-      // nothing below it reuses — without the persist the k·|vecs|
-      // distance sweep runs three times (SemDeDup materializes the
-      // assignment table for the same reason). (lifecycle: caller's-
-      // action-time consumer, reclaimed by the harness clearCache)
-      .persist()
+      // EAGER, not a lazy persist (r14 verdict task #1 — the 18.3× gate
+      // breach): three consumers (both pair sides + the final report)
+      // plan DISTINCT shuffle builds over this frame, and concurrent
+      // stages over a not-yet-materialized cache race to compute it —
+      // each re-runs the k·|vecs| distance sweep (on a cluster the same
+      // race re-fires whenever an executor loses cache blocks).
+      // localCheckpoint materializes the assignment table exactly once
+      // before any consumer plans (SemDeDup materializes it for the same
+      // reason; the bandKeyFrame/ccnet-rarity discipline). Blocks are
+      // reclaimed by the context cleaner once the frame is unreachable.
+      .localCheckpoint(true)
     val dups = assigned.select(col("cluster"), col("vec_id"), col("embedding").as("e1"))
       .join(assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2")),
         Seq("cluster"))

@@ -39,6 +39,33 @@ import org.apache.spark.unsafe.types.UTF8String
   *     topic under retention; `initialOffset` is all-partitions-at-0
   *     (the `startingOffsets=earliest` contract).
   *
+  * CONSTANT-COST TAILING (r14 verdict task #4 — the first cut rescanned
+  * every partition file from byte 0 both per `latestOffset()` poll and
+  * per range seek, going quadratic over the life of a tailing query):
+  *
+  *   - `latestOffset` is INCREMENTAL: the stream remembers, per
+  *     partition, the byte position after the last terminated line it
+  *     has counted, and each poll scans only the bytes appended since —
+  *     per-batch poll cost is delta-sized, flat in log length;
+  *   - a BYTE-INDEX SIDECAR (`p<N>.log.idx`, lines of
+  *     `lineOffset\tbytePos`) is appended as polls advance — the same
+  *     offset→position index a Kafka broker keeps next to each segment.
+  *     `planInputPartitions` resolves each range's start to the greatest
+  *     indexed line ≤ startLine and the READER seeks to that byte and
+  *     skips forward at most one poll's worth of records, so a restarted
+  *     query (fresh stream, offsets from the checkpoint log) also seeks
+  *     in O(delta), not O(file). The sidecar is purely a seek
+  *     ACCELERATOR: entries are validated against the live file (byte ≤
+  *     length, monotone) and a missing/unwritable sidecar only degrades
+  *     to the scan-from-0 behavior — correctness never depends on it;
+  *   - reader and counter share ONE line definition (r14 advice #2): a
+  *     record is a '\n'-TERMINATED byte run. The first cut counted
+  *     '\n' bytes but read with BufferedReader.readLine, which also
+  *     splits at a bare '\r' — a foreign producer emitting a stray CR
+  *     desynchronized offsets from record indexes. Records are now
+  *     scanned with an explicit '\n' delimiter (one trailing '\r' is
+  *     stripped for CRLF producers; an interior '\r' stays record DATA).
+  *
   * The record schema is the CONNECTOR'S fixed shape — (key, value,
   * topic, partition, offset, timestamp, timestampType) — so
   * [[StreamSource.kafkaProject]] (the Spark-side projection with the
@@ -99,15 +126,55 @@ object FileLog {
         m.map(g => g.group(1).toInt -> f)
       }.toMap
 
+  /** Full-file line count — the one-shot form (spec convenience; the
+    * stream itself counts INCREMENTALLY, see
+    * [[FileLogMicroBatchStream.scanPartition]]). Counts TERMINATED
+    * lines only: a half-flushed final line (torn write) is invisible
+    * until its newline lands. */
   private[sources] def lineCount(f: File): Long = {
-    // count TERMINATED lines only: a half-flushed final line (torn
-    // write) is invisible until its newline lands
     val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
     try {
       var n = 0L; var c = in.read()
       while (c >= 0) { if (c == '\n') n += 1; c = in.read() }
       n
     } finally in.close()
+  }
+
+  /** Sidecar path of one partition log ("pN.log.idx" — the partition
+    * regex above never matches it). */
+  private[sources] def sidecarOf(log: File): File =
+    new File(log.getParentFile, log.getName + ".idx")
+
+  /** Load the byte-index sidecar of `log`: (lineOffset → bytePos),
+    * validated against the LIVE file — entries past the current length,
+    * non-monotone entries, and torn/garbled lines are dropped (a
+    * concurrent appender's last line may be half-flushed; the file may
+    * have been replaced). A missing or unreadable sidecar is simply the
+    * empty index: seeks degrade to scan-from-0, never to wrong data. */
+  private[sources] def loadSidecar(log: File): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val m = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    val idx = sidecarOf(log)
+    if (!idx.isFile) return m
+    val len = log.length()
+    try {
+      val src = scala.io.Source.fromFile(idx)(scala.io.Codec.UTF8)
+      try {
+        var maxLine = -1L; var maxByte = -1L
+        for (l <- src.getLines()) l.split("\t", -1) match {
+          case Array(a, b) =>
+            try {
+              val (lo, by) = (a.toLong, b.toLong)
+              // monotone in BOTH coordinates and within the live file:
+              // anything else is a torn line or a stale/foreign entry
+              if (lo > maxLine && by > maxByte && by <= len && lo >= 0 && by >= 0) {
+                m.put(lo, by); maxLine = lo; maxByte = by
+              }
+            } catch { case _: NumberFormatException => () }
+          case _ => ()
+        }
+      } finally src.close()
+    } catch { case _: java.io.IOException => () }
+    m
   }
 }
 
@@ -186,6 +253,77 @@ class FileLogMicroBatchStream(path: String, maxPerTrigger: Option[Long] = None,
   extends MicroBatchStream with SupportsAdmissionControl {
   private def topicName = new File(path).getName
 
+  /** Per-partition incremental scan state: (terminated lines counted,
+    * byte position after the last counted '\n'). Seeded from the
+    * sidecar on first contact so a fresh stream over an existing log
+    * starts from the last indexed position, not byte 0. Guarded by
+    * `this` — the engine drives latestOffset/planInputPartitions from
+    * one thread, but the batch path and specs may share an instance. */
+  private val scanState = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+
+  /** Per-partition byte index (lineOffset → bytePos): the loaded sidecar
+    * plus every advance this stream has observed. Read by
+    * [[planInputPartitions]] to resolve a range start to a seek base. */
+  private val byteIndex =
+    scala.collection.mutable.Map.empty[Int, java.util.TreeMap[java.lang.Long, java.lang.Long]]
+
+  /** Bytes scanned by incremental polls — spec observability for the
+    * flat-cost contract (per-poll cost ∝ appended delta, not log size). */
+  private[graft] val scannedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def indexOf(p: Int, f: File): java.util.TreeMap[java.lang.Long, java.lang.Long] =
+    byteIndex.getOrElseUpdate(p, FileLog.loadSidecar(f))
+
+  /** Count this partition's terminated lines, scanning ONLY bytes past
+    * the last counted position. An apparent shrink (length below our
+    * position — the append-only contract violated by a replaced file)
+    * resets the state and rescans from 0 rather than serving offsets
+    * from a file that no longer matches them. */
+  private def scanPartition(p: Int, f: File): Long = this.synchronized {
+    val seeded = scanState.get(p).getOrElse {
+      val idx = indexOf(p, f)
+      if (idx.isEmpty) (0L, 0L)
+      else (idx.lastKey().longValue(), idx.lastEntry().getValue.longValue())
+    }
+    val (lines0, bytes0) =
+      if (f.length() < seeded._2) { byteIndex.remove(p); (0L, 0L) } else seeded
+    var n = lines0
+    var bytesAfterLastNl = bytes0
+    if (f.length() > bytes0) {
+      val fin = new java.io.FileInputStream(f)
+      try {
+        fin.getChannel.position(bytes0)
+        val in = new java.io.BufferedInputStream(fin)
+        var cur = bytes0
+        var c = in.read()
+        while (c >= 0) {
+          cur += 1
+          if (c == '\n') { n += 1; bytesAfterLastNl = cur }
+          c = in.read()
+        }
+        scannedBytes.addAndGet(cur - bytes0)
+      } finally fin.close()
+    }
+    scanState(p) = (n, bytesAfterLastNl)
+    if (n > lines0) {
+      indexOf(p, f).put(n, bytesAfterLastNl)
+      appendSidecar(f, n, bytesAfterLastNl)
+    }
+    n
+  }
+
+  /** Best-effort sidecar append — a read-only log directory (or any IO
+    * failure) only costs future streams their seek base, never
+    * correctness, so failures are swallowed. One short O_APPEND write
+    * per advancing poll; the loader tolerates interleaved/duplicate/torn
+    * entries from concurrent streams. */
+  private def appendSidecar(log: File, lines: Long, bytePos: Long): Unit =
+    try {
+      val out = new java.io.FileOutputStream(FileLog.sidecarOf(log), true)
+      try out.write(s"$lines\t$bytePos\n".getBytes(UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () }
+
   /** earliest (default): every partition present NOW starts at 0;
     * latest: at its current line count, so a fresh query tails only
     * what arrives after start. Partitions that appear later enter
@@ -197,7 +335,7 @@ class FileLogMicroBatchStream(path: String, maxPerTrigger: Option[Long] = None,
 
   override def latestOffset(): Offset =
     FileLogOffset(FileLog.partitionFiles(path)
-      .map { case (p, f) => p -> FileLog.lineCount(f) })
+      .map { case (p, f) => p -> scanPartition(p, f) })
 
   /** Admission control (the connector's maxOffsetsPerTrigger surface):
     * when the engine passes a ReadMaxRows limit, the returned end offset
@@ -242,8 +380,19 @@ class FileLogMicroBatchStream(path: String, maxPerTrigger: Option[Long] = None,
     e.toSeq.sorted.flatMap { case (p, endLine) =>
       val startLine = s.getOrElse(p, 0L)
       if (endLine > startLine)
-        files.get(p).map(f =>
-          FileLogInputPartition(f.getAbsolutePath, topicName, p, startLine, endLine))
+        files.get(p).map { f =>
+          // seek base: greatest indexed line ≤ startLine — the reader
+          // positions at its byte and record-skips the remainder (a
+          // restarted stream loads the sidecar here, so the skip is at
+          // most one poll interval's worth of records, never the file)
+          val (baseLine, baseByte) = this.synchronized {
+            val fl = indexOf(p, f).floorEntry(java.lang.Long.valueOf(startLine))
+            if (fl == null) (0L, 0L)
+            else (fl.getKey.longValue(), fl.getValue.longValue())
+          }
+          FileLogInputPartition(f.getAbsolutePath, topicName, p,
+            startLine, endLine, baseLine, baseByte)
+        }
       else None
     }.toArray
   }
@@ -256,25 +405,65 @@ class FileLogMicroBatchStream(path: String, maxPerTrigger: Option[Long] = None,
   override def stop(): Unit = ()
 }
 
+/** One offset range of one log partition, plus the sidecar-resolved seek
+  * base: `baseByte` is the byte position of line `baseLine` (≤
+  * startLine), validated against the file at planning time. (0, 0) —
+  * scan from the top — when no index entry applies. */
 case class FileLogInputPartition(file: String, topic: String, partition: Int,
-                                 startLine: Long, endLine: Long) extends InputPartition
+                                 startLine: Long, endLine: Long,
+                                 baseLine: Long = 0L,
+                                 baseByte: Long = 0L) extends InputPartition
 
 class FileLogReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val ip = p.asInstanceOf[FileLogInputPartition]
     new PartitionReader[InternalRow] {
-      private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-        new java.io.FileInputStream(ip.file), UTF_8))
+      private val fin = new java.io.FileInputStream(ip.file)
+      // seek FIRST, wrap second — a BufferedInputStream created before
+      // the channel move would have buffered from position 0
+      locally {
+        if (ip.baseByte > 0 && ip.baseByte <= fin.getChannel.size())
+          fin.getChannel.position(ip.baseByte)
+      }
+      private val in = new java.io.BufferedInputStream(fin)
       private var line: String = _
-      private var pos = 0L
-      // seek to startLine (offsets are line indexes; ranges are replayed
-      // deterministically — the exactly-once contract)
-      while (pos < ip.startLine && reader.readLine() != null) pos += 1
+      private var pos =
+        if (ip.baseByte > 0 && ip.baseByte <= fin.getChannel.size()) ip.baseLine else 0L
+      // skip to startLine from the seek base (offsets are line indexes;
+      // ranges are replayed deterministically — the exactly-once contract)
+      while (pos < ip.startLine && skipRecord()) pos += 1
+
+      /** One record = one '\n'-terminated byte run — the SAME definition
+        * the incremental counter uses, so offsets and record indexes can
+        * never desynchronize (the r14 readLine/'\r' advice). A run with
+        * no terminator is a torn tail: skip reports false, read reports
+        * null, and the bytes stay invisible until their newline lands. */
+      private def skipRecord(): Boolean = {
+        var c = in.read()
+        while (c >= 0 && c != '\n') c = in.read()
+        c == '\n'
+      }
+
+      private def readRecord(): String = {
+        val buf = new java.io.ByteArrayOutputStream(96)
+        var c = in.read()
+        if (c < 0) return null
+        while (c >= 0 && c != '\n') { buf.write(c); c = in.read() }
+        if (c < 0) null // torn tail: unreachable via counted offsets
+        else {
+          val b = buf.toByteArray
+          // CRLF producer tolerance: one trailing '\r' is framing, not
+          // data; an INTERIOR '\r' is data (base64/ts parsing degrades
+          // such a corrupt frame to a tombstone downstream)
+          val n = if (b.nonEmpty && b(b.length - 1) == '\r') b.length - 1 else b.length
+          new String(b, 0, n, UTF_8)
+        }
+      }
 
       override def next(): Boolean = {
         if (pos >= ip.endLine) return false
-        line = reader.readLine()
-        if (line == null) return false // torn tail: unreachable via lineCount
+        line = readRecord()
+        if (line == null) return false // torn tail: unreachable via counted offsets
         pos += 1
         true
       }
@@ -305,7 +494,7 @@ class FileLogReaderFactory extends PartitionReaderFactory {
           0) // timestampType: CREATE_TIME, the connector's default
       }
 
-      override def close(): Unit = reader.close()
+      override def close(): Unit = in.close()
     }
   }
 }

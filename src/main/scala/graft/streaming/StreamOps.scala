@@ -462,6 +462,9 @@ object StreamOps {
     val committed = new java.io.File(dir, "_SUCCESS").isFile
     val keys = TextOps.batchBandKeys(batch).persist()
     try {
+      // eager (r14 lazy-persist sweep): dedupRejected's single action
+      // plans three distinct builds over this frame — materialize first
+      keys.count()
       val batchMin = TextOps.batchMinOf(keys)
       if (!committed) {
         val rejected = TextOps.dedupRejected(spark, indexPath, keys, batchMin)

@@ -13,7 +13,10 @@ import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
   * in a cold plan. This sweep walks every bench shape and fails on any
   * such pair — the fix is an EAGER materialization (localCheckpoint, or
   * an up-front count the operator needs anyway) before the consumers
-  * plan, never a lazy persist.
+  * plan, never a lazy persist. The production guard was widened in r15
+  * (r14 verdict task #3) to SHUFFLE builds as well — the q_semdedup
+  * 18.3× gate breach was the shuffle form of the same race — and the
+  * sweep below runs every bench shape through that widened predicate.
   *
   * Plans are built at sf0.001 (analysis only for most queries; eager
   * constructors hit their content-keyed caches). The pre-AQE sparkPlan
@@ -78,7 +81,7 @@ class BroadcastRaceLintSpec extends SparkSpec {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         graft.plans.BroadcastRaceGuard.check(df.queryExecution.executedPlan)
       } catch { case e: org.apache.spark.SparkException =>
-        offenders += s"$name: production broadcast-race guard fired: ${e.getMessage}"
+        offenders += s"$name: production cache-race guard fired: ${e.getMessage}"
       } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.catalog.clearCache()
     }
@@ -102,7 +105,7 @@ class BroadcastRaceLintSpec extends SparkSpec {
       val e = intercept[org.apache.spark.SparkException] {
         BroadcastRaceGuard.check(racy.queryExecution.executedPlan)
       }
-      assert(e.getMessage.contains("broadcast-race guard"), e.getMessage)
+      assert(e.getMessage.contains("cache-race guard"), e.getMessage)
       // IDENTICAL builds collapse to one exchange + ReusedExchange and
       // cannot race — the guard must not cry wolf on them
       val reused = cached
@@ -130,7 +133,7 @@ class BroadcastRaceLintSpec extends SparkSpec {
       val e2 = intercept[org.apache.spark.SparkException] {
         BroadcastRaceGuard.check(nestedRace.queryExecution.executedPlan)
       }
-      assert(e2.getMessage.contains("broadcast-race guard"), e2.getMessage)
+      assert(e2.getMessage.contains("cache-race guard"), e2.getMessage)
       // a STANDALONE sibling with an IDENTICAL copy nested inside an
       // outer build does not race either: ReuseExchange executes the
       // inner group once and the outer build awaits it. Enclosure must
@@ -154,6 +157,51 @@ class BroadcastRaceLintSpec extends SparkSpec {
     } finally {
       cached.unpersist()
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("guard positive control: distinct SHUFFLE builds over a lazy cache throw (the q_semdedup shape)") {
+    import graft.plans.BroadcastRaceGuard
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force shuffle joins so the race is the r14 q_semdedup mechanism:
+    // two DISTINCT shuffle builds over one not-yet-materialized cached
+    // frame, submitted concurrently. A bare identical self-join is NOT
+    // a race — its two sides canonicalize equal and ReuseExchange
+    // collapses them to one build — so, like q_semdedup (whose raw side
+    // shuffled on cluster while the report side shuffled on
+    // (cluster, vec_id)), the two builds here differ: a raw probe side
+    // and an aggregated side, both scanning the same lazy cache
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val cached = (1 to 100).map(i => (i % 7, i.toLong)).toDF("k", "v").persist()
+    try {
+      val racy = cached
+        .join(cached.groupBy("k").agg(max("v").as("m")), "k")
+      val plan = racy.queryExecution.executedPlan
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }.size >= 2, s"premise: the join must plan two distinct shuffle builds:\n$plan")
+      val e = intercept[org.apache.spark.SparkException] {
+        BroadcastRaceGuard.check(plan)
+      }
+      assert(e.getMessage.contains("cache-race guard"), e.getMessage)
+      // eager materialization is the documented fix: a loaded cache passes
+      cached.count()
+      BroadcastRaceGuard.check(racy.queryExecution.executedPlan)
+      // and the engine's own fixed q_semdedup shape plans NO in-memory
+      // scan at all (localCheckpoint → LogicalRDD leaf) — guard-clean
+      spark.catalog.clearCache()
+      val semdedup = SparkEntry.benchShapes("q_semdedup")(spark, sf)
+      BroadcastRaceGuard.check(semdedup.queryExecution.executedPlan)
+    } finally {
+      cached.unpersist()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
     }
   }
 

@@ -111,9 +111,15 @@ class DailyCrawlSpec extends SparkSpec {
   /** r13 verdict task #1: the SAME coupled loop, but as chained REAL
     * streaming queries — the reference's actual deployment shape (a
     * long-lived streaming job). The head query dedup-admits crawl
-    * deltas from a MemoryStream; the model and substring legs are
-    * DOWNSTREAM streams tailing the head's committed batch directories
-    * through a file source; the IVF leg indexes an embedding stream.
+    * deltas arriving as JSON payloads on the FILE-LOG transport (the
+    * offset-ranged Kafka twin, r14 verdict task #6 — the r14 pin
+    * covered the dedup sink alone; the full five-leg loop now heads on
+    * FileLog.stream through the SAME kafkaProject projection a real
+    * Kafka deployment uses, so a head restart resumes from checkpointed
+    * log offsets, not replayed driver memory); the model and substring
+    * legs are DOWNSTREAM streams tailing the head's committed batch
+    * directories through a file source; the IVF leg indexes an
+    * embedding stream.
     * Two checkpoint restarts happen MID-LOOP, while the other legs keep
     * folding — the composition failure mode the batch folds above
     * cannot exhibit (leg A restarts while leg B's state has moved on):
@@ -137,10 +143,14 @@ class DailyCrawlSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
     val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
     val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
-    val all = docs.select("doc_id", "lang", "text")
-      .as[(Long, String, String)].collect().sortBy(_._1)
-    val days = Seq(all.filter(_._1 < c1),
-      all.filter(t => t._1 >= c1 && t._1 < c2), all.filter(_._1 >= c2))
+    // crawl deltas as JSON payloads, rendered by the engine itself
+    // (escaping-safe) — the wire format the file-log head consumes
+    val payloads = docs
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("text"))).as("j"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val days = Seq(payloads.filter(_._1 < c1),
+      payloads.filter(t => t._1 >= c1 && t._1 < c2), payloads.filter(_._1 >= c2))
     val emb = Tables.embeddings(spark, sfDir)
     val vids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
     val (v1, v2) = (vids(vids.length / 3), vids(2 * vids.length / 3))
@@ -157,11 +167,28 @@ class DailyCrawlSpec extends SparkSpec {
     val modelPath = base + "/lm/model.parquet"
     val ivfIdx = base + "/ivf/postings.parquet"
 
-    // head: crawl deltas → dedup decisions committed per batch dir,
-    // band keys folded into the bucketed index
-    val crawl = MemoryStream[(Long, String, String)]
+    val admSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // head: crawl deltas arrive on the FILE-LOG transport (two log
+    // partitions, doc_id parity — the admission decision is
+    // partition-layout-agnostic), parsed by the kafka projection →
+    // dedup decisions committed per batch dir, band keys folded into
+    // the bucketed index
+    val crawlLog = base + "/crawl-log"
+    def appendDay(day: Array[(Long, String)]): Unit = {
+      graft.sources.FileLog.appendValues(crawlLog, 0,
+        day.filter(_._1 % 2 == 0).map(_._2).toSeq)
+      graft.sources.FileLog.appendValues(crawlLog, 1,
+        day.filter(_._1 % 2 == 1).map(_._2).toSeq)
+    }
     def startHead() = StreamOps.dedupIncrementSink(
-      crawl.toDF().toDF("doc_id", "lang", "text"),
+      graft.sources.StreamSource.kafkaProject(
+        graft.sources.FileLog.stream(spark, crawlLog), admSchema),
       dedupIdx, admittedOut, base + "/ckpt-dedup")
     // embeddings leg (first batch fits the quantizer: |day 1| ≥ Ivf.K)
     val vecIn = MemoryStream[(Long, Array[Float])]
@@ -170,13 +197,6 @@ class DailyCrawlSpec extends SparkSpec {
 
     // downstream legs tail the head's committed batch dirs as a file
     // source (the glob skips partition discovery; _SUCCESS is ignored)
-    val admSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("lang",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
     def admittedStream() =
       spark.readStream.schema(admSchema).parquet(admittedOut + "/batch_id=*")
     def startLm() = StreamOps.lmModelSink(
@@ -197,7 +217,7 @@ class DailyCrawlSpec extends SparkSpec {
     var subQ: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
       // ---- day 1: all legs live ----
-      crawl.addData(days(0).toSeq); head.processAllAvailable()
+      appendDay(days(0)); head.processAllAvailable()
       vecIn.addData(vdays(0).toSeq); ivfQ.processAllAvailable()
       lmQ = startLm(); subQ = startSub()
       lmQ.processAllAvailable(); subQ.processAllAvailable()
@@ -205,7 +225,7 @@ class DailyCrawlSpec extends SparkSpec {
 
       // ---- day 2: model leg DOWN for the whole day ----
       lmQ.stop()
-      crawl.addData(days(1).toSeq); head.processAllAvailable()
+      appendDay(days(1)); head.processAllAvailable()
       subQ.processAllAvailable()
       vecIn.addData(vdays(1).toSeq); ivfQ.processAllAvailable()
       // restart from its checkpoint: catches up on day-2 admitted files
@@ -216,7 +236,7 @@ class DailyCrawlSpec extends SparkSpec {
       // ---- day 3: HEAD restarts from its checkpoint ----
       head.stop()
       head = startHead()
-      crawl.addData(days(2).toSeq); head.processAllAvailable()
+      appendDay(days(2)); head.processAllAvailable()
       lmQ.processAllAvailable(); subQ.processAllAvailable()
       vecIn.addData(vdays(2).toSeq); ivfQ.processAllAvailable()
       maintainAll()

@@ -157,15 +157,16 @@ object HofLintSpec {
     "q_series_match" -> Map("zip_with" -> 1, "aggregate" -> 1),
     "q_ml_risk" -> Map("aggregate" -> 1, "filter" -> 3, "transform" -> 5),
     "q_pipeline" -> Map("filter" -> 1, "transform" -> 5),
-    // SIG — shingle/signature/band lambdas on the dedup family
-    "q_minhash_lsh" -> Map("zip_with" -> 6, "transform" -> 6),
+    // SIG — shingle/signature/band lambdas on the dedup family. The r15
+    // lazy-persist sweep made minhashPairsOver's band-key frame an EAGER
+    // localCheckpoint, so the signature-stage lambdas now execute at
+    // construction and leave the inspected final plans: the pure
+    // LSH-headed queries (q_minhash_lsh/q_leakage/q_edit_sim/q_jw/
+    // q_degree_dist) dropped to zero and left this list; containment/
+    // dedupCurve keep only their own verify-side shingle lambdas.
     "q_minhash_est" -> Map("zip_with" -> 1, "filter" -> 1),
-    "q_leakage" -> Map("zip_with" -> 6, "transform" -> 6),
-    "q_containment" -> Map("zip_with" -> 9, "transform" -> 9),
-    "q_dedup_curve" -> Map("zip_with" -> 9, "transform" -> 9),
-    "q_edit_sim" -> Map("zip_with" -> 6, "transform" -> 6),
-    "q_jw" -> Map("zip_with" -> 6, "transform" -> 6),
-    "q_degree_dist" -> Map("zip_with" -> 6, "transform" -> 6),
+    "q_containment" -> Map("zip_with" -> 3, "transform" -> 3),
+    "q_dedup_curve" -> Map("zip_with" -> 3, "transform" -> 3),
     "q_winnow" -> Map("zip_with" -> 6, "transform" -> 14),
     "q_signature" -> Map("array_sort" -> 1),
     "q_simhash" -> Map("transform" -> 1),

@@ -261,6 +261,100 @@ class StreamSourceSpec extends SparkSpec {
       s"first capped batch must take from both partitions: $first")
   }
 
+  test("filelog tailing is constant-cost: polls scan only the appended delta; restarts seek via the sidecar") {
+    // r14 verdict task #4: the first cut re-read the whole file per
+    // latestOffset() poll and per range seek — quadratic over a tailing
+    // query's life. Pin (a) per-poll scan cost ∝ appended bytes even as
+    // the log grows 10×, (b) a FRESH stream (restart) resolves a tail
+    // range to a sidecar seek base instead of byte 0, and (c) the seeked
+    // read returns exactly the right records.
+    import graft.sources.{FileLog, FileLogMicroBatchStream, FileLogInputPartition, FileLogOffset, FileLogReaderFactory}
+    val dir = java.nio.file.Files.createTempDirectory("graft-filelog-scale").toString + "/t"
+    def rec(i: Long) = s"payload-$i-${"x" * 40}" // ~50 B/record
+    val s1 = new FileLogMicroBatchStream(dir)
+    var produced = 0L
+    def appendN(n: Int): Long = { // returns appended byte size
+      val before = new java.io.File(dir, "p0.log").length()
+      FileLog.appendValues(dir, 0, (produced until produced + n).map(rec).toSeq)
+      produced += n
+      new java.io.File(dir, "p0.log").length() - before
+    }
+    // backlog poll: scans everything once
+    appendN(1000)
+    s1.latestOffset()
+    val afterBacklog = s1.scannedBytes.get()
+    // tail polls: each must cost ~the delta, not the (growing) file
+    var tailScanned = 0L; var tailAppended = 0L
+    for (_ <- 1 to 9) {
+      val before = s1.scannedBytes.get()
+      tailAppended += appendN(100)
+      assert(s1.latestOffset().asInstanceOf[FileLogOffset].counts(0) == produced)
+      tailScanned += s1.scannedBytes.get() - before
+    }
+    assert(tailScanned == tailAppended,
+      s"tail polls must scan exactly the appended bytes (got $tailScanned of $tailAppended; backlog was $afterBacklog)")
+    // restart: a FRESH stream resolves the live tail range from the
+    // sidecar — seek base at the last polled line, not 0 — and reading
+    // the range yields exactly the tail records
+    val s2 = new FileLogMicroBatchStream(dir)
+    appendN(10)
+    val parts = s2.planInputPartitions(
+      FileLogOffset(Map(0 -> (produced - 10))), FileLogOffset(Map(0 -> produced)))
+    val ip = parts.head.asInstanceOf[FileLogInputPartition]
+    assert(ip.baseByte > 0 && ip.baseLine == produced - 10,
+      s"restart must seek from the sidecar base, got (${ip.baseLine}, ${ip.baseByte})")
+    // the fresh stream's own first poll also starts from the sidecar
+    assert(s2.latestOffset().asInstanceOf[FileLogOffset].counts(0) == produced)
+    assert(s2.scannedBytes.get() <= 10 * 120,
+      s"fresh-stream poll over a sidecar'd log must scan only past the last index entry (${s2.scannedBytes.get()} B)")
+    val reader = new FileLogReaderFactory().createReader(ip)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    while (reader.next()) {
+      val r = reader.get()
+      got += ((r.getLong(4), new String(r.getBinary(1), java.nio.charset.StandardCharsets.UTF_8)))
+    }
+    reader.close()
+    assert(got.toSeq == (produced - 10 until produced).map(i => (i, rec(i))).toSeq,
+      s"seeked range must replay exactly its records: ${got.take(3)}...")
+  }
+
+  test("filelog line framing: '\\n' is the only record boundary — interior CR is data, CRLF tolerated") {
+    // r14 advice: lineCount counted '\n' bytes while the reader used
+    // BufferedReader.readLine (which also splits at a bare '\r') — a
+    // foreign producer emitting a stray CR desynchronized offsets from
+    // record indexes. Reader and counter now share one line definition.
+    import graft.sources.{FileLog, FileLogMicroBatchStream, FileLogInputPartition, FileLogOffset, FileLogReaderFactory}
+    import java.util.Base64
+    val dir = java.nio.file.Files.createTempDirectory("graft-filelog-cr").toString + "/t"
+    new java.io.File(dir).mkdirs()
+    def b64(s: String) = Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    // a FOREIGN producer writes three records; record 0's value field
+    // contains a raw interior '\r' (not valid base64 → degrades to a
+    // tombstone, never to a phantom extra record), record 1 ends CRLF
+    val raw = s"-\tAB\rCD\t111\n" + s"-\t${b64("crlf")}\t222\r\n" + s"-\t${b64("plain")}\t333\n"
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "p0.log"), true)
+    try out.write(raw.getBytes("UTF-8")) finally out.close()
+    val s = new FileLogMicroBatchStream(dir)
+    val end = s.latestOffset().asInstanceOf[FileLogOffset].counts(0)
+    assert(end == 3, s"three '\\n'-terminated records, counted $end")
+    val ip = s.planInputPartitions(FileLogOffset(Map(0 -> 0L)), FileLogOffset(Map(0 -> 3L)))
+      .head.asInstanceOf[FileLogInputPartition]
+    val reader = new FileLogReaderFactory().createReader(ip)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String], Long)]
+    while (reader.next()) {
+      val r = reader.get()
+      got += ((r.getLong(4),
+        Option(r.getBinary(1)).map(new String(_, "UTF-8")),
+        r.getLong(5)))
+    }
+    reader.close()
+    assert(got.toSeq == Seq(
+      (0L, None, 111000L),          // interior CR: one record, tombstoned value
+      (1L, Some("crlf"), 222000L),  // CRLF framing: trailing CR stripped
+      (2L, Some("plain"), 333000L)),
+      s"record framing drifted: $got")
+  }
+
   test("filelog transport drives the dedup-admission sink: swap-in source, same admissions") {
     // the scaladoc claim made concrete: sources are interchangeable
     // DataFrames, so the crawl head from DailyCrawlSpec runs unchanged

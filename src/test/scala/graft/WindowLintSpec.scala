@@ -39,7 +39,10 @@ class WindowLintSpec extends SparkSpec {
     "q_bootstrap" -> "resample-summary frame (one row per bootstrap replicate)",
     "q_emd" -> "cumulative distribution over the aggregated value domain",
     "q_interleave" -> "bucket-offset scan + source-quintile ntile (dimension frames)",
-    "q_join_outer_replay" -> "arrival-day block maxima (calendar-bounded, q_auc recipe)",
+    // q_join_outer_replay's calendar-bounded block maxima left this list
+    // in r15: the watermark frame became an EAGER localCheckpoint (the
+    // lazy-persist sweep), so its windows execute at construction and no
+    // unpartitioned Window remains in the inspected plan
     "q_km" -> "Kaplan-Meier fold over the aggregated event-time grid",
     "q_ks" -> "cumulative distribution over the aggregated value domain",
     "q_session_replay" -> "arrival-day block maxima (calendar-bounded, q_auc recipe)",
