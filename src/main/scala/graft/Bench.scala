@@ -103,7 +103,9 @@ object Bench {
       "q_xcorr", "q_moments", "q_pq_topk", "q_lm_score",
       // r14 re-based rows (q_split-precedent): sample spreads 1.3-4.3×
       // within one run — medians of 5+ keep the new rows honest
-      "q_dedup_curve", "q_ngram")
+      "q_dedup_curve", "q_ngram",
+      // r15 re-base (same precedent): 1.07-1.50 spread across 12 runs
+      "q_containment")
 
   private[graft] def medianOf(xs: Seq[Double]): Double = {
     val s = xs.sorted
