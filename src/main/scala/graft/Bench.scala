@@ -248,7 +248,7 @@ object Bench {
     // q_pq_topk's first sample absorbing a 33.9 s codebook fit that the
     // median then has to discard).
     for (q <- Seq("q_lm_delta", "q_ivf_delta", "q_pq_topk", "q_ivf_topk",
-                  "q_strip_delta")
+                  "q_strip_delta", "q_semdedup_delta")
          if names.contains(q))
       try { SparkEntry.benchShapes(q)(spark, sfDir).write
         .format("noop").mode("overwrite").save(); spark.catalog.clearCache() }

@@ -157,6 +157,7 @@ object SparkEntry {
     "q_embed_neardup" -> (VectorOps.embedNearDup _),
     "q_kmeans_assign" -> (VectorOps.kmeansAssign _),
     "q_semdedup" -> (VectorOps.semDedup _),
+    "q_semdedup_delta" -> (VectorOps.semDedupDeltaQuery _),
     "q_hard_negatives" -> (VectorOps.hardNegatives _),
     "q_outlier_embed" -> (VectorOps.semanticOutliers _),
     "q_str" -> (TextOps.strFunctions _),
@@ -286,6 +287,7 @@ object SparkEntry {
       "q_gopher_rules" -> (TextOps.gopherRulesCore _),
       "q_chunk_overlap" -> (TextOps.chunkOverlapCore _),
       "q_semdedup" -> (VectorOps.semDedupCore _),
+      "q_semdedup_delta" -> (VectorOps.semDedupDeltaCore _),
       "q_attr_replay" -> (Relational.attrReplayCore _),
       "q_funnel_replay" -> (Relational.funnelReplayCore _),
       "q_join_outer_replay" -> (Relational.joinOuterReplayCore _),
@@ -2901,6 +2903,55 @@ object SparkEntry {
         |  dup.dup_of, dup.max_cos
         |FROM a LEFT JOIN dup ON dup.cluster = a.cluster AND dup.vec_id = a.vec_id
         |ORDER BY a.vec_id""".stripMargin,
+    // q_semdedup_delta: incremental SemDeDup — frozen geometry from the
+    // 8 smallest EVEN vec_ids (the even-docs index's first batch); an
+    // odd vector is rejected iff any even vector, or any smaller odd
+    // vector, in its cluster reaches cosine 0.3. Same sequential
+    // dimension folds as q_semdedup, bit-identical doubles.
+    "q_semdedup_delta" ->
+      """WITH c AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8
+        |), d AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE)))) AS dist2
+        |  FROM embeddings e CROSS JOIN c
+        |), r AS (
+        |  SELECT vec_id, c_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rk
+        |  FROM d
+        |), a AS (
+        |  SELECT e.vec_id, r.c_id AS cluster, e.embedding
+        |  FROM embeddings e JOIN r ON r.vec_id = e.vec_id AND r.rk = 1
+        |), p AS (
+        |  SELECT * FROM a WHERE vec_id % 2 = 1
+        |), dup AS (
+        |  SELECT p.vec_id,
+        |    min(m.vec_id) AS dup_of,
+        |    round(max(
+        |      list_sum(list_transform(range(1,65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(m.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1,65),
+        |          i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1,65),
+        |          i -> CAST(m.embedding[i] AS DOUBLE) * CAST(m.embedding[i] AS DOUBLE)))))
+        |    ), 4) + 0.0 AS max_cos
+        |  FROM p JOIN a m ON p.cluster = m.cluster
+        |    AND (m.vec_id % 2 = 0 OR m.vec_id < p.vec_id)
+        |  WHERE list_sum(list_transform(range(1,65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(m.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1,65),
+        |          i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1,65),
+        |          i -> CAST(m.embedding[i] AS DOUBLE) * CAST(m.embedding[i] AS DOUBLE))))) >= 0.3
+        |  GROUP BY p.vec_id
+        |)
+        |SELECT p.vec_id, p.cluster, dup.dup_of IS NULL AS admitted,
+        |  dup.dup_of, dup.max_cos
+        |FROM p LEFT JOIN dup ON dup.vec_id = p.vec_id
+        |ORDER BY p.vec_id""".stripMargin,
     "q_outlier_embed" ->
       // anchor = min-vec_id member per label (deterministic pick, no
       // float-mean); sequential dimension fold as in q_kmeans_assign

@@ -137,9 +137,16 @@ object VectorOps {
     * argmin with c_id tie-break) — the shared clustering step of
     * [[kmeansAssign]] (reports it) and [[semDedup]] (bounds its pairwise
     * compare with it). Returns (vec_id, cluster, dist2, embedding). */
-  private def seedAssign(e: DataFrame): DataFrame = {
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+  private def seedAssign(e: DataFrame): DataFrame =
+    assignTo(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), e)
+
+  /** Nearest-centroid assignment of `e` against an explicit (c_id,
+    * c_emb) centroid frame — [[seedAssign]]'s arithmetic with the
+    * centroid choice factored out, so [[semDedupIncrement]] can assign
+    * deltas against its FROZEN stored centers with bit-identical
+    * geometry. Returns (vec_id, cluster, dist2, embedding). */
+  private def assignTo(cents: DataFrame, e: DataFrame): DataFrame = {
     // argmin as min(struct(dist2, c_id, …)): struct ordering compares
     // dist2 first, then c_id — exactly the row_number-over-window
     // (orderBy dist2, c_id) pick, but as an AGGREGATE, so the partial min
@@ -396,5 +403,256 @@ object VectorOps {
       .filter(col("rank") <= 10)
       .select(col("probe_id"), col("rank"), col("cand_id"))
       .orderBy("probe_id", "rank")
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental semantic dedup — SemDeDup on crawl deltas (r15)
+  //
+  // A 100 TB training corpus is not semantically deduplicated once:
+  // embedding deltas arrive with every crawl, and re-running the
+  // within-cluster quadratic over the world per delta re-pays the whole
+  // corpus. The persisted index is a [[graft.sources.BucketedState]]
+  // vector table CLUSTERED BY cluster — the same append-only bucketed
+  // discipline as the MinHash band index and the IVF posting table —
+  // plus a sidecar parquet of the FROZEN assignment centroids. The
+  // geometry freezes on the first batch (the [[seedAssign]] rule, made
+  // incremental: the batch's 8 smallest vec_ids — deterministic, so
+  // unlike the IVF quantizer the whole path stays oracle-expressible);
+  // later deltas assign against the stored centers — a broadcast
+  // argmin — and compare ONLY within their cluster against the stored
+  // vectors plus their own smaller-id batch mates, exactly the
+  // keep-first admission [[TextOps.dedupIncrement]] applies at band
+  // grain. ALL batch vectors fold (novel-only), admitted or not — the
+  // dedupIncrement contract that makes increments compose: a later
+  // vector duplicating a REJECTED earlier one is still a duplicate.
+  //
+  // Write order on first contact: centers FIRST, then the index (the
+  // IVF crash-convergence argument — a crash between the two leaves
+  // centers without vectors, and the next append assigns with the
+  // stored centers and re-appends, converging; the reverse order could
+  // strand vectors assigned under a LOST geometry). SINGLE-WRITER per
+  // indexPath, like every state path here.
+  // ------------------------------------------------------------------
+
+  /** Cosine threshold of the dedup decision — [[semDedup]]'s τ. */
+  private[graft] val SemDedupTau = 0.3
+
+  /** Frozen-geometry seed count — [[seedAssign]]'s 8. */
+  private[graft] val SemDedupSeedK = 8
+
+  /** Bucket count of the index layout — fixed at creation; production
+    * sizes this near the cluster's shuffle-partition count. */
+  private[graft] val SemDedupIndexBuckets = 16
+
+  private[graft] def semDedupIndexState(indexPath: String): graft.sources.BucketedState =
+    graft.sources.BucketedState(indexPath, "graft_semdedup_idx_",
+      "cluster BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>",
+      Seq("cluster"), SemDedupIndexBuckets)
+
+  private def semDedupCentroidsPath(indexPath: String): String =
+    indexPath + ".centroids"
+
+  private def readSemDedupCenters(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.schema("c_id BIGINT, c_emb ARRAY<FLOAT>")
+      .parquet(semDedupCentroidsPath(indexPath))
+
+  /** Fold one delta of (vec_id, embedding) vectors into the persisted
+    * semantic-dedup index and return the batch's ADMISSION REPORT —
+    * (vec_id, cluster, admitted, dup_of, max_cos), delta-cardinality,
+    * ordered by vec_id. A vector is rejected iff some stored vector or
+    * smaller-id batch mate in its (frozen-geometry) cluster has cosine
+    * ≥ τ; dup_of is the smallest such mate, max_cos the strongest
+    * qualifying similarity (4 dp). First contact freezes the centroids
+    * from the batch (its [[SemDedupSeedK]] smallest vec_ids); every
+    * later call is a broadcast argmin against the stored centers.
+    *
+    * Contracts, mirrored from [[TextOps.dedupIncrement]]: the decision
+    * is computed and MATERIALIZED against the pre-fold index before the
+    * fold appends (decide-then-fold); ALL batch vectors fold, novel
+    * (cluster, vec_id) rows only, so replaying a folded batch through
+    * this RAW api rejects everything (each vector meets itself at
+    * cosine 1) and appends nothing — the streaming face
+    * ([[graft.streaming.StreamOps.semDedupIncrementSink]]) is the
+    * replay-safe entry that keeps committed decisions verbatim.
+    *
+    * Scale shape: centers broadcast (k is dimension-table-sized at any
+    * corpus scale); the probe joins on the index's bucket key, so the
+    * corpus-sized stored side never re-shuffles — only the delta moves;
+    * the quadratic is per-cluster (SemDeDup's trade), never corpus-wide. */
+  def semDedupIncrement(spark: SparkSession, indexPath: String,
+                        vecs: DataFrame): DataFrame = {
+    val centers = ensureSemDedupCenters(spark, indexPath, vecs)
+    val (report, assigned) = semDedupDecide(spark, indexPath, centers, vecs)
+    semDedupFoldAssigned(spark, indexPath, assigned)
+    report.orderBy("vec_id")
+  }
+
+  /** The frozen geometry for indexPath, freezing it from `firstBatch`'s
+    * [[SemDedupSeedK]] smallest vec_ids on first contact (an EMPTY first
+    * batch freezes nothing — the next non-empty batch does; a streaming
+    * head's empty batch 0 must not ruin the geometry forever). Centers
+    * write BEFORE any index append, the IVF crash-convergence order. */
+  private[graft] def ensureSemDedupCenters(spark: SparkSession, indexPath: String,
+                                           firstBatch: DataFrame): DataFrame = {
+    val cdir = new java.io.File(semDedupCentroidsPath(indexPath))
+    if (!cdir.exists()) {
+      val seeds = firstBatch.orderBy("vec_id").limit(SemDedupSeedK)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .localCheckpoint(true)
+      if (seeds.isEmpty)
+        return seeds // empty batch before first freeze: decide over nothing
+      seeds.coalesce(1).write.parquet(semDedupCentroidsPath(indexPath))
+    }
+    readSemDedupCenters(spark, indexPath)
+  }
+
+  /** Fold one EAGER assignment frame (cluster, vec_id, embedding) into
+    * the index — novel rows only, so replays append exactly what a
+    * crashed fold missed and nothing else. */
+  private[graft] def semDedupFoldAssigned(spark: SparkSession, indexPath: String,
+                                          assigned: DataFrame): Unit = {
+    val st = semDedupIndexState(indexPath)
+    val novel = st.ensure(spark) match {
+      case Some(t) => assigned.join(
+        spark.table(t).select("cluster", "vec_id"),
+        Seq("cluster", "vec_id"), "left_anti")
+      case None => assigned
+    }
+    st.append(spark, novel.select("cluster", "vec_id", "embedding"))
+  }
+
+  /** [[assignTo]] with the incremental family's projection and eager
+    * materialization — shared by the decide path and the streaming
+    * sink's replay-fold branch. */
+  private[graft] def semDedupAssign(centers: DataFrame, vecs: DataFrame): DataFrame =
+    assignTo(centers, vecs)
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+      .localCheckpoint(true)
+
+  /** The admission decision of one delta against the CURRENT index,
+    * MATERIALIZED (decide-then-fold: [[semDedupIncrement]] consumes the
+    * report after its fold, so it must reflect the pre-fold index).
+    * Returns (report, eager assignment frame) — the latter so the fold
+    * can reuse the one k·|delta| distance sweep. */
+  private[graft] def semDedupDecide(spark: SparkSession, indexPath: String,
+                                    centers: DataFrame,
+                                    vecs: DataFrame): (DataFrame, DataFrame) = {
+    // EAGER (this round's cache-race rule): the assignment feeds the
+    // batch self-join's two sides, the index probe, the report and the
+    // caller's fold — materialize the distance sweep exactly once
+    val assigned = semDedupAssign(centers, vecs)
+    val stored = semDedupIndexState(indexPath).ensure(spark) match {
+      case Some(t) => spark.table(t)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+    }
+    // rejecting mates: every stored same-cluster vector over τ, plus
+    // every smaller-id same-cluster batch mate over τ — one unioned
+    // (vec_id, mate, cos) stream folded to (dup_of = min mate,
+    // max_cos = max). The index side joins on its bucket key, so the
+    // corpus-sized stored side never re-shuffles.
+    val vsIndex = assigned
+      .join(stored.select(col("cluster"), col("vec_id").as("mate"),
+        col("embedding").as("m_emb")), Seq("cluster"))
+      .withColumn("cos", cosineSim(col("embedding"), col("m_emb")))
+    val vsBatch = assigned
+      .join(assigned.select(col("cluster"), col("vec_id").as("mate"),
+        col("embedding").as("m_emb")), Seq("cluster"))
+      .filter(col("mate") < col("vec_id"))
+      .withColumn("cos", cosineSim(col("embedding"), col("m_emb")))
+    val rejected = vsIndex.unionByName(vsBatch)
+      .filter(col("cos") >= SemDedupTau)
+      .groupBy("vec_id")
+      .agg(min("mate").as("dup_of"), round(max("cos"), 4).as("max_cos"))
+    val report = assigned.select("vec_id", "cluster")
+      .join(rejected, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNull.as("admitted"), col("dup_of"), col("max_cos"))
+      .localCheckpoint(true)
+    (report, assigned)
+  }
+
+  /** Probe-only admission report of a delta against the CURRENT index —
+    * [[semDedupIncrement]]'s decision without the fold, so repeats never
+    * mutate state (the [[TextOps.substringStrip]] discipline). Requires
+    * the frozen geometry to exist: first contact belongs to the folding
+    * verb. */
+  def semDedupAdmissions(spark: SparkSession, indexPath: String,
+                         vecs: DataFrame): DataFrame = {
+    require(new java.io.File(semDedupCentroidsPath(indexPath)).exists(),
+      s"no frozen semantic-dedup geometry at $indexPath — fold a first " +
+        "batch via semDedupIncrement")
+    semDedupDecide(spark, indexPath,
+      readSemDedupCenters(spark, indexPath), vecs)._1.orderBy("vec_id")
+  }
+
+  /** Policy-driven maintenance of the vector index — the shared
+    * [[graft.sources.BucketedState.maintain]] knob. Rows are unique by
+    * construction (novel-only appends), so the merge is identity —
+    * pure file-count compaction. Returns whether a rewrite ran. */
+  def maintainSemDedupIndex(spark: SparkSession, indexPath: String,
+                            maxFileSetsPerBucket: Int =
+                              graft.sources.BucketedState.DefaultMaxFileSetsPerBucket): Boolean =
+    semDedupIndexState(indexPath).maintain(spark, maxFileSetsPerBucket)(identity)
+
+  /** q_semdedup_delta: [[semDedupIncrement]] as a benched,
+    * oracle-checked SparkEntry shape — a persisted vector index of the
+    * EVEN vec_ids (built once per fixture content signature, the
+    * q_strip_delta lifecycle; geometry frozen on the 8 smallest even
+    * ids), probed by the ODD vec_ids as one frozen-index delta.
+    * Keep-first over a deterministic split is exactly expressible in
+    * SQL (an odd vector is rejected iff any even vector, or any smaller
+    * odd vector, in its cluster reaches τ), and the cosine/argmin
+    * arithmetic folds sequentially on both engines (the q_semdedup
+    * precedent), so unlike the MLlib-seeded IVF leg this one is
+    * hash-checked end to end. Probe-only ([[semDedupAdmissions]]):
+    * repeats never mutate the index; the fold path is pinned by
+    * IncrementalSemDedupSpec, the q_dedup_admit division of labor. */
+  def semDedupDeltaQuery(spark: SparkSession, dir: String): DataFrame =
+    semDedupDeltaUnsorted(spark, dir).orderBy("vec_id")
+
+  /** Bench shape: delta-cardinality report, global sort verify-only. */
+  def semDedupDeltaCore(spark: SparkSession, dir: String): DataFrame =
+    semDedupDeltaUnsorted(spark, dir).sortWithinPartitions("vec_id")
+
+  private def semDedupDeltaUnsorted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val odds = e.filter(pmod(col("vec_id"), lit(2L)) === 1)
+    if (e.filter(pmod(col("vec_id"), lit(2L)) === 0).isEmpty) {
+      // degenerate fixture (no index side — the empty/one-row sweeps):
+      // the frozen-index delta question collapses to a FIRST-BATCH
+      // decision — geometry from the delta's own seeds, batch-mate rule
+      // only, nothing frozen, folded or written (still probe-only)
+      val centers = odds.orderBy("vec_id").limit(SemDedupSeedK)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      semDedupDecide(spark,
+        TextOps.fixtureStatePath("graft_semdedup_delta", dir, "embeddings"),
+        centers, odds)._1
+    } else {
+      // the admissions face minus its verify-only global sort (the
+      // callers above add or skip it — the scrubCore policy)
+      val idx = semDedupDeltaIndex(spark, dir)
+      semDedupDecide(spark, idx, readSemDedupCenters(spark, idx), odds)._1
+    }
+  }
+
+  /** The even-vectors index under q_semdedup_delta, built once per
+    * fixture content signature (geometry frozen on the 8 smallest even
+    * vec_ids). */
+  private def semDedupDeltaIndex(spark: SparkSession, dir: String): String = {
+    val indexPath = TextOps.fixtureStatePath("graft_semdedup_delta", dir, "embeddings")
+    if (semDedupIndexState(indexPath).ensure(spark).isEmpty)
+      semDedupIncrement(spark, indexPath,
+        Tables.embeddings(spark, dir)
+          .filter(pmod(col("vec_id"), lit(2L)) === 0)).count()
+    indexPath
   }
 }

@@ -537,6 +537,59 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming face of the incremental semantic dedup loop
+    * ([[graft.operators.VectorOps.semDedupIncrement]]): a stream of
+    * (vec_id, embedding) crawl deltas is SemDeDup-admitted against the
+    * persisted frozen-geometry vector index per micro-batch — ADMITTED
+    * vectors land under `outPath/batch_id=<id>/`, every batch's
+    * assignments fold into the bucketed index at `indexPath`.
+    * Exactly-once admissions under replay by ORDER, not by luck (the
+    * dedupIncrementSink discipline): decisions are computed against the
+    * PRE-fold index and committed to the batch directory FIRST, the
+    * fold runs second.
+    *  - crash before the output commit: the index is untouched, so the
+    *    replay recomputes the identical decision set;
+    *  - crash after the commit: the replay sees the committed batch
+    *    dir, keeps it verbatim, and re-runs only the fold — novel-only
+    *    appends land exactly what the crashed fold missed.
+    * The raw verb rejects a REPLAYED vector against its own stored copy
+    * (cosine 1); this sink is the replay-safe entry precisely because
+    * committed decisions are never recomputed. */
+  def semDedupIncrementSink(vectors: DataFrame, indexPath: String, outPath: String,
+                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        semDedupIncrementSinkBatch(batch.toDF(), indexPath, outPath, id)
+      }
+      .start()
+
+  /** One micro-batch of [[semDedupIncrementSink]] (visible so the replay
+    * contract is directly testable — the jdbcSinkBatch precedent). */
+  private[graft] def semDedupIncrementSinkBatch(batch: DataFrame, indexPath: String,
+                                                outPath: String, batchId: Long): Unit = {
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    val dir = new java.io.File(s"$outPath/batch_id=$batchId")
+    val committed = new java.io.File(dir, "_SUCCESS").isFile
+    val centers = VectorOps.ensureSemDedupCenters(spark, indexPath, batch)
+    if (!committed) {
+      val (report, assigned) =
+        VectorOps.semDedupDecide(spark, indexPath, centers, batch)
+      batch.join(report.filter(!col("admitted")).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(dir.getPath) // _SUCCESS = commit
+      // fold AFTER the decision commit — idempotent (novel rows only)
+      VectorOps.semDedupFoldAssigned(spark, indexPath, assigned)
+    } else {
+      // replay of a committed batch: decisions kept verbatim, fold only
+      VectorOps.semDedupFoldAssigned(spark, indexPath,
+        VectorOps.semDedupAssign(centers, batch))
+    }
+  }
+
   /** Streaming face of the incremental unigram corpus model
     * ([[graft.operators.TextOps.lmModelAppend]]): a stream of
     * (doc_id, text) crawl deltas folds its token-count partials into

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ivf, TextOps}
+import graft.operators.{Ivf, TextOps, VectorOps}
 import org.apache.spark.sql.functions._
 
 /** The daily-crawl loop END-TO-END: three day-slices of the fixture run
@@ -194,6 +194,13 @@ class DailyCrawlSpec extends SparkSpec {
     val vecIn = MemoryStream[(Long, Array[Float])]
     val ivfQ = StreamOps.ivfAppendSink(
       vecIn.toDF().toDF("vec_id", "embedding"), ivfIdx, base + "/ckpt-ivf")
+    // semantic-dedup leg (r15): the SAME embedding stream also drives
+    // the frozen-geometry SemDeDup admission sink — the sixth leg
+    val semIdx = base + "/semdedup/index.parquet"
+    val semOut = base + "/sem-admitted"
+    val semIn = MemoryStream[(Long, Array[Float])]
+    val semQ = StreamOps.semDedupIncrementSink(
+      semIn.toDF().toDF("vec_id", "embedding"), semIdx, semOut, base + "/ckpt-sem")
 
     // downstream legs tail the head's committed batch dirs as a file
     // source (the glob skips partition discovery; _SUCCESS is ignored)
@@ -210,6 +217,7 @@ class DailyCrawlSpec extends SparkSpec {
       TextOps.maintainLmModel(spark, modelPath, maxFileSetsPerBucket = 1)
       TextOps.maintainSubstringIndex(spark, substrIdx, maxFileSetsPerBucket = 1)
       Ivf.maintainIvfIndex(spark, ivfIdx, maxFileSetsPerBucket = 1)
+      VectorOps.maintainSemDedupIndex(spark, semIdx, maxFileSetsPerBucket = 1)
     }
 
     var head = startHead()
@@ -219,6 +227,7 @@ class DailyCrawlSpec extends SparkSpec {
       // ---- day 1: all legs live ----
       appendDay(days(0)); head.processAllAvailable()
       vecIn.addData(vdays(0).toSeq); ivfQ.processAllAvailable()
+      semIn.addData(vdays(0).toSeq); semQ.processAllAvailable()
       lmQ = startLm(); subQ = startSub()
       lmQ.processAllAvailable(); subQ.processAllAvailable()
       maintainAll() // compaction between triggers, queries still live
@@ -228,6 +237,7 @@ class DailyCrawlSpec extends SparkSpec {
       appendDay(days(1)); head.processAllAvailable()
       subQ.processAllAvailable()
       vecIn.addData(vdays(1).toSeq); ivfQ.processAllAvailable()
+      semIn.addData(vdays(1).toSeq); semQ.processAllAvailable()
       // restart from its checkpoint: catches up on day-2 admitted files
       // without refolding day 1
       lmQ = startLm(); lmQ.processAllAvailable()
@@ -239,9 +249,10 @@ class DailyCrawlSpec extends SparkSpec {
       appendDay(days(2)); head.processAllAvailable()
       lmQ.processAllAvailable(); subQ.processAllAvailable()
       vecIn.addData(vdays(2).toSeq); ivfQ.processAllAvailable()
+      semIn.addData(vdays(2).toSeq); semQ.processAllAvailable()
       maintainAll()
     } finally {
-      Seq(Option(head), Option(lmQ), Option(subQ), Option(ivfQ)).flatten
+      Seq(Option(head), Option(lmQ), Option(subQ), Option(ivfQ), Option(semQ)).flatten
         .foreach(q => if (q.isActive) q.stop())
     }
 
@@ -305,6 +316,16 @@ class DailyCrawlSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
       .sortBy(_._1).toSeq
     assert(streamedBuckets == refBuckets)
+
+    // semantic-dedup leg: the three-day streamed admissions equal the
+    // one-shot SemDeDup increment over the whole embedding corpus
+    val semStreamed = spark.read.parquet(semOut + "/batch_id=*")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val semOneShot = VectorOps.semDedupIncrement(spark,
+        tmp("crawl-ssem-ref") + "/index.parquet", emb.select("vec_id", "embedding"))
+      .filter(col("admitted")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(semStreamed == semOneShot && semStreamed.nonEmpty)
 
     // ivf leg: the streamed index answers searches exactly like a
     // two-append reference sharing the same day-1 quantizer fit
