@@ -454,10 +454,15 @@ object Bench {
     // A verdict that persists after re-measurement is recorded with its
     // reason in the audit (a genuine regression must surface, not loop
     // forever).
+    // (name, expected QUIET re-measure seconds): the estimate must not
+    // come from the contaminated median itself — an 18x-breached row
+    // would estimate 18x the real cost and talk itself out of exactly
+    // the verification it most needs (r15 review); a quiet re-run of a
+    // breached query costs about its baseline, 2x at the gate boundary
     def breachedOf(rs: Seq[Res]): Seq[(String, Double)] =
       rs.flatMap { case (name, med, _, _) =>
         for (m <- med; b <- baseline.get(name) if b > 0 && m / b >= 2.0)
-          yield (name, m)
+          yield (name, math.min(m, b * 2))
       }.sortBy(_._1)
     var breachReruns = 0
     var done = false
@@ -489,7 +494,8 @@ object Bench {
       var rerunning = true
       while (rerunning) {
         val breached = breachedOf(resultsNow())
-        // cost estimate: current medians × passes × slack + one settle
+        // cost estimate: expected quiet per-query cost × passes × slack
+        // + one settle bound
         val est = breached.map(_._2).sum * watchRepeats * 1.5 + 95.0
         if (breached.nonEmpty && breachReruns < 2 &&
             elapsedSecs() + est < budgetSecs) {
@@ -505,10 +511,16 @@ object Bench {
           while (rp < watchRepeats && elapsedSecs() < budgetSecs) {
             pass(qs); rp += 1
           }
-          // a re-measure the budget cut to ZERO fresh samples must not
-          // erase the original (breached) evidence — restore it
+          // a re-measure with zero SUCCESSFUL fresh samples (budget-cut
+          // to nothing, or every fresh repeat errored) must not erase
+          // the original breached evidence — keep the old samples, with
+          // any fresh errors appended so flakiness stays visible
           samples.synchronized {
-            qs.foreach(q => if (samples(q).isEmpty) samples(q) = olds(q)) }
+            qs.foreach { q =>
+              if (!samples(q).exists(_._2.isEmpty))
+                samples(q) = olds(q) ++ samples(q)
+            }
+          }
           rerunLog.synchronized {
             rerunLog ++= qs.map { q =>
               val nw = samples.synchronized { samples(q) }

@@ -193,9 +193,15 @@ object Ivf {
     import spark.implicits._
     val st = postingState(indexPath)
     val cdir = new java.io.File(centroidsPath(indexPath))
+    // COMMIT marker, not directory existence (r15 review, the semdedup
+    // twin): a crash DURING the centers write leaves a dir holding only
+    // _temporary — treating it as a frozen quantizer would read EMPTY
+    // centers forever. Uncommitted leftovers are deleted and the fit
+    // re-runs, converging like a crash before the write.
     val centers: DataFrame =
-      if (cdir.exists()) readCenters(spark, indexPath)
+      if (new java.io.File(cdir, "_SUCCESS").isFile) readCenters(spark, indexPath)
       else {
+        if (cdir.exists()) graft.sources.Writers.deleteRecursively(cdir)
         val emb = Pq.normalized(vectors)
           .withColumn("features", array_to_vector(col("nemb")))
         val n = emb.count()

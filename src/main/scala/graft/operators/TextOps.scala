@@ -923,12 +923,26 @@ object TextOps {
       if (marker.exists())
         concurrent(s"${if (tombRaw.nonEmpty) tombRaw else "unknown"} " +
           s"(displaced live claim preserved at ${tomb.getName}) and a newer claimer")
-      try java.nio.file.Files.move(tomb.toPath, marker.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // restore failed or raced yet another claim: keep the tomb — a
-        // preserved-on-disk claim beats a silently dropped one
-        case _: java.io.IOException => ()
+      // restore by atomic NO-REPLACE link first (fails rather than
+      // destroy a third claim that raced in after the check above); on
+      // link-less filesystems fall back to an atomic move — rename may
+      // replace, but only within the microsecond window the exists()
+      // check leaves open (r15 review: the move-only form re-widened
+      // the TOCTOU the original link restore closed)
+      try {
+        java.nio.file.Files.createLink(marker.toPath, tomb.toPath)
+        tomb.delete()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          () // third claimer mid-restore: keep the tomb for diagnosis
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          try java.nio.file.Files.move(tomb.toPath, marker.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // restore failed: keep the tomb — a preserved-on-disk claim
+            // beats a silently dropped one
+            case _: java.io.IOException => ()
+          }
       }
       concurrent(if (tombRaw.nonEmpty) tombRaw else "unknown")
     }

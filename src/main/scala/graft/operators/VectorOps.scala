@@ -495,7 +495,14 @@ object VectorOps {
   private[graft] def ensureSemDedupCenters(spark: SparkSession, indexPath: String,
                                            firstBatch: DataFrame): DataFrame = {
     val cdir = new java.io.File(semDedupCentroidsPath(indexPath))
-    if (!cdir.exists()) {
+    // COMMIT marker, not directory existence (r15 review): a crash DURING
+    // the centroid write leaves a dir holding only _temporary — treating
+    // that as frozen geometry would read EMPTY centers forever, silently
+    // admitting everything. Only _SUCCESS means frozen; any uncommitted
+    // leftover is deleted and the freeze re-runs (converging, same as a
+    // crash before the write).
+    if (!new java.io.File(cdir, "_SUCCESS").isFile) {
+      if (cdir.exists()) graft.sources.Writers.deleteRecursively(cdir)
       val seeds = firstBatch.orderBy("vec_id").limit(SemDedupSeedK)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
         .localCheckpoint(true)
@@ -587,7 +594,8 @@ object VectorOps {
     * verb. */
   def semDedupAdmissions(spark: SparkSession, indexPath: String,
                          vecs: DataFrame): DataFrame = {
-    require(new java.io.File(semDedupCentroidsPath(indexPath)).exists(),
+    require(new java.io.File(
+        new java.io.File(semDedupCentroidsPath(indexPath)), "_SUCCESS").isFile,
       s"no frozen semantic-dedup geometry at $indexPath — fold a first " +
         "batch via semDedupIncrement")
     semDedupDecide(spark, indexPath,
@@ -628,10 +636,13 @@ object VectorOps {
     val odds = e.filter(pmod(col("vec_id"), lit(2L)) === 1)
     if (e.filter(pmod(col("vec_id"), lit(2L)) === 0).isEmpty) {
       // degenerate fixture (no index side — the empty/one-row sweeps):
-      // the frozen-index delta question collapses to a FIRST-BATCH
-      // decision — geometry from the delta's own seeds, batch-mate rule
-      // only, nothing frozen, folded or written (still probe-only)
-      val centers = odds.orderBy("vec_id").limit(SemDedupSeedK)
+      // with no evens there is no geometry to freeze, and the query's
+      // SQL twin (centroids FROM ... vec_id % 2 = 0) yields ZERO rows —
+      // return the same empty report, keeping the query ≡ its oracle on
+      // EVERY input (r15 review: a delta-side fallback geometry here
+      // would diverge from the registered SQL). First-batch geometry
+      // belongs to the VERB (semDedupIncrement), not this probe.
+      val centers = odds.limit(0)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       semDedupDecide(spark,
         TextOps.fixtureStatePath("graft_semdedup_delta", dir, "embeddings"),

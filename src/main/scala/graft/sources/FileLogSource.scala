@@ -145,6 +145,14 @@ object FileLog {
   private[sources] def sidecarOf(log: File): File =
     new File(log.getParentFile, log.getName + ".idx")
 
+  /** Minimum byte advance between two index entries — Kafka's
+    * `index.interval.bytes` default. Bounds the sidecar (and the
+    * in-memory index) to one entry per 4 KiB of log instead of one per
+    * poll: a seek lands at most one interval before its target, while a
+    * per-poll index on a ~1 poll/s tailing query would grow by ~86k
+    * entries a day forever (r15 review). */
+  private[graft] val IndexIntervalBytes = 4096L
+
   /** Load the byte-index sidecar of `log`: (lineOffset → bytePos),
     * validated against the LIVE file — entries past the current length,
     * non-monotone entries, and torn/garbled lines are dropped (a
@@ -286,7 +294,16 @@ class FileLogMicroBatchStream(path: String, maxPerTrigger: Option[Long] = None,
       else (idx.lastKey().longValue(), idx.lastEntry().getValue.longValue())
     }
     val (lines0, bytes0) =
-      if (f.length() < seeded._2) { byteIndex.remove(p); (0L, 0L) } else seeded
+      if (f.length() < seeded._2) {
+        // append-only contract violated (file replaced/truncated): the
+        // ON-DISK sidecar is stale too — delete it and install an empty
+        // in-memory index, or the reload would resurrect entries that
+        // pass the ≤-length validation yet point mid-line into the NEW
+        // file's bytes (r15 review), then rescan from 0
+        FileLog.sidecarOf(f).delete()
+        byteIndex(p) = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+        (0L, 0L)
+      } else seeded
     var n = lines0
     var bytesAfterLastNl = bytes0
     if (f.length() > bytes0) {
@@ -306,8 +323,16 @@ class FileLogMicroBatchStream(path: String, maxPerTrigger: Option[Long] = None,
     }
     scanState(p) = (n, bytesAfterLastNl)
     if (n > lines0) {
-      indexOf(p, f).put(n, bytesAfterLastNl)
-      appendSidecar(f, n, bytesAfterLastNl)
+      // record an index entry only every IndexIntervalBytes of advance
+      // (Kafka's index.interval.bytes): bounds index size; a seek pays
+      // at most one interval of record-skipping
+      val idx = indexOf(p, f)
+      val spaced = idx.isEmpty ||
+        bytesAfterLastNl - idx.lastEntry().getValue.longValue() >= FileLog.IndexIntervalBytes
+      if (spaced) {
+        idx.put(n, bytesAfterLastNl)
+        appendSidecar(f, n, bytesAfterLastNl)
+      }
     }
     n
   }
@@ -419,16 +444,16 @@ class FileLogReaderFactory extends PartitionReaderFactory {
     val ip = p.asInstanceOf[FileLogInputPartition]
     new PartitionReader[InternalRow] {
       private val fin = new java.io.FileInputStream(ip.file)
-      // seek FIRST, wrap second — a BufferedInputStream created before
-      // the channel move would have buffered from position 0
-      locally {
-        if (ip.baseByte > 0 && ip.baseByte <= fin.getChannel.size())
-          fin.getChannel.position(ip.baseByte)
-      }
+      // evaluate the seek validity ONCE (r15 review: re-testing against
+      // the live, growing file could set pos = baseLine without the
+      // seek having happened), and seek FIRST, wrap second — a
+      // BufferedInputStream created before the channel move would have
+      // buffered from position 0
+      private val seekOk = ip.baseByte > 0 && ip.baseByte <= fin.getChannel.size()
+      locally { if (seekOk) fin.getChannel.position(ip.baseByte) }
       private val in = new java.io.BufferedInputStream(fin)
       private var line: String = _
-      private var pos =
-        if (ip.baseByte > 0 && ip.baseByte <= fin.getChannel.size()) ip.baseLine else 0L
+      private var pos = if (seekOk) ip.baseLine else 0L
       // skip to startLine from the seek base (offsets are line indexes;
       // ranges are replayed deterministically — the exactly-once contract)
       while (pos < ip.startLine && skipRecord()) pos += 1

@@ -318,6 +318,94 @@ class StreamSourceSpec extends SparkSpec {
       s"seeked range must replay exactly its records: ${got.take(3)}...")
   }
 
+  test("filelog sidecar is an accelerator only: a corrupt or lying index never changes what is read") {
+    // the byte-index sidecar's contract: entries are VALIDATED (within
+    // the live file, monotone in both coordinates, parseable) and a
+    // sidecar that fails validation only degrades seeks to scan-from-0 —
+    // it can never desynchronize offsets or alter record content
+    import graft.sources.{FileLog, FileLogMicroBatchStream, FileLogInputPartition, FileLogOffset, FileLogReaderFactory}
+    val dir = java.nio.file.Files.createTempDirectory("graft-filelog-idx").toString + "/t"
+    FileLog.appendValues(dir, 0, (0L until 50L).map(i => s"v$i"))
+    def readAll(): Seq[(Long, String)] = {
+      val s = new FileLogMicroBatchStream(dir)
+      val end = s.latestOffset().asInstanceOf[FileLogOffset].counts(0)
+      val ip = s.planInputPartitions(
+        FileLogOffset(Map(0 -> 0L)), FileLogOffset(Map(0 -> end)))
+        .head.asInstanceOf[FileLogInputPartition]
+      val r = new FileLogReaderFactory().createReader(ip)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      while (r.next()) {
+        val row = r.get()
+        got += ((row.getLong(4),
+          new String(row.getBinary(1), java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      r.close(); got.toSeq
+    }
+    val clean = readAll() // also writes a valid sidecar
+    assert(clean == (0L until 50L).map(i => (i, s"v$i")))
+    val idx = new java.io.File(dir, "p0.log.idx")
+    assert(idx.isFile, "the poll must have written the sidecar")
+    // overwrite the sidecar with every corruption class the loader must
+    // survive — garbage, torn tail, non-monotone rows, entries past the
+    // live file's length — around ONE genuine entry (line 30 at its true
+    // byte; every record here is the same width). NOTE the trust
+    // boundary: an IN-RANGE entry is trusted (Kafka's .index model) —
+    // only our own counting code writes them under the append-only
+    // contract — so the survivable classes are exactly the ones a torn
+    // write or a replaced file can produce, all validated away here.
+    val logLen = new java.io.File(dir, "p0.log").length()
+    val lineLen = logLen / 50
+    val lying = s"not\tparseable\n5\tnine\n30\t${30 * lineLen}\n" +
+      s"40\t${logLen + 999}\n10\t9999999\n7\t" // torn tail
+    java.nio.file.Files.write(idx.toPath, lying.getBytes("UTF-8"))
+    assert(readAll() == clean,
+      "a corrupt sidecar must degrade validation-failed entries away, never read wrong data")
+    // only the genuine (30 -> true byte) entry survived validation —
+    // verify a seeked tail range through it still replays exactly
+    val s2 = new FileLogMicroBatchStream(dir)
+    val parts = s2.planInputPartitions(
+      FileLogOffset(Map(0 -> 45L)), FileLogOffset(Map(0 -> 50L)))
+    val ip = parts.head.asInstanceOf[FileLogInputPartition]
+    val r = new FileLogReaderFactory().createReader(ip)
+    val tail = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    while (r.next()) {
+      val row = r.get()
+      tail += ((row.getLong(4),
+        new String(row.getBinary(1), java.nio.charset.StandardCharsets.UTF_8)))
+    }
+    r.close()
+    assert(tail.toSeq == (45L until 50L).map(i => (i, s"v$i")),
+      s"seek from a partially-valid sidecar must still replay exactly: $tail")
+  }
+
+  test("filelog: two streams tailing one log agree on offsets and both write compatible sidecars") {
+    // concurrent consumers (two independent queries on one topic) each
+    // keep their own scan state and may interleave sidecar appends — the
+    // loader's monotone validation must keep every later stream correct
+    import graft.sources.{FileLog, FileLogMicroBatchStream, FileLogOffset}
+    val dir = java.nio.file.Files.createTempDirectory("graft-filelog-two").toString + "/t"
+    val s1 = new FileLogMicroBatchStream(dir)
+    val s2 = new FileLogMicroBatchStream(dir)
+    var produced = 0L
+    for (_ <- 1 to 5) {
+      FileLog.appendValues(dir, 0, (produced until produced + 20L).map(i => s"r$i"))
+      produced += 20
+      // interleaved polls: s1 sees this batch now, s2 lags a batch
+      assert(s1.latestOffset().asInstanceOf[FileLogOffset].counts(0) == produced)
+      if (produced > 20)
+        assert(s2.latestOffset().asInstanceOf[FileLogOffset].counts(0) == produced)
+    }
+    assert(s2.latestOffset().asInstanceOf[FileLogOffset].counts(0) == produced)
+    // a THIRD, fresh stream must load the (interleaved) sidecar and
+    // agree without rescanning the whole file
+    val s3 = new FileLogMicroBatchStream(dir)
+    assert(s3.latestOffset().asInstanceOf[FileLogOffset].counts(0) == produced)
+    // index entries are SPACED (Kafka's index.interval.bytes): a fresh
+    // stream scans at most one interval past the last recorded entry
+    assert(s3.scannedBytes.get() <= FileLog.IndexIntervalBytes,
+      s"a fresh stream over an indexed log scans at most one index interval (${s3.scannedBytes.get()} B)")
+  }
+
   test("filelog line framing: '\\n' is the only record boundary — interior CR is data, CRLF tolerated") {
     // r14 advice: lineCount counted '\n' bytes while the reader used
     // BufferedReader.readLine (which also splits at a bare '\r') — a
