@@ -63,6 +63,21 @@ import org.apache.spark.sql.SparkSession
   *    full-fleet re-run a depleted budget could forbid. Only a breach
   *    that SURVIVES quiet re-measurement is recorded.
   *
+  * Round-16 budget survivability (r15 verdict task #1 — BENCH_r15
+  * started every pass at load1 ≤ 0.98 behind the settle gate, but pass
+  * 3 was slammed MID-FLIGHT to 875 s, the budget drained at 1,930 s of
+  * 1,500, the run went partial, and a 3.05× q_str breach was recorded
+  * with "re-measure did not fit the remaining budget"):
+  *  - a protected RESERVE slice (SPARK_GRAFT_RESERVE_SECS, default 300)
+  *    is spendable only by per-query breach re-measures — ordinary
+  *    passes and the drift full re-run stop at budget − reserve, and
+  *    the re-measure admission grants max(remaining budget, reserve),
+  *    so it survives even a pass that overran the WHOLE budget;
+  *  - a pass whose wall blows out ≥ 2× (and ≥ 60 s) over the median of
+  *    its completed same-kind predecessors is DISCARDED and retried
+  *    (bounded by SPARK_GRAFT_PASS_RETRIES, default 2) — one co-tenant
+  *    window eats one pass, not the artifact.
+  *
   * Output contract (rounds 5 AND 6 both lost the driver parse to an
   * overlong line — r5 inlined samples, r6 still inlined 135 per-query
   * medians): the LAST stdout line is now a SHORT summary only —
@@ -105,7 +120,13 @@ object Bench {
       // within one run — medians of 5+ keep the new rows honest
       "q_dedup_curve", "q_ngram",
       // r15 re-base (same precedent): 1.07-1.50 spread across 12 runs
-      "q_containment")
+      "q_containment",
+      // r16 one-round watch (r15 verdict task #7): the nine rows the r15
+      // driver window carried ≥ 2× with bimodal samples, adjudicated as
+      // contamination (quiet-pass floors ≈ 1×); five fresh settled
+      // samples each confirm the adjudication in the next clean window
+      "q_str", "q_text_quality", "q_locf", "q_dup_strip", "q_dup_spans",
+      "q_kanon", "q_strip_delta", "q_seasonality", "q_skyline")
 
   private[graft] def medianOf(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -152,6 +173,25 @@ object Bench {
     } else None
   }
 
+  /** Mid-pass contamination detector (r15 verdict task #1b): the settle
+    * gate certifies a quiet START, but BENCH_r15's pass 3 was slammed
+    * MID-FLIGHT (875 s wall vs 422/331 for its predecessors), drained
+    * the whole budget, and forced a partial artifact. A pass whose wall
+    * blows out against the median of its completed same-kind
+    * predecessors is a co-tenant window, not a measurement — discard
+    * and retry it instead of averaging it in.
+    *
+    * Both a ratio AND an absolute floor must trip: ratio alone would
+    * discard an 18 s watch-pass that scattered to 40 s (sub-minute
+    * scatter that a median of 5 already defends), while the floor alone
+    * would never fire on short passes. r15's pass 3 reads 875 vs median
+    * 376.5 → ratio 2.3×, delta 499 s — exactly the target. */
+  private[graft] def passContaminated(wall: Double, priorWalls: Seq[Double]): Boolean =
+    priorWalls.nonEmpty && {
+      val med = medianOf(priorWalls)
+      wall > med * 2.0 && wall - med > 60.0
+    }
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -168,6 +208,17 @@ object Bench {
     // timed out, so the window is ~30 min — 25 min of budget fits a
     // 3-pass run (~12 min) plus one guard re-run with margin.
     val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SECS", "1500").toLong
+    // protected breach-re-measure reserve (r15 verdict task #1a): the
+    // r15 run drained its whole budget absorbing one slammed pass and
+    // recorded an UNVERIFIED 2× breach because "per-query re-measure did
+    // not fit the remaining budget". Ordinary passes (and the drift
+    // full re-run) may now spend only budget − reserve; the reserve is
+    // spendable ONLY by per-query breach re-measures, and it survives
+    // even a mid-pass overrun past the whole budget (the re-measure
+    // admission grants max(remaining budget, reserve)) — so a co-tenant
+    // window can no longer starve the verification step
+    val reserveSecs = sys.env.getOrElse("SPARK_GRAFT_RESERVE_SECS", "300").toLong
+    val passBudget = (budgetSecs - reserveSecs) max (budgetSecs / 2)
     val samplesOut = sys.env.getOrElse("SPARK_GRAFT_SAMPLES_OUT", "bench_samples.json")
     val mediansOut = sys.env.getOrElse("SPARK_GRAFT_MEDIANS_OUT", "bench_medians.json")
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
@@ -262,16 +313,22 @@ object Bench {
     // our OWN burst load draining (load1 halves every ~42 s of idle), so
     // the bound is sized to one decade of decay, not to co-tenant
     // patience (the pre-session gate above owns that). Returns the wait.
-    def settlePass(maxWaitMs: Long): Long = {
+    def settlePass(maxWaitMs: Long, capSecs: Double): Long = {
       var waited = 0L
       while (load1() > settleLoad1 && waited < maxWaitMs &&
-             elapsedSecs() < budgetSecs) {
+             elapsedSecs() < capSecs) {
         Thread.sleep(5000L); waited += 5000L
       }
       waited
     }
-    // per-pass audit: (load1 at pass start, pass wall seconds, settle wait)
-    val passLog = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    // per-pass audit: (load1 at pass start, pass wall seconds, settle
+    // wait, discarded) — a discarded pass stays visible in the artifact
+    // (its reason is in the guard log) but its samples are dropped
+    val passLog = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Boolean)]
+    // count of contaminated-pass discards taken so far (r15 task #1b),
+    // bounded so a persistently-hostile box still converges
+    var passDiscards = 0
+    val maxPassDiscards = sys.env.getOrElse("SPARK_GRAFT_PASS_RETRIES", "2").toInt
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -292,8 +349,13 @@ object Bench {
     // artifact even though the medians are computed from the fresh ones
     val rerunLog = scala.collection.mutable.ArrayBuffer
       .empty[(String, Vector[Double], Vector[Double])]
-    def pass(qs: Seq[String]): Unit = {
-      val waited = settlePass(90000L)
+    // runs one interleaved pass over `qs`, appends one sample per query,
+    // logs the pass, and returns its wall seconds so the caller can
+    // apply the contamination discard (settleMs/capSecs let the breach
+    // re-measure use its own tighter settle bound and reserve ceiling)
+    def pass(qs: Seq[String], settleMs: Long = 90000L,
+             capSecs: Double = budgetSecs.toDouble): Double = {
+      val waited = settlePass(settleMs, capSecs)
       val l0 = load1()
       val p0 = System.nanoTime()
       for (name <- qs) {
@@ -304,8 +366,22 @@ object Bench {
           samples(name) = samples(name) :+ (((System.nanoTime() - t0) / 1e9, err))
         }
       }
+      val wall = (System.nanoTime() - p0) / 1e9
+      passLog.synchronized { passLog += ((l0, wall, waited / 1000.0, false)) }
+      wall
+    }
+    // discard the pass just taken over `qs`: drop each query's LAST
+    // sample (pass() appends exactly one per query) and flag the pass
+    // log entry so the artifact shows the retry instead of hiding it
+    def discardPass(qs: Seq[String]): Unit = {
+      samples.synchronized {
+        qs.foreach(q => samples(q) = samples(q).dropRight(1)) }
       passLog.synchronized {
-        passLog += ((l0, (System.nanoTime() - p0) / 1e9, waited / 1000.0)) }
+        if (passLog.nonEmpty) {
+          val (l, s, w, _) = passLog.last
+          passLog(passLog.size - 1) = ((l, s, w, true))
+        }
+      }
     }
     // Baseline per-query rows from BASELINE.md ("| q_x | 0.1 | 1.21 | date |");
     // first matching row wins (first-correct-run record policy). Rows are
@@ -403,8 +479,8 @@ object Bench {
       val total = results.flatMap(_._2).sum
       val nFailed = results.count(_._2.isEmpty)          // every taken repeat failed
       val nFlaky = results.count(r => r._2.nonEmpty && r._3.nonEmpty) // some repeats failed
-      val passesJson = passLog.synchronized { passLog.map { case (l, s, w) =>
-        s"""{"load1":${num(l)},"secs":${num(s)},"settle_wait":${num(w)}}""" }
+      val passesJson = passLog.synchronized { passLog.map { case (l, s, w, d) =>
+        s"""{"load1":${num(l)},"secs":${num(s)},"settle_wait":${num(w)},"discarded":$d}""" }
         .mkString("[", ",", "]") }
       val rerunsJson = rerunLog.synchronized { rerunLog.map { case (q, old, nw) =>
         s"""{"query":"$q","old":${old.map(num).mkString("[", ",", "]")},"new":${nw.map(num).mkString("[", ",", "]")}}""" }
@@ -414,7 +490,7 @@ object Bench {
       val watchCandJson = watchCandidatesOf(results)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val audit =
-        s"""{"samples":$raw,"errors":$errs,"repeats":$repeats,"watch_repeats":$watchRepeats,"watchlist":${watchlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"watch_candidates":$watchCandJson,"passes":$passesJson,"settle_load1":$settleJson,"settle_threshold":${num(settleLoad1)},"breach_reruns":$rerunsJson,"n_cores":${num(nCores)},"attempts":$attempt,"guard":$guardJson,"budget_secs":$budgetSecs,"elapsed_secs":${num(elapsedSecs())},"partial":$partial,"sf":"$sfDir"}"""
+        s"""{"samples":$raw,"errors":$errs,"repeats":$repeats,"watch_repeats":$watchRepeats,"watchlist":${watchlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"watch_candidates":$watchCandJson,"passes":$passesJson,"settle_load1":$settleJson,"settle_threshold":${num(settleLoad1)},"breach_reruns":$rerunsJson,"n_cores":${num(nCores)},"attempts":$attempt,"guard":$guardJson,"budget_secs":$budgetSecs,"reserve_secs":$reserveSecs,"pass_budget_secs":$passBudget,"pass_discards":$passDiscards,"elapsed_secs":${num(elapsedSecs())},"partial":$partial,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(samplesOut),
         audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case t: Throwable => System.err.println(s"samples file write failed: $t") }
@@ -465,26 +541,55 @@ object Bench {
           yield (name, math.min(m, b * 2))
       }.sortBy(_._1)
     var breachReruns = 0
+    // queries actually covered by a breach re-measure (r15 advice: the
+    // recorded reason must not claim re-measurement for rows a prior
+    // rerun on DIFFERENT queries happened to precede)
+    val rerunCovered = scala.collection.mutable.Set.empty[String]
     var done = false
     var budgetCut = false
     while (!done) {
       samples.synchronized { samples.clear() }
       val attemptStart = elapsedSecs()
       var p = 0
+      // completed (kept) pass walls, split by pass kind — the fleet
+      // passes and the short watch-only passes have different scales,
+      // so a watch pass must not be judged against a fleet pass's wall
+      val fleetWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val watchWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
       // full-fleet passes, then extra interleaved passes over just the
       // watchlist (still round-robin within the pass, so one stall can't
       // take out a query's whole tail); the budget check sits BETWEEN
       // passes — at least one full pass always runs, so every query gets
-      // a sample even on a tight budget
+      // a sample even on a tight budget. Ordinary passes stop at
+      // passBudget (budget − reserve), never at the full budget: the
+      // reserve belongs to breach re-measures alone (r15 task #1a).
       while (p < watchRepeats &&
-             (p == 0 || elapsedSecs() < budgetSecs)) {
-        pass(if (p < repeats) names else names.filter(watchlist))
-        p += 1
+             (p == 0 || elapsedSecs() < passBudget)) {
+        val fleet = p < repeats
+        val qs = if (fleet) names else names.filter(watchlist)
+        val walls = if (fleet) fleetWalls else watchWalls
+        val wall = pass(qs, capSecs = passBudget.toDouble)
+        // mid-pass contamination (r15 task #1b): a pass slammed after a
+        // certified-quiet start is discarded and retried — bounded by
+        // maxPassDiscards and by a retry actually fitting the pass
+        // budget, so a persistently-hostile box still converges
+        if (passContaminated(wall, walls.toSeq) &&
+            passDiscards < maxPassDiscards &&
+            elapsedSecs() + medianOf(walls.toSeq) < passBudget) {
+          passDiscards += 1
+          discardPass(qs)
+          guardLog.synchronized {
+            guardLog += s"pass discarded: wall ${num(wall)}s vs prior median ${num(medianOf(walls.toSeq))}s — mid-pass contention, retrying ($passDiscards/$maxPassDiscards)" }
+          System.err.println(s"[bench-guard] contaminated pass discarded (${num(wall)}s), retrying")
+        } else {
+          walls += wall
+          p += 1
+        }
       }
       if (p < watchRepeats) {
         budgetCut = true
         guardLog.synchronized {
-          guardLog += s"budget: stopped after pass $p/$watchRepeats at ${num(elapsedSecs())}s of ${budgetSecs}s" }
+          guardLog += s"budget: stopped after pass $p/$watchRepeats at ${num(elapsedSecs())}s of pass budget ${passBudget}s (run budget ${budgetSecs}s, reserve ${reserveSecs}s)" }
       }
       val attemptCost = elapsedSecs() - attemptStart
 
@@ -494,13 +599,27 @@ object Bench {
       var rerunning = true
       while (rerunning) {
         val breached = breachedOf(resultsNow())
-        // cost estimate: expected quiet per-query cost × passes × slack
-        // + one settle bound
-        val est = breached.map(_._2).sum * watchRepeats * 1.5 + 95.0
-        if (breached.nonEmpty && breachReruns < 2 &&
-            elapsedSecs() + est < budgetSecs) {
+        // cost estimate: expected quiet per-query cost × passes × slack,
+        // PLUS the full per-pass settle bound × passes (r15 advice:
+        // pass() settles before EVERY pass, so an estimate carrying one
+        // settle total could admit a re-measure that then overdraws the
+        // reserve waiting out its own settles). Re-measure passes use a
+        // 30 s settle bound — breached rows cost seconds, and after each
+        // the box barely warms, so one decay decade is generous.
+        val rerunSettleMs = 30000L
+        val est = breached.map(_._2).sum * watchRepeats * 1.5 +
+          watchRepeats * (rerunSettleMs / 1000.0) + 5.0
+        // admission grants max(remaining budget, reserve): even when a
+        // slammed pass overran the WHOLE budget (r15: 1930 s of 1500),
+        // the reserve is still spendable — "re-measure did not fit the
+        // remaining budget" is structurally impossible for a breach the
+        // reserve can cover (r15 verdict task #1a)
+        val grant = math.max(budgetSecs - elapsedSecs(), reserveSecs.toDouble)
+        if (breached.nonEmpty && breachReruns < 2 && est < grant) {
           breachReruns += 1
+          val hardCap = elapsedSecs() + grant
           val qs = breached.map(_._1)
+          rerunCovered ++= qs
           guardLog.synchronized {
             guardLog += s"breach re-measure $breachReruns: ${qs.mkString(",")} ≥ 2x of baseline — re-settling and re-measuring per-query" }
           System.err.println(
@@ -508,8 +627,8 @@ object Bench {
           val olds = samples.synchronized { qs.map(q => q -> samples(q)).toMap }
           samples.synchronized { qs.foreach(q => samples(q) = Vector.empty) }
           var rp = 0
-          while (rp < watchRepeats && elapsedSecs() < budgetSecs) {
-            pass(qs); rp += 1
+          while (rp < watchRepeats && elapsedSecs() < hardCap) {
+            pass(qs, settleMs = rerunSettleMs, capSecs = hardCap); rp += 1
           }
           // a re-measure with zero SUCCESSFUL fresh samples (budget-cut
           // to nothing, or every fresh repeat errored) must not erase
@@ -541,20 +660,28 @@ object Bench {
           // breach is still standing here it either survived quiet
           // re-measurement (a real regression — record it loudly) or the
           // estimate genuinely couldn't fit the remaining budget
+          // attribution is per-QUERY, not per-run (r15 advice): a prior
+          // rerun spent on different rows must not be claimed as having
+          // re-measured this one
           val how =
-            if (breachReruns > 0) s"persisted after $breachReruns per-query re-measure(s)"
-            else "per-query re-measure did not fit the remaining budget"
+            if (rerunCovered.contains(worstQuery))
+              s"persisted after per-query re-measure ($breachReruns rerun(s))"
+            else if (breachReruns >= 2)
+              s"$worstQuery not covered: both re-measure rounds already spent on ${rerunCovered.toSeq.sorted.mkString(",")}"
+            else s"per-query re-measure of $worstQuery did not fit the reserve"
           guardLog.synchronized {
             guardLog += s"attempt $attempt: $reason — $how, recording" }
           System.err.println(s"[bench-guard] $reason — $how, recording")
           done = true
         case Some(reason) if attempt == 1 &&
-            elapsedSecs() + attemptCost < budgetSecs =>
+            elapsedSecs() + attemptCost < passBudget =>
+          // the drift full re-run spends ordinary-pass budget only —
+          // it must never eat the breach-re-measure reserve
           guardLog.synchronized {
             guardLog += s"attempt 1: $reason — re-settling and re-measuring" }
           System.err.println(s"[bench-guard] $reason — automatic re-run")
           attempt += 1
-          settlePass(240000L)
+          settlePass(240000L, passBudget.toDouble)
         case Some(reason) if attempt == 1 =>
           guardLog.synchronized {
             guardLog += s"attempt 1: $reason — re-run skipped (would exceed budget), recording" }

@@ -40,4 +40,30 @@ class BenchGuardSpec extends AnyFunSuite {
   test("no baseline (worst_ratio -1) and no previous run is clean") {
     assert(Bench.guardVerdict(-1.0, "", Seq.empty).isEmpty)
   }
+
+  // ---- mid-pass contamination discard (r15 verdict task #1b) ----
+
+  test("the BENCH_r15 pass-3 blowout is detected: 875s vs priors 422/331") {
+    assert(Bench.passContaminated(875.412, Seq(422.613, 331.955)))
+  }
+
+  test("the first pass of a kind is never discarded (no predecessors)") {
+    assert(!Bench.passContaminated(875.0, Seq.empty))
+  }
+
+  test("sub-minute scatter on a short watch pass stays below the floor") {
+    // an 18s watch pass scattering to 60s is 3.2x but only +41s — the
+    // median of 5 defends it; a discard here would churn retries
+    assert(!Bench.passContaminated(60.0, Seq(18.7, 18.3)))
+  }
+
+  test("a slow-but-proportional pass (under 2x) is kept") {
+    assert(!Bench.passContaminated(700.0, Seq(422.0, 331.0)))
+  }
+
+  test("a large absolute delta still needs the 2x ratio") {
+    // 500s over a 600s median is +83% — plausible warm/cold variance
+    // territory at fleet scale, not an unambiguous co-tenant window
+    assert(!Bench.passContaminated(1100.0, Seq(600.0, 650.0)))
+  }
 }
