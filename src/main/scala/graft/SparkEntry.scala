@@ -241,11 +241,15 @@ object SparkEntry {
     // oracle-checked since r14: the integer-hash Bernoulli draw replaced
     // Spark's sampleBy XORShift stream (engine-neutral, same rates)
     "q_sample" -> (TextOps.stratifiedSample _),
+    // oracle-checked since r16 (r15 verdict task #3): the deterministic
+    // quantizer (seeded Lloyd, exact-integer means) replaced the MLlib
+    // fit on this path, so the whole index + search is SQL-expressible;
+    // the MLlib fit lives on as Ivf.ivfTopKTrained (IvfSpec recall ref)
     "q_ivf_topk" -> (Ivf.ivfTopK _),
-    // rows-only like q_ivf_topk (MLlib k-means has no SQL twin): the
-    // same search over a PERSISTED BucketedState index — exercises the
-    // production exchange-free posting join; IncrementalIvfSpec pins
-    // result ≡ q_ivf_topk exactly, IvfSpec pins the recall floor
+    // oracle-checked since r16, sharing q_ivf_topk's generated SQL twin:
+    // the same search over a PERSISTED BucketedState index — exercises
+    // the production exchange-free posting join; IncrementalIvfSpec
+    // pins one-shot ≡ persisted-index, IvfSpec pins the recall floor
     "q_ivf_delta" -> (Ivf.ivfDeltaQuery _),
     // rows-only: int8 round/clamp arithmetic has no portable SQL twin at
     // hash precision; QuantizeSpec bounds reconstruction + recall
@@ -453,6 +457,96 @@ object SparkEntry {
        |SELECT v1, v2, round(cos, 4) AS cos_sim
        |FROM scored WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin
 
+  /** DuckDB twin of the deterministic IVF quantizer + search
+    * (Ivf.detCenters → Ivf.ivfTopK), shared verbatim by q_ivf_topk and
+    * q_ivf_delta (IncrementalIvfSpec pins that a whole-corpus-first-
+    * batch persisted index reproduces ivfTopK exactly — the
+    * greedyNmsOracle sharing precedent). GENERATED so the Lloyd blocks
+    * stay structurally in lockstep with Ivf.DetSteps / Ivf.K /
+    * Ivf.NProbe / Ivf.MeanScale:
+    *  - `ne` normalizes exactly as Pq.normalized (per-element
+    *    CAST-to-DOUBLE, sequential list_sum fold ≡ the aggregate HOF,
+    *    zero-norm rows dropped);
+    *  - `c0` seeds the K smallest vec_ids (list = vec_id rank − 1);
+    *  - each Lloyd step re-assigns by the sq_dist fold (ties to the
+    *    lowest list — row_number ≡ the engine's min-struct argmin) and
+    *    recomputes means as EXACT INTEGER sums: round(x·1e6) per
+    *    dimension as BIGINT, summed (associative, order-free), divided
+    *    back once — the arithmetic trick that makes a k-means MEAN
+    *    bit-reproducible across engines, where any double SUM would
+    *    depend on accumulation order; a cluster with no members keeps
+    *    its previous center (the LEFT JOIN arm ≡ the Scala fallback);
+    *  - the search ranks centers per probe by the same fold, scans the
+    *    NProbe nearest lists, and scores candidates by raw-embedding
+    *    cosine (the q_sim_topk fold). The final `+ 0.0` collapses
+    *    DuckDB's −0.0 at round() to Spark/BigDecimal's +0.0. */
+  private def ivfDetOracle: String = {
+    val K = graft.operators.Ivf.K
+    val NProbe = graft.operators.Ivf.NProbe
+    val dim = 65 // exclusive upper bound of range(1, dim) over 64 dims
+    def sq(a: String, b: String): String =
+      s"list_sum(list_transform(range(1,$dim), i -> ($a.nemb[i]-$b.center[i])*($a.nemb[i]-$b.center[i])))"
+    def lloyd(step: Int, prev: String): String =
+      s"""a$step AS (
+         |  SELECT vec_id, nemb, list,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rk
+         |  FROM (
+         |    SELECT n.vec_id, n.nemb, c.list, ${sq("n", "c")} AS dist2
+         |    FROM ne n CROSS JOIN $prev c)
+         |), s$step AS (
+         |  SELECT list, i, SUM(CAST(round(nemb[i]*1000000.0) AS BIGINT)) AS s, COUNT(*) AS n
+         |  FROM a$step CROSS JOIN range(1,$dim) t(i)
+         |  WHERE rk = 1 GROUP BY list, i
+         |), m$step AS (
+         |  SELECT list, list(CAST(s AS DOUBLE) / (1000000.0 * n) ORDER BY i) AS center
+         |  FROM s$step GROUP BY list
+         |), c$step AS (
+         |  SELECT p.list, COALESCE(m.center, p.center) AS center
+         |  FROM $prev p LEFT JOIN m$step m ON p.list = m.list
+         |)""".stripMargin
+    val steps = (1 to graft.operators.Ivf.DetSteps)
+      .map(s => lloyd(s, s"c${s - 1}")).mkString(", ")
+    val cFinal = s"c${graft.operators.Ivf.DetSteps}"
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1,$dim), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
+    s"""WITH ne AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(range(1,$dim), i -> CAST(embedding[i] AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(range(1,$dim), j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))))) AS nemb
+       |  FROM embeddings
+       |  WHERE sqrt(list_sum(list_transform(range(1,$dim), j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)))) > 0
+       |), c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list, nemb AS center
+       |  FROM (SELECT vec_id, nemb FROM ne ORDER BY vec_id LIMIT $K)
+       |), $steps, af AS (
+       |  SELECT vec_id, embedding, nemb, list,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rk
+       |  FROM (
+       |    SELECT n.vec_id, n.embedding, n.nemb, c.list, ${sq("n", "c")} AS dist2
+       |    FROM ne n CROSS JOIN $cFinal c)
+       |), asg AS (
+       |  SELECT vec_id, embedding, nemb, list FROM af WHERE rk = 1
+       |), pl AS (
+       |  SELECT probe_id, list FROM (
+       |    SELECT p.vec_id AS probe_id, c.list,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY ${sq("p", "c")}, c.list) AS crank
+       |    FROM asg p CROSS JOIN $cFinal c WHERE p.vec_id < 20)
+       |  WHERE crank <= $NProbe
+       |), cand AS (
+       |  SELECT pl.probe_id, a.vec_id AS cand_id,
+       |    ${dot("p", "a")}
+       |    / (sqrt(${dot("p", "p")}) * sqrt(${dot("a", "a")})) AS cos
+       |  FROM pl
+       |  JOIN asg a ON a.list = pl.list AND a.vec_id <> pl.probe_id
+       |  JOIN asg p ON p.vec_id = pl.probe_id
+       |), ranked AS (
+       |  SELECT probe_id, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+       |  FROM cand)
+       |SELECT probe_id, rank, cand_id, round(cos, 4) + 0.0 AS cos_sim
+       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** Shared by q_nms_greedy and q_nms_exec (identical semantics, two
     * execution strategies): the order-dependent greedy pass as a
     * recursive CTE — one iteration per confidence rank, carrying each
@@ -498,6 +592,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_ann_multiband" -> annMultibandOracle,
     "q_embed_neardup" -> embedNearDupOracle,
+    "q_ivf_topk" -> ivfDetOracle,
+    "q_ivf_delta" -> ivfDetOracle,
     "q_scan_proj" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_price,

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.GraftBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** `sq_dist(a, b)` over ARRAY<FLOAT> — squared L2 distance as a native
+/** `sq_dist(a, b)` over ARRAY<FLOAT> / ARRAY<DOUBLE> lanes — squared L2
+  * distance as a native
   * Catalyst expression with whole-stage codegen (the [[CosineSimilarity]]
   * promotion applied to the clustering hot path: Spark's higher-order
   * functions evaluate lambdas interpreted, one closure call per element,
@@ -40,28 +41,42 @@ case class SqDistance(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // Each lane may be ARRAY<FLOAT> or ARRAY<DOUBLE> (r16: the
+  // deterministic IVF quantizer assigns in NORMALIZED double space, so
+  // the clustering hot path feeds double arrays; float lanes keep the
+  // original float→double cast per element — the same arithmetic the
+  // DuckDB mirror's CAST(x AS DOUBLE) performs on either input type).
+  private def laneIsFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"sq_dist expects two ARRAY<FLOAT>, got ${left.dataType.sql}, ${right.dataType.sql}")
+        s"sq_dist expects ARRAY<FLOAT> or ARRAY<DOUBLE> lanes, got ${left.dataType.sql}, ${right.dataType.sql}")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
+    val lf = laneIsFloat(left.dataType)
+    val rf = laneIsFloat(right.dataType)
     val n = xs.numElements()
     if (n != ys.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (xs.isNullAt(i) || ys.isNullAt(i)) return null
-      val d = xs.getFloat(i).toDouble - ys.getFloat(i).toDouble
+      val x = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val y = if (rf) ys.getFloat(i).toDouble else ys.getDouble(i)
+      val d = x - y
       acc += d * d
       i += 1
     }
@@ -74,6 +89,8 @@ case class SqDistance(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      def get(arr: String, idx: String, isFloat: Boolean): String =
+        if (isFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -82,7 +99,7 @@ case class SqDistance(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |    double $d = ${get(a, i, laneIsFloat(left.dataType))} - ${get(b, i, laneIsFloat(right.dataType))};
          |    $acc += $d * $d;
          |  }
          |  if (!${ev.isNull}) {

@@ -7,6 +7,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Eager.EagerOps
 
 /** E-SIM, IVF variant (mandate: "an IVF or LSH-bucketed variant as the
   * scale path" — LSH lives in VectorOps; this is the inverted-file
@@ -14,14 +15,25 @@ import org.apache.spark.sql.functions._
   * probes search only the nProbe nearest lists.
   *
   * Scale shape: training the quantizer is the standard driver-coordinated
-  * step (MLlib k-means — centroids are tiny and broadcast); assignment is
-  * one model.transform projection; the probe phase is a centroid ranking
-  * over k×probes rows followed by an equi-join on the list id — so, like
+  * step (centroids are tiny and broadcast); assignment is one broadcast
+  * argmin projection; the probe phase is a centroid ranking over
+  * k×probes rows followed by an equi-join on the list id — so, like
   * the LSH path, candidates meet through an equi-join and the all-pairs
-  * product never materializes. Seeded (42) and iteration-capped, so the
-  * partitioning is deterministic for a given Spark version; results are
-  * driver-checked rows-only (no external engine reproduces MLlib k-means),
-  * with recall and determinism asserted in IvfSpec.
+  * product never materializes.
+  *
+  * TWO quantizer fits (r15 verdict task #3):
+  *  - [[detCenters]], the DEFAULT: seeded Lloyd with every step
+  *    oracle-expressible — init from the K smallest vec_ids, a fixed
+  *    number of iterations whose cluster means are EXACT-INTEGER sums
+  *    (each dimension scaled to a BIGINT before summing; integer
+  *    addition is associative, so the mean is independent of
+  *    partitioning AND reproducible bit-for-bit by the DuckDB oracle,
+  *    unlike any floating-point SUM). q_ivf_topk / q_ivf_delta ride
+  *    this path and are hash-checked end to end — the q_semdedup_delta
+  *    deterministic-geometry move applied to the ANN family.
+  *  - [[ivfTopKTrained]]: the MLlib k-means fit (seeded 42,
+  *    iteration-capped), kept as the recall reference — IvfSpec pins
+  *    both paths' recall against the brute-force truth.
   */
 object Ivf {
 
@@ -100,39 +112,193 @@ object Ivf {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
-  /** q_ivf_topk: top-3 cosine neighbors per probe (vec_id < 20), searching
-    * only the NProbe nearest inverted lists. */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  // ---- Deterministic quantizer (r15 verdict task #3) ----
+
+  /** Lloyd iterations of the deterministic quantizer — fixed, part of
+    * the operator's definition (and of its SQL twin, which unrolls one
+    * CTE block per step). */
+  private[graft] val DetSteps = 2
+
+  /** Fixed-point scale of the exact-integer cluster means: each
+    * normalized dimension becomes round(x·1e6) as a BIGINT before the
+    * per-cluster SUM. 1e6 keeps |sum| far under 2⁵³ at any realistic
+    * training-sample size (|x| ≤ 1 after L2 normalization), so the sum
+    * is exact, order-independent, and converts back to DOUBLE
+    * losslessly — the whole reason the Lloyd means are reproducible
+    * across engines and partitionings. */
+  private[graft] val MeanScale = 1e6
+
+  /** The deterministic coarse quantizer: (list, center) over the
+    * L2-normalized training vectors. Init = the K smallest vec_ids'
+    * normalized embeddings (list ids 0..K-1 in vec_id order — the
+    * seedAssign discipline at quantizer grain); each of [[DetSteps]]
+    * Lloyd iterations assigns every vector to its nearest center
+    * (sq_dist argmin, ties to the lowest list — a map-side min-struct
+    * aggregate, no window shuffle) and recomputes each center as the
+    * exact-integer mean of its members; a cluster that loses all
+    * members keeps its previous center (the SQL twin's LEFT JOIN arm).
+    *
+    * Driver-coordinated like any k-means trainer: per iteration one
+    * K×64-row sum frame is collected (a few KB at any corpus scale —
+    * the TRAINING SAMPLE is driver-manageable by the same argument
+    * MLlib's fit makes; at 100 TB the quantizer trains on a sample and
+    * assignment streams the corpus, exactly as here). */
+  private[graft] def detCenters(spark: SparkSession, vectors: DataFrame): Seq[(Int, Array[Double])] = {
     import spark.implicits._
-    val (assigned, centers) = assign(spark, dir)
-    val centersDf = centers.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("list", "center")
-    // rank the k centroids per probe by squared euclidean distance in the
-    // NORMALIZED space (the quantizer's own metric ≡ cosine on the unit
-    // sphere); keep the NProbe nearest lists. Exact scoring below stays
-    // on the raw vectors — cosine is scale-invariant.
+    import graft.functions.SqDistance.sqDist
+    // eager: the normalized frame feeds every Lloyd iteration and the
+    // count — one materialization, not DetSteps+1 recomputes (and no
+    // lazy-persist fan-out for BroadcastRaceGuard to reject)
+    val emb = Pq.normalized(vectors).select(col("vec_id"), col("nemb"))
+      .eagerly
+    val n = emb.count()
+    require(n >= K,
+      s"IVF quantizer needs at least K=$K training vectors, got $n")
+    var centers: IndexedSeq[(Int, Array[Double])] =
+      emb.orderBy("vec_id").limit(K).collect()
+        .map(_.getSeq[Double](1).toArray)
+        .zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq
+    for (_ <- 1 to DetSteps) {
+      val cdf = centers.map { case (i, c) => (i, c.toSeq) }.toDF("list", "center")
+      val sums = emb.crossJoin(broadcast(cdf))
+        .withColumn("dist2", sqDist(col("nemb"), col("center")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("list"), col("nemb"))).as("m"))
+        .select(col("m.list").as("list"), posexplode(col("m.nemb")))
+        .groupBy("list", "pos")
+        .agg(sum(round(col("col") * MeanScale).cast("long")).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val byList = sums.groupBy(_.getInt(0))
+      centers = centers.map { case (li, old) =>
+        byList.get(li) match {
+          case Some(rows) =>
+            val cnt = rows.head.getLong(3)
+            val arr = new Array[Double](old.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2).toDouble / (MeanScale * cnt))
+            (li, arr)
+          case None => (li, old) // empty cluster keeps its center
+        }
+      }
+    }
+    centers
+  }
+
+  /** Cached deterministic centers per fixture dir — the [[modelCache]]
+    * lifecycle (build on first touch, reuse while the content signature
+    * holds, replace when the corpus changes). detCenters is
+    * deterministic, so a racing duplicate build is wasted work, never
+    * divergence — the get/put window needs no lock. */
+  private[graft] val detCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[(Int, Array[Double])])]()
+
+  private def detCentersFor(spark: SparkSession, dir: String): Seq[(Int, Array[Double])] = {
+    val sig = contentSig(dir)
+    val cached = detCache.get(dir)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      val c = detCenters(spark, Tables.embeddings(spark, dir))
+      detCache.put(dir, (sig, c))
+      c
+    }
+  }
+
+  /** The search phase shared by both quantizers: rank the k centroids
+    * per probe by squared euclidean distance in the NORMALIZED space
+    * (the quantizer's own metric ≡ cosine on the unit sphere), keep the
+    * NProbe nearest lists, then score candidates from those lists only
+    * (equi-join on the list id). Exact scoring stays on the raw
+    * vectors — cosine is scale-invariant. */
+  private def searchLists(assigned: DataFrame, centersDf: DataFrame,
+                          k: Int = 3): DataFrame = {
+    import graft.functions.SqDistance.sqDist
     val probes = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("nemb").as("p_nemb"))
-    val dist = aggregate(
-      zip_with(col("p_nemb"), col("center"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)
     val wc = Window.partitionBy("probe_id").orderBy(col("dist"), col("list"))
     val probeLists = probes.crossJoin(broadcast(centersDf))
-      .withColumn("dist", dist)
+      .withColumn("dist", sqDist(col("p_nemb"), col("center")))
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= NProbe)
       .select(col("probe_id"), col("p_emb"), col("list"))
-    // candidates = members of the probed lists only (equi-join on list id)
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    // candidate ranking through the BOUNDED TopKAggregator, not a
+    // row_number window (r16, the ScaleProbe finding): the candidate
+    // frame is probes × probed-list-size — it GROWS with the index at
+    // fixed K — and a window shuffles all of it to rank per probe,
+    // while the aggregator's map-side partial merge ships only k rows
+    // per probe per partition. Ordering (cos desc, cand_id asc) is the
+    // aggregator's own (score desc, id asc) — identical rows out.
+    val topk = udaf(graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     assigned.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("list"))
       .join(broadcast(probeLists), Seq("list"))
       .filter(col("cand_id") =!= col("probe_id"))
       .withColumn("cos", cosineSim(col("p_emb"), col("c_emb")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("probe_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
+      .groupBy("probe_id")
+      .agg(topk(col("cos"), col("cand_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cand_id"), round(col("col.score"), 4).as("cos_sim"))
       .orderBy("probe_id", "rank")
+  }
+
+  /** q_ivf_topk: top-3 cosine neighbors per probe (vec_id < 20),
+    * searching only the NProbe nearest inverted lists of the
+    * DETERMINISTIC quantizer — hash-checked against the DuckDB twin
+    * (every step of [[detCenters]] and of the search is
+    * oracle-expressible; r15 verdict task #3). */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, centersDf) = detAssigned(spark, dir)
+    searchLists(assigned, centersDf)
+  }
+
+  /** Deterministic-quantizer assignment of the whole fixture corpus:
+    * (vec_id, list, nemb, embedding) plus the centers frame. */
+  private def detAssigned(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    import graft.functions.SqDistance.sqDist
+    val centersDf = detCentersFor(spark, dir)
+      .map { case (i, c) => (i, c.toSeq) }.toDF("list", "center")
+    val assigned = Pq.normalized(Tables.embeddings(spark, dir))
+      .crossJoin(broadcast(centersDf))
+      .withColumn("dist2", sqDist(col("nemb"), col("center")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist2"), col("list"), col("nemb"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.list").as("list"),
+        col("m.nemb").as("nemb"), col("m.embedding").as("embedding"))
+    (assigned, centersDf)
+  }
+
+  /** Test hook: corpus members per list under the deterministic
+    * quantizer — the scan-bound pin's denominator. */
+  private[graft] def detListSizes(spark: SparkSession, dir: String): Map[Int, Long] =
+    detAssigned(spark, dir)._1.groupBy("list").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Test hook: the (probe_id, list) pairs the search scans. */
+  private[graft] def probedLists(spark: SparkSession, dir: String): Seq[(Long, Int)] = {
+    import graft.functions.SqDistance.sqDist
+    val (assigned, centersDf) = detAssigned(spark, dir)
+    val probes = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("nemb").as("p_nemb"))
+    val wc = Window.partitionBy("probe_id").orderBy(col("dist"), col("list"))
+    probes.crossJoin(broadcast(centersDf))
+      .withColumn("dist", sqDist(col("p_nemb"), col("center")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= NProbe)
+      .select("probe_id", "list")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+  }
+
+  /** The MLlib-quantizer variant of [[ivfTopK]] — the recall reference
+    * (rows-only: no external engine reproduces MLlib k-means; IvfSpec
+    * pins its recall floor and seeded determinism). */
+  def ivfTopKTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, centers) = assign(spark, dir)
+    val centersDf = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("list", "center")
+    searchLists(assigned, centersDf)
   }
 
   // ---- Incremental index maintenance (r12) ----
@@ -177,18 +343,18 @@ object Ivf {
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("list"))
     Pq.normalized(vectors)
       .crossJoin(broadcast(centers))
-      .withColumn("dist", aggregate(
-        zip_with(col("nemb"), col("center"), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v))
+      .withColumn("dist", graft.functions.SqDistance.sqDist(col("nemb"), col("center")))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
       .select(col("list"), col("vec_id"), col("embedding"))
   }
 
   /** Fold one delta of (vec_id, embedding) vectors into the persisted
-    * index at indexPath. First contact fits the quantizer on the batch
-    * (≥ K vectors required) and freezes its centers; every later call
-    * is fit-free. Replaying a folded delta appends nothing. */
+    * index at indexPath. First contact fits the DETERMINISTIC quantizer
+    * on the batch (≥ K vectors required, [[detCenters]] — so the
+    * persisted index reproduces [[ivfTopK]]'s geometry exactly and
+    * q_ivf_delta stays oracle-checkable) and freezes its centers; every
+    * later call is fit-free. Replaying a folded delta appends nothing. */
   def ivfAppend(spark: SparkSession, indexPath: String, vectors: DataFrame): Unit = {
     import spark.implicits._
     val st = postingState(indexPath)
@@ -202,15 +368,8 @@ object Ivf {
       if (new java.io.File(cdir, "_SUCCESS").isFile) readCenters(spark, indexPath)
       else {
         if (cdir.exists()) graft.sources.Writers.deleteRecursively(cdir)
-        val emb = Pq.normalized(vectors)
-          .withColumn("features", array_to_vector(col("nemb")))
-        val n = emb.count()
-        require(n >= K,
-          s"IVF quantizer needs at least K=$K vectors in the first batch, got $n")
-        val model = new KMeans().setK(K).setSeed(42L).setMaxIter(10).fit(emb)
-        model.clusterCenters.zipWithIndex
-          .map { case (c, i) => (i, c.toArray) }.toSeq
-          .toDF("list", "center")
+        detCenters(spark, vectors)
+          .map { case (i, c) => (i, c.toSeq) }.toDF("list", "center")
           .coalesce(1).write.parquet(centroidsPath(indexPath))
         readCenters(spark, indexPath)
       }
@@ -247,8 +406,13 @@ object Ivf {
     * the same reason q_ivf_topk's is — no external engine reproduces
     * MLlib k-means; IvfSpec's recall floor is the quality pin. */
   def ivfDeltaQuery(spark: SparkSession, dir: String): DataFrame = {
-    val indexPath =
-      TextOps.fixtureStatePath("graft_ivf_delta", dir, "embeddings")
+    // the quantizer is part of the persisted index's identity: the
+    // prefix carries an algorithm tag (det quantizer, DetSteps Lloyd
+    // rounds) so a quantizer change can never probe a stale index
+    // built under the previous algorithm (fixtureStatePath keys on
+    // CONTENT, which a code change does not move)
+    val indexPath = TextOps.fixtureStatePath(
+      s"graft_ivf_delta_det${DetSteps}", dir, "embeddings")
     if (postingState(indexPath).ensure(spark).isEmpty)
       ivfAppend(spark, indexPath, Tables.embeddings(spark, dir))
     ivfSearch(spark, indexPath,
@@ -270,22 +434,25 @@ object Ivf {
         col("nemb").as("p_nemb"))
     val wc = Window.partitionBy("probe_id").orderBy(col("dist"), col("list"))
     val probeLists = np.crossJoin(broadcast(centers))
-      .withColumn("dist", aggregate(
-        zip_with(col("p_nemb"), col("center"), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v))
+      .withColumn("dist", graft.functions.SqDistance.sqDist(col("p_nemb"), col("center")))
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= NProbe)
       .select(col("probe_id"), col("p_emb"), col("list"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    // bounded top-k aggregation, same rationale (and identical rows)
+    // as searchLists: the posting join's output grows with list size,
+    // and only k rows per probe may reach the exchange
+    val topk = udaf(graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     spark.table(t)
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("list"))
       .join(broadcast(probeLists), Seq("list"))
       .filter(col("cand_id") =!= col("probe_id"))
       .withColumn("cos", cosineSim(col("p_emb"), col("c_emb")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("cand_id"),
-        round(col("cos"), 4).as("cos_sim"))
+      .groupBy("probe_id")
+      .agg(topk(col("cos"), col("cand_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cand_id"), round(col("col.score"), 4).as("cos_sim"))
       .orderBy("probe_id", "rank")
   }
 }

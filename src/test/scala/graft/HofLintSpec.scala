@@ -145,11 +145,11 @@ object HofLintSpec {
     * (functions/SortedFolds.scala); that family was removed in r12. */
   val allowlist: Map[String, Map[String, Int]] = Map(
     // EMB — vector-dim lambdas on ANN/quantization paths
-    "q_ivf_topk" -> Map("zip_with" -> 1, "aggregate" -> 7, "transform" -> 2),
+    "q_ivf_topk" -> Map("aggregate" -> 6, "transform" -> 2),
     // probe-only search over the persisted index: the centroid-ranking
     // lambdas (probes × K=32 centers, dim ≤ 64) and the cosine re-rank —
     // the index build's HOFs are offline (warmup), not in this plan
-    "q_ivf_delta" -> Map("zip_with" -> 1, "aggregate" -> 4, "transform" -> 1),
+    "q_ivf_delta" -> Map("aggregate" -> 3, "transform" -> 1),
     "q_pq_topk" -> Map("zip_with" -> 2, "aggregate" -> 15, "array_sort" -> 1, "transform" -> 4),
     "q_quantized_topk" -> Map("aggregate" -> 2, "transform" -> 4),
     "q_vec_norm" -> Map("aggregate" -> 2),

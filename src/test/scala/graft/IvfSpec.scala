@@ -25,8 +25,20 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
-  test("IVF recall@3 over the nProbe nearest lists") {
+  test("deterministic-quantizer IVF recall@3 over the nProbe nearest lists") {
+    // the DEFAULT (oracle-checked) path since r16: seeded Lloyd with
+    // exact-integer means — its recall must hold the same floor as the
+    // MLlib reference fit, or the determinism was bought with quality
     val got = Ivf.ivfTopK(spark, ivfSf)
+      .select("probe_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"deterministic IVF recall@3: $recall%.3f (searching ${Ivf.NProbe}/${Ivf.K} lists)")
+    assert(recall >= 0.55, f"deterministic IVF recall degraded to $recall%.3f")
+  }
+
+  test("MLlib-quantizer IVF recall@3 over the nProbe nearest lists") {
+    val got = Ivf.ivfTopKTrained(spark, ivfSf)
       .select("probe_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = got.intersect(truth).size.toDouble / truth.size
@@ -46,10 +58,46 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.55, f"IVF recall degraded to $recall%.3f")
   }
 
-  test("seeded quantizer: identical results across runs") {
+  test("deterministic quantizer: probed lists cover a bounded corpus fraction") {
+    // recall alone can be bought with degenerate geometry (one giant
+    // cluster ≈ brute force); the IVF scale contract is recall AT a
+    // bounded scan fraction. Measure the mean fraction of the corpus
+    // the NProbe probed lists actually contain.
+    import org.apache.spark.sql.SparkSession
+    val lists = Ivf.detListSizes(spark, ivfSf)
+    val n = lists.values.sum.toDouble
+    val probed = Ivf.probedLists(spark, ivfSf)
+    val fractions = probed.groupBy(_._1).map { case (_, ls) =>
+      ls.map(l => lists.getOrElse(l._2, 0L)).sum / n }
+    val mean = fractions.sum / fractions.size
+    info(f"mean probed-corpus fraction: $mean%.3f (nominal ${Ivf.NProbe.toDouble / Ivf.K}%.3f)")
+    assert(mean <= 0.35, f"probed fraction $mean%.3f — quantizer degenerate, scan bound lost")
+  }
+
+  test("seeded quantizer: identical results across runs, both paths") {
     val a = Ivf.ivfTopK(spark, ivfSf).collect().map(_.toSeq).toSeq
     val b = Ivf.ivfTopK(spark, ivfSf).collect().map(_.toSeq).toSeq
     assert(a.nonEmpty && a == b)
+    val c = Ivf.ivfTopKTrained(spark, ivfSf).collect().map(_.toSeq).toSeq
+    val d = Ivf.ivfTopKTrained(spark, ivfSf).collect().map(_.toSeq).toSeq
+    assert(c.nonEmpty && c == d)
+  }
+
+  test("deterministic centers: cache replaced when the corpus changes, reused otherwise") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_detcache").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    Ivf.ivfTopK(spark, dir).collect()
+    val first = Ivf.detCache.get(dir)
+    assert(first != null)
+    Ivf.ivfTopK(spark, dir).collect()
+    assert(Ivf.detCache.get(dir)._2 eq first._2)
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    assert(f.setLastModified(f.lastModified() + 60000))
+    Ivf.ivfTopK(spark, dir).collect()
+    val second = Ivf.detCache.get(dir)
+    assert(second._1 != first._1 && !(second._2 eq first._2))
   }
 
   test("quantizer cache: reused while the corpus is unchanged, REPLACED when it changes") {
@@ -58,17 +106,17 @@ class IvfSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
       java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
-    Ivf.ivfTopK(spark, dir).collect()
+    Ivf.ivfTopKTrained(spark, dir).collect()
     val first = Ivf.modelCache.get(dir)
     assert(first != null)
     // unchanged corpus: the fitted model is reused, not retrained
-    Ivf.ivfTopK(spark, dir).collect()
+    Ivf.ivfTopKTrained(spark, dir).collect()
     assert(Ivf.modelCache.get(dir)._2 eq first._2)
     // changed corpus (new mtime => new content signature): the dir's single
     // entry is replaced — superseded index evicted, cache bounded by dirs
     val f = new java.io.File(s"$dir/embeddings.parquet")
     assert(f.setLastModified(f.lastModified() + 60000))
-    Ivf.ivfTopK(spark, dir).collect()
+    Ivf.ivfTopKTrained(spark, dir).collect()
     val second = Ivf.modelCache.get(dir)
     assert(second._1 != first._1, "content signature should have changed")
     assert(!(second._2 eq first._2), "model should have been retrained")
