@@ -5,6 +5,7 @@ import graft.functions.SortedFolds
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.plans.Eager.EagerOps
 
 /** Relational core (SURVEY §2.3 E-SCAN…E-SET, E-WIN, E-TOPK, E-DATE,
   * E-MATH, E-STR families).
@@ -869,7 +870,7 @@ object Relational {
     // stages over a lazy cache race to run the two-window prefix
     // computation once each. localCheckpoint materializes it exactly
     // once before the consumers plan; context cleaner reclaims blocks.
-    val withWm = runningJoinWatermarkOn(ev, delaySec).localCheckpoint(true)
+    val withWm = runningJoinWatermarkOn(ev, delaySec).eagerly
     val c = withWm.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("sec").as("c_sec"), col("wm").as("c_wm"))
@@ -1663,7 +1664,7 @@ object Relational {
       // cache and the per-order collect_set aggregation ran up to four
       // times. localCheckpoint materializes the order-grain frame once,
       // before any consumer plans against it.
-      .localCheckpoint(true)
+      .eagerly
     val nOrders = sets.select(count(lit(1)).as("n_orders"))
     val supp = sets.select(explode(col("pks")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("supp"))
@@ -2319,7 +2320,7 @@ object Relational {
       // (the only fact-sized work) re-runs ~7× across the chain. The
       // residual bench cost after truncation is per-iteration job-launch
       // overhead on 25-row frames — constant in data size
-      .localCheckpoint(true)
+      .eagerly
     val totals = pairs.groupBy("src").agg(sum("n").as("tot"))
     val p = pairs.join(broadcast(totals), "src")
     val k = totals.agg(count(lit(1)).as("k"))

@@ -5,6 +5,7 @@ import graft.functions.SortedFolds
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import graft.plans.Eager.EagerOps
 
 /** Text analysis + deduplication family (SURVEY E-TEXT, E-DEDUP, E-STR;
   * BASELINE.json LLM-pipeline mandate) over the `documents` fixture.
@@ -405,7 +406,7 @@ object TextOps {
       // materializes it exactly once before the consumers plan (the
       // checkpoint-signatures-before-candidate-join strategy a 100 TB
       // run uses); blocks reclaimed by the context cleaner.
-      .localCheckpoint(true)
+      .eagerly
     // prefix length p = sz - ceil(0.9*sz) + 1, via ceil(9x/10) =
     // floor((9x+9)/10) — exact in doubles because 10k/10 divides without
     // rounding, whereas a literal 0.9*sz can land on 18.000000000000004
@@ -517,7 +518,7 @@ object TextOps {
       // a PERSISTED code frame (containment/dedupCurve), this eager scan
       // is that frame's single first consumer, so its cache is warm
       // before the verify joins fan out — single-consumer-first.
-      .localCheckpoint(true)
+      .eagerly
     sigs.as("x")
       .join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
@@ -580,7 +581,7 @@ object TextOps {
     // the rejected-id build end up broadcast, and two concurrent
     // broadcast jobs over a lazy persist would each run the whole
     // signature pipeline
-    val keys = bandKeyFrame(shingleCodeFrame(spark, dir)).localCheckpoint(true)
+    val keys = bandKeyFrame(shingleCodeFrame(spark, dir)).eagerly
     val bucketMin = keys.groupBy("band", "key").agg(min("doc_id").as("min_doc"))
     val rejected = keys.join(bucketMin, Seq("band", "key"))
       .filter(col("doc_id") > col("min_doc"))
@@ -680,7 +681,7 @@ object TextOps {
         .filter(col("doc_id") > col("min_doc"))
         .select("doc_id"))
       .distinct()
-      .localCheckpoint(true)
+      .eagerly
   }
 
   /** Fold one batch's (band, key, min_doc) partials into the persisted
@@ -816,9 +817,15 @@ object TextOps {
         st.ensure(spark) match {
           case Some(t) =>
             val maxId = spark.table(t).agg(max("batch_id")).head()
-            if (maxId.isNullAt(0) || maxId.getLong(0) < batchId)
+            if (maxId.isNullAt(0) || maxId.getLong(0) < batchId) {
+              // re-verify the claim IMMEDIATELY before mutating (r15
+              // advice): a pathological reclaim race can rename a live
+              // holder's marker away; the displaced holder must abort
+              // loudly here, not keep folding unprotected beside the
+              // new claimant
+              verifyWriterMarker(marker)
               st.append(spark, lmBatchPartials(docs, batchId))
-            else if (maxId.getLong(0) > batchId)
+            } else if (maxId.getLong(0) > batchId)
               throw new IllegalStateException(
                 s"batch id regression on $modelPath: fold $batchId arrived " +
                   s"after ${maxId.getLong(0)} — a restarted stream with a " +
@@ -827,10 +834,37 @@ object TextOps {
                   "lifetime of the modelPath or start a fresh modelPath")
           // == max: the redelivered last batch — replay, skip silently
           case None =>
+            verifyWriterMarker(marker)
             st.append(spark, lmBatchPartials(docs, batchId))
         }
-      } finally marker.delete()
+      } finally {
+        // release only OUR claim: after a displacement, the marker on
+        // disk is the NEW claimant's — an unconditional delete here
+        // would silently drop their live claim (the same class the
+        // verify above aborts on)
+        val raw = try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        catch { case _: Throwable => "" }
+        if (raw == ProcessHandle.current().pid().toString) marker.delete()
+      }
     }
+
+  /** Re-verify a held writer claim: the marker must still exist and
+    * carry OUR pid. A displaced claim (the residual reclaim-race class
+    * the tombstone restore documents) turns into a loud abort at the
+    * last moment before the fold mutates state. */
+  private[graft] def verifyWriterMarker(marker: java.io.File): Unit = {
+    val raw = try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    catch { case _: Throwable => "" }
+    val self = ProcessHandle.current().pid().toString
+    if (raw != self)
+      throw new IllegalStateException(
+        s"writer claim on ${marker.getPath} was displaced mid-hold " +
+          s"(marker now '${if (raw.isEmpty) "<absent>" else raw}', we are $self) — " +
+          "another process reclaimed the path; aborting this fold instead " +
+          "of double-folding beside the new claimant")
+  }
 
   /** Same-JVM append serialization points, one per canonical state path. */
   private val pathLocks =
@@ -1160,7 +1194,7 @@ object TextOps {
       .join(deg, col("src") === col("deg_src"))
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .eagerly
     val n = nodes.count() // dim-sized scalar (same license as the CC fixpoint)
     // empty graph: no nodes means no ranks — return the (empty) node
     // frame shaped like the loop's output instead of dividing by zero in
@@ -1214,7 +1248,7 @@ object TextOps {
       .join(seed, col("doc_id") === col("seed_id"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("nbr0"), col("doc_id"))).as("cluster_id"))
-      .localCheckpoint(true)
+      .eagerly
     // coalesce to 0: sum() over zero rows is null, and a null labelSum
     // would never satisfy the fixpoint comparison — an empty nodes frame
     // must terminate (first round: 0 == 0), not loop forever
@@ -1248,6 +1282,13 @@ object TextOps {
       val next = prop.join(parent, col("cluster_id") === col("p_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("p_lab"), col("cluster_id"))).as("cluster_id"))
+        // loop-carried: localCheckpoint DELIBERATELY (not Eager.eagerly)
+        // — truncation is the point here, or each pointer-doubling round
+        // compounds the plan. Cluster caveat (r15 advice): localCheckpoint
+        // blocks are non-replicated, so an executor loss mid-loop fails
+        // the query instead of recomputing; acceptable for a bounded
+        // O(log d) loop, and a reliable checkpointDir is the alternative
+        // for long-lived cluster jobs.
         .localCheckpoint(true) // materializes + truncates lineage (see init note)
       prev = cur
       cur = labelSum(next)
@@ -1602,7 +1643,7 @@ object TextOps {
     // EAGER (the r12 broadcast-race lint): the degree build and one
     // triangle-join side both broadcast over this frame — joined 3x +
     // degree scan, materialized once up front
-    val edges = pairs.localCheckpoint(true)
+    val edges = pairs.eagerly
     val deg = edges.select(col("d1").as("v")).unionByName(edges.select(col("d2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // wedge terms stay EXACT integers: deg widens to DECIMAL(38,0)
@@ -2008,7 +2049,7 @@ object TextOps {
       // tf⋈vocab fold ran three times (measured 3× the subtree cost at
       // local[32]). localCheckpoint materializes the doc-sized frame
       // once, before any consumer plans against it.
-      .localCheckpoint(true)
+      .eagerly
     // Downstream frames (stats, hist, ranges) are deliberately NOT
     // checkpointed: their subtrees repeat in the final plan (16 scans of
     // the checkpointed `per` statically), but every repeat sits behind a
@@ -2498,7 +2539,7 @@ object TextOps {
         .select("doc_id", "j"))
       .distinct()
       .select(col("doc_id"), col("j").cast("long").as("j"))
-      .localCheckpoint(true)
+      .eagerly
   }
 
   /** Fold one batch's distinct gram keys into the persisted index:
@@ -2531,8 +2572,15 @@ object TextOps {
       .persist() // hit decision + fold partials; unpersisted before return
     pos.count() // eager before substringHits' three builds fan out (r14 sweep)
     val hits = substringHits(spark, indexPath, pos)
+    // batchMin aggregates ON the index's bucket layout (aligned BELOW
+    // the groupBy — one delta exchange at the bucket count instead of
+    // one at spark.sql.shuffle.partitions): joined at any other count,
+    // the planner re-shuffles the INDEX side to match and disables its
+    // bucketed scan — an index-sized exchange per fold (the r16
+    // ScaleProbe shuffle-meter finding)
     substringFold(spark, indexPath,
-      pos.groupBy("k").agg(min("doc_id").as("min_doc")))
+      substringIndexState(indexPath).aligned(pos)
+        .groupBy("k").agg(min("doc_id").as("min_doc")))
     pos.unpersist()
     stripSpans(docs, islandSpans(hits)).orderBy("doc_id")
   }
@@ -2603,7 +2651,7 @@ object TextOps {
     // over a lazy persist each re-ran the tokenize→shingle→TokenCode
     // pipeline (checkpointing only the pair frame moved nothing — the
     // race was here, one level down)
-    val codes = shingleCodeFrame(spark, dir).localCheckpoint(true)
+    val codes = shingleCodeFrame(spark, dir).eagerly
     val sig = codes.select(col("doc_id"),
       graft.functions.MinHashSig.minhashSig(col("cs"), MinhashParams, MinhashPrime).as("mins"))
     val docCodes = codes.select(col("doc_id"), explode(col("cs")).as("code"))
@@ -3045,7 +3093,7 @@ object TextOps {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .eagerly
     kcorePeelWithRounds(edges)._1
       .groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("core_deg"))
@@ -3072,7 +3120,7 @@ object TextOps {
     var capped = false
     while (!converged && !capped) {
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+        .eagerly
       if (deg.filter(col("deg") < k).isEmpty) converged = true
       // the probe runs BEFORE the cap check, so a peel that completes on
       // exactly the maxRounds-th modifying round reports converged, not
@@ -3085,7 +3133,7 @@ object TextOps {
           .join(keep, "src")
           .join(keep.withColumnRenamed("src", "dst"), "dst")
           .select("src", "dst")
-          .localCheckpoint(true)
+          .eagerly
       }
     }
     if (capped)

@@ -6,6 +6,7 @@ import graft.functions.CosineSimilarity.cosineSim
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.plans.Eager.EagerOps
 
 /** Array/vector layer (SURVEY E-ARR, E-SIM; reference P3-P5, P12, P14-P17)
   * over the `embeddings` fixture (ARRAY<FLOAT>, dim 64 — the CLIP-embedding
@@ -204,7 +205,7 @@ object VectorOps {
       // before any consumer plans (SemDeDup materializes it for the same
       // reason; the bandKeyFrame/ccnet-rarity discipline). Blocks are
       // reclaimed by the context cleaner once the frame is unreachable.
-      .localCheckpoint(true)
+      .eagerly
     val dups = assigned.select(col("cluster"), col("vec_id"), col("embedding").as("e1"))
       .join(assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2")),
         Seq("cluster"))
@@ -480,8 +481,9 @@ object VectorOps {
     * corpus-sized stored side never re-shuffles — only the delta moves;
     * the quadratic is per-cluster (SemDeDup's trade), never corpus-wide. */
   def semDedupIncrement(spark: SparkSession, indexPath: String,
-                        vecs: DataFrame): DataFrame = {
-    val centers = ensureSemDedupCenters(spark, indexPath, vecs)
+                        vecs: DataFrame,
+                        allowSmallSeed: Boolean = false): DataFrame = {
+    val centers = ensureSemDedupCenters(spark, indexPath, vecs, allowSmallSeed)
     val (report, assigned) = semDedupDecide(spark, indexPath, centers, vecs)
     semDedupFoldAssigned(spark, indexPath, assigned)
     report.orderBy("vec_id")
@@ -491,9 +493,22 @@ object VectorOps {
     * [[SemDedupSeedK]] smallest vec_ids on first contact (an EMPTY first
     * batch freezes nothing — the next non-empty batch does; a streaming
     * head's empty batch 0 must not ruin the geometry forever). Centers
-    * write BEFORE any index append, the IVF crash-convergence order. */
+    * write BEFORE any index append, the IVF crash-convergence order.
+    *
+    * A non-empty first batch SMALLER than [[SemDedupSeedK]] is REFUSED
+    * (r15 advice, mirroring the IVF quantizer's first-batch ≥ K
+    * require): geometry frozen from 1-2 vectors yields 1-2 clusters
+    * FOREVER, so the within-cluster quadratic — the exact blowup
+    * SemDeDup's clustering exists to bound — silently becomes
+    * corpus-wide at scale. Correctness would be unaffected, which is
+    * why the break must be loud: nothing downstream would ever notice.
+    * `allowSmallSeed` is the documented escape for callers whose first
+    * batch IS the whole corpus (degenerate fixtures, sub-seed-sized
+    * tables), where few clusters bound a few vectors and the contract
+    * holds trivially. */
   private[graft] def ensureSemDedupCenters(spark: SparkSession, indexPath: String,
-                                           firstBatch: DataFrame): DataFrame = {
+                                           firstBatch: DataFrame,
+                                           allowSmallSeed: Boolean = false): DataFrame = {
     val cdir = new java.io.File(semDedupCentroidsPath(indexPath))
     // COMMIT marker, not directory existence (r15 review): a crash DURING
     // the centroid write leaves a dir holding only _temporary — treating
@@ -505,9 +520,16 @@ object VectorOps {
       if (cdir.exists()) graft.sources.Writers.deleteRecursively(cdir)
       val seeds = firstBatch.orderBy("vec_id").limit(SemDedupSeedK)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-        .localCheckpoint(true)
-      if (seeds.isEmpty)
+        .eagerly
+      val n = seeds.count()
+      if (n == 0)
         return seeds // empty batch before first freeze: decide over nothing
+      require(n >= SemDedupSeedK || allowSmallSeed,
+        s"semantic-dedup geometry needs at least $SemDedupSeedK vectors in " +
+          s"the first batch, got $n — a tiny frozen geometry makes the " +
+          "within-cluster quadratic corpus-wide forever; accumulate a " +
+          "larger first delta, or pass allowSmallSeed=true if this batch " +
+          "is the whole corpus")
       seeds.coalesce(1).write.parquet(semDedupCentroidsPath(indexPath))
     }
     readSemDedupCenters(spark, indexPath)
@@ -534,7 +556,7 @@ object VectorOps {
   private[graft] def semDedupAssign(centers: DataFrame, vecs: DataFrame): DataFrame =
     assignTo(centers, vecs)
       .select(col("vec_id"), col("cluster"), col("embedding"))
-      .localCheckpoint(true)
+      .eagerly
 
   /** The admission decision of one delta against the CURRENT index,
     * MATERIALIZED (decide-then-fold: [[semDedupIncrement]] consumes the
@@ -583,7 +605,7 @@ object VectorOps {
       .join(rejected, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         col("dup_of").isNull.as("admitted"), col("dup_of"), col("max_cos"))
-      .localCheckpoint(true)
+      .eagerly
     (report, assigned)
   }
 
@@ -661,9 +683,13 @@ object VectorOps {
   private def semDedupDeltaIndex(spark: SparkSession, dir: String): String = {
     val indexPath = TextOps.fixtureStatePath("graft_semdedup_delta", dir, "embeddings")
     if (semDedupIndexState(indexPath).ensure(spark).isEmpty)
+      // allowSmallSeed: this batch IS the whole even-side corpus (the
+      // one-row sweep fixtures land here), so a sub-seed geometry
+      // bounds a sub-seed corpus — the scale contract holds trivially
       semDedupIncrement(spark, indexPath,
         Tables.embeddings(spark, dir)
-          .filter(pmod(col("vec_id"), lit(2L)) === 0)).count()
+          .filter(pmod(col("vec_id"), lit(2L)) === 0),
+        allowSmallSeed = true).count()
     indexPath
   }
 }

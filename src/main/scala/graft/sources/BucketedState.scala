@@ -77,11 +77,35 @@ final case class BucketedState(path: String, prefix: String, schemaDdl: String,
     * contact). The caller is responsible for novelty filtering when
     * replay-idempotence is wanted — typically an anti-join whose keys
     * include the bucket columns, which itself plans exchange-free on
-    * the state side. Returns the table name. */
+    * the state side. Returns the table name.
+    *
+    * The delta is MATERIALIZED before the insert (r16 — the ScaleProbe
+    * shuffle meter caught this): embedded inside an
+    * InsertIntoHadoopFsRelationCommand, the planner DISABLES the
+    * bucketed scan on the state side of the caller's anti-join
+    * ("Bucketed: false (disabled by query planner)") and re-shuffles
+    * the WHOLE index on every fold — index-sized exchange per delta,
+    * exactly what the bucketed layout exists to avoid. Planned
+    * standalone, the same anti-join keeps the bucketed scan (the
+    * per-leg no-Exchange plan pins), so one delta-sized eager
+    * materialization buys an index-size-flat fold. */
+  /** Repartition a delta into THIS state's bucket layout (bucket count
+    * AND columns) before joining it against the table. Without the
+    * alignment, a delta whose upstream aggregation landed at
+    * spark.sql.shuffle.partitions drags the join to that count — the
+    * planner then shuffles the INDEX side to match and disables its
+    * bucketed scan ("Bucketed: false (disabled by query planner)"),
+    * i.e. an index-sized exchange per fold (the r16 ScaleProbe shuffle
+    * meter caught exactly this on the gram-index fold). One extra
+    * delta-sized exchange buys an index-size-flat join. */
+  def aligned(df: DataFrame): DataFrame =
+    df.repartition(nBuckets, bucketCols.map(df.col): _*)
+
   def append(spark: SparkSession, df: DataFrame): String =
     ensure(spark) match {
       case Some(t) =>
-        df.write.format("parquet").mode("append")
+        graft.plans.Eager.eager(df)
+          .write.format("parquet").mode("append")
           .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
           .sortBy(bucketCols.head, bucketCols.tail: _*)
           .saveAsTable(t)

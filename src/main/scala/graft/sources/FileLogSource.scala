@@ -153,35 +153,78 @@ object FileLog {
     * entries a day forever (r15 review). */
   private[graft] val IndexIntervalBytes = 4096L
 
+  /** Identity of a log file for sidecar staleness detection: the MD5 of
+    * its FIRST LINE (bounded at 8 KiB when no newline has landed yet).
+    * Append-only logs never change their first line, so a differing
+    * identity means the file was REPLACED — the one mutation class the
+    * ≤-length/monotone entry validation cannot see when the replacement
+    * is equal-or-longer (r15 advice: such a sidecar passes validation
+    * yet points mid-line into the new file's records). A replacement
+    * that preserves the first line stays inside the documented residual
+    * trust boundary, like Kafka's .index files. */
+  private[sources] def logIdentity(log: File): String = {
+    val in = new java.io.FileInputStream(log)
+    try {
+      val buf = new Array[Byte](8192)
+      val n = in.read(buf)
+      if (n <= 0) "empty"
+      else {
+        var end = 0
+        while (end < n && buf(end) != '\n') end += 1
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(buf, 0, if (end < n) end + 1 else n)
+        md.digest().map("%02x".format(_)).mkString
+      }
+    } finally in.close()
+  }
+
   /** Load the byte-index sidecar of `log`: (lineOffset → bytePos),
     * validated against the LIVE file — entries past the current length,
     * non-monotone entries, and torn/garbled lines are dropped (a
     * concurrent appender's last line may be half-flushed; the file may
-    * have been replaced). A missing or unreadable sidecar is simply the
-    * empty index: seeks degrade to scan-from-0, never to wrong data. */
+    * have been replaced). The sidecar's `#id` header (first-line hash,
+    * written with its first entry) is compared against the live file:
+    * a mismatch means the log was replaced under the index, so the
+    * WHOLE sidecar is discarded and deleted — seeks degrade to
+    * scan-from-0, never to wrong data. A missing or unreadable sidecar
+    * is simply the empty index. */
   private[sources] def loadSidecar(log: File): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
     val m = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
     val idx = sidecarOf(log)
     if (!idx.isFile) return m
     val len = log.length()
+    var stale = false
+    lazy val liveId =
+      try logIdentity(log) catch { case _: java.io.IOException => "" }
     try {
       val src = scala.io.Source.fromFile(idx)(scala.io.Codec.UTF8)
       try {
         var maxLine = -1L; var maxByte = -1L
-        for (l <- src.getLines()) l.split("\t", -1) match {
-          case Array(a, b) =>
-            try {
-              val (lo, by) = (a.toLong, b.toLong)
-              // monotone in BOTH coordinates and within the live file:
-              // anything else is a torn line or a stale/foreign entry
-              if (lo > maxLine && by > maxByte && by <= len && lo >= 0 && by >= 0) {
-                m.put(lo, by); maxLine = lo; maxByte = by
-              }
-            } catch { case _: NumberFormatException => () }
-          case _ => ()
+        val it = src.getLines()
+        while (!stale && it.hasNext) it.next() match {
+          // identity assertion (anywhere — concurrent streams may
+          // interleave header writes; identical duplicates are fine)
+          case l if l.startsWith("#id\t") =>
+            if (l.substring(4) != liveId) stale = true
+          case l => l.split("\t", -1) match {
+            case Array(a, b) =>
+              try {
+                val (lo, by) = (a.toLong, b.toLong)
+                // monotone in BOTH coordinates and within the live file:
+                // anything else is a torn line or a stale/foreign entry
+                if (lo > maxLine && by > maxByte && by <= len && lo >= 0 && by >= 0) {
+                  m.put(lo, by); maxLine = lo; maxByte = by
+                }
+              } catch { case _: NumberFormatException => () }
+            case _ => ()
+          }
         }
       } finally src.close()
     } catch { case _: java.io.IOException => () }
+    if (stale) {
+      m.clear()
+      idx.delete() // reset: the next poll re-seeds a fresh index
+    }
     m
   }
 }
@@ -344,8 +387,18 @@ class FileLogMicroBatchStream(path: String, maxPerTrigger: Option[Long] = None,
     * entries from concurrent streams. */
   private def appendSidecar(log: File, lines: Long, bytePos: Long): Unit =
     try {
-      val out = new java.io.FileOutputStream(FileLog.sidecarOf(log), true)
-      try out.write(s"$lines\t$bytePos\n".getBytes(UTF_8))
+      val idxF = FileLog.sidecarOf(log)
+      // first write seeds the identity header (r15 advice): the log's
+      // first-line hash, so a later loader can tell a REPLACED log from
+      // the appended-to one the index describes. One combined write —
+      // small O_APPEND writes are atomic, so a concurrent stream never
+      // sees a header without its entry
+      val header =
+        if (!idxF.isFile || idxF.length() == 0L)
+          s"#id\t${FileLog.logIdentity(log)}\n"
+        else ""
+      val out = new java.io.FileOutputStream(idxF, true)
+      try out.write((header + s"$lines\t$bytePos\n").getBytes(UTF_8))
       finally out.close()
     } catch { case _: java.io.IOException => () }
 

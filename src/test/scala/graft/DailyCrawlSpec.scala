@@ -180,11 +180,22 @@ class DailyCrawlSpec extends SparkSpec {
     // dedup decisions committed per batch dir, band keys folded into
     // the bucketed index
     val crawlLog = base + "/crawl-log"
+    // each day splits into ID-CONTIGUOUS halves (p0 = lower ids,
+    // written first), NOT parity: the head polls continuously, so a
+    // trigger can land between the two partition appends — under a
+    // parity layout that delivered a larger-id near-dup one micro-batch
+    // BEFORE its smaller-id twin and flipped the keep-first-by-ARRIVAL
+    // admission (the operator's contract) away from the one-shot's
+    // keep-first-by-id that this test compares against. With contiguous
+    // halves every observable append prefix is id-downward-closed, so
+    // ANY poll timing yields id-ordered arrival and the comparison is
+    // race-free. (Caught live in r16 once the folds got slower.)
     def appendDay(day: Array[(Long, String)]): Unit = {
+      val half = day.length / 2
       graft.sources.FileLog.appendValues(crawlLog, 0,
-        day.filter(_._1 % 2 == 0).map(_._2).toSeq)
+        day.take(half).map(_._2).toSeq)
       graft.sources.FileLog.appendValues(crawlLog, 1,
-        day.filter(_._1 % 2 == 1).map(_._2).toSeq)
+        day.drop(half).map(_._2).toSeq)
     }
     def startHead() = StreamOps.dedupIncrementSink(
       graft.sources.StreamSource.kafkaProject(
@@ -336,5 +347,131 @@ class DailyCrawlSpec extends SparkSpec {
     val gotSearch = Ivf.ivfSearch(spark, ivfIdx, probes, k = 3).collect().toSeq
     val refSearch = Ivf.ivfSearch(spark, refIvf, probes, k = 3).collect().toSeq
     assert(gotSearch == refSearch && gotSearch.nonEmpty)
+  }
+
+  /** r15 verdict task #5: TaskRetrySpec pins task-grain retry on the
+    * four BATCH folds; this drives the STREAMING composition itself
+    * under injected once-failing tasks (local[4,2] — one retry, like a
+    * real cluster): day 1 fails a task inside the HEAD's admission
+    * micro-batch, day 2 fails one inside the restarted downstream
+    * MODEL leg's fold. The retried attempts must leave every leg's end
+    * state identical to the one-shot build — the streaming sinks'
+    * decide-commit-then-fold and novel-only-append disciplines compose
+    * with Spark's task commit protocol, or duplicated work would land
+    * twice. */
+  test("streaming loop under injected task failures ≡ one-shot (head day 1, model leg day 2)") {
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, sfDir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val payloads = docs
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("text"))).as("j"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val days = Seq(payloads.filter(_._1 < mid), payloads.filter(_._1 >= mid))
+
+    val base = tmp("crawl-inject")
+    val dedupIdx = base + "/dedup/index.parquet"
+    val admittedOut = base + "/admitted"
+    val substrIdx = base + "/substr/index.parquet"
+    val strippedOut = base + "/stripped"
+    val modelPath = base + "/lm/model.parquet"
+    val admSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val crawlLog = base + "/crawl-log"
+    // each day splits into ID-CONTIGUOUS halves (p0 = lower ids,
+    // written first), NOT parity: the head polls continuously, so a
+    // trigger can land between the two partition appends — under a
+    // parity layout that delivered a larger-id near-dup one micro-batch
+    // BEFORE its smaller-id twin and flipped the keep-first-by-ARRIVAL
+    // admission (the operator's contract) away from the one-shot's
+    // keep-first-by-id that this test compares against. With contiguous
+    // halves every observable append prefix is id-downward-closed, so
+    // ANY poll timing yields id-ordered arrival and the comparison is
+    // race-free. (Caught live in r16 once the folds got slower.)
+    def appendDay(day: Array[(Long, String)]): Unit = {
+      val half = day.length / 2
+      graft.sources.FileLog.appendValues(crawlLog, 0,
+        day.take(half).map(_._2).toSeq)
+      graft.sources.FileLog.appendValues(crawlLog, 1,
+        day.drop(half).map(_._2).toSeq)
+    }
+    // the bomb rides INSIDE the streams whose tasks we mean to fail —
+    // head and model leg only, so concurrent triggers of other legs
+    // can never absorb an armed injection
+    def startHead() = StreamOps.dedupIncrementSink(
+      graft.sources.StreamSource.kafkaProject(
+        graft.sources.FileLog.stream(spark, crawlLog), admSchema)
+        .filter(FaultInjection.bomb),
+      dedupIdx, admittedOut, base + "/ckpt-dedup")
+    def admittedStream() =
+      spark.readStream.schema(admSchema).parquet(admittedOut + "/batch_id=*")
+    def startLm() = StreamOps.lmModelSink(
+      admittedStream().select("doc_id", "text").filter(FaultInjection.bomb),
+      modelPath, base + "/ckpt-lm")
+    def startSub() = StreamOps.substringIncrementSink(
+      admittedStream().select("doc_id", "text"),
+      substrIdx, strippedOut, base + "/ckpt-sub")
+
+    val head = startHead()
+    var lmQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    var subQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      // ---- day 1: head takes the failure mid-admission ----
+      FaultInjection.arm(afterRows = 50)
+      try { appendDay(days(0)); head.processAllAvailable() }
+      finally FaultInjection.disarm()
+      assert(FaultInjection.tripped.get,
+        "the day-1 head injection must actually fire")
+      lmQ = startLm(); subQ = startSub()
+      lmQ.processAllAvailable(); subQ.processAllAvailable()
+
+      // ---- day 2: model leg takes the failure on restart catch-up ----
+      lmQ.stop()
+      appendDay(days(1)); head.processAllAvailable()
+      subQ.processAllAvailable()
+      FaultInjection.arm(afterRows = 50)
+      try { lmQ = startLm(); lmQ.processAllAvailable() }
+      finally FaultInjection.disarm()
+      assert(FaultInjection.tripped.get,
+        "the day-2 model-leg injection must actually fire")
+    } finally {
+      Seq(Option(head), Option(lmQ), Option(subQ)).flatten
+        .foreach(q => if (q.isActive) q.stop())
+    }
+
+    // dedup leg ≡ one-shot
+    val admitted = spark.read.parquet(admittedOut + "/batch_id=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShotAdm = TextOps.dedupIncrement(spark,
+        tmp("crawl-inj-dedup-ref") + "/index.parquet", docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == oneShotAdm)
+    assert(admitted.size < ids.length, "fixture must exercise rejection")
+
+    // model leg ≡ one-shot, bit for bit, despite the retried fold task
+    val admDocs = docs.filter(col("doc_id").isInCollection(admitted))
+    val refModel = tmp("crawl-inj-lm-ref") + "/model.parquet"
+    TextOps.lmModelAppend(spark, refModel, admDocs, batchId = 1L)
+    val gotScores = TextOps.lmScoreDelta(spark, modelPath, admDocs).collect().toSeq
+    val refScores = TextOps.lmScoreDelta(spark, refModel, admDocs).collect().toSeq
+    assert(gotScores == refScores && gotScores.size == admitted.size)
+
+    // substring leg (no injection, but folding beside both) ≡ one-shot
+    val streamedStrip = spark.read.parquet(strippedOut + "/batch_id=*")
+      .select("doc_id", "n_tokens", "n_dup_tokens", "text_clean").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val oneShotStrip = TextOps.substringIncrement(spark,
+        tmp("crawl-inj-sub-ref") + "/index.parquet", admDocs)
+      .select("doc_id", "n_tokens", "n_dup_tokens", "text_clean").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(streamedStrip == oneShotStrip)
   }
 }

@@ -164,6 +164,27 @@ class IncrementalLmSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"leaked tombstones: ${leftovers.mkString(",")}")
   }
 
+  test("a displaced writer claim aborts before the fold instead of folding unprotected") {
+    // r15 advice: a pathological reclaim race can rename a live
+    // holder's marker away; the holder re-verifies ownership right
+    // before each mutation and must abort loudly on any displacement
+    val m = freshModel()
+    val marker = new java.io.File(m + ".writer_inflight")
+    marker.getParentFile.mkdirs()
+    // our own claim verifies silently
+    java.nio.file.Files.write(marker.toPath,
+      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+    TextOps.verifyWriterMarker(marker)
+    // a FOREIGN pid in the marker = a new claimant displaced us
+    java.nio.file.Files.write(marker.toPath, "1".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] { TextOps.verifyWriterMarker(marker) }
+    assert(ex.getMessage.contains("displaced"), ex.getMessage)
+    // an ABSENT marker (renamed away, no new claimant yet) also aborts
+    marker.delete()
+    val ex2 = intercept[IllegalStateException] { TextOps.verifyWriterMarker(marker) }
+    assert(ex2.getMessage.contains("displaced"), ex2.getMessage)
+  }
+
   test("compaction preserves totals AND the replay guard; catalog loss self-heals") {
     val m = freshModel()
     TextOps.lmModelAppend(spark, m, docs(), 0L)

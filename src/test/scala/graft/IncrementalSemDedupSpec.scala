@@ -137,6 +137,28 @@ class IncrementalSemDedupSpec extends SparkSpec {
     assert(after == clean)
   }
 
+  test("a sub-seed first batch is refused; allowSmallSeed is the corpus-sized escape") {
+    // r15 advice: geometry frozen from 1-2 vectors yields 1-2 clusters
+    // forever — the within-cluster quadratic goes corpus-wide and
+    // nothing downstream ever notices, so the freeze must fail loudly
+    val idx = freshIndex()
+    val tiny = vecs().orderBy("vec_id").limit(3)
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.semDedupIncrement(spark, idx, tiny)
+    }
+    assert(e.getMessage.contains("at least"), e.getMessage)
+    // the refusal froze nothing: a later full-size batch freezes cleanly
+    val full = reportOf(VectorOps.semDedupIncrement(spark, idx, vecs()))
+    assert(full == reportOf(VectorOps.semDedupIncrement(spark, freshIndex(), vecs())))
+    // the escape hatch freezes a corpus-sized tiny batch explicitly,
+    // and the guard is freeze-time only — later deltas may be any size
+    val idx2 = freshIndex()
+    val r1 = VectorOps.semDedupIncrement(spark, idx2, tiny, allowSmallSeed = true)
+    assert(r1.count() == 3)
+    val later = vecs().orderBy("vec_id").limit(5).filter(col("vec_id") >= lit(3L))
+    assert(VectorOps.semDedupIncrement(spark, idx2, later).count() > 0)
+  }
+
   test("compaction preserves admissions and index content") {
     val ids = vecs().select("vec_id").collect().map(_.getLong(0)).sorted
     val mid = ids(ids.length / 2)

@@ -378,6 +378,48 @@ class StreamSourceSpec extends SparkSpec {
       s"seek from a partially-valid sidecar must still replay exactly: $tail")
   }
 
+  test("filelog sidecar identity: a REPLACED equal-or-longer log resets the index instead of desyncing") {
+    // r15 advice: the entry validation (≤ length, monotone) catches a
+    // SHRUNK replacement but not an equal-or-longer one — such a
+    // sidecar passes validation yet its byte positions point mid-line
+    // into the new file, silently desynchronizing offsets. The #id
+    // header (first-line hash) closes exactly this class.
+    import graft.sources.{FileLog, FileLogMicroBatchStream, FileLogInputPartition, FileLogOffset, FileLogReaderFactory}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-filelog-replace").toString
+    val dir = tmp + "/t"
+    FileLog.appendValues(dir, 0, (0L until 50L).map(i => "v" * 40 + i))
+    val s1 = new FileLogMicroBatchStream(dir)
+    assert(s1.latestOffset().asInstanceOf[FileLogOffset].counts(0) == 50L)
+    val idx = new java.io.File(dir, "p0.log.idx")
+    assert(idx.isFile, "the poll must have written the sidecar")
+    assert(scala.io.Source.fromFile(idx).getLines().next().startsWith("#id\t"),
+      "the sidecar's first write must seed the identity header")
+    // adversarial replacement: LONGER than the original with different
+    // line widths, so every stale entry is in-range but mid-line
+    val other = tmp + "/o"
+    FileLog.appendValues(other, 0, (0L until 300L).map(i => s"wwwwww$i"))
+    val log = new java.io.File(dir, "p0.log")
+    val repl = new java.io.File(other, "p0.log")
+    assert(repl.length() > log.length(), "fixture must exercise the equal-or-longer class")
+    java.nio.file.Files.copy(repl.toPath, log.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // a FRESH stream detects the identity mismatch, discards the
+    // sidecar, and recounts the replacement from byte 0
+    val s2 = new FileLogMicroBatchStream(dir)
+    val end = s2.latestOffset().asInstanceOf[FileLogOffset].counts(0)
+    assert(end == 300L, s"replaced log must be recounted from scratch, got $end")
+    // and the records read under the fresh count are the REPLACEMENT's
+    val ip = s2.planInputPartitions(
+      FileLogOffset(Map(0 -> 0L)), FileLogOffset(Map(0 -> 3L)))
+      .head.asInstanceOf[FileLogInputPartition]
+    val r = new FileLogReaderFactory().createReader(ip)
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (r.next())
+      got += new String(r.get().getBinary(1), java.nio.charset.StandardCharsets.UTF_8)
+    r.close()
+    assert(got.toSeq == Seq("wwwwww0", "wwwwww1", "wwwwww2"), s"got $got")
+  }
+
   test("filelog: two streams tailing one log agree on offsets and both write compatible sidecars") {
     // concurrent consumers (two independent queries on one topic) each
     // keep their own scan state and may interleave sidecar appends — the

@@ -31,6 +31,27 @@ object ScaleProbe {
           pmod(hash(col("id") + idOffset, i, lit(seed)), lit(vocab)))), " ")
         .as("text"))
 
+  /** Deterministic synthetic embeddings: 64-dim float arrays from the
+    * same hash stamp (values in [−0.5, 0.5); no zero-norm rows at any
+    * realistic n). */
+  def synthVecs(spark: SparkSession, n: Long, idOffset: Long, seed: Long): DataFrame =
+    spark.range(n).select(
+      (col("id") + idOffset).as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(hash(col("id") + idOffset, i, lit(seed)), lit(1000))
+          .cast("double") / 1000.0 - 0.5).cast("float")).as("embedding"))
+
+  /** Cumulative shuffle-WRITE bytes across all completed stages — the
+    * empirical face of the "no Exchange above the index side" plan pin:
+    * a probe whose shuffle volume is flat in index size moves only the
+    * delta (and its k-bounded results), never the stored corpus. */
+  private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
@@ -65,9 +86,34 @@ object ScaleProbe {
     def freshDelta(rows: Long): DataFrame =
       synthDocs(spark, rows, deltaIds.getAndAdd(rows), seed + 7,
         (nBase / 10).toInt max 1000).localCheckpoint(true)
+    def freshVecDelta(rows: Long): DataFrame =
+      synthVecs(spark, rows, deltaIds.getAndAdd(rows), seed + 7)
+        .localCheckpoint(true)
 
-    case class Cell(leg: String, index: String, deltaRows: Long, secs: Double)
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    // (wall seconds, shuffle-write MB) of one run; the short sleep lets
+    // the async listener bus drain before the bytes are read
+    def measure(run: => Unit): (Double, Double) = {
+      Thread.sleep(300); val b0 = meter.bytes.get()
+      val s = time(run)
+      Thread.sleep(300)
+      (s, (meter.bytes.get() - b0) / 1e6)
+    }
+
+    case class Cell(leg: String, index: String, deltaRows: Long,
+                    secs: Double, shufMb: Double)
     val cells = Seq.newBuilder[Cell]
+    def medianCell(leg: String, tag: String, deltaRows: Long,
+                   mkDelta: Long => DataFrame)(run: DataFrame => Unit): Cell = {
+      val ms = (1 to reps).map { _ =>
+        val d = mkDelta(deltaRows)
+        val m = measure(run(d))
+        spark.catalog.clearCache()
+        m
+      }
+      Cell(leg, tag, deltaRows, median(ms.map(_._1)), median(ms.map(_._2)))
+    }
 
     for ((tag, n, vocab) <- corpora) {
       val corpus = synthDocs(spark, n, 0L, seed, vocab)
@@ -83,35 +129,73 @@ object ScaleProbe {
       println(f"[probe] $tag state built in $tBuild%.1f s")
       var lmBatch = 1L
       for (deltaRows <- Seq(500L, 2500L)) {
-        def medianOfReps(leg: String)(run: DataFrame => Unit): Double =
-          median((1 to reps).map { _ =>
-            val d = freshDelta(deltaRows)
-            val s = time(run(d))
-            spark.catalog.clearCache()
-            s
-          })
-        cells += Cell("dedupIncrement", tag, deltaRows, medianOfReps("dedup") {
-          d => TextOps.dedupIncrement(spark, dedupIdx, d).count() })
-        cells += Cell("substringIncrement", tag, deltaRows, medianOfReps("substr") {
-          d => TextOps.substringIncrement(spark, substrIdx, d).count() })
-        cells += Cell("lmScoreDelta", tag, deltaRows, medianOfReps("lm") {
-          d => TextOps.lmScoreDelta(spark, modelPath, d).count() })
+        cells += medianCell("dedupIncrement", tag, deltaRows, freshDelta) {
+          d => TextOps.dedupIncrement(spark, dedupIdx, d).count() }
+        cells += medianCell("substringIncrement", tag, deltaRows, freshDelta) {
+          d => TextOps.substringIncrement(spark, substrIdx, d).count() }
+        cells += medianCell("lmScoreDelta", tag, deltaRows, freshDelta) {
+          d => TextOps.lmScoreDelta(spark, modelPath, d).count() }
         // keep the model's fold leg honest too: one timed fold per size
         lmBatch += 1
-        cells += Cell("lmModelAppend", tag, deltaRows, {
+        cells += {
           val d = freshDelta(deltaRows)
-          time(TextOps.lmModelAppend(spark, modelPath, d, lmBatch))
-        })
+          val (s, mb) = measure(TextOps.lmModelAppend(spark, modelPath, d, lmBatch))
+          Cell("lmModelAppend", tag, deltaRows, s, mb)
+        }
+      }
+    }
+
+    // ---- the two vector legs (r15 verdict task #4): semDedupIncrement
+    // and ivfAppend/ivfSearch. Vector corpora are sized separately
+    // (nVecBase, 10×): the semdedup one-shot build pays a per-cluster
+    // quadratic, so the build stays probe-affordable while the INDEX
+    // still grows a full 10×. Expectation: SHUFFLE flat in index size
+    // (no Exchange above the bucketed index side — only the delta and
+    // k-bounded results move); WALL grows with the probed-candidate
+    // volume at FIXED cluster/list count, which is the documented
+    // fixed-k trade (production grows K with the corpus: SemDeDup's
+    // k≈10⁵ clusters, IVF's K-grows-with-corpus knob — cell sizes, and
+    // with them per-delta compare volume, stay constant).
+    import graft.operators.{Ivf, VectorOps}
+    val nVecBase = args.lift(2).map(_.toLong).getOrElse(1500L)
+    for ((tag, n) <- Seq(("1x", nVecBase), ("10x", nVecBase * 10))) {
+      val vecs = synthVecs(spark, n, 0L, seed)
+      val semIdx = base(s"semdedup-$tag") + "/index.parquet"
+      val ivfIdx = base(s"ivf-$tag") + "/index.parquet"
+      println(s"[probe] building $tag vector state ($n vectors)…")
+      val tBuild = time {
+        VectorOps.semDedupIncrement(spark, semIdx, vecs).count()
+        Ivf.ivfAppend(spark, ivfIdx, vecs)
+      }
+      println(f"[probe] $tag vector state built in $tBuild%.1f s")
+      for (deltaRows <- Seq(500L, 2500L)) {
+        cells += medianCell("semDedupAdmissions", tag, deltaRows, freshVecDelta) {
+          d => VectorOps.semDedupAdmissions(spark, semIdx, d).count() }
+        cells += medianCell("ivfSearch", tag, deltaRows, freshVecDelta) {
+          d => Ivf.ivfSearch(spark, ivfIdx, d, k = 3).count() }
+        // fold legs, one timed fold per size (state grows by the folded
+        // deltas — still ≪ the 10× index gap probed)
+        cells += {
+          val d = freshVecDelta(deltaRows)
+          val (s, mb) = measure(VectorOps.semDedupIncrement(spark, semIdx, d).count())
+          Cell("semDedupIncrement", tag, deltaRows, s, mb)
+        }
+        cells += {
+          val d = freshVecDelta(deltaRows)
+          val (s, mb) = measure(Ivf.ivfAppend(spark, ivfIdx, d))
+          Cell("ivfAppend", tag, deltaRows, s, mb)
+        }
       }
     }
 
     val all = cells.result()
-    println("\n| leg | delta rows | 1x index (s) | 10x index (s) | 10x/1x |")
-    println("|---|---|---|---|---|")
+    println("\n| leg | delta rows | 1x (s) | 10x (s) | wall 10x/1x | 1x shuffle (MB) | 10x shuffle (MB) | shuffle 10x/1x |")
+    println("|---|---|---|---|---|---|---|---|")
     for (leg <- all.map(_.leg).distinct; dr <- all.map(_.deltaRows).distinct.sorted) {
-      val a = all.find(c => c.leg == leg && c.index == "1x" && c.deltaRows == dr).get.secs
-      val b = all.find(c => c.leg == leg && c.index == "10x" && c.deltaRows == dr).get.secs
-      println(f"| $leg | $dr | $a%.2f | $b%.2f | ${b / a}%.2f |")
+      val a = all.find(c => c.leg == leg && c.index == "1x" && c.deltaRows == dr).get
+      val b = all.find(c => c.leg == leg && c.index == "10x" && c.deltaRows == dr).get
+      println(f"| $leg | $dr | ${a.secs}%.2f | ${b.secs}%.2f | ${b.secs / a.secs}%.2f " +
+        f"| ${a.shufMb}%.2f | ${b.shufMb}%.2f | ${if (a.shufMb > 0) b.shufMb / a.shufMb else -1.0}%.2f |")
     }
     spark.stop()
   }
