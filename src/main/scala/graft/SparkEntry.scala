@@ -251,11 +251,17 @@ object SparkEntry {
     // the production exchange-free posting join; IncrementalIvfSpec
     // pins one-shot ≡ persisted-index, IvfSpec pins the recall floor
     "q_ivf_delta" -> (Ivf.ivfDeltaQuery _),
-    // rows-only: int8 round/clamp arithmetic has no portable SQL twin at
-    // hash precision; QuantizeSpec bounds reconstruction + recall
+    // oracle-checked since r16: every step of the int8 path IS portable
+    // — max-abs scale (order-free max), round(x/scale*127) (the
+    // established HALF_UP ≡ half-away agreement on non-tie doubles),
+    // the dequantize float round-trip (CAST(CAST(x AS FLOAT) AS
+    // DOUBLE)), and the q_sim_topk cosine fold; QuantizeSpec still
+    // bounds reconstruction + recall vs the exact float path
     "q_quantized_topk" -> (VectorOps.quantizedTopK _),
-    // rows-only: MLlib k-means codebooks have no SQL twin; PqSpec pins
-    // recall vs exact, the 4-bit code domain, and determinism
+    // oracle-checked since r16: the deterministic per-subspace Lloyd
+    // codebooks (Ivf.detLloyd on 8-dim slices, exact-integer means)
+    // made the codes → ADC → re-rank path SQL-expressible; the MLlib
+    // fit lives on as Pq.pqTopKTrained (PqSpec's recall reference)
     "q_pq_topk" -> (Pq.pqTopK _),
     // rows-only: the batched scorer's digest arithmetic + row-local NMS
     // have no SQL twin; CrowdPipelineSpec pins batch-shape invariance
@@ -547,6 +553,117 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** DuckDB twin of the deterministic-codebook PQ search
+    * (Pq.detSubCenters → Pq.pqTopK): the ivfDetOracle generator applied
+    * per SUBSPACE — one normalization CTE, then for each of the M=8
+    * 8-dim slices a seeded init (the K=16 smallest vec_ids' slices) and
+    * the unrolled exact-integer-mean Lloyd blocks, a final per-slice
+    * code assignment, and the two-stage search: per-probe ADC tables
+    * (subspace dot against every codeword), candidate approx = the
+    * m-ordered sum of 8 table lookups (list(part ORDER BY m) →
+    * list_sum, matching the engine's subspace-sorted fold — the
+    * shortlist boundary at rank 200 must not flip), top-[[graft
+    * .operators.Pq.Shortlist]] prune, exact normalized-dot re-rank. */
+  private def pqDetOracle: String = {
+    val M = graft.operators.Pq.M
+    val K = graft.operators.Pq.K
+    val SubDim = graft.operators.Pq.SubDim
+    val Shortlist = graft.operators.Pq.Shortlist
+    val dim = 65
+    val sd = SubDim + 1 // exclusive bound of range(1, sd) over one slice
+    def sq(a: String, b: String): String =
+      s"list_sum(list_transform(range(1,$sd), i -> ($a.sub[i]-$b.center[i])*($a.sub[i]-$b.center[i])))"
+    def lloyd(m: Int, step: Int, prev: String): String =
+      s"""a${step}_$m AS (
+         |  SELECT vec_id, sub, k,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, k) AS rk
+         |  FROM (
+         |    SELECT t.vec_id, t.sub, c.k, ${sq("t", "c")} AS dist2
+         |    FROM sub_$m t CROSS JOIN $prev c)
+         |), s${step}_$m AS (
+         |  SELECT k, i, SUM(CAST(round(sub[i]*1000000.0) AS BIGINT)) AS s, COUNT(*) AS n
+         |  FROM a${step}_$m CROSS JOIN range(1,$sd) t(i)
+         |  WHERE rk = 1 GROUP BY k, i
+         |), m${step}_$m AS (
+         |  SELECT k, list(CAST(s AS DOUBLE) / (1000000.0 * n) ORDER BY i) AS center
+         |  FROM s${step}_$m GROUP BY k
+         |), c${step}_$m AS (
+         |  SELECT p.k, COALESCE(mm.center, p.center) AS center
+         |  FROM $prev p LEFT JOIN m${step}_$m mm ON p.k = mm.k
+         |)""".stripMargin
+    val steps = graft.operators.Ivf.DetSteps
+    val perM = (0 until M).map { m =>
+      val off = m * SubDim
+      val subCte =
+        s"""sub_$m AS (
+           |  SELECT vec_id, list_transform(range(1,$sd), i -> nemb[$off + i]) AS sub
+           |  FROM ne
+           |)""".stripMargin
+      val init =
+        s"""c0_$m AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, sub AS center
+           |  FROM (SELECT vec_id, sub FROM sub_$m ORDER BY vec_id LIMIT $K)
+           |)""".stripMargin
+      val ll = (1 to steps).map(s => lloyd(m, s, s"c${s - 1}_$m")).mkString(", ")
+      val code =
+        s"""code_$m AS (
+           |  SELECT vec_id, k AS code FROM (
+           |    SELECT t.vec_id, c.k,
+           |      row_number() OVER (PARTITION BY t.vec_id ORDER BY ${sq("t", "c")}, c.k) AS rk
+           |    FROM sub_$m t CROSS JOIN c${steps}_$m c)
+           |  WHERE rk = 1
+           |)""".stripMargin
+      s"$subCte, $init, $ll, $code"
+    }.mkString(", ")
+    val centUnion = (0 until M)
+      .map(m => s"SELECT $m AS m, k AS code, center FROM c${steps}_$m")
+      .mkString("\n  UNION ALL ")
+    val codeUnion = (0 until M)
+      .map(m => s"SELECT vec_id, $m AS m, code FROM code_$m")
+      .mkString("\n  UNION ALL ")
+    val subUnion = (0 until M)
+      .map(m => s"SELECT vec_id, $m AS m, sub FROM sub_$m")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ne AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1,$dim), i -> CAST(embedding[i] AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(range(1,$dim), j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))))) AS nemb
+       |  FROM embeddings
+       |  WHERE sqrt(list_sum(list_transform(range(1,$dim), j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)))) > 0
+       |), $perM, cent AS (
+       |  $centUnion
+       |), codes AS (
+       |  $codeUnion
+       |), allsubs AS (
+       |  $subUnion
+       |), tables AS (
+       |  SELECT p.vec_id AS probe_id, c.m, c.code,
+       |    list_sum(list_transform(range(1,$sd), i -> p.sub[i] * c.center[i])) AS part
+       |  FROM allsubs p JOIN cent c ON c.m = p.m
+       |  WHERE p.vec_id < 10
+       |), short AS (
+       |  SELECT probe_id, vec_id, approx,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY approx DESC, vec_id) AS arank
+       |  FROM (
+       |    SELECT t.probe_id, cd.vec_id, list_sum(list(t.part ORDER BY t.m)) AS approx
+       |    FROM codes cd JOIN tables t ON t.m = cd.m AND t.code = cd.code
+       |    WHERE cd.vec_id <> t.probe_id
+       |    GROUP BY t.probe_id, cd.vec_id)
+       |), ranked AS (
+       |  SELECT s.probe_id, s.vec_id AS cand_id,
+       |    list_sum(list_transform(range(1,$dim), i -> p.nemb[i] * c.nemb[i])) AS cos
+       |  FROM short s
+       |  JOIN ne c ON c.vec_id = s.vec_id
+       |  JOIN ne p ON p.vec_id = s.probe_id
+       |  WHERE s.arank <= $Shortlist
+       |), topd AS (
+       |  SELECT probe_id, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+       |  FROM ranked)
+       |SELECT probe_id, rank, cand_id, round(cos, 6) + 0.0 AS cos_sim
+       |FROM topd WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** Shared by q_nms_greedy and q_nms_exec (identical semantics, two
     * execution strategies): the order-dependent greedy pass as a
     * recursive CTE — one iteration per confidence rank, carrying each
@@ -594,6 +711,39 @@ object SparkEntry {
     "q_embed_neardup" -> embedNearDupOracle,
     "q_ivf_topk" -> ivfDetOracle,
     "q_ivf_delta" -> ivfDetOracle,
+    "q_pq_topk" -> pqDetOracle,
+    // q_quantized_topk: int8 max-abs quantize → dequantize-on-the-fly
+    // cosine top-10. The scale is an order-free max (list_max ≡ the
+    // greatest fold); q = round(x/scale·127) as TINYINT (the round
+    // agreement); dequantized values round-trip through FLOAT exactly
+    // as the engine's .cast("array<float>") does — then the q_sim_topk
+    // cosine fold. Output carries no float column (ranks only).
+    "q_quantized_topk" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(range(1,65), i -> abs(CAST(embedding[i] AS DOUBLE)))), 1e-30) AS scale
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(range(1,65), i -> CAST(round(CAST(embedding[i] AS DOUBLE) / scale * 127.0) AS TINYINT)) AS qv
+        |  FROM s
+        |), d AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1,65), i -> CAST(CAST(CAST(qv[i] AS DOUBLE) * scale / 127.0 AS FLOAT) AS DOUBLE)) AS emb
+        |  FROM q
+        |), pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_sum(list_transform(range(1,65), i -> p.emb[i] * c.emb[i]))
+        |    / (sqrt(list_sum(list_transform(range(1,65), i -> p.emb[i] * p.emb[i])))
+        |     * sqrt(list_sum(list_transform(range(1,65), i -> c.emb[i] * c.emb[i])))) AS cos
+        |  FROM d p JOIN d c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10
+        |), ranked AS (
+        |  SELECT probe_id, cand_id,
+        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+        |  FROM pairs)
+        |SELECT probe_id, rank, cand_id
+        |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
     "q_scan_proj" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_price,

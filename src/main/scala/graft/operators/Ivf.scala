@@ -144,27 +144,38 @@ object Ivf {
     * MLlib's fit makes; at 100 TB the quantizer trains on a sample and
     * assignment streams the corpus, exactly as here). */
   private[graft] def detCenters(spark: SparkSession, vectors: DataFrame): Seq[(Int, Array[Double])] = {
-    import spark.implicits._
-    import graft.functions.SqDistance.sqDist
     // eager: the normalized frame feeds every Lloyd iteration and the
     // count — one materialization, not DetSteps+1 recomputes (and no
     // lazy-persist fan-out for BroadcastRaceGuard to reject)
-    val emb = Pq.normalized(vectors).select(col("vec_id"), col("nemb"))
+    val emb = Pq.normalized(vectors).select(col("vec_id"), col("nemb").as("v"))
       .eagerly
     val n = emb.count()
     require(n >= K,
       s"IVF quantizer needs at least K=$K training vectors, got $n")
+    detLloyd(spark, emb, K)
+  }
+
+  /** The deterministic Lloyd core over a (vec_id, v ARRAY<DOUBLE>)
+    * frame: seeds = the k smallest vec_ids' vectors, [[DetSteps]]
+    * iterations of sq_dist argmin + exact-integer means. Shared by the
+    * IVF coarse quantizer (64-dim, K=32) and the PQ sub-quantizers
+    * (8-dim slices, K=16 each) — ONE arithmetic definition, so the two
+    * families cannot drift apart, and both stay oracle-expressible. */
+  private[graft] def detLloyd(spark: SparkSession, frame: DataFrame,
+                              k: Int): IndexedSeq[(Int, Array[Double])] = {
+    import spark.implicits._
+    import graft.functions.SqDistance.sqDist
     var centers: IndexedSeq[(Int, Array[Double])] =
-      emb.orderBy("vec_id").limit(K).collect()
+      frame.orderBy("vec_id").limit(k).collect()
         .map(_.getSeq[Double](1).toArray)
         .zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq
     for (_ <- 1 to DetSteps) {
       val cdf = centers.map { case (i, c) => (i, c.toSeq) }.toDF("list", "center")
-      val sums = emb.crossJoin(broadcast(cdf))
-        .withColumn("dist2", sqDist(col("nemb"), col("center")))
+      val sums = frame.crossJoin(broadcast(cdf))
+        .withColumn("dist2", sqDist(col("v"), col("center")))
         .groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("list"), col("nemb"))).as("m"))
-        .select(col("m.list").as("list"), posexplode(col("m.nemb")))
+        .agg(min(struct(col("dist2"), col("list"), col("v"))).as("m"))
+        .select(col("m.list").as("list"), posexplode(col("m.v")))
         .groupBy("list", "pos")
         .agg(sum(round(col("col") * MeanScale).cast("long")).as("s"),
           count(lit(1)).as("cnt"))

@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   * never an all-pairs product with float vectors. Vectors are L2-
   * normalized before training so the ADC dot IS approximate cosine.
   *
-  * Seeded and iteration-capped like [[Ivf]]; driver-checked rows-only
-  * (no external engine reproduces MLlib k-means); PqSpec pins recall
-  * against the exact float path, determinism, and the code-range /
+  * TWO codebook fits (the [[Ivf]] r16 pattern): the DEFAULT is the
+  * deterministic per-subspace Lloyd ([[Ivf.detLloyd]] on 8-dim slices —
+  * seeded init from the K smallest vec_ids, exact-integer means), so
+  * q_pq_topk is ORACLE-CHECKED end to end; the MLlib fit stays as
+  * [[pqTopKTrained]], the recall reference. PqSpec pins recall against
+  * the exact float path for BOTH, determinism, and the code-range /
   * compression contract. Reference analog: the CLIP embedding similarity
   * `main.py:79`, at the storage footprint 100 TB of vectors demands.
   */
@@ -105,6 +108,96 @@ object Pq {
     * lifted measured recall@10 from 0.70 (r8) to ~0.9 (PqSpec). */
   val Shortlist = 200
 
+  /** Deterministic per-subspace codebooks — [[Ivf.detLloyd]] on the
+    * M 8-dim slices (K=16 seeds each = the same 16 smallest vec_ids'
+    * slices, [[Ivf.DetSteps]] exact-integer-mean iterations): the
+    * q_semdedup_delta / q_ivf_topk move applied to PQ, making the whole
+    * codes → ADC → re-rank path oracle-expressible. Returned as
+    * centers\[m\]\[k\]\[subdim\]. */
+  private[graft] def detSubCenters(spark: SparkSession,
+                                   vectors: DataFrame): Array[Array[Array[Double]]] = {
+    import graft.plans.Eager.EagerOps
+    val emb = normalized(vectors).select(col("vec_id"), col("nemb")).eagerly
+    val n = emb.count()
+    require(n >= K,
+      s"PQ codebooks need at least K=$K training vectors per subspace, got $n")
+    (0 until M).map { m =>
+      Ivf.detLloyd(spark, emb.select(col("vec_id"), subCol(m).as("v")), K)
+        .map(_._2).toArray
+    }.toArray
+  }
+
+  /** Fit-once cache of the deterministic codebooks (the detCache
+    * lifecycle from [[Ivf]]): deterministic, so a racing duplicate
+    * build is wasted work, never divergence. */
+  private[graft] val detCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Array[Double]]])]()
+
+  private def detSubCentersFor(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val sig = contentSig(dir)
+    val cached = detCache.get(dir)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      val c = detSubCenters(spark, Tables.embeddings(spark, dir))
+      detCache.put(dir, (sig, c))
+      c
+    }
+  }
+
+  /** q_pq_topk (DEFAULT, oracle-checked since r16): the two-stage
+    * search under the deterministic codebooks. Encoding is a broadcast
+    * argmin per (vector, subspace) — min-struct aggregate, the
+    * detAssigned shape — instead of M model.transform projections;
+    * everything from the ADC tables down is identical to the trained
+    * variant. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.SqDistance.sqDist
+    val centers = detSubCentersFor(spark, dir)
+    val centersDf = centers.zipWithIndex.flatMap { case (ks, m) =>
+      ks.zipWithIndex.map { case (c, k) => (m, k, c.toSeq) }
+    }.toSeq.toDF("m", "code", "center")
+    val emb = normalized(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("nemb"))
+    val subs = emb.select(col("vec_id"),
+      posexplode(array((0 until M).map(subCol): _*)).as(Seq("m", "sub")))
+    val codes = subs.join(broadcast(centersDf), Seq("m"))
+      .withColumn("dist2", sqDist(col("sub"), col("center")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist2"), col("code"))).as("mm"))
+      .select(col("vec_id"), col("m"), col("mm.code").as("code"))
+    val probeSubs = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("m"), col("sub"))
+    val tables = probeSubs.join(broadcast(centersDf), Seq("m"))
+      .select(col("probe_id"), col("m"), col("code"),
+        aggregate(zip_with(col("sub"), col("center"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("part"))
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("approx").desc, col("vec_id"))
+    val shortlist = codes.join(broadcast(tables), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("part")))).as("ps"))
+      .withColumn("approx", expr("aggregate(ps, 0D, (acc, x) -> acc + x.part)"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= Shortlist)
+      .select(col("probe_id"), col("vec_id"), col("approx"))
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val exactSide = emb.select(col("vec_id"), col("nemb"))
+    val probeSide = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("nemb").as("p_emb"))
+    val wExact = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(exactSide, "vec_id")
+      .join(broadcast(probeSide), "probe_id")
+      .withColumn("cos", dot(col("p_emb"), col("nemb")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** q_pq_topk: top-10 neighbors per probe (vec_id < 10) via the
     * production two-stage recipe — ADC over the 4-byte codes prunes the
     * corpus to a [[Shortlist]]-sized candidate set (byte scan, zero
@@ -113,7 +206,7 @@ object Pq {
     * corpus). The 8-term ADC sum folds over the subspace-sorted array
     * (sequential-fold determinism — a shuffled 8-double sum could flip
     * a shortlist-boundary tie across runs). */
-  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+  def pqTopKTrained(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (coded, centers) = assign(spark, dir)
     val codes = coded.select(col("vec_id"),

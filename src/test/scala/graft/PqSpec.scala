@@ -53,4 +53,29 @@ class PqSpec extends SparkSpec {
       .select("probe_id", "rank", "cand_id").as[(Long, Long, Long)].collect()
     assert(first.sameElements(again))
   }
+
+  test("MLlib-codebook PQ (the recall reference) holds the same floor") {
+    import graft.operators.Pq
+    import spark.implicits._
+    val approx = Pq.pqTopKTrained(spark, sf)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val e = Tables.embeddings(spark, sf)
+    val exactW = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val exact = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(col("p_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(exactW))
+      .filter(col("rank") <= 10)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, want) =>
+      approx.getOrElse(p, Set.empty).intersect(want).size.toDouble / want.size }
+    val mean = recalls.sum / recalls.size
+    info(f"MLlib PQ mean top-10 recall = $mean%.3f")
+    assert(mean >= 0.9, f"MLlib PQ recall $mean%.3f under floor")
+  }
 }
