@@ -4,14 +4,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Prints the formatted physical plan of the named queries at the given
   * sf dir — the source for PLANS.md evidence sections.
-  * Usage: runMain graft.PlanDump <sfDir> <name>[,<name>...] [bench]
+  * Usage: runMain graft.PlanDump <sfDir> <name>[,<name>...] [bench|benchexec]
   * ("bench" plans the benchShapes form — the production shape without
-  * verify-only total sorts.)
+  * verify-only total sorts; "benchexec" additionally EXECUTES the query
+  * through the noop sink first, so the printed plan is the FINAL
+  * adaptive plan — ReusedExchange / AQEShuffleRead / runtime join
+  * rewrites visible — not the conservative initial one.)
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val (sfDir, names) = (args(0), args(1).split(",").toSeq)
-    val shapes = if (args.lift(2).contains("bench")) SparkEntry.benchShapes
+    val mode = args.lift(2)
+    val shapes = if (mode.exists(_.startsWith("bench"))) SparkEntry.benchShapes
                  else SparkEntry.queries
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -24,8 +28,18 @@ object PlanDump {
       println(s"## $name")
       println()
       println("```")
-      println(shapes(name)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val df = shapes(name)(spark, sfDir)
+      if (mode.contains("benchexec")) {
+        // drive df's OWN QueryExecution (a noop write wraps the plan in
+        // a separate command whose execution never finalizes df's
+        // AdaptiveSparkPlan) so the print shows the final runtime plan
+        df.collect()
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        spark.catalog.clearCache()
+      } else
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       println("```")
     }
     spark.stop()

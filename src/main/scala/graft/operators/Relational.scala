@@ -1666,8 +1666,16 @@ object Relational {
       // before any consumer plans against it.
       .eagerly
     val nOrders = sets.select(count(lit(1)).as("n_orders"))
+    // EAGER (r16, guide §2.4): supp feeds TWO broadcast builds (the s1
+    // and s2 sides differ in projection, so their exchanges are not
+    // canonically identical and AQE reuse cannot dedup them) — un-pinned,
+    // each build re-ran the explode+agg over the order-grain checkpoint,
+    // a second full pass at corpus scale. The frame itself is
+    // part-cardinality (dim-sized), so the extra materialization is
+    // cheap and both broadcasts read its blocks.
     val supp = sets.select(explode(col("pks")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("supp"))
+      .eagerly
     val pairs = sets
       .select(explode(flatten(transform(col("pks"), (x, i) =>
         transform(slice(col("pks"), i + lit(2), size(col("pks"))),

@@ -421,6 +421,13 @@ object TextOps {
         && col("sz1") * 10 >= col("sz2") * 9 && col("sz2") * 10 >= col("sz1") * 9)
       .select("d1", "d2").distinct()
     val jac = col("inter") / (col("sz1") + col("sz2") - col("inter"))
+    // (r16 audit: a SHUFFLE_HASH hint on the two verify joins was
+    // A/B'd and REVERTED — it removes the SortMergeJoin's sorts of the
+    // bitmap-payload side at corpus scale, but a hint also overrides the
+    // broadcast AQE correctly picks at fixture scale, measuring ~0.3 s
+    // slower; the strategy stays with AQE, which broadcasts small and
+    // sort-merges large. Candidate for a session-level
+    // preferSortMergeJoin=false evaluation in the next round.)
     cands
       .join(docs.select(col("doc_id").as("d1"), col("mm").as("mm1"), col("sz").as("sz1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("mm").as("mm2"), col("sz").as("sz2")), "d2")
@@ -1190,27 +1197,58 @@ object TextOps {
     // ranks frame, never the edge list; (3) the (large) MinHash
     // signature subtree is cut out of the unrolled 5-iteration plan
     // instead of appearing in it five times.
+    //
+    // r16 (guide §2.4): the partition COUNT is pinned explicitly —
+    // `repartition(col("src"))` leaves the count to AQE, which coalesces
+    // the checkpointed frame to fewer partitions than the join requires,
+    // so EnsureRequirements re-exchanged (and re-sorted) the EDGE side
+    // in EVERY iteration — the exact re-shuffle this checkpoint exists
+    // to remove (plans/r16/q_pagerank_before.txt: 5× Exchange+Sort over
+    // the ExistingRDD). The count is DERIVED from the graph size
+    // (Eager.layoutPartitions — guide §2's scale-adaptive partitioning:
+    // a constant session-width pin made the fixture-scale loop run 5
+    // rounds of 32-task joins AQE used to collapse); the in-partition
+    // sort makes the frozen layout satisfy the SortMergeJoin
+    // requirement outright, so per-iteration work on the edge side
+    // drops to zero at ANY scale.
+    val n = nodes.count() // dim-sized scalar (same license as the CC fixpoint)
+    // width derived from the node count for BOTH pinned frames (near-dup
+    // graphs are sparse — the LSH pair edge list is O(nodes); counting
+    // the edge list exactly would cost an extra materialization pass,
+    // and the cap at the session shuffle width bounds the error)
+    val nP = graft.plans.Eager.layoutPartitions(nodes.sparkSession, 2L * n)
     val linked = edges
       .join(deg, col("src") === col("deg_src"))
       .select(col("src"), col("dst"), col("deg"))
-      .repartition(col("src"))
-      .eagerly
-    val n = nodes.count() // dim-sized scalar (same license as the CC fixpoint)
+      .repartition(nP, col("src"))
+      .sortWithinPartitions("src")
+      .pinned
+    // The teleport join re-read `nodes` from parquet in every iteration
+    // (5 scans + 5 node-sized Exchange+Sort). Freeze it once, laid out
+    // like the join wants it.
+    val nodesPart = nodes
+      .repartition(nP, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .pinned
     // empty graph: no nodes means no ranks — return the (empty) node
     // frame shaped like the loop's output instead of dividing by zero in
     // the teleport term (empty-input sweep: an empty corpus slice is a
     // no-op, not a driver ArithmeticException)
-    if (n == 0) return nodes.select(col("doc_id"), lit(1000000000000L).as("pr"))
+    if (n == 0) return nodesPart.select(col("doc_id"), lit(1000000000000L).as("pr"))
     val scale = 1000000000000L
     val teleport = (scale / n) * 15 / 100
-    var ranks = nodes.select(col("doc_id"), lit(scale / n).as("pr"))
+    // ranks inherits nodesPart's hash(doc_id, nP) layout; the iteration
+    // joins are keyed compatibly on both ends (src↔doc_id share the
+    // hash position), so the only per-iteration exchange left is the
+    // FUNDAMENTAL one — contributions regrouped by dst.
+    var ranks = nodesPart.select(col("doc_id"), lit(scale / n).as("pr"))
     for (_ <- 1 to 5) {
       val contrib = linked
         .join(ranks, col("src") === ranks("doc_id"))
         .select(col("dst"), expr("pr div deg").as("q"))
         .groupBy("dst").agg(sum(col("q")).as("c"))
         .withColumnRenamed("dst", "doc_id")
-      ranks = nodes.join(contrib, Seq("doc_id"), "left")
+      ranks = nodesPart.join(contrib, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(teleport) + expr("(85 * coalesce(c, 0)) div 100")).as("pr"))
     }
@@ -1228,8 +1266,24 @@ object TextOps {
     * the convergence-rate observable the long-chain spec pins. */
   private[graft] def connectedComponentsWithRounds(
       nodes: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
+    // r16 (guide §2.4, the q_pagerank fix's sibling): every fixpoint
+    // round joins `edges` on dst — un-materialized, the round re-derived
+    // the union from the callers' pair cache AND re-shuffled the whole
+    // edge list per round (rounds × fact-exchange at corpus scale, the
+    // exact cost the scaladoc below prices). Freeze the edge list ONCE,
+    // hash(dst)-partitioned at the pinned session partition count and
+    // in-partition sorted, so every round's edge side satisfies the
+    // SortMergeJoin requirement as-is: per-round work on the edge side
+    // drops to a cached-block scan, and only node-sized frames move.
+    // width derived from the pair count (Eager.layoutPartitions — the
+    // scale-adaptive rule; the main callers have the pair frame persisted
+    // already, so the count is a cache scan)
+    val nP = graft.plans.Eager.layoutPartitions(nodes.sparkSession, 2L * pairs.count())
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .repartition(nP, col("dst"))
+      .sortWithinPartitions("dst")
+      .pinned
     // seed with min(self, direct neighbors) — round 1 folded into the
     // initialization, so the common diameter-1 components (pairwise dup
     // clusters) converge after a single fixpoint-check round
@@ -1297,6 +1351,10 @@ object TextOps {
     // `labels` stays checkpoint-cached: it IS the result, and the
     // caller's single materialization (Verify write / bench noop sink)
     // reads the cached blocks; superseded rounds are GC'd by the cleaner.
+    // The pinned edge layout is only read by the loop — labels is a
+    // lineage-free leaf, so the blocks can be dropped here rather than
+    // lingering until the harness clearCache.
+    edges.unpersist()
     (labels, rounds)
   }
 
@@ -1306,12 +1364,27 @@ object TextOps {
     * broadcast one-row aggregate (no driver round-trip); document
     * frequencies are one narrow distinct + count, joined back on the term
     * key with the strategy left to AQE (a small vocabulary broadcasts, a
-    * huge one shuffles — don't hint what the runtime can measure). */
+    * huge one shuffles — don't hint what the runtime can measure).
+    *
+    * r16 (guide §2.3/§2.4 — aggregate before you shuffle, share one
+    * exchange): df is DERIVED from tf (`tf` rows are exactly the
+    * distinct (doc, tok) pairs, so counting them per token is the same
+    * value) instead of `toks.distinct().groupBy(tok)` — the distinct
+    * re-tokenized the whole corpus a second time and paid a second
+    * corpus-wide exchange at raw (doc, tok) grain; derived, both
+    * consumers sit over ONE canonical tf exchange that AQE stage-reuse
+    * dedups (plan diff: 2 Generate+Exchange subtrees → 1 + ReusedExchange). */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    // count(when(tf > 0, 1)) ≡ count(*) (tf is a count, always ≥ 1) but
+    // KEEPS the tf column referenced through optimization: a bare
+    // count(*) — or count("tf"), which Catalyst normalizes away — lets
+    // column pruning strip tf from df's copy of the tf aggregate,
+    // de-canonicalizing the two exchanges and losing the runtime
+    // stage reuse (verified via PlanDump benchexec)
+    val df = tf.groupBy("tok").agg(count(when(col("tf") > 0, 1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
@@ -1338,9 +1411,20 @@ object TextOps {
     val (k1, b) = (1.2, 0.75)
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // r16 (guide §2.3/§2.4, the tfidf move): dl and df are DERIVED from
+    // tf — dl = Σ tf per doc (the doc's token count exactly) and df =
+    // row count per token (tf rows are the distinct (doc, tok) pairs) —
+    // instead of two more full tokenize passes (dl re-aggregated the raw
+    // token stream; df paid a corpus-wide distinct exchange). All three
+    // consumers now share ONE canonical tf exchange via AQE stage reuse:
+    // 3 Generate (tokenize) subtrees → 1, the distinct's raw-grain
+    // exchange is gone.
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val df = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // count(when(tf > 0, 1)) keeps the tf column referenced so df's copy
+    // of the tf aggregate stays canonically identical and the exchange
+    // is reused (see tfidf)
+    val df = tf.groupBy("tok").agg(count(when(col("tf") > 0, 1)).as("df"))
     // corpus stats from the doc-cardinality dl frame, not a
     // countDistinct over the exploded token stream (whose mixed
     // distinct+plain agg would Expand-double the widest frame):
@@ -2210,10 +2294,17 @@ object TextOps {
     * terminate by depth, not by dedup; the outer min(hop) collapses the
     * path multiplicity. At scale each recursion step is one equi-join of
     * the frontier against the edge list — bounded depth = bounded
-    * stages. */
+    * stages.
+    *
+    * r16: the pair view is EAGERLY materialized — UnionLoopExec
+    * re-evaluates the recursion step's plan each hop, and an
+    * un-materialized view re-ran the LSH band self-join + distinct
+    * (everything above the signature checkpoint) once per hop; frozen,
+    * each hop joins the frontier against cached blocks (guide §2.4:
+    * remove repeated upstream work from a loop). */
   def reachable(spark: SparkSession, dir: String): DataFrame =
     Tables.withTempViews(spark,
-      "graft_dup_pairs" -> minhashPairs(spark, dir),
+      "graft_dup_pairs" -> minhashPairs(spark, dir).eagerly,
       "graft_doc_ids" -> Tables.documents(spark, dir).select(col("doc_id"))) { v =>
       spark.sql(
         s"""WITH RECURSIVE reach(seed_id, doc_id, hop) AS (
