@@ -4,12 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Prints the formatted physical plan of the named queries at the given
   * sf dir — the source for PLANS.md evidence sections.
-  * Usage: runMain graft.PlanDump <sfDir> <name>[,<name>...] [bench|benchexec]
+  * Usage: runMain graft.PlanDump <sfDir> <name>[,<name>...] [bench|benchexec] [k=v ...]
   * ("bench" plans the benchShapes form — the production shape without
   * verify-only total sorts; "benchexec" additionally EXECUTES the query
   * through the noop sink first, so the printed plan is the FINAL
   * adaptive plan — ReusedExchange / AQEShuffleRead / runtime join
-  * rewrites visible — not the conservative initial one.)
+  * rewrites visible — not the conservative initial one. Trailing k=v
+  * args become session confs — r17, for dumping the CLUSTER-SHAPED plan
+  * a fixture-scale session hides, e.g.
+  * spark.sql.autoBroadcastJoinThreshold=-1
+  * spark.graft.eagerMaterialize=persist.)
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -17,12 +21,14 @@ object PlanDump {
     val mode = args.lift(2)
     val shapes = if (mode.exists(_.startsWith("bench"))) SparkEntry.benchShapes
                  else SparkEntry.queries
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    args.drop(3).filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"## $name")

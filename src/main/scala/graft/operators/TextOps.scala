@@ -393,19 +393,29 @@ object TextOps {
     // vocabulary outgrows a broadcast and this hint should be dropped —
     // the tok equi-join then shuffles both sides, which is the correct
     // postings-join shape there
+    // grouped by doc_id ALONE (source is 1:1 with doc_id — one document
+    // row per id — so max() recovers it exactly): the frame's cached
+    // partitioning is then hash(doc_id), which the single payload join
+    // below reuses as-is instead of re-exchanging the bitmaps (r17).
     val docs = toks.join(broadcast(ranked), "tok")
-      .groupBy("doc_id", "source")
-      .agg(sort_array(collect_list(col("bit"))).as("bits"))
+      .groupBy("doc_id")
+      .agg(max(col("source")).as("source"),
+        sort_array(collect_list(col("bit"))).as("bits"))
       .select(col("doc_id"), col("source"), col("bits"),
         graft.functions.Bitmap.bitmapFromBits(col("bits")).as("mm"),
         size(col("bits")).cast("long").as("sz"))
-      // EAGER (r14 lazy-persist sweep): both candidate sides and the
+      // EAGER (r14 lazy-persist sweep): the candidate side and the
       // verify join plan distinct shuffle builds over this frame, and
       // concurrent stages over a lazy cache race to re-run the whole
       // tokenize→rank→bitmap pipeline per build. localCheckpoint
-      // materializes it exactly once before the consumers plan (the
-      // checkpoint-signatures-before-candidate-join strategy a 100 TB
-      // run uses); blocks reclaimed by the context cleaner.
+      // materializes it exactly once before the consumers plan. On
+      // cluster masters Eager.eager takes the persist+count branch,
+      // whose InMemoryRelation KEEPS this aggregate's hash(doc_id)
+      // output partitioning — so at scale the payload join's docs side
+      // reads its cache layout with no Exchange; locally the dim-sized
+      // frame broadcasts and the layout is moot (an explicit pinned
+      // persist was A/B'd r17: +0.2 s of pure pin cost at fixture
+      // scale, no plan difference — the broadcast wins either way).
       .eagerly
     // prefix length p = sz - ceil(0.9*sz) + 1, via ceil(9x/10) =
     // floor((9x+9)/10) — exact in doubles because 10k/10 divides without
@@ -421,13 +431,26 @@ object TextOps {
         && col("sz1") * 10 >= col("sz2") * 9 && col("sz2") * 10 >= col("sz1") * 9)
       .select("d1", "d2").distinct()
     val jac = col("inter") / (col("sz1") + col("sz2") - col("inter"))
-    // (r16 audit: a SHUFFLE_HASH hint on the two verify joins was
-    // A/B'd and REVERTED — it removes the SortMergeJoin's sorts of the
-    // bitmap-payload side at corpus scale, but a hint also overrides the
-    // broadcast AQE correctly picks at fixture scale, measuring ~0.3 s
-    // slower; the strategy stays with AQE, which broadcasts small and
-    // sort-merges large. Candidate for a session-level
-    // preferSortMergeJoin=false evaluation in the next round.)
+    // r17 payload-exchange rework (guide §8 — decide with small rows,
+    // move big rows once). The r16 shape shuffled bitmap payloads
+    // through THREE corpus-proportional exchanges: docs grouped by
+    // (doc_id, source) gave the cache a layout NO join key could reuse,
+    // so the d1-join re-exchanged docs by d1, the d2-join re-exchanged
+    // docs by d2, and the intermediate pair frame re-shuffled by d2
+    // still carrying mm1. With docs grouped by doc_id ALONE (above),
+    // the cached layout IS hash(doc_id) — both verify joins' docs side
+    // reads it with no Exchange (doc_id is each join's key; on local
+    // masters the dim-sized cache broadcasts instead, same effect) —
+    // so the ONLY exchange that ever carries bitmap bytes is the
+    // intermediate-by-d2 one: each pair ships mm1 exactly once.
+    // Payload-carrying exchanges 3 → 1 at scale
+    // (plans/r17/q_jaccard_pairs_before/after*.txt).
+    // A full §8 explode-pair-ids + single-join + re-group restructure
+    // was A/B'd this round and REJECTED: the (d1, d2) re-group ships
+    // BOTH bitmaps per pair (2× this shape's payload bytes) and max()
+    // over ARRAY<LONG> falls off hash aggregation to a SortAggregate
+    // over the payload-carrying frame — measured +0.3-0.5 s at sf0.1
+    // with no at-scale byte advantage.
     cands
       .join(docs.select(col("doc_id").as("d1"), col("mm").as("mm1"), col("sz").as("sz1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("mm").as("mm2"), col("sz").as("sz2")), "d2")
@@ -1184,7 +1207,8 @@ object TextOps {
     * produce deterministically — stars, chains, dangling nodes — are
     * unit-testable. nodes(doc_id) + undirected pairs(d1, d2) →
     * (doc_id, pr) at integer scale 1e12, unsorted. */
-  private[graft] def pageRankOnGraph(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def pageRankOnGraph(nodes: DataFrame, pairs: DataFrame,
+                                     iterations: Int = 5): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -1217,19 +1241,35 @@ object TextOps {
     // the edge list exactly would cost an extra materialization pass,
     // and the cap at the session shuffle width bounds the error)
     val nP = graft.plans.Eager.layoutPartitions(nodes.sparkSession, 2L * n)
-    val linked = edges
+    // r17 size threshold (r16 verdict task #5): when the whole graph
+    // fits ONE derived partition, the layout pin's repartition + sort +
+    // persist + count is pure overhead — every consumer collapses to a
+    // single partition anyway, so there is no per-iteration exchange to
+    // save (measured r16: the pin cost moved the local floor 1.86 →
+    // ~2.5 s). Below the threshold the loop-invariant frame is still
+    // materialized ONCE (eager localCheckpoint — the r15 shape: cuts
+    // the signature subtree out of the unrolled plan), just without the
+    // layout jobs; at nP > 1 the pinned layout keeps the at-scale
+    // shape: zero per-iteration Exchange/Sort on the edge side.
+    val linkedBase = edges
       .join(deg, col("src") === col("deg_src"))
       .select(col("src"), col("dst"), col("deg"))
-      .repartition(nP, col("src"))
-      .sortWithinPartitions("src")
-      .pinned
+    val linked =
+      if (nP <= 1) linkedBase.eagerly
+      else linkedBase
+        .repartition(nP, col("src"))
+        .sortWithinPartitions("src")
+        .pinned
     // The teleport join re-read `nodes` from parquet in every iteration
-    // (5 scans + 5 node-sized Exchange+Sort). Freeze it once, laid out
-    // like the join wants it.
-    val nodesPart = nodes
-      .repartition(nP, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .pinned
+    // (5 scans + 5 node-sized Exchange+Sort). At layout scale, freeze it
+    // once, laid out like the join wants it; under the threshold the
+    // repeated scans are single-partition-cheap and the pin job is not.
+    val nodesPart =
+      if (nP <= 1) nodes
+      else nodes
+        .repartition(nP, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .pinned
     // empty graph: no nodes means no ranks — return the (empty) node
     // frame shaped like the loop's output instead of dividing by zero in
     // the teleport term (empty-input sweep: an empty corpus slice is a
@@ -1242,7 +1282,7 @@ object TextOps {
     // hash position), so the only per-iteration exchange left is the
     // FUNDAMENTAL one — contributions regrouped by dst.
     var ranks = nodesPart.select(col("doc_id"), lit(scale / n).as("pr"))
-    for (_ <- 1 to 5) {
+    for (_ <- 1 to iterations) {
       val contrib = linked
         .join(ranks, col("src") === ranks("doc_id"))
         .select(col("dst"), expr("pr div deg").as("q"))
@@ -1279,11 +1319,18 @@ object TextOps {
     // scale-adaptive rule; the main callers have the pair frame persisted
     // already, so the count is a cache scan)
     val nP = graft.plans.Eager.layoutPartitions(nodes.sparkSession, 2L * pairs.count())
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+    // r17 size threshold (r16 verdict task #5, the pageRank sibling):
+    // under one derived partition the layout jobs buy nothing — the
+    // union is still frozen ONCE (eager localCheckpoint) so no round
+    // re-derives it, but without the repartition/sort/persist overhead.
+    val edgesBase = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .repartition(nP, col("dst"))
-      .sortWithinPartitions("dst")
-      .pinned
+    val edges =
+      if (nP <= 1) edgesBase.eagerly
+      else edgesBase
+        .repartition(nP, col("dst"))
+        .sortWithinPartitions("dst")
+        .pinned
     // seed with min(self, direct neighbors) — round 1 folded into the
     // initialization, so the common diameter-1 components (pairwise dup
     // clusters) converge after a single fixpoint-check round
@@ -2143,6 +2190,13 @@ object TextOps {
     // saving — total 2.2-2.7 s → 3.2-3.5 s. The duplication is free;
     // the extra eager jobs are not.
     val K = 1024L
+    // (r17 A/B, tried and REVERTED: deriving b1/b2 inside `ranges` from
+    // a whole-partition window sum over the histogram — to drop this
+    // frame's second broadcast projection — measured ~0.2-0.3 s SLOWER
+    // at sf0.1 across matched 7-rep subset runs and saves nothing at
+    // scale: both stats projections already share one exchange via AQE
+    // reuse, and the hist frame is cell-bounded either way. The
+    // two-broadcast shape stays.)
     val stats = per.groupBy("lang").agg(
         count(lit(1)).as("n"), min("rarity").as("mn"), max("rarity").as("mx"))
       .withColumn("q3", expr("n div 3"))

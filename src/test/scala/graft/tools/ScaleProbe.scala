@@ -66,6 +66,11 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // graph legs (r16 verdict task #6): force the PINNED layout path
+      // (Eager.layoutPartitions > 1) at probe scale, so the meter
+      // exercises the branch a 100 TB run takes, not the under-one-
+      // partition local shortcut. Only the graph loops read this conf.
+      .config("spark.graft.layoutRowsPerPartition", "2000")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("scaleprobe-wh").toString)
       .getOrCreate()
@@ -188,7 +193,73 @@ object ScaleProbe {
       }
     }
 
+    // ---- graph-loop legs (r16 verdict task #6): the r16 pinned edge
+    // layouts (pageRankOnGraph / connectedComponentsWithRounds) claim
+    // zero per-iteration shuffle on the EDGE side — metered here, not
+    // just plan-asserted. Synthetic graph: n nodes in chains of length
+    // L; the undirected pair list is REPLICATED `rep` times (duplicate
+    // edges change neither labels, rounds, nor the node-sized
+    // per-iteration frames — only the edge side scales 10×).
+    //  - pageRank takes an explicit iteration count: per-iteration
+    //    shuffle = (bytes(10 iters) − bytes(5 iters)) / 5. Pinned: flat
+    //    in edge replication (contribution partials are
+    //    distinct-dst-bounded). Broken (the r16 localCheckpoint
+    //    defect): each extra iteration re-exchanges the edge list →
+    //    the delta scales ~10×.
+    //  - CC's rounds are data-driven, so the per-round delta comes from
+    //    two chain lengths at the same node count: (bytes(L=64) −
+    //    bytes(L=4)) / (rounds₆₄ − rounds₄). Same discrimination.
+    val nG = 20000L
+    def chainPairs(l: Long, rep: Int): DataFrame =
+      spark.range(nG - 1).filter(pmod(col("id"), lit(l)) =!= lit(l - 1))
+        .select(col("id").as("d1"), (col("id") + 1).as("d2"))
+        .withColumn("_r", explode(sequence(lit(1), lit(rep))))
+        .drop("_r")
+        .localCheckpoint(true)
+    val gNodes = spark.range(nG).select(col("id").as("doc_id"))
+      .localCheckpoint(true)
+    case class GCell(leg: String, index: String, perUnitMb: Double,
+                     units: Int, totalMb: Double)
+    val gcells = Seq.newBuilder[GCell]
+    for ((tag, rep) <- Seq(("1x", 1), ("10x", 10))) {
+      val pairs = chainPairs(16L, rep)
+      val (_, b5) = measure(
+        TextOps.pageRankOnGraph(gNodes, pairs, iterations = 5)
+          .write.format("noop").mode("overwrite").save())
+      spark.catalog.clearCache()
+      val (_, b10) = measure(
+        TextOps.pageRankOnGraph(gNodes, pairs, iterations = 10)
+          .write.format("noop").mode("overwrite").save())
+      spark.catalog.clearCache()
+      gcells += GCell("pageRank/iter", tag, (b10 - b5) / 5.0, 5, b10)
+      var r4 = 0; var r64 = 0
+      val (_, bL4) = measure {
+        val (lab, r) = TextOps.connectedComponentsWithRounds(
+          gNodes, chainPairs(4L, rep))
+        lab.write.format("noop").mode("overwrite").save(); r4 = r
+      }
+      spark.catalog.clearCache()
+      val (_, bL64) = measure {
+        val (lab, r) = TextOps.connectedComponentsWithRounds(
+          gNodes, chainPairs(64L, rep))
+        lab.write.format("noop").mode("overwrite").save(); r64 = r
+      }
+      spark.catalog.clearCache()
+      gcells += GCell("cc/round", tag,
+        (bL64 - bL4) / math.max(1, r64 - r4), r64 - r4, bL64)
+    }
+
     val all = cells.result()
+    val gAll = gcells.result()
+    println("\n| graph leg | per-unit 1x (MB) | per-unit 10x (MB) | per-unit 10x/1x | extra units | total 10x (MB) |")
+    println("|---|---|---|---|---|---|")
+    for (leg <- gAll.map(_.leg).distinct) {
+      val a = gAll.find(c => c.leg == leg && c.index == "1x").get
+      val b = gAll.find(c => c.leg == leg && c.index == "10x").get
+      println(f"| $leg | ${a.perUnitMb}%.2f | ${b.perUnitMb}%.2f " +
+        f"| ${if (a.perUnitMb > 0) b.perUnitMb / a.perUnitMb else -1.0}%.2f " +
+        f"| ${b.units} | ${b.totalMb}%.2f |")
+    }
     println("\n| leg | delta rows | 1x (s) | 10x (s) | wall 10x/1x | 1x shuffle (MB) | 10x shuffle (MB) | shuffle 10x/1x |")
     println("|---|---|---|---|---|---|---|---|")
     for (leg <- all.map(_.leg).distinct; dr <- all.map(_.deltaRows).distinct.sorted) {
