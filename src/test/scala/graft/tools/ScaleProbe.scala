@@ -60,8 +60,14 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val nBase = args.lift(0).map(_.toLong).getOrElse(5000L)
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    // optional 4th arg: shuffle compression codec (r16 verdict task #7
+    // — the zstd evaluation wants shuffle-BYTES evidence, and the
+    // meter below reads post-compression bytesWritten, so two probe
+    // runs lz4-vs-zstd give both the ratio and the wall cost)
+    val codec = args.lift(3).getOrElse("lz4")
     val spark = SparkSession.builder()
       .master("local[32]")
+      .config("spark.io.compression.codec", codec)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
